@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Core relational operators over the TPC-H-ish corpus: scan+filter+project
+  * with pushdown, hash aggregation with partial (map-side) combine, joins
+  * (broadcast + shuffle, semi/anti), top-k, set ops, distinct counts.
+  *
+  * Scale notes (100 TB posture):
+  *  - every aggregate here is a partial-aggregation `HashAggregateExec`
+  *    pair — no groupByKey-style full value shuffles (SURVEY.md §2.4 A1);
+  *  - dimension tables (region/nation) are explicitly `broadcast()`;
+  *    fact⋈fact joins are left to Catalyst/AQE (sort-merge with
+  *    skew-split at scale);
+  *  - filters/projections are plain Catalyst expressions so they reach the
+  *    parquet scan (PushedFilters / ReadSchema);
+  *  - double aggregates are rounded in BOTH the Spark query and the DuckDB
+  *    oracle: double addition is order-dependent, exact bit equality across
+  *    engines is not a meaningful target.
+  *
+  * Reference mapping: SURVEY.md §2.2 (P4 projection), §2.4 (A1/A3/A4/A5),
+  * §2.3 (joins enter via the driver corpus), §2.6 (L1/L2), §2.7 (set ops).
+  */
+object Relational {
+
+  private def tsLit(s: String) = lit(s).cast("timestamp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: partial agg + 4-group fanout.
+    "q01_pricing_summary" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= tsLit("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Filter + narrow projection — exists to prove scan pushdown: the
+    // physical plan must show PushedFilters on l_quantity/l_discount and a
+    // 4-column ReadSchema.
+    "q02_filter_pushdown" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    },
+
+    // orders ⋈ customer revenue per market segment.
+    "q03_join_agg" -> { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // TPC-H Q5-style 5-way join; nation/region broadcast by hint.
+    "q04_region_revenue" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1999-01-01"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    },
+
+    // Semi join (EXISTS): customers that have at least one order.
+    "q05_semi_join" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+    },
+
+    // Anti join (NOT EXISTS): customers with no orders at all.
+    "q06_anti_join" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    },
+
+    // Top-k with a deterministic tie-break (TakeOrderedAndProject — no
+    // full sort materialization at scale).
+    "q07_topk_orders" -> { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)
+    },
+
+    // One-pass multi-column distinct counts (SURVEY.md A4: the reference
+    // ran 4 separate jobs, each re-reading the CSV; this is a single scan
+    // with expand + partial aggregation).
+    "q08_distinct_counts" -> { (s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // describe()-equivalent summary statistics (SURVEY.md A5) as a real
+    // aggregate with typed output (describe() returns strings).
+    "q09_summary_stats" -> { (s, d) =>
+      t(s, d, "customer").agg(
+        count(lit(1)).as("n"),
+        round(avg(col("c_acctbal")), 4).as("mean_acctbal"),
+        round(stddev_samp(col("c_acctbal")), 4).as("stddev_acctbal"),
+        round(min(col("c_acctbal")), 2).as("min_acctbal"),
+        round(max(col("c_acctbal")), 2).as("max_acctbal"))
+    },
+
+    // Set operations: distinct union / intersect / except, tagged into one
+    // result so all three run as one query.
+    "q10_set_ops" -> { (s, d) =>
+      val custNations = t(s, d, "customer")
+        .select(col("c_nationkey").as("nationkey"))
+      val suppNations = t(s, d, "supplier")
+        .select(col("s_nationkey").as("nationkey"))
+      val u = custNations.union(suppNations).distinct()
+        .withColumn("op", lit("union"))
+      val i = custNations.intersect(suppNations)
+        .withColumn("op", lit("intersect"))
+      val e = custNations.except(suppNations)
+        .withColumn("op", lit("except"))
+      u.union(i).union(e)
+    },
+
+    // Grouping sets via rollup: per (returnflag, linestatus), per
+    // returnflag, and grand total in one pass.
+    "q11_rollup" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // Pivot = A1 count-vectorization shape on the corpus (SURVEY.md §2.4):
+    // explicit value list, like pivot("Family", familias) in the reef
+    // pipeline — conditional aggregation, one pass, no value shuffle.
+    "q12_pivot_flag_status" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        | round(sum(c_acctbal),2) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q07_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q08_distinct_counts" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_returnflag) AS n_flags,
+        | count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q09_summary_stats" ->
+      """SELECT count(*) AS n,
+        | round(avg(c_acctbal),4) AS mean_acctbal,
+        | round(stddev_samp(c_acctbal),4) AS stddev_acctbal,
+        | round(min(c_acctbal),2) AS min_acctbal,
+        | round(max(c_acctbal),2) AS max_acctbal
+        |FROM customer""".stripMargin,
+    "q10_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'union' AS op FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'intersect' AS op FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'except' AS op FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_pivot_flag_status" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),2) AS qty_f,
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+}
