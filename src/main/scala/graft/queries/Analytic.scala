@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Window/analytic functions, event-time (streaming-shaped) aggregations,
+  * and scalar date/JSON functions over the `events` and `orders` tables.
+  *
+  * Streaming note: q15/q17/q18 are the batch renderings of the
+  * Structured Streaming queries in `graft.streaming.EventStreams` — the
+  * same logical plans run under `readStream` with a watermark; batch mode
+  * is what the DuckDB oracle can verify (SURVEY.md §2.9).
+  *
+  * Scale notes:
+  *  - all windows are partitioned (by nation / customer / user); the only
+  *    global-order operators are ntile/top-k, which at 100 TB would move
+  *    to range-partitioned sort (Spark does this automatically for
+  *    orderBy) — noted per query;
+  *  - session windows use Spark's native `session_window`, which is a
+  *    single shuffle by key then a sort-merge within partitions — no
+  *    per-event state on the driver.
+  */
+object Analytic {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ranking window: top-3 customers by balance per nation.
+    "q13_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+          col("c_acctbal"))
+    },
+
+    // Running aggregation + lag: per-customer cumulative spend and
+    // days-since-previous-order.
+    "q14_running_total" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("order_seq", row_number().over(w))
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_seq"),
+          col("running_spend"), col("days_since_prev"))
+    },
+
+    // Event-time bucketing with a date function (X-family analog).
+    "q15_hourly_events" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+
+    // JSON scalar extraction (events.props is a JSON string).
+    "q16_json_extract" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    },
+
+    // Tumbling event-time window (batch rendering of the streaming agg).
+    "q17_tumbling_window" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    },
+
+    // Session windows per user, 30-minute inactivity gap.
+    "q18_session_window" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+    },
+
+    // Exact percentiles (linear interpolation — matches quantile_cont).
+    "q19_quantiles" -> { (s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_acctbal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_acctbal"),
+          count(lit(1)).as("n"))
+    },
+
+    // ntile quartiles over a global order. Scale note: a global ntile at
+    // 100 TB is a range-partitioned sort (Spark samples ranges); for a
+    // coarser histogram prefer q19-style percentiles per group.
+    "q20_ntile" -> { (s, d) =>
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("c_acctbal")), 4).as("avg_acctbal"),
+          round(min(col("c_acctbal")), 2).as("min_acctbal"),
+          round(max(col("c_acctbal")), 2).as("max_acctbal"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q13_window_rank" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        | FROM customer) WHERE rnk <= 3""".stripMargin,
+    "q14_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS order_seq,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+        | CAST(date_diff('day', CAST(lag(o_orderdate,1) OVER w AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "q15_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(props->>'$.k' AS BIGINT)),4) AS avg_k,
+        | min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        | max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q17_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q18_session_window" ->
+      """WITH marked AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |sessions AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM marked)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q19_quantiles" ->
+      """SELECT c_mktsegment,
+        | round(quantile_cont(c_acctbal, 0.5),4) AS median_acctbal,
+        | round(quantile_cont(c_acctbal, 0.9),4) AS p90_acctbal,
+        | count(*) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q20_ntile" ->
+      """SELECT quartile, count(*) AS n,
+        | round(avg(c_acctbal),4) AS avg_acctbal,
+        | round(min(c_acctbal),2) AS min_acctbal,
+        | round(max(c_acctbal),2) AS max_acctbal
+        |FROM (SELECT c_acctbal,
+        |  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        | FROM customer)
+        |GROUP BY quartile""".stripMargin
+  )
+}

@@ -92,11 +92,14 @@ object Relational {
           round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
     },
 
-    // Anti join (NOT EXISTS): customers with no orders at all.
+    // Anti join (NOT EXISTS): customers with no order since 2001-01-01.
+    // (Unrestricted "no orders at all" is empty on this corpus — every
+    // customer has orders — which would verify nothing.)
     "q06_anti_join" -> { (s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(
+          t(s, d, "orders").filter(col("o_orderdate") >= tsLit("2001-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     },
 
@@ -210,7 +213,8 @@ object Relational {
         |GROUP BY c_nationkey""".stripMargin,
     "q06_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
     "q07_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
