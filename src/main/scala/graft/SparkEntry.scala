@@ -19,11 +19,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Analytic.queries
+      graft.queries.Analytic.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.DedupOps.queries ++
+      graft.queries.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.Analytic.oracle
+      graft.queries.Analytic.oracle ++
+      graft.queries.TextOps.oracle ++
+      graft.queries.DedupOps.oracle ++
+      graft.queries.MultimodalOps.oracle
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Deduplication operators over `documents` (BASELINE.json north-star
+  * family): exact hash dedup, exact n-gram Jaccard near-dup,
+  * SimHash fingerprints, MinHash+LSH near-dup.
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is a single hash-aggregate on a digest — the digest
+  *    (not the document body) is the shuffle key, so shuffle volume is
+  *    O(docs × 32 bytes), not O(corpus bytes);
+  *  - the Jaccard join generates candidate pairs ONLY for docs sharing a
+  *    shingle (equi-join on shingle), never the O(n²) cross product;
+  *    at 100 TB you additionally cap frequent shingles (stop-shingle
+  *    removal) — here the corpus is small enough not to need it;
+  *  - SimHash reduces each doc to one i64; near-dup search becomes
+  *    bit-twiddling, and banding the 64 bits into 4×16-bit keys gives a
+  *    shuffle-friendly LSH (d28 emits the signature + band keys);
+  *  - MinHashLSH (d29) is the seeded, banded probabilistic variant —
+  *    `approxSimilarityJoin` shuffles on band buckets. Not expressible
+  *    in the DuckDB oracle (seeded hash families) → rows-only there,
+  *    recall-checked against the exact d27 pairs in scalatest.
+  */
+object DedupOps {
+
+  /** Whitespace tokens of trim(text); [] for blank text. */
+  private def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Distinct word-3-gram shingles (0-based Spark array indexing). */
+  private def shingleCol: Column =
+    array_distinct(expr(
+      "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+
+  /** doc_id + distinct 3-gram shingle set for docs with ≥3 tokens. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), shingleCol.as("shingles"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group on content digest, keep min doc_id per group.
+    "d27_dedup_exact" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    },
+
+    // Exact near-dup: word-3-gram Jaccard ≥ 0.8 via shingle equi-join
+    // (candidate pairs share ≥1 shingle; intersection counted by the
+    // join, union by inclusion-exclusion).
+    "d28_neardup_jaccard" -> { (s, d) =>
+      val sh = shingles(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sv"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val exA = ex.select(col("doc_id").as("ia"), col("sv"))
+      val exB = ex.select(col("doc_id").as("ib"), col("sv").as("svb"))
+      val pairs = exA
+        .join(exB, col("sv") === col("svb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .withColumn("jac",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
+    },
+
+    // SimHash: 64-bit per-doc fingerprint from xxhash64(token) bit
+    // votes, plus 4×16-bit band keys for bucketed near-dup search.
+    // No DuckDB oracle (xxhash64 is Spark-specific) → rows-only +
+    // scalatest invariants.
+    "d29_simhash" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val votes = (0 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$b")
+      }
+      val sig = (0 until 64).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      tok.groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .withColumn("simhash", sig)
+        .select(col("doc_id"), col("simhash"),
+          shiftright(col("simhash"), 48).bitwiseAND(lit(0xffffL)).as("band0"),
+          shiftright(col("simhash"), 32).bitwiseAND(lit(0xffffL)).as("band1"),
+          shiftright(col("simhash"), 16).bitwiseAND(lit(0xffffL)).as("band2"),
+          col("simhash").bitwiseAND(lit(0xffffL)).as("band3"))
+    },
+
+    // MinHash + LSH banding near-dup (probabilistic, seeded): shingle
+    // sets → HashingTF index space → MinHashLSH approxSimilarityJoin.
+    // distCol is the exact Jaccard distance on the hashed sets; LSH only
+    // prunes candidates. Rows-only vs the oracle; recall vs d28 is
+    // asserted in scalatest.
+    "d30_minhash_lsh" -> { (s, d) =>
+      val sh = shingles(s, d)
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("tfv")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val vecs = tf.transform(sh)
+      val mh = new MinHashLSH().setInputCol("tfv").setOutputCol("sig")
+        .setNumHashTables(16).setSeed(42)
+      val model = mh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.3, "jaccard_dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .select(col("datasetA.doc_id").as("ia"),
+          col("datasetB.doc_id").as("ib"),
+          round(lit(1.0) - col("jaccard_dist"), 4).as("est_jaccard"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d27_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d28_neardup_jaccard" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT ia, ib,
+        | round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs
+        | JOIN sizes sa ON sa.doc_id = ia
+        | JOIN sizes sb ON sb.doc_id = ib
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+  )
+}

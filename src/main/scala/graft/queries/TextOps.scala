@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text-analysis operators over `documents` (BASELINE.json north-star
+  * family: token counting, term stats, language-ID heuristic, quality
+  * scoring, document fingerprinting).
+  *
+  * Everything is native Catalyst expressions (split / transform /
+  * array_* / md5) — no UDFs, so the whole family stays inside
+  * whole-stage codegen and scales linearly with input splits: per-doc
+  * maps with no shuffle except the term-frequency groupBy, which does
+  * map-side partial aggregation.
+  *
+  * Tokenization contract (mirrored exactly in the DuckDB oracles):
+  * whitespace split of trim(text); empty/blank text → 0 tokens, ratio
+  * fields null.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trim(text); [] for blank text. */
+  private def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  private val stopwords = Seq("the", "a", "and", "of")
+
+  /** Per-language marker stopword sets for the lang-ID heuristic. Order
+    * here is the deterministic tie-break priority. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "是", "了"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token / char counts + mean token length per document.
+    "t21_token_stats" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_text"),
+          col("n_tokens"),
+          when(col("n_tokens") > 0,
+            round(length(expr("replace(text, ' ', '')")) / col("n_tokens"), 4))
+            .as("avg_token_len"))
+    },
+
+    // Corpus term frequency + document frequency (the CountVectorizer
+    // vocabulary-fit shape, as a verifiable aggregation).
+    "t22_term_frequency" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    },
+
+    // Stopword ratio per language label.
+    "t23_stopword_ratio" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L))
+            .as("n_stopwords"))
+        .withColumn("stopword_ratio",
+          round(col("n_stopwords") / col("n_tokens"), 4))
+    },
+
+    // Quality scoring: length-capped × lexical-diversity score.
+    "t24_quality_score" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("n_unique", size(array_distinct(col("w"))).cast("long"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_unique"),
+          when(col("n_tokens") > 0,
+            round(col("n_unique") / col("n_tokens"), 4)).as("uniq_ratio"),
+          when(col("n_tokens") > 0,
+            round(least(lit(1.0), col("n_tokens") / 100.0) *
+              (col("n_unique") / col("n_tokens")), 4)).as("quality"))
+    },
+
+    // Document fingerprints: exact digest + order-insensitive bag digest
+    // (near-dup blocking key for shuffle-free exact clustering).
+    "t25_fingerprint" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("exact_md5"),
+          md5(concat_ws(" ", array_sort(array_distinct(col("w")))))
+            .as("bag_md5"))
+    },
+
+    // Language-ID heuristic: marker-stopword overlap argmax with a fixed
+    // tie-break priority (en > es > de > fr > zh).
+    "t26_lang_id" -> { (s, d) =>
+      val withScores = langMarkers.foldLeft(
+        t(s, d, "documents")
+          .withColumn("wd", array_distinct(tokens(col("text"))))) {
+        case (df, (lang, markers)) =>
+          df.withColumn(s"s_$lang",
+            size(array_intersect(col("wd"),
+              array(markers.map(lit): _*))))
+      }
+      val langs = langMarkers.map(_._1)
+      val pred = langs.init.zipWithIndex.foldRight(
+        lit(langs.last): Column) { case ((lang, i), els) =>
+        val geRest = langs.drop(i + 1)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(geRest, lit(lang)).otherwise(els)
+      }
+      withScores.select(col("doc_id"), col("lang"),
+        pred.as("lang_pred"), col("s_en").cast("long").as("s_en"),
+        col("s_es").cast("long").as("s_es"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t21_token_stats" ->
+      """WITH tok AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CASE WHEN n_tokens > 0
+        |      THEN round(length(replace(text, ' ', '')) / n_tokens, 4) END
+        |   AS avg_token_len
+        |FROM tok""".stripMargin,
+    "t22_term_frequency" ->
+      """SELECT token, count(*) AS n_occurrences,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY token""".stripMargin,
+    "t23_stopword_ratio" ->
+      """SELECT lang, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN token IN ('the','a','and','of') THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_stopwords,
+        | round(CAST(sum(CASE WHEN token IN ('the','a','and','of') THEN 1 ELSE 0 END) AS BIGINT)
+        |   / count(*), 4) AS stopword_ratio
+        |FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY lang""".stripMargin,
+    "t24_quality_score" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        | FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+        | CASE WHEN len(w) > 0
+        |      THEN round(len(list_distinct(w)) / len(w), 4) END AS uniq_ratio,
+        | CASE WHEN len(w) > 0
+        |      THEN round(least(1.0, len(w) / 100.0) *
+        |           (len(list_distinct(w)) / len(w)), 4) END AS quality
+        |FROM tok""".stripMargin,
+    "t25_fingerprint" ->
+      """WITH tok AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        | FROM documents)
+        |SELECT doc_id, md5(text) AS exact_md5,
+        | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_md5
+        |FROM tok""".stripMargin,
+    "t26_lang_id" ->
+      """WITH sc AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS wd
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, lang,
+        |  len(list_intersect(wd, ['the','a','and','of','is'])) AS s_en,
+        |  len(list_intersect(wd, ['el','la','de','que','los'])) AS s_es,
+        |  len(list_intersect(wd, ['der','die','das','und','ist'])) AS s_de,
+        |  len(list_intersect(wd, ['le','les','des','et','est'])) AS s_fr,
+        |  len(list_intersect(wd, ['的','是','了'])) AS s_zh
+        | FROM sc)
+        |SELECT doc_id, lang,
+        | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS lang_pred,
+        | s_en, s_es
+        |FROM s""".stripMargin
+  )
+}
