@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Analytic.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.DedupOps.queries ++
-      graft.queries.MultimodalOps.queries
+      graft.queries.MultimodalOps.queries ++
+      graft.queries.SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Analytic.oracle ++
       graft.queries.TextOps.oracle ++
       graft.queries.DedupOps.oracle ++
-      graft.queries.MultimodalOps.oracle
+      graft.queries.MultimodalOps.oracle ++
+      graft.queries.SimilarityOps.oracle
 }

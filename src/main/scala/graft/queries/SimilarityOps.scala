@@ -1,0 +1,145 @@
+package graft.queries
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.VectorFunctions
+
+/** Similarity search over `embeddings.embedding` (array<float>[64]):
+  * brute-force cosine top-k (the exactness baseline), thresholded
+  * near-dup pairs, sign-LSH bucketed ANN (the scale path), and
+  * per-label centroids.
+  *
+  * Scale design (100 TB posture):
+  *  - the float→double widening + cosine run inside whole-stage codegen
+  *    via the custom [[graft.functions.CosineSimilarity]] expression;
+  *  - s33 broadcasts the (small) query set against the full corpus —
+  *    a map-only pass, no shuffle, then a per-query top-k window;
+  *  - s34 brute force is quadratic and exists as the correctness oracle;
+  *    s35 is the same query routed through 16-bit sign-LSH buckets: the
+  *    self-join key becomes the bucket id, so the shuffle partitions by
+  *    bucket and never materializes the cross product — this is the
+  *    variant that survives 1000× data;
+  *  - hyperplanes are generated from a fixed seed on the driver and
+  *    enter the plan as literals (no nondeterminism, no side files).
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+  }
+
+  private def cos = VectorFunctions.cosineSim _
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+    "s33_knn_bruteforce" -> { (s, d) =>
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+    },
+
+    // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
+    "s34_embedding_neardup" -> { (s, d) =>
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+      a.join(b, col("ia") < col("ib"))
+        .withColumn("cosine", cos(col("ea"), col("eb")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("ia"), col("ib"), round(col("cosine"), 4).as("cosine"))
+    },
+
+    // Sign-LSH bucketed near-dup with OR-amplification: 6 hash tables of
+    // 4 fixed hyperplanes each. A pair is a candidate if it collides in
+    // ANY table (union → distinct), then exact cosine confirms. The
+    // self-join key is (table, bucket), so the shuffle partitions by
+    // bucket and never materializes the cross product — the variant of
+    // s34 that survives 1000× data. Approximate (recall < 1) —
+    // rows-only for the driver; recall vs s34 asserted in scalatest.
+    "s35_ann_lsh" -> { (s, d) =>
+      val nTables = 6
+      val planesPerTable = 4
+      val dim = 64
+      val rng = new Random(42)
+      val planes = Array.fill(nTables, planesPerTable, dim)(
+        if (rng.nextBoolean()) 1.0 else -1.0)
+      val e = emb(s, d)
+      val tableBuckets = (0 until nTables).map { tb =>
+        val bucket = (0 until planesPerTable).map { p =>
+          val proj = aggregate(
+            zip_with(col("emb"), typedlit(planes(tb)(p).toSeq), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ bitwiseOR _)
+        struct(lit(tb).as("table"), bucket.as("bucket"))
+      }
+      val keyed = e.withColumn("tb", explode(array(tableBuckets: _*)))
+        .select(col("vec_id"), col("tb"))
+      val cands = keyed.select(col("vec_id").as("ia"), col("tb"))
+        .join(keyed.select(col("vec_id").as("ib"), col("tb").as("tbb")),
+          col("tb") === col("tbb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+      val va = emb(s, d).select(col("vec_id").as("ia"), col("emb").as("ea"))
+      val vb = emb(s, d).select(col("vec_id").as("ib"), col("emb").as("eb"))
+      cands.join(va, "ia").join(vb, "ib")
+        .withColumn("cosine", cos(col("ea"), col("eb")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("ia"), col("ib"), round(col("cosine"), 4).as("cosine"))
+    },
+
+    // Per-label centroids: the vector-aggregation shape (mean embedding
+    // per class), flat (label, dim, value) output for verifiability.
+    "s36_label_centroids" -> { (s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("emb")).as(Seq("dim", "value")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(round(avg(col("value")), 6).as("centroid"),
+          count(lit(1)).as("n"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s33_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |p AS (
+        | SELECT qid, vec_id,
+        |  round(list_dot_product(qemb, emb) /
+        |   (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS cosine
+        | FROM e, q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+        | FROM p)
+        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "s34_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS ia, b.vec_id AS ib,
+        | round(list_dot_product(a.emb, b.emb) /
+        |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb) /
+        |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
+    "s36_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+        | count(*) AS n
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY label, i""".stripMargin
+  )
+}
