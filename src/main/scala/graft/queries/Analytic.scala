@@ -74,25 +74,16 @@ object Analytic {
           max(col("k")).as("max_k"))
     },
 
-    // Tumbling event-time window (batch rendering of the streaming agg).
+    // Tumbling event-time window (batch rendering of the streaming agg;
+    // the identical transform runs under readStream in
+    // graft.streaming.EventStreams — see StreamingSpec).
     "q17_tumbling_window" -> { (s, d) =>
-      t(s, d, "events")
-        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
+      graft.streaming.EventStreams.tumblingAgg(t(s, d, "events"))
     },
 
     // Session windows per user, 30-minute inactivity gap.
     "q18_session_window" -> { (s, d) =>
-      t(s, d, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
-        .select(col("user_id"),
-          col("session_window.start").as("session_start"),
-          col("n_events"), col("sum_value"))
+      graft.streaming.EventStreams.sessionAgg(t(s, d, "events"))
     },
 
     // Exact percentiles (linear interpolation — matches quantile_cont).

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs on sf0.001; spot-checks against golden
+  * values computed independently (DuckDB) from the fixed corpus. */
+class QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("every query in the registry has either an oracle or a documented rows-only reason") {
+    val rowsOnly = Set("d29_simhash", "d30_minhash_lsh", "m32_payload_features",
+      "s35_ann_lsh")
+    val declared = SparkEntry.queries.keySet
+    val withOracle = SparkEntry.oracleSql.keySet
+    assert(withOracle.subsetOf(declared))
+    assert(declared -- withOracle == rowsOnly,
+      "every new query needs an oracleSql entry or an explicit rows-only listing here")
+  }
+
+  test("all queries execute on sf0.001 and return a schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("entry() smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q08 distinct counts match golden values") {
+    val row = SparkEntry.queries("q08_distinct_counts")(spark, sf0001).head()
+    assert(row.getLong(row.fieldIndex("n_orders")) === 1473L)
+    assert(row.getLong(row.fieldIndex("n_parts")) === 200L)
+    assert(row.getLong(row.fieldIndex("n_supps")) === 10L)
+    assert(row.getLong(row.fieldIndex("n_flags")) === 3L)
+    assert(row.getLong(row.fieldIndex("n_rows")) === 6000L)
+  }
+
+  test("q07 top order matches golden value with deterministic tie-break") {
+    val top = SparkEntry.queries("q07_topk_orders")(spark, sf0001).head()
+    assert(top.getLong(top.fieldIndex("o_orderkey")) === 988L)
+    assert(top.getDouble(top.fieldIndex("o_totalprice")) === 499705.05)
+  }
+
+  test("q01 group counts sum to the filtered lineitem row count") {
+    import org.apache.spark.sql.functions._
+    val total = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+      .agg(sum(col("count_order"))).head().getLong(0)
+    val expected = Tables.t(spark, sf0001, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .count()
+    assert(total === expected)
+    assert(total > 5000L)
+  }
+
+  test("queries are deterministic across two runs (hash-stable for the driver)") {
+    val sample = Seq("q01_pricing_summary", "q14_running_total",
+      "t25_fingerprint", "s33_knn_bruteforce", "d28_neardup_jaccard")
+    sample.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf0001).collect().map(_.toString).sorted
+      val b = fn(spark, sf0001).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$name not deterministic")
+    }
+  }
+}

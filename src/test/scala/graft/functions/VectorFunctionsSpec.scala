@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  def cosOf(a: Seq[Double], b: Seq[Double]): Double = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+  }
+
+  test("orthogonal → 0, parallel → 1, antiparallel → -1, zero-vector guard → 0") {
+    assert(cosOf(Seq(1, 0), Seq(0, 1)) === 0.0)
+    assert(math.abs(cosOf(Seq(1, 2, 3), Seq(2, 4, 6)) - 1.0) < 1e-15)
+    assert(math.abs(cosOf(Seq(1, 0), Seq(-3, 0)) + 1.0) < 1e-15)
+    assert(cosOf(Seq(0, 0), Seq(1, 1)) === 0.0)
+  }
+
+  test("matches the higher-order-function formula on real embeddings") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+    val hof = {
+      val dot = aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(zip_with(col("ea"), col("ea"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      val nb = sqrt(aggregate(zip_with(col("eb"), col("eb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      dot / (na * nb)
+    }
+    val diff = a.join(b, col("ia") < col("ib")).limit(5000)
+      .select(abs(VectorFunctions.cosineSim(col("ea"), col("eb")) - hof).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diff < 1e-12, s"custom expression deviates from HOF formula by $diff")
+  }
+
+  test("mismatched types are rejected at analysis time") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val df = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.linalg.Vector
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Reference-faithful tests of the reef pipeline (FIXTURES.md §1):
+  * quoted-comma CSV handling, vocabulary drop semantics, L1
+  * normalization with zero-total guard, vector dims, seeded RMSE. */
+class ReefPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  val vocab = Seq("Labridae", "Pomacentridae", "Serranidae", "Chaetodontidae")
+
+  /** Reef-shaped fixture: 40 surveys with a lat/long-correlated family
+    * mix, one all-unknown-family survey (zero-vector guard), one quoted
+    * comma in an unused column, one unknown family mixed into a known
+    * group (drop semantics). */
+  lazy val csvPath: String = {
+    val rows = new scala.collection.mutable.ArrayBuffer[String]
+    rows += "SurveyID,Site,SiteLat,SiteLong,Family,Total"
+    for (i <- 0 until 40) {
+      val lat = -40.0 + i * 2
+      val lon = 100.0 + i
+      rows += s"S$i,Site$i,$lat,$lon,Labridae,${1 + i % 3}"
+      rows += s"S$i,Site$i,$lat,$lon,Pomacentridae,${2 + (i % 5)}"
+      if (i % 2 == 0) rows += s"S$i,Site$i,$lat,$lon,Serranidae,1"
+    }
+    // quoted comma in Site (reference: arreglaComas, Data_transform.py:44-57)
+    rows += "SQ,\"Bay, of Plenty\",-37.5,176.2,Labridae,2"
+    rows += "SQ,\"Bay, of Plenty\",-37.5,176.2,Gobiidae,5"
+    // survey whose families are all outside the vocabulary (zero-total
+    // guard, Data_transform.py:93-94)
+    rows += "SZ,SiteZ,89.9,20.0,Gobiidae,3"
+    rows += "SZ,SiteZ,89.9,20.0,Blenniidae,4"
+    val dir = Files.createTempDirectory("reef").toFile
+    val f = new java.io.File(dir, "reef.csv")
+    val w = new java.io.PrintWriter(f)
+    rows.foreach(w.println)
+    w.close()
+    f.getAbsolutePath
+  }
+
+  lazy val featured = ReefPipeline.featurize(spark, csvPath, vocab)
+
+  test("one vector per survey; dims = |vocab| + 1 (latitude appended)") {
+    assert(featured.count() === 42)
+    val v = featured.head().getAs[Vector]("features")
+    assert(v.size === vocab.size + 1)
+  }
+
+  test("non-zero family shares L1-normalize to 1; latitude rides in the last slot") {
+    featured.collect().foreach { row =>
+      val v = row.getAs[Vector]("features")
+      val famSum = (0 until vocab.size).map(v(_)).sum
+      val lat = row.getDouble(row.fieldIndex("latitude"))
+      assert(v(vocab.size) === lat)
+      if (famSum != 0.0) assert(math.abs(famSum - 1.0) < 1e-9)
+    }
+  }
+
+  test("families outside the vocabulary are dropped (reference :90-91)") {
+    // SQ has Labridae=2 and unknown Gobiidae=5 → Labridae share must be 1.0
+    val sq = featured.filter(col("latitude") === -37.5).head()
+    val v = sq.getAs[Vector]("features")
+    assert(v(vocab.indexOf("Labridae")) === 1.0)
+    assert((0 until vocab.size).map(v(_)).sum === 1.0)
+  }
+
+  test("all-unknown survey yields the zero vector (guard :93-94)") {
+    val sz = featured.filter(col("latitude") === 89.9).head()
+    val v = sz.getAs[Vector]("features")
+    assert((0 until vocab.size).map(v(_)).sum === 0.0)
+  }
+
+  test("quoted comma survives CSV ingest (vs reference's lossy ';' rewrite)") {
+    val raw = ReefPipeline.ingest(spark, csvPath)
+    assert(raw.filter(col("SurveyID") === "SQ").count() === 2)
+  }
+
+  test("typed FamilyCountAggregator matches the pivot path exactly") {
+    import spark.implicits._
+    val typed = ReefPipeline.ingest(spark, csvPath)
+    val agg = new FamilyCountAggregator(vocab)
+    val viaAgg = typed
+      .select(col("SurveyID"), col("Family").as("family"), col("Total").as("total"))
+      .as[(String, String, Double)]
+      .map { case (sid, fam, tot) => (sid, FamObs(fam, tot)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("shares"))
+      .collect().toMap
+    val viaPivot = ReefPipeline.countVectors(typed, vocab).collect().map { r =>
+      val counts = vocab.map(f => r.getAs[Double](f))
+      val total = counts.sum
+      val shares = if (total == 0.0) counts else counts.map(_ / total)
+      r.getAs[String]("SurveyID") -> shares
+    }.toMap
+    assert(viaAgg.keySet === viaPivot.keySet)
+    viaAgg.foreach { case (sid, shares) =>
+      shares.zip(viaPivot(sid)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"survey $sid differs")
+      }
+    }
+  }
+
+  test("seeded RF and GBT train and evaluate reproducibly") {
+    val (_, rmseRf1) = ReefPipeline.trainAndEvaluate(featured, "longitude", ReefPipeline.RF)
+    val (_, rmseRf2) = ReefPipeline.trainAndEvaluate(featured, "longitude", ReefPipeline.RF)
+    val (_, rmseGbt) = ReefPipeline.trainAndEvaluate(featured, "longitude", ReefPipeline.GBT)
+    assert(rmseRf1 === rmseRf2, "seeded split+fit must be reproducible")
+    assert(rmseRf1 >= 0 && !rmseRf1.isNaN)
+    assert(rmseGbt >= 0 && !rmseGbt.isNaN)
+  }
+
+  test("no-leakage variant drops latitude from features") {
+    val honest = ReefPipeline.featurize(spark, csvPath, vocab,
+      includeLatInFeatures = false)
+    assert(honest.head().getAs[Vector]("features").size === vocab.size)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Cross-checks between the exact and approximate dedup/similarity
+  * operators — the approximate paths are rows-only for the driver's
+  * oracle, so their quality contract lives here. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def pairSet(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .select(col("ia"), col("ib")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactJaccard = pairSet("d28_neardup_jaccard")
+  lazy val minhash = pairSet("d30_minhash_lsh")
+  lazy val exactCosine = pairSet("s34_embedding_neardup")
+  lazy val lshCosine = pairSet("s35_ann_lsh")
+
+  test("exact near-dup pairs exist in the corpus and are ordered ia<ib") {
+    assert(exactJaccard.nonEmpty, "corpus should contain planted near-dups")
+    assert(exactJaccard.forall { case (a, b) => a < b })
+  }
+
+  test("MinHash-LSH recall vs exact Jaccard >= 0.8") {
+    val recall = (exactJaccard & minhash).size.toDouble / exactJaccard.size
+    assert(recall >= 0.8, s"minhash recall $recall")
+  }
+
+  test("sign-LSH cosine pairs are a subset of brute force (precision 1.0)") {
+    assert(lshCosine.subsetOf(exactCosine))
+  }
+
+  test("sign-LSH cosine recall >= 0.4 (6 tables x 4 planes, near-orthogonal corpus)") {
+    val recall = (exactCosine & lshCosine).size.toDouble / exactCosine.size
+    assert(recall >= 0.4, s"sign-LSH recall $recall")
+  }
+
+  test("simhash: near-dup docs collide on more bits than the corpus baseline") {
+    val sig = SparkEntry.queries("d29_simhash")(spark, sf0001)
+      .select(col("doc_id"), col("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearDupHam = exactJaccard.toSeq.map { case (a, b) => hamming(sig(a), sig(b)) }
+    val rnd = new scala.util.Random(7)
+    val ids = sig.keys.toArray
+    val randomHam = Seq.fill(200) {
+      val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+      hamming(sig(a), sig(b))
+    }
+    val nearAvg = nearDupHam.sum.toDouble / nearDupHam.size
+    val randAvg = randomHam.sum.toDouble / randomHam.size
+    assert(nearAvg < randAvg / 2,
+      s"near-dup avg hamming $nearAvg should be far below random avg $randAvg")
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to doc count") {
+    val d = SparkEntry.queries("d27_dedup_exact")(spark, sf0001)
+    val total = d.agg(sum(col("n_copies"))).head().getLong(0)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(total === docs)
+  }
+
+  test("multimodal stub features: dim=8, values in [0,1), deterministic") {
+    val f = SparkEntry.queries("m32_payload_features")(spark, sf0001)
+    assert(f.agg(countDistinct(col("dim"))).head().getLong(0) === 8L)
+    val mm = f.agg(min(col("value")), max(col("value"))).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1.0)
+    val a = f.collect().map(_.toString).sorted
+    val b = SparkEntry.queries("m32_payload_features")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** The q17/q18 logical plans under true Structured Streaming execution:
+  * MemoryStream → EventStreams transform → memory sink, compared row-
+  * for-row with the batch run of the SAME transform (SURVEY.md §2.9). */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def mkEvents: Seq[Ev] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 200).map { i =>
+      Ev(new Timestamp(base + i * 137000L),            // every 2m17s
+        if (i % 3 == 0) "click" else "view",
+        i * 0.5,
+        i % 4)
+    }
+  }
+
+  private def runStreaming(transform: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame, name: String): Array[String] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = transform(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try {
+      input.addData(mkEvents.take(120))
+      query.processAllAvailable()
+      input.addData(mkEvents.drop(120))   // late-arriving second batch
+      query.processAllAvailable()
+      spark.table(name).collect().map(_.toString).sorted
+    } finally query.stop()
+  }
+
+  private def runBatch(transform: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame): Array[String] = {
+    import spark.implicits._
+    transform(mkEvents.toDF()).collect().map(_.toString).sorted
+  }
+
+  test("tumbling window agg: streaming result == batch result") {
+    val streaming = runStreaming(EventStreams.tumblingAgg(_), "tumbling_out")
+    val batch = runBatch(EventStreams.tumblingAgg(_))
+    assert(streaming.nonEmpty)
+    assert(streaming.sameElements(batch))
+  }
+
+  test("session window agg: streaming result == batch result") {
+    val streaming = runStreaming(EventStreams.sessionAgg(_), "session_out")
+    val batch = runBatch(EventStreams.sessionAgg(_))
+    assert(streaming.nonEmpty)
+    assert(streaming.sameElements(batch))
+  }
+
+  test("watermarked append-mode tumbling agg emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = EventStreams.tumblingAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .start()
+    try {
+      input.addData(mkEvents)
+      query.processAllAvailable()
+      // advance the watermark far past the data → all windows finalize
+      input.addData(Seq(Ev(Timestamp.valueOf("2024-06-01 00:00:00"), "view", 0.0, 0L)))
+      query.processAllAvailable()
+      val batch = runBatch(EventStreams.tumblingAgg(_))
+      val streamed = spark.table("wm_out").collect().map(_.toString).sorted
+      // every original window must have been emitted exactly once
+      assert(batch.forall(streamed.contains))
+    } finally query.stop()
+  }
+}
