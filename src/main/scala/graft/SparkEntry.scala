@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.DedupOps.queries ++
       graft.queries.MultimodalOps.queries ++
-      graft.queries.SimilarityOps.queries
+      graft.queries.SimilarityOps.queries ++
+      graft.queries.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextOps.oracle ++
       graft.queries.DedupOps.oracle ++
       graft.queries.MultimodalOps.oracle ++
-      graft.queries.SimilarityOps.oracle
+      graft.queries.SimilarityOps.oracle ++
+      graft.queries.Extended.oracle
 }

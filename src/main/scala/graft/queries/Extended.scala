@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{AsOfJoin, SaltedJoin}
+
+/** Extended relational surface: as-of join, skew-salted join,
+  * correlated-subquery shape, HAVING, string/date scalar functions,
+  * conditional aggregation, unpivot, and approximate distinct counts.
+  */
+object Extended {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: every error event picks up the user's most recent
+    // prior (or simultaneous) purchase. Custom operator — see
+    // graft.operators.AsOfJoin; DuckDB's native ASOF JOIN is the oracle.
+    "q37_asof_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("value")).as("pvalue"))
+      AsOfJoin.asofJoin(errors, purchases, Seq("user_id"), "ts", "pts")
+    },
+
+    // Skew-salted fact⋈dim join — result identical to the plain join
+    // (the oracle is the unsalted SQL), execution fans each part key
+    // over 8 salt buckets. See graft.operators.SaltedJoin.
+    "q38_salted_join" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .withColumnRenamed("l_partkey", "p_partkey")
+      SaltedJoin.saltedJoin(li, t(s, d, "part"), "p_partkey",
+          saltFrom = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("p_type"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Correlated-subquery shape: customers above their nation's average
+    // balance (decorrelated into an aggregate + equi-join, which is what
+    // a correlated scalar subquery plans to anyway).
+    "q39_above_nation_avg" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val nav = c.groupBy(col("c_nationkey"))
+        .agg(avg(col("c_acctbal")).as("nation_avg"))
+      c.join(nav, "c_nationkey")
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          round(col("nation_avg"), 4).as("nation_avg"))
+    },
+
+    // HAVING: populous (nation, segment) customer groups only.
+    "q40_having" -> { (s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .filter(col("n") >= 15)
+    },
+
+    // String scalar functions with a LIKE-pushdown filter.
+    "q41_string_funcs" -> { (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").like("%a%") &&
+          col("p_type").isin("ECONOMY", "SMALL"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"))
+    },
+
+    // Date-part extraction + aggregation.
+    "q42_date_parts" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+
+    // Conditional aggregation per user (counts/sums/max over a predicate
+    // slice without a second scan).
+    "q43_conditional_agg" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("count(CASE WHEN event_type = 'purchase' THEN 1 END)")
+            .as("n_purchases"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 2).as("purchase_value"),
+          max(when(col("event_type") === "purchase", col("ts")))
+            .as("last_purchase_ts"))
+    },
+
+    // Unpivot (wide metrics → long) — Spark Dataset.unpivot.
+    "q44_unpivot" -> { (s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(round(sum(col("c_acctbal")), 2).as("sum_acctbal"),
+          count(lit(1)).cast("double").as("n_customers"))
+        .unpivot(Array(col("c_nationkey")),
+          Array(col("sum_acctbal"), col("n_customers")),
+          "metric", "value")
+    },
+
+    // HLL approximate distinct counts — the 100 TB rendering of q08.
+    // Sketches differ across engines → rows-only; relative-error bound
+    // vs the exact counts is asserted in scalatest.
+    "q45_approx_distinct" -> { (s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_asof_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.ts, e.event_id,
+        |       p.pts AS asof_pts, p.pvalue AS asof_pvalue
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.pts""".stripMargin,
+    "q38_salted_join" ->
+      """SELECT p_type, round(sum(l_extendedprice),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type""".stripMargin,
+    "q39_above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        | round(nation_avg,4) AS nation_avg
+        |FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+        |       avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+        |      FROM customer)
+        |WHERE c_acctbal > nation_avg""".stripMargin,
+    "q40_having" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        | round(sum(c_acctbal),2) AS sum_acctbal
+        |FROM customer GROUP BY 1, 2 HAVING count(*) >= 15""".stripMargin,
+    "q41_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        | concat_ws('/', p_type, p_brand) AS type_brand,
+        | substr(p_name, 1, 5) AS name_prefix,
+        | CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%a%' AND p_type IN ('ECONOMY', 'SMALL')""".stripMargin,
+    "q42_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q43_conditional_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END),2)
+        |   AS purchase_value,
+        | CAST(max(CASE WHEN event_type = 'purchase' THEN ts END) AS TIMESTAMP)
+        |   AS last_purchase_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q44_unpivot" ->
+      """WITH m AS (SELECT c_nationkey,
+        |  round(sum(c_acctbal),2) AS sum_acctbal,
+        |  CAST(count(*) AS DOUBLE) AS n_customers
+        | FROM customer GROUP BY 1)
+        |SELECT c_nationkey, 'sum_acctbal' AS metric, sum_acctbal AS value FROM m
+        |UNION ALL
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM m""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks latest right row <= left time, inclusive, per key") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L),
+      ("A", ts("2024-01-01 10:05:00"), 2L),
+      ("A", ts("2024-01-01 09:00:00"), 3L),   // before any quote
+      ("B", ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("sym", "tts", "trade_id")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:30:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 101.0), // inclusive match for trade 1
+      ("A", ts("2024-01-01 10:04:00"), 102.0),
+      ("B", ts("2024-01-01 09:59:00"), 200.0)
+    ).toDF("sym", "qts", "px")
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
+      .collect().map(r => r.getLong(r.fieldIndex("trade_id")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_px"))) None
+         else Some(r.getDouble(r.fieldIndex("asof_px"))))).toMap
+    assert(out(1L) === Some(101.0)) // inclusive: same-timestamp quote wins
+    assert(out(2L) === Some(102.0))
+    assert(out(3L) === None)        // no quote yet → null (left join)
+    assert(out(4L) === Some(200.0))
+  }
+
+  test("asofJoin row count equals left row count (left-join semantics)") {
+    val out = SparkEntry.queries("q37_asof_join")(spark, sf0001)
+    val errors = graft.Tables.t(spark, sf0001, "events")
+      .filter(col("event_type") === "error")
+    assert(out.count() === errors.count())
+  }
+
+  test("saltedJoin produces exactly the plain join result") {
+    val li = graft.Tables.t(spark, sf0001, "lineitem")
+      .withColumnRenamed("l_partkey", "p_partkey")
+    val part = graft.Tables.t(spark, sf0001, "part")
+    val salted = SaltedJoin.saltedJoin(li, part, "p_partkey",
+      Seq("l_orderkey", "l_linenumber"))
+    val plain = li.join(part, "p_partkey")
+    assert(salted.count() === plain.count())
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    val a = salted.select(col("l_orderkey"), col("l_linenumber"), col("p_type"))
+      .collect().map(_.toString).sorted
+    val b = plain.select(col("l_orderkey"), col("l_linenumber"), col("p_type"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q45_approx_distinct")(spark, sf0001).head()
+    val exact = SparkEntry.queries("q08_distinct_counts")(spark, sf0001).head()
+    def rel(a: Long, e: Long) = math.abs(a - e).toDouble / e
+    assert(rel(approx.getLong(0), exact.getLong(0)) < 0.05)
+    assert(rel(approx.getLong(1), exact.getLong(1)) < 0.05)
+    assert(rel(approx.getLong(2), exact.getLong(2)) < 0.05)
+  }
+}
