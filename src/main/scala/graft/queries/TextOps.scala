@@ -102,6 +102,26 @@ object TextOps {
             .as("bag_md5"))
     },
 
+    // TF-IDF, fully oracle-checked: tf and df as aggregates, idf by the
+    // explicit formula ln((N+1)/(df+1)) evaluated identically in both
+    // engines. N rides in as a broadcast 1-row cross join (no
+    // driver-side collect in the plan).
+    "t27_tfidf" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_docs_with_term"))
+      val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf"),
+          col("n_docs_with_term"),
+          round(col("tf") * log((col("n_docs") + 1.0) /
+            (col("n_docs_with_term") + 1.0)), 6).as("tfidf"))
+    },
+
     // Language-ID heuristic: marker-stopword overlap argmax with a fixed
     // tie-break priority (en > es > de > fr > zh).
     "t26_lang_id" -> { (s, d) =>
@@ -178,6 +198,17 @@ object TextOps {
         |SELECT doc_id, md5(text) AS exact_md5,
         | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_md5
         |FROM tok""".stripMargin,
+    "t27_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS n_docs_with_term FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+        |SELECT doc_id, tf.token, tf.tf, dfreq.n_docs_with_term,
+        | round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.n_docs_with_term + 1.0)), 6)
+        |   AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
     "t26_lang_id" ->
       """WITH sc AS (
         | SELECT doc_id, lang,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time aggregations shared by batch queries (q17/q18 in
   * `graft.queries.Analytic`, DuckDB-oracle-verified) and Structured
@@ -33,4 +34,27 @@ object EventStreams {
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserState(count: Long, total: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via flatMapGroupsWithState: running
+    * count/total per user, one update row per key per micro-batch.
+    * State is a fixed-size struct per key — executor-resident,
+    * checkpointable, nothing accumulates on the driver. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserTotals](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var c = prev.count
+          var t = prev.total
+          it.foreach { e => c += 1; t += e.value }
+          state.update(UserState(c, t))
+          Iterator(UserTotals(uid, c, t))
+      }
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ModelsSpec extends AnyFunSuite with SparkTestBase {
+
+  lazy val embeddings = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  lazy val documents = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("kmeans assigns every vector to one of k clusters, reproducibly") {
+    val a = EmbeddingModels.kmeansAssign(embeddings, k = 10)
+    assert(a.count() === embeddings.count())
+    val k = a.agg(countDistinct(col("cluster"))).head().getLong(0)
+    assert(k >= 2 && k <= 10)
+    val b = EmbeddingModels.kmeansAssign(embeddings, k = 10)
+    assert(a.collect().map(_.toString).sorted
+      .sameElements(b.collect().map(_.toString).sorted))
+  }
+
+  test("BRP-LSH near pairs are true near pairs (distance bound holds)") {
+    // corpus min pairwise euclidean ≈ 1.02 (near-unit vectors) — 1.2
+    // captures the genuinely closest pairs
+    val pairs = EmbeddingModels.brpNearPairs(embeddings, distance = 1.2)
+    val bad = pairs.filter(col("euclidean") > 1.2).count()
+    assert(bad === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("tfidf pipeline: stopwords removed, vocab bounded, idf formula matches") {
+    val fitted = TextPipeline.tfidfPipeline().fit(documents)
+    val out = fitted.transform(documents)
+    val cv = fitted.stages(2)
+      .asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel]
+    assert(!cv.vocabulary.contains("the"), "stopword must not enter the vocabulary")
+    assert(cv.vocabulary.nonEmpty)
+    // Spark IDF formula: ln((m+1)/(df+1)) — verify one term by hand
+    val term = cv.vocabulary.head
+    val m = documents.count().toDouble
+    val df = documents
+      .filter(array_contains(split(trim(col("text")), "\\s+"), term)).count()
+    val idfModel = fitted.stages(3)
+      .asInstanceOf[org.apache.spark.ml.feature.IDFModel]
+    val gotIdf = idfModel.idf(cv.vocabulary.indexOf(term))
+    val expIdf = math.log((m + 1.0) / (df + 1.0))
+    assert(math.abs(gotIdf - expIdf) < 1e-9,
+      s"idf($term): got $gotIdf expected $expIdf")
+    assert(out.head().getAs[Vector]("tfidf").size === cv.vocabulary.length)
+  }
+
+  test("ngram pipeline emits n-1 fewer grams than tokens") {
+    val out = TextPipeline.ngramPipeline(3).fit(documents).transform(documents)
+      .select(size(col("tokens")).as("nt"), size(col("ngrams")).as("ng"))
+      .filter(col("nt") >= 3)
+    assert(out.filter(col("ng") =!= col("nt") - 2).count() === 0)
+  }
+}

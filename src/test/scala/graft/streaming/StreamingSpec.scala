@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streaming.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState: running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.UserEvent]
+    val query = EventStreams.runningTotals(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_out")
+      .start()
+    try {
+      input.addData(Seq(EventStreams.UserEvent(1L, 10.0),
+        EventStreams.UserEvent(1L, 5.0), EventStreams.UserEvent(2L, 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq(EventStreams.UserEvent(1L, 2.5)))
+      query.processAllAvailable()
+      val rows = spark.table("state_out")
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max($"n_events").as("n"),
+          org.apache.spark.sql.functions.max($"total_value").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows(1L) === ((3L, 17.5)))   // state carried across batches
+      assert(rows(2L) === ((1L, 1.0)))
+    } finally query.stop()
+  }
+
   test("watermarked append-mode tumbling agg emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
