@@ -86,6 +86,33 @@ object Analytic {
       graft.streaming.EventStreams.sessionAgg(t(s, d, "events"))
     },
 
+    // Sliding event-time windows (width 10 min, slide 5 min): each event
+    // lands in exactly two windows.
+    "q46_sliding_window" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    },
+
+    // NULL semantics: a JSON path that never exists → null column,
+    // counted/coalesced both ways.
+    "q47_null_handling" -> { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.missing").cast("double")
+            .as("missing"),
+          col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(col("missing")).as("n_nonnull"),
+          count(when(col("missing").isNull, 1)).as("n_null"),
+          round(sum(coalesce(col("missing"), col("value"))), 2)
+            .as("sum_coalesced"))
+    },
+
     // Exact percentiles (linear interpolation — matches quantile_cont).
     "q19_quantiles" -> { (s, d) =>
       t(s, d, "customer")
@@ -157,6 +184,18 @@ object Analytic {
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
         | count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q46_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+        |   - j * INTERVAL 5 MINUTE AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events, (VALUES (0), (1)) o(j)
+        |GROUP BY 1, 2""".stripMargin,
+    "q47_null_handling" ->
+      """SELECT event_type,
+        | count(CAST(props->>'$.missing' AS DOUBLE)) AS n_nonnull,
+        | count(CASE WHEN CAST(props->>'$.missing' AS DOUBLE) IS NULL THEN 1 END) AS n_null,
+        | round(sum(coalesce(CAST(props->>'$.missing' AS DOUBLE), value)),2) AS sum_coalesced
+        |FROM events GROUP BY event_type""".stripMargin,
     "q19_quantiles" ->
       """SELECT c_mktsegment,
         | round(quantile_cont(c_acctbal, 0.5),4) AS median_acctbal,

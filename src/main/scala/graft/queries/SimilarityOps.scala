@@ -107,6 +107,38 @@ object SimilarityOps {
         .select(col("ia"), col("ib"), round(col("cosine"), 4).as("cosine"))
     },
 
+    // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
+    // centroids — stands in for trained centroids), every vector
+    // assigned to its nearest cell, queries search ONLY their own cell
+    // (nprobe=1). Fully deterministic → unlike seeded LSH this scale
+    // path is DuckDB-oracle-checked end to end. At 100 TB: centroids
+    // broadcast, assignment is a map-only pass, search shuffles once on
+    // cell id.
+    "s37_ivf_ann" -> { (s, d) =>
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosc").desc, col("cid").asc)
+      val cell = e.crossJoin(broadcast(cents))
+        .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid"))
+      val q = cell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("qcell"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      cell.join(broadcast(q),
+          col("cid") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+    },
+
     // Per-label centroids: the vector-aggregation shape (mean embedding
     // per class), flat (label, dim, value) output for verifiability.
     "s36_label_centroids" -> { (s, d) =>
@@ -139,6 +171,28 @@ object SimilarityOps {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
+    "s37_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, cid AS qcell FROM cell WHERE vec_id < 10),
+        |cand AS (
+        | SELECT q.qid, cell.vec_id,
+        |  round(list_dot_product(q.qemb, cell.emb) /
+        |   (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(cell.emb, cell.emb))), 6) AS cosine
+        | FROM q JOIN cell ON cell.cid = q.qcell AND cell.vec_id <> q.qid)
+        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
+        |WHERE rnk <= 3""".stripMargin,
     "s36_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,

@@ -51,7 +51,9 @@ def compare(name, spark_df, duck_df):
             if xnull != ynull:
                 return f"null mismatch col={col} row={i}: {x!r} vs {y!r}"
             if isinstance(x, float) or isinstance(y, float):
-                if not math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9):
+                # exact: the query rounding discipline yields bitwise
+                # parity (verified across all queries); keep it that way
+                if float(x) != float(y):
                     return f"float mismatch col={col} row={i}: {x!r} vs {y!r}"
             elif hasattr(x, "timestamp") and hasattr(y, "timestamp"):
                 if pd.Timestamp(x).tz_localize(None) != pd.Timestamp(y).tz_localize(None):
