@@ -160,6 +160,14 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // Grouping sets via cube: all 4 grouping combinations in one pass.
+    "q48_cube" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+    },
+
     // Pivot = A1 count-vectorization shape on the corpus (SURVEY.md §2.4):
     // explicit value list, like pivot("Family", familias) in the reef
     // pipeline — conditional aggregation, one pass, no value shuffle.
@@ -244,6 +252,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q48_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q12_pivot_flag_status" ->
       """SELECT l_returnflag,
         | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),2) AS qty_f,
