@@ -123,6 +123,53 @@ object Analytic {
           count(lit(1)).as("n"))
     },
 
+    // RANGE window frame: peers counted by value distance, not row
+    // position — for each customer, how many segment peers sit within
+    // ±100.0 of their balance.
+    "q49_range_frame" -> { (s, d) =>
+      // Scala Window API only takes Long range offsets; the SQL window
+      // syntax supports typed (double) boundaries, so use it directly.
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          (expr("""count(*) OVER (PARTITION BY c_mktsegment
+                  | ORDER BY c_acctbal
+                  | RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)"""
+            .stripMargin) - 1).as("n_near_peers"))
+    },
+
+    // first/last/nth value over an explicit full-partition frame with a
+    // deterministic tie-break.
+    "q50_first_last" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          first(col("c_custkey")).over(w).as("richest_custkey"),
+          last(col("c_custkey")).over(w).as("poorest_custkey"),
+          nth_value(col("c_custkey"), 2).over(w).as("second_custkey"))
+        .distinct()
+    },
+
+    // Array aggregation with deterministic ordering, rendered as a
+    // string so the compare is type-stable across engines.
+    "q51_array_agg" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",", slice(array_sort(collect_list(col("doc_id"))), 1, 10))
+            .as("first_doc_ids"))
+    },
+
+    // Regexp extraction (capture group) + aggregation.
+    "q52_regexp" -> { (s, d) =>
+      t(s, d, "part")
+        .select(regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long")
+          .as("brand_num"))
+        .groupBy(col("brand_num"))
+        .agg(count(lit(1)).as("n_parts"))
+    },
+
     // ntile quartiles over a global order. Scale note: a global ntile at
     // 100 TB is a range-partitioned sort (Spark samples ranges); for a
     // coarser histogram prefer q19-style percentiles per group.
@@ -202,6 +249,29 @@ object Analytic {
         | round(quantile_cont(c_acctbal, 0.9),4) AS p90_acctbal,
         | count(*) AS n
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q49_range_frame" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |   RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) - 1
+        |   AS n_near_peers
+        |FROM customer""".stripMargin,
+    "q50_first_last" ->
+      """SELECT DISTINCT c_nationkey, c_custkey, c_acctbal,
+        | first_value(c_custkey) OVER w AS richest_custkey,
+        | last_value(c_custkey) OVER w AS poorest_custkey,
+        | nth_value(c_custkey, 2) OVER w AS second_custkey
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q51_array_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        | array_to_string(list_sort(list(doc_id))[1:10], ',') AS first_doc_ids
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q52_regexp" ->
+      """SELECT CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+        | count(*) AS n_parts
+        |FROM part GROUP BY 1""".stripMargin,
     "q20_ntile" ->
       """SELECT quartile, count(*) AS n,
         | round(avg(c_acctbal),4) AS avg_acctbal,

@@ -48,6 +48,32 @@ object MultimodalOps {
       struct(col("source").as("source"), col("lang").as("lang"),
         col("n_chars").as("n_chars")).as("meta"))
 
+  case class PayloadRow(doc_id: Long, payload: Array[Byte])
+  case class DecodedRow(doc_id: Long, n_bytes: Int, checksum: Long,
+      features: Array[Float])
+
+  /** STUB batch decoder — the partition-wise typed path (the Scala
+    * analog of mapInPandas' batch shape) a real media codec would plug
+    * into: each task walks its partition's payload batch through the
+    * "codec" with no shuffle and emits fixed-width features. The codec
+    * here is CRC-derived (no media libs in this container); swapping in
+    * JNI/FFI image decode changes only the closure body. */
+  def decodeBatches(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[DecodedRow] = {
+    import s.implicits._
+    multimodalTable(s, d).select(col("doc_id"), col("payload"))
+      .as[PayloadRow]
+      .mapPartitions { batch =>
+        batch.map { p =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(p.payload)
+          DecodedRow(p.doc_id, p.payload.length, crc.getValue,
+            Array.tabulate(featureDim)(i =>
+              ((crc.getValue >> (i * 8)) & 0xff) / 256.0f))
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Payload metadata: byte length + content digest per payload, with
     // per-source rollup semantics left to the oracle-checked digest.

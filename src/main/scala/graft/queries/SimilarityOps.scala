@@ -139,6 +139,20 @@ object SimilarityOps {
           col("cosine"))
     },
 
+    // L2 vector normalization (unit vectors), flat output — the
+    // preprocessing step that turns cosine search into dot-product
+    // search.
+    "s38_vector_normalize" -> { (s, d) =>
+      val e = emb(s, d)
+      e.withColumn("norm",
+          sqrt(aggregate(zip_with(col("emb"), col("emb"), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)))
+        .select(col("vec_id"), col("norm"),
+          posexplode(col("emb")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("v") / col("norm"), 6).as("nval"))
+    },
+
     // Per-label centroids: the vector-aggregation shape (mean embedding
     // per class), flat (label, dim, value) output for verifiability.
     "s36_label_centroids" -> { (s, d) =>
@@ -193,6 +207,11 @@ object SimilarityOps {
         | SELECT *, row_number() OVER (PARTITION BY qid
         |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
         |WHERE rnk <= 3""".stripMargin,
+    "s38_vector_normalize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        | round(emb[i] / sqrt(list_dot_product(emb, emb)), 6) AS nval
+        |FROM e, range(1, 65) r(i)""".stripMargin,
     "s36_label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,

@@ -64,6 +64,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(total === docs)
   }
 
+  test("mapPartitions batch decode: typed rows, byte counts match, deterministic") {
+    val decoded = MultimodalOps.decodeBatches(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(decoded.count() === docs.count())
+    val joined = decoded.toDF().join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")))
+    assert(joined.count() === 0, "utf-8 payload bytes must equal text length (ascii corpus)")
+    val a = decoded.collect().map(r => (r.doc_id, r.checksum)).sortBy(_._1)
+    val b = MultimodalOps.decodeBatches(spark, sf0001)
+      .collect().map(r => (r.doc_id, r.checksum)).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(decoded.head().features.length === MultimodalOps.featureDim)
+  }
+
   test("multimodal stub features: dim=8, values in [0,1), deterministic") {
     val f = SparkEntry.queries("m32_payload_features")(spark, sf0001)
     assert(f.agg(countDistinct(col("dim"))).head().getLong(0) === 8L)
