@@ -103,6 +103,33 @@ object Relational {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     },
 
+    // Left outer join with null-aware aggregation: every customer keeps
+    // a row, zero-order customers count 0.
+    "q53_left_outer" -> { (s, d) =>
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= tsLit("2001-01-01"))
+      t(s, d, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_recent_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2)
+            .as("recent_spend"))
+    },
+
+    // Full outer join: suppliers-per-nation vs high-balance
+    // customers-per-nation — nations may exist on either side only.
+    "q54_full_outer" -> { (s, d) =>
+      val sup = t(s, d, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cust = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_customers"))
+      sup.join(cust, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"))
+    },
+
     // Top-k with a deterministic tie-break (TakeOrderedAndProject — no
     // full sort materialization at scale).
     "q07_topk_orders" -> { (s, d) =>
@@ -223,6 +250,22 @@ object Relational {
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q53_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_recent_orders,
+        | round(sum(coalesce(o_totalprice, 0.0)),2) AS recent_spend
+        |FROM customer LEFT OUTER JOIN
+        | (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        | ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q54_full_outer" ->
+      """WITH sup AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |             FROM supplier GROUP BY 1),
+        |cust AS (SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+        |         FROM customer WHERE c_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(sup.nationkey, cust.nationkey) AS nationkey,
+        | coalesce(n_suppliers, 0) AS n_suppliers,
+        | coalesce(n_rich_customers, 0) AS n_rich_customers
+        |FROM sup FULL OUTER JOIN cust ON sup.nationkey = cust.nationkey""".stripMargin,
     "q07_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
