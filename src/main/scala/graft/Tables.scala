@@ -36,4 +36,15 @@ object Tables {
         spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every corpus table as a temp view (plus the cosine_sim
+    * function), so the whole engine surface is reachable through plain
+    * `spark.sql(...)` as well as the DataFrame API. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    graft.functions.VectorFunctions.register(spark)
+  }
 }

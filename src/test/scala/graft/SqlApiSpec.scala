@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine surface through plain SQL: registered views + the custom
+  * cosine_sim function, results identical to the DataFrame API. */
+class SqlApiSpec extends AnyFunSuite with SparkTestBase {
+
+  test("spark.sql over registered views matches the DataFrame query") {
+    Tables.registerViews(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(_.toString).sorted
+    val viaDf = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(viaSql.sameElements(viaDf))
+  }
+
+  test("custom cosine_sim is callable from SQL") {
+    Tables.registerViews(spark, sf0001)
+    val self = spark.sql(
+      """SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+        |                  CAST(embedding AS ARRAY<DOUBLE>)) AS c
+        |FROM embeddings LIMIT 5""".stripMargin).collect()
+    assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("events view exposes micros timestamps through SQL (ns parquet handled)") {
+    Tables.registerViews(spark, sf0001)
+    val n = spark.sql(
+      "SELECT count(*) FROM events WHERE ts >= TIMESTAMP '2024-01-01'")
+      .head().getLong(0)
+    assert(n === 1000L)
+  }
+}

@@ -116,6 +116,37 @@ class ReefPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rmseGbt >= 0 && !rmseGbt.isNaN)
   }
 
+  test("regression learns signal on a 2000-survey synthetic reef (rmse < label stddev)") {
+    // larger deterministic fixture: longitude is a (noisy) function of
+    // the family mix, so a working pipeline must beat the stddev
+    // baseline; RMSEs of the reference itself are unreproducible
+    // (unseeded split — BASELINE.md), so "learns signal" is the honest
+    // parity check.
+    val rng = new scala.util.Random(7)
+    val rows = new scala.collection.mutable.ArrayBuffer[String]
+    rows += "SurveyID,Site,SiteLat,SiteLong,Family,Total"
+    for (i <- 0 until 2000) {
+      val mix = rng.nextDouble()
+      val lat = -60.0 + 120.0 * rng.nextDouble()
+      val lon = -180.0 + 360.0 * mix + rng.nextGaussian() * 10.0
+      rows += s"S$i,Site$i,$lat,$lon,Labridae,${1.0 + 10.0 * mix}"
+      rows += s"S$i,Site$i,$lat,$lon,Pomacentridae,${1.0 + 10.0 * (1.0 - mix)}"
+      if (i % 3 == 0) rows += s"S$i,Site$i,$lat,$lon,Serranidae,1"
+    }
+    val dir = Files.createTempDirectory("reef2k").toFile
+    val f = new java.io.File(dir, "reef.csv")
+    val w = new java.io.PrintWriter(f)
+    rows.foreach(w.println)
+    w.close()
+    val feat = ReefPipeline.featurize(spark, f.getAbsolutePath, vocab)
+    val stddev = feat.agg(org.apache.spark.sql.functions
+      .stddev_samp(col("longitude"))).head().getDouble(0)
+    val (_, rmseRf) = ReefPipeline.trainAndEvaluate(feat, "longitude", ReefPipeline.RF)
+    val (_, rmseGbt) = ReefPipeline.trainAndEvaluate(feat, "longitude", ReefPipeline.GBT)
+    assert(rmseRf < stddev * 0.5, s"RF rmse $rmseRf vs stddev $stddev")
+    assert(rmseGbt < stddev * 0.5, s"GBT rmse $rmseGbt vs stddev $stddev")
+  }
+
   test("no-leakage variant drops latitude from features") {
     val honest = ReefPipeline.featurize(spark, csvPath, vocab,
       includeLatInFeatures = false)
