@@ -62,6 +62,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streaming.sameElements(batch))
   }
 
+  test("watermarked append-mode SESSION windows finalize after the gap passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = EventStreams.sessionAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_session_out")
+      .start()
+    try {
+      input.addData(mkEvents)
+      query.processAllAvailable()
+      input.addData(Seq(Ev(Timestamp.valueOf("2024-06-01 00:00:00"), "view", 0.0, 9L)))
+      query.processAllAvailable()
+      val batch = runBatch(EventStreams.sessionAgg(_))
+      val streamed = spark.table("wm_session_out").collect().map(_.toString).sorted
+      assert(batch.forall(streamed.contains),
+        "every batch session must be emitted once the watermark passes")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState: running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
