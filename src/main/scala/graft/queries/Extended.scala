@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.operators.{AsOfJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
 
 /** Extended relational surface: as-of join, skew-salted join,
   * correlated-subquery shape, HAVING, string/date scalar functions,
@@ -108,6 +108,22 @@ object Extended {
           "metric", "value")
     },
 
+    // Range (point-in-interval) join: customers whose balance falls in
+    // a nation's supplier min-max balance band. Custom operator — see
+    // graft.operators.RangeJoin (bucketed equi-join, no cross product);
+    // the oracle is the naive BETWEEN join.
+    "q55_range_join" -> { (s, d) =>
+      val bands = t(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("band_nation"))
+        .agg(min(col("s_acctbal")).as("lo"), max(col("s_acctbal")).as("hi"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      RangeJoin.pointInInterval(cust, bands, "c_acctbal", "lo", "hi", 500.0)
+        .groupBy(col("band_nation"))
+        .agg(count(lit(1)).as("n_customers_in_band"),
+          round(avg(col("c_acctbal")), 4).as("avg_in_band"))
+    },
+
     // HLL approximate distinct counts — the 100 TB rendering of q08.
     // Sketches differ across engines → rows-only; relative-error bound
     // vs the exact counts is asserted in scalatest.
@@ -165,6 +181,15 @@ object Extended {
         | CAST(max(CASE WHEN event_type = 'purchase' THEN ts END) AS TIMESTAMP)
         |   AS last_purchase_ts
         |FROM events GROUP BY user_id""".stripMargin,
+    "q55_range_join" ->
+      """WITH bands AS (
+        | SELECT s_nationkey AS band_nation, min(s_acctbal) AS lo,
+        |  max(s_acctbal) AS hi
+        | FROM supplier GROUP BY 1)
+        |SELECT band_nation, count(*) AS n_customers_in_band,
+        | round(avg(c_acctbal),4) AS avg_in_band
+        |FROM customer JOIN bands ON c_acctbal BETWEEN lo AND hi
+        |GROUP BY band_nation""".stripMargin,
     "q44_unpivot" ->
       """WITH m AS (SELECT c_nationkey,
         |  round(sum(c_acctbal),2) AS sum_acctbal,

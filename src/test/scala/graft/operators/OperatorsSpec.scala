@@ -58,6 +58,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("pointInInterval range join equals the naive BETWEEN join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val points = (0 until 500).map(i => (i.toLong, rng.nextDouble() * 1000))
+      .toDF("pid", "v")
+    val intervals = (0 until 50).map { i =>
+      val lo = rng.nextDouble() * 900
+      (i.toLong, lo, lo + rng.nextDouble() * 150)
+    }.toDF("iid", "lo", "hi")
+    val bucketed = RangeJoin
+      .pointInInterval(points, intervals, "v", "lo", "hi", 50.0)
+      .select(col("pid"), col("iid")).collect().map(_.toString).sorted
+    val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select(col("pid"), col("iid")).collect().map(_.toString).sorted
+    assert(bucketed.sameElements(naive))
+    assert(naive.nonEmpty)
+  }
+
+  test("GraftExtensions injects cosine_sim at session-extension level") {
+    // mechanism check: the injector runs against a fresh extensions
+    // object without error (full behavioral coverage of the expression
+    // itself lives in VectorFunctionsSpec via the registry path)
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("q45_approx_distinct")(spark, sf0001).head()
     val exact = SparkEntry.queries("q08_distinct_counts")(spark, sf0001).head()
