@@ -195,6 +195,31 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // Explicit GROUPING SETS (Spark 4 Dataset API) — only the two
+    // named groupings, not the rollup/cube closure.
+    "q56_grouping_sets" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    },
+
+    // Multiset semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // cardinality (vs q10's set semantics).
+    "q57_setops_all" -> { (s, d) =>
+      val li = t(s, d, "lineitem").select(col("l_suppkey").as("k"))
+      val recent = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("2000-01-01"))
+        .select(col("l_suppkey").as("k"))
+      val ia = li.intersectAll(recent).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = li.exceptAll(recent).groupBy(col("k"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.union(ea)
+    },
+
     // Pivot = A1 count-vectorization shape on the corpus (SURVEY.md §2.4):
     // explicit value list, like pivot("Family", familias) in the reef
     // pipeline — conditional aggregation, one pass, no value shuffle.
@@ -295,6 +320,20 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q56_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q57_setops_all" ->
+      """WITH li AS (SELECT l_suppkey AS k FROM lineitem),
+        |recent AS (SELECT l_suppkey AS k FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '2000-01-01')
+        |SELECT k, count(*) AS n, 'intersect_all' AS op
+        |FROM (SELECT k FROM li INTERSECT ALL SELECT k FROM recent) GROUP BY k
+        |UNION ALL
+        |SELECT k, count(*) AS n, 'except_all' AS op
+        |FROM (SELECT k FROM li EXCEPT ALL SELECT k FROM recent) GROUP BY k""".stripMargin,
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
