@@ -147,6 +147,19 @@ class ReefPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rmseGbt < stddev * 0.5, s"GBT rmse $rmseGbt vs stddev $stddev")
   }
 
+  test("fitted model save/load round-trip predicts identically") {
+    val (model, _) = ReefPipeline.trainAndEvaluate(featured, "longitude",
+      ReefPipeline.RF)
+    val dir = Files.createTempDirectory("reef-model").toString + "/rf"
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = model.transform(featured)
+      .select(col("prediction")).collect().map(_.getDouble(0))
+    val b = loaded.transform(featured)
+      .select(col("prediction")).collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
   test("no-leakage variant drops latitude from features") {
     val honest = ReefPipeline.featurize(spark, csvPath, vocab,
       includeLatInFeatures = false)
