@@ -23,7 +23,7 @@ import graft.Tables.t
   * the downstream consumers (similarity search over `array<float>`)
   * stay unchanged.
   */
-object MultimodalOps {
+object MultimodalOps extends Serializable {
 
   val featureDim = 8
 
@@ -72,6 +72,69 @@ object MultimodalOps {
               ((crc.getValue >> (i * 8)) & 0xff) / 256.0f))
         }
       }
+  }
+
+  case class PpmFeatures(img_id: Long, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double, features: Array[Float])
+
+  /** REAL binary image decode — no stub: PPM (P6) is a header + raw RGB
+    * bytes, parseable in pure JVM code, so this is the full multimodal
+    * path with an actual codec: binary column → partition-parallel
+    * decode → per-channel stats + a 2×2 block-mean feature grid
+    * (12 floats). Swap the parser for JPEG/PNG via javax.imageio or FFI
+    * without touching the Spark plumbing. */
+  def decodePpm(images: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : org.apache.spark.sql.Dataset[PpmFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.map { case (id, bytes) =>
+      // header: "P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB
+      var i = 0
+      def skipWs(): Unit = {
+        while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+        // '#' comments run to end of line
+        if (i < bytes.length && bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          skipWs()
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = i
+        while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+        new String(bytes, start, i - start, "US-ASCII")
+      }
+      require(token() == "P6", s"img $id: not a P6 PPM")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(maxval == 255, s"img $id: unsupported maxval $maxval")
+      i += 1 // single whitespace after maxval, then raw data
+      val px = bytes.length - i
+      require(px >= w * h * 3, s"img $id: truncated pixel data")
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      // 2×2 block means per channel = 12 features
+      val grid = Array.fill(12)(0.0)
+      val cnt = Array.fill(4)(0)
+      var p = 0
+      while (p < w * h) {
+        val r = bytes(i + p * 3) & 0xff
+        val g = bytes(i + p * 3 + 1) & 0xff
+        val b = bytes(i + p * 3 + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val block = (if ((p % w) * 2 >= w) 1 else 0) +
+          (if ((p / w) * 2 >= h) 2 else 0)
+        grid(block * 3) += r; grid(block * 3 + 1) += g
+        grid(block * 3 + 2) += b
+        cnt(block) += 1
+        p += 1
+      }
+      val n = (w * h).toDouble
+      val feats = Array.tabulate(12) { j =>
+        val c = cnt(j / 3)
+        if (c == 0) 0f else (grid(j) / c / 255.0).toFloat
+      }
+      PpmFeatures(id, w, h, sr / n, sg / n, sb / n, feats)
+    })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -64,6 +64,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(total === docs)
   }
 
+  test("PPM decode: real binary image parsing with exact channel means") {
+    import spark.implicits._
+    def ppm(w: Int, h: Int, rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgb(x, y, 0)
+        val o = (y * w + x) * 3
+        px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+      }
+      header ++ px
+    }
+    val solidRed = ppm(4, 4, (_, _, _) => (255, 0, 0))
+    // left half black, right half white
+    val split = ppm(8, 2, (x, _, _) => if (x < 4) (0, 0, 0) else (255, 255, 255))
+    val out = MultimodalOps.decodePpm(
+        Seq((1L, solidRed), (2L, split)).toDS())
+      .collect().map(r => r.img_id -> r).toMap
+    assert(out(1L).width === 4 && out(1L).height === 4)
+    assert(out(1L).meanR === 255.0 && out(1L).meanG === 0.0)
+    assert(out(1L).features(0) === 1.0f) // top-left block red channel
+    assert(out(2L).meanR === 127.5)      // half black half white
+    assert(out(2L).features(0) === 0.0f) // left blocks black
+    assert(out(2L).features(3) === 1.0f) // right blocks white
+  }
+
   test("mapPartitions batch decode: typed rows, byte counts match, deterministic") {
     val decoded = MultimodalOps.decodeBatches(spark, sf0001)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
