@@ -37,6 +37,50 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() === plain.count())
   }
 
+  test("JSON source round-trip preserves values and timestamp types via schema") {
+    val out = Files.createTempDirectory("graft-json").toString + "/events"
+    val events = Tables.t(spark, sf0001, "events")
+    // default JSON timestampFormat truncates to millis — keep micros
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.option("timestampFormat", tsFmt).mode("overwrite").json(out)
+    val back = spark.read.schema(events.schema)
+      .option("timestampFormat", tsFmt).json(out)
+    assert(back.count() === events.count())
+    assert(back.schema === events.schema)
+    val a = events.select(col("event_id"), col("ts"), col("value"))
+      .collect().map(_.toString).sorted
+    val b = back.select(col("event_id"), col("ts"), col("value"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("ORC source round-trip preserves values") {
+    val out = Files.createTempDirectory("graft-orc").toString + "/lineitem"
+    val li = Tables.t(spark, sf0001, "lineitem")
+    li.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.collect().map(_.toString).sorted
+      .sameElements(li.collect().map(_.toString).sorted))
+  }
+
+  test("repartitionByRange write yields non-overlapping per-file key ranges") {
+    val out = Files.createTempDirectory("graft-range").toString + "/orders"
+    Tables.t(spark, sf0001, "orders")
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length >= 2)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, "file key ranges must not overlap (range-clustered layout)")
+      case _ =>
+    }
+  }
+
   test("Verify-style coalesced parquet round-trip preserves values") {
     val out = Files.createTempDirectory("graft-rt").toString + "/q01"
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
