@@ -122,6 +122,18 @@ object TextOps {
             (col("n_docs_with_term") + 1.0)), 6).as("tfidf"))
     },
 
+    // Array higher-order functions over the token array: lambda filter,
+    // membership, ordered head — all inside whole-stage codegen.
+    "t28_array_hof" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .select(col("doc_id"),
+          size(filter(col("w"), x => length(x) > 5)).cast("long")
+            .as("n_long_tokens"),
+          array_contains(col("w"), "spark").as("has_spark"),
+          element_at(array_sort(col("w")), 1).as("first_token_sorted"))
+    },
+
     // Language-ID heuristic: marker-stopword overlap argmax with a fixed
     // tie-break priority (en > es > de > fr > zh).
     "t26_lang_id" -> { (s, d) =>
@@ -209,6 +221,17 @@ object TextOps {
         | round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.n_docs_with_term + 1.0)), 6)
         |   AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+    "t28_array_hof" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long_tokens,
+        | list_contains(w, 'spark') AS has_spark,
+        | list_sort(w)[1] AS first_token_sorted
+        |FROM tok""".stripMargin,
     "t26_lang_id" ->
       """WITH sc AS (
         | SELECT doc_id, lang,

@@ -83,6 +83,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val userDim = Seq((0L, "free"), (1L, "pro"), (2L, "pro"), (3L, "free"))
+      .toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val query = input.toDF()
+      .join(userDim, "user_id")
+      .groupBy($"tier")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dim_out")
+      .start()
+    try {
+      input.addData(mkEvents)
+      query.processAllAvailable()
+      val rows = spark.table("dim_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("free") + rows("pro") === 200L)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState: running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
