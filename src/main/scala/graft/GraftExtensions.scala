@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

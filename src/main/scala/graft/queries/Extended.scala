@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, AsOfJoinNativeApi, RangeJoin, SaltedJoin}
 
 /** Extended relational surface: as-of join, skew-salted join,
   * correlated-subquery shape, HAVING, string/date scalar functions,
@@ -24,6 +24,20 @@ object Extended {
         .groupBy(col("user_id"), col("ts").as("pts"))
         .agg(max(col("value")).as("pvalue"))
       AsOfJoin.asofJoin(errors, purchases, Seq("user_id"), "ts", "pts")
+    },
+
+    // The SAME as-of join through the native custom operator
+    // (LogicalPlan + Strategy + one-pass sort-merge exec,
+    // graft.plans.AsOfJoinNative) — identical oracle as q37.
+    "q58_asof_native" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("value")).as("pvalue"))
+      AsOfJoinNativeApi.asofJoin(errors, purchases, Seq("user_id"),
+        "ts", "pts")
     },
 
     // Skew-salted fact⋈dim join — result identical to the plain join
@@ -137,6 +151,15 @@ object Extended {
 
   val oracle: Map[String, String] = Map(
     "q37_asof_join" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.ts, e.event_id,
+        |       p.pts AS asof_pts, p.pvalue AS asof_pvalue
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.pts""".stripMargin,
+    "q58_asof_native" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
         |           FROM events WHERE event_type = 'error'),
         |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS pvalue

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into `private[sql]` surface needed to build a
+  * DataFrame from a custom LogicalPlan (graft.plans.AsOfJoinPlan).
+  * Lives in the org.apache.spark.sql package purely for access scope —
+  * standard practice for Spark extension libraries; no Spark internals
+  * are modified.
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+}

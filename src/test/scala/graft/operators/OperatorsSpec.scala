@@ -35,6 +35,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L) === Some(200.0))
   }
 
+  test("NATIVE asofJoin (custom plan+exec) matches the fixture semantics") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L),
+      ("A", ts("2024-01-01 10:05:00"), 2L),
+      ("A", ts("2024-01-01 09:00:00"), 3L),
+      ("B", ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("sym", "tts", "trade_id")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:30:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:00"), 101.0),
+      ("A", ts("2024-01-01 10:04:00"), 102.0),
+      ("B", ts("2024-01-01 09:59:00"), 200.0)
+    ).toDF("sym", "qts", "px")
+    val out = AsOfJoinNativeApi.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+      "the custom physical operator must actually plan")
+    val m = out.collect().map(r => r.getLong(r.fieldIndex("trade_id")) ->
+      (if (r.isNullAt(r.fieldIndex("asof_px"))) None
+       else Some(r.getDouble(r.fieldIndex("asof_px"))))).toMap
+    assert(m(1L) === Some(101.0))
+    assert(m(2L) === Some(102.0))
+    assert(m(3L) === None)
+    assert(m(4L) === Some(200.0))
+  }
+
+  test("native and composed as-of joins return identical results on events") {
+    val composed = SparkEntry.queries("q37_asof_join")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val native = SparkEntry.queries("q58_asof_native")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(native.sameElements(composed))
+  }
+
   test("asofJoin row count equals left row count (left-join semantics)") {
     val out = SparkEntry.queries("q37_asof_join")(spark, sf0001)
     val errors = graft.Tables.t(spark, sf0001, "events")
