@@ -41,7 +41,8 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       ("A", ts("2024-01-01 10:00:00"), 1L),
       ("A", ts("2024-01-01 10:05:00"), 2L),
       ("A", ts("2024-01-01 09:00:00"), 3L),
-      ("B", ts("2024-01-01 10:00:00"), 4L)
+      ("B", ts("2024-01-01 10:00:00"), 4L),
+      ("C", ts("2024-01-01 10:00:00"), 5L)   // key with no quotes at all
     ).toDF("sym", "tts", "trade_id")
     val quotes = Seq(
       ("A", ts("2024-01-01 09:30:00"), 100.0),
@@ -59,6 +60,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(m(2L) === Some(102.0))
     assert(m(3L) === None)
     assert(m(4L) === Some(200.0))
+    assert(m(5L) === None)  // key never seen on the right → null payload
   }
 
   test("native and composed as-of joins return identical results on events") {
