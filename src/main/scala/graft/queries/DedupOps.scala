@@ -92,6 +92,15 @@ object DedupOps {
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
     },
 
+    // Near-dup CLUSTERING: connected components over the d28 edge list
+    // (min-label propagation — graft.operators.DedupClustering), so one
+    // canonical doc survives per duplicate cluster. Oracle: transitive
+    // closure via DuckDB recursive CTE.
+    "d31_dedup_clusters" -> { (s, d) =>
+      val edges = queries("d28_neardup_jaccard")(s, d).select(col("ia"), col("ib"))
+      graft.operators.DedupClustering.connectedComponents(edges)
+    },
+
     // SimHash: 64-bit per-doc fingerprint from xxhash64(token) bit
     // votes, plus 4×16-bit band keys for bucketed near-dup search.
     // No DuckDB oracle (xxhash64 is Spark-specific) → rows-only +
@@ -143,6 +152,35 @@ object DedupOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "d31_dedup_clusters" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |edges0 AS (
+        | SELECT ia, ib FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = ia
+        |  JOIN sizes sb ON sb.doc_id = ib
+        | WHERE inter / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT ia AS src, ib AS dst FROM edges0
+        |          UNION SELECT ib, ia FROM edges0),
+        |rec AS (
+        | WITH RECURSIVE reach(src, dst) AS (
+        |   SELECT src, dst FROM edges
+        |   UNION
+        |   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        | ) SELECT * FROM reach)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM rec GROUP BY src""".stripMargin,
     "d27_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         | count(*) AS n_copies

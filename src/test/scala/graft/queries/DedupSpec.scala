@@ -57,6 +57,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"near-dup avg hamming $nearAvg should be far below random avg $randAvg")
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    import spark.implicits._
+    // chain 1-2-3-4, island 10-11, chain via shared node 20-21, 21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("ia", "ib")
+    val cc = graft.operators.DedupClustering.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("dedup clusters cover every doc that appears in a near-dup pair") {
+    val nodes = exactJaccard.flatMap { case (a, b) => Seq(a, b) }
+    val clustered = SparkEntry.queries("d31_dedup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nodes.forall(clustered.contains))
+    // every cluster id is the min doc_id of its members
+    clustered.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to doc count") {
     val d = SparkEntry.queries("d27_dedup_exact")(spark, sf0001)
     val total = d.agg(sum(col("n_copies"))).head().getLong(0)
