@@ -113,6 +113,21 @@ object Analytic {
             .as("sum_coalesced"))
     },
 
+    // Equi-width histogram over a min-max normalized domain (binning
+    // derived from a broadcast 1-row aggregate, no driver collect).
+    "q59_histogram" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val mm = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .select(least(
+          floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 20.0)).cast("long"),
+          lit(19L)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
     // Exact percentiles (linear interpolation — matches quantile_cont).
     "q19_quantiles" -> { (s, d) =>
       t(s, d, "customer")
@@ -243,6 +258,13 @@ object Analytic {
         | count(CASE WHEN CAST(props->>'$.missing' AS DOUBLE) IS NULL THEN 1 END) AS n_null,
         | round(sum(coalesce(CAST(props->>'$.missing' AS DOUBLE), value)),2) AS sum_coalesced
         |FROM events GROUP BY event_type""".stripMargin,
+    "q59_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |            FROM orders)
+        |SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+        |             19) AS bucket,
+        | count(*) AS n_orders
+        |FROM orders, mm GROUP BY 1""".stripMargin,
     "q19_quantiles" ->
       """SELECT c_mktsegment,
         | round(quantile_cont(c_acctbal, 0.5),4) AS median_acctbal,

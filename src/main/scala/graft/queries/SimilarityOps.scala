@@ -153,6 +153,25 @@ object SimilarityOps {
           round(col("v") / col("norm"), 6).as("nval"))
     },
 
+    // Scalar (int8) quantization: the 4× storage-compression path for
+    // embedding columns at scale. Measures the cosine error the
+    // compression costs on the genuinely-similar pairs (s34's set).
+    "s39_scalar_quantization" -> { (s, d) =>
+      val e = emb(s, d)
+      val quant = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => round(x * 127.0, 0) / 127.0)
+      val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+      a.join(b, col("ia") < col("ib"))
+        .withColumn("cos_exact", cos(col("ea"), col("eb")))
+        .filter(col("cos_exact") >= 0.4)
+        .withColumn("cos_quant", cos(quant(col("ea")), quant(col("eb"))))
+        .select(col("ia"), col("ib"),
+          round(col("cos_exact"), 4).as("cos_exact"),
+          round(col("cos_quant"), 4).as("cos_quant"),
+          round(abs(col("cos_exact") - col("cos_quant")), 4).as("quant_err"))
+    },
+
     // Per-label centroids: the vector-aggregation shape (mean embedding
     // per class), flat (label, dim, value) output for verifiability.
     "s36_label_centroids" -> { (s, d) =>
@@ -207,6 +226,19 @@ object SimilarityOps {
         | SELECT *, row_number() OVER (PARTITION BY qid
         |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
         |WHERE rnk <= 3""".stripMargin,
+    "s39_scalar_quantization" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(emb, x -> round(x * 127.0) / 127.0) AS qe, emb FROM e),
+        |p AS (
+        | SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  list_dot_product(a.emb, b.emb) /
+        |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS ce,
+        |  list_dot_product(a.qe, b.qe) /
+        |   (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))) AS cq
+        | FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        |SELECT ia, ib, round(ce, 4) AS cos_exact, round(cq, 4) AS cos_quant,
+        | round(abs(ce - cq), 4) AS quant_err
+        |FROM p WHERE ce >= 0.4""".stripMargin,
     "s38_vector_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

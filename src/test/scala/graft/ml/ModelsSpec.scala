@@ -30,6 +30,39 @@ class ModelsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.count() > 0)
   }
 
+  test("IVF with TRAINED centroids: recall@3 vs brute force is useful") {
+    import org.apache.spark.ml.functions.vector_to_array
+    // train the coarse quantizer with seeded KMeans, then nprobe=1 search
+    val assigned = EmbeddingModels.kmeansAssign(embeddings, k = 8)
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    graft.functions.VectorFunctions.register(spark)
+    val cosC = graft.functions.VectorFunctions.cosineSim _
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      df.withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rnk") <= 3).collect()
+        .groupBy(_.getLong(0)).map { case (q, rows) =>
+          q -> rows.map(r => r.getLong(r.fieldIndex("vec_id"))).toSet
+        }
+    }
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("cluster").as("qcell"))
+    val brute = top3(e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosC(col("qemb"), col("emb"))))
+    val ivf = top3(e.join(broadcast(q),
+        col("cluster") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosC(col("qemb"), col("emb"))))
+    val recall = brute.keys.toSeq.map { k =>
+      (brute(k) & ivf.getOrElse(k, Set())).size.toDouble / brute(k).size
+    }.sum / brute.size
+    assert(recall >= 0.3, s"trained-IVF nprobe=1 recall@3 was $recall")
+  }
+
   test("tfidf pipeline: stopwords removed, vocab bounded, idf formula matches") {
     val fitted = TextPipeline.tfidfPipeline().fit(documents)
     val out = fitted.transform(documents)
