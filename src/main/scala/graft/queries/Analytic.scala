@@ -113,6 +113,27 @@ object Analytic {
             .as("sum_coalesced"))
     },
 
+    // Time-range rolling window: per customer, orders in the trailing
+    // 90 days (RANGE frame over event time, not row counts).
+    "q60_rolling_window" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 | RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)"""
+            .stripMargin).as("orders_trailing_90d"))
+    },
+
+    // Bivariate aggregates: correlation / covariance per group.
+    "q61_corr" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 4)
+            .as("covar_disc_tax"),
+          count(lit(1)).as("n"))
+    },
+
     // Equi-width histogram over a min-max normalized domain (binning
     // derived from a broadcast 1-row aggregate, no driver collect).
     "q59_histogram" -> { (s, d) =>
@@ -258,6 +279,18 @@ object Analytic {
         | count(CASE WHEN CAST(props->>'$.missing' AS DOUBLE) IS NULL THEN 1 END) AS n_null,
         | round(sum(coalesce(CAST(props->>'$.missing' AS DOUBLE), value)),2) AS sum_coalesced
         |FROM events GROUP BY event_type""".stripMargin,
+    "q60_rolling_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+        |   AS orders_trailing_90d
+        |FROM orders""".stripMargin,
+    "q61_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
+        | round(covar_samp(l_discount, l_tax),4) AS covar_disc_tax,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q59_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |            FROM orders)
