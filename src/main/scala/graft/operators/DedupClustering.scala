@@ -28,6 +28,12 @@ object DedupClustering {
       .distinct().persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).persist()
+    // labels only ever decrease, so sum(comp) strictly decreases iff any
+    // label changed — convergence is one cheap aggregate per superstep
+    // instead of a self-join diff
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -39,13 +45,11 @@ object DedupClustering {
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .persist()
-      val changed = next
-        .join(labels.select(col("node").as("node2"), col("comp").as("oldc")),
-          col("node") === col("node2"))
-        .filter(col("comp") < col("oldc")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     sym.unpersist()
