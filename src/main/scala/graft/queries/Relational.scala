@@ -220,6 +220,34 @@ object Relational {
       ia.union(ea)
     },
 
+    // Schema-aligned union (by NAME, not position) across entity tables
+    // with a missing column filled as null.
+    "q62_union_by_name" -> { (s, d) =>
+      val cust = t(s, d, "customer").select(col("c_name").as("name"),
+        col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
+        .withColumn("kind", lit("customer"))
+      cust.unionByName(
+          t(s, d, "supplier").select(col("s_name").as("name"),
+            col("s_nationkey").as("nationkey"),
+            col("s_acctbal").as("acctbal"))
+            .withColumn("kind", lit("supplier")),
+          allowMissingColumns = true)
+        .groupBy(col("kind"), col("nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("acctbal")), 2).as("bal"))
+    },
+
+    // Inline literal table (LocalRelation) joined against the corpus.
+    "q63_values_join" -> { (s, d) =>
+      import s.implicits._
+      val tiers = Seq(("AUTOMOBILE", 1), ("BUILDING", 2), ("FURNITURE", 2),
+        ("MACHINERY", 3), ("HOUSEHOLD", 3)).toDF("c_mktsegment", "tier")
+      t(s, d, "customer")
+        .join(broadcast(tiers), "c_mktsegment")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+    },
+
     // Pivot = A1 count-vectorization shape on the corpus (SURVEY.md §2.4):
     // explicit value list, like pivot("Family", familias) in the reef
     // pipeline — conditional aggregation, one pass, no value shuffle.
@@ -334,6 +362,23 @@ object Relational {
         |UNION ALL
         |SELECT k, count(*) AS n, 'except_all' AS op
         |FROM (SELECT k FROM li EXCEPT ALL SELECT k FROM recent) GROUP BY k""".stripMargin,
+    "q62_union_by_name" ->
+      """WITH u AS (
+        | SELECT c_name AS name, c_nationkey AS nationkey,
+        |        c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        | UNION ALL BY NAME
+        | SELECT s_name AS name, s_nationkey AS nationkey,
+        |        s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+        |SELECT kind, nationkey, count(*) AS n, round(sum(acctbal),2) AS bal
+        |FROM u GROUP BY kind, nationkey""".stripMargin,
+    "q63_values_join" ->
+      """WITH tiers(c_mktsegment, tier) AS (VALUES
+        | ('AUTOMOBILE', 1), ('BUILDING', 2), ('FURNITURE', 2),
+        | ('MACHINERY', 3), ('HOUSEHOLD', 3))
+        |SELECT tier, count(*) AS n_customers,
+        | round(avg(c_acctbal),4) AS avg_bal
+        |FROM customer JOIN tiers USING (c_mktsegment)
+        |GROUP BY tier""".stripMargin,
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
