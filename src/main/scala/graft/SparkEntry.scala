@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.DedupOps.queries ++
       graft.queries.MultimodalOps.queries ++
       graft.queries.SimilarityOps.queries ++
-      graft.queries.Extended.queries
+      graft.queries.Extended.queries ++
+      graft.queries.TypedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.DedupOps.oracle ++
       graft.queries.MultimodalOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
-      graft.queries.Extended.oracle
+      graft.queries.Extended.oracle ++
+      graft.queries.TypedOps.oracle
 }
