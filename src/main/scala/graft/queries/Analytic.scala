@@ -124,12 +124,17 @@ object Analytic {
     },
 
     // Bivariate aggregates: correlation / covariance per group.
+    // covar_samp(l_discount, l_tax) is within FP noise of zero, so
+    // round() can land on IEEE -0.0 in one engine and +0.0 in the
+    // other; `+ 0.0` collapses the sign of zero identically in Spark
+    // and DuckDB (NOTES rule 3: never emit a value at a rounding
+    // boundary without normalizing it).
     "q61_corr" -> { (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
-          .as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 4)
+        .agg((round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          + lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 4) + lit(0.0))
             .as("covar_disc_tax"),
           count(lit(1)).as("n"))
     },
@@ -287,8 +292,8 @@ object Analytic {
         |FROM orders""".stripMargin,
     "q61_corr" ->
       """SELECT l_returnflag,
-        | round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
-        | round(covar_samp(l_discount, l_tax),4) AS covar_disc_tax,
+        | round(corr(l_quantity, l_extendedprice),4) + 0.0 AS corr_qty_price,
+        | round(covar_samp(l_discount, l_tax),4) + 0.0 AS covar_disc_tax,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q59_histogram" ->
