@@ -10,26 +10,44 @@ import org.apache.spark.sql.functions._
   * column types and can push filters/projections into the scan.
   */
 object Tables {
+
+  // one-shot per session (WeakHashMap-backed so dropped sessions don't
+  // pin memory): conf mutation on every t() call was idempotent but racy
+  // under shared sessions
+  private val configuredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Session-level engine conf, applied once per session.
+    *
+    *  - InferFiltersFromGenerate synthesizes size(arr)>0/isnotnull
+    *    filters under every explode; filter pushdown then drags the
+    *    WHOLE array expression chain (tokenize→shingle) below the first
+    *    exchange, where it re-evaluates per row on the unparallelized
+    *    scan partition — measured 7× slowdown on the shingle/LSH
+    *    pipelines. The inferred filters buy nothing on this workload
+    *    (arrays are computed, never scanned), so exclude the rule.
+    *  - events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    *    rejects (PARQUET_TYPE_ILLEGAL); the legacy conf reads it as raw
+    *    nanos (see the events case below).
+    */
+  def configure(spark: SparkSession): Unit =
+    if (configuredSessions.add(spark)) {
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // InferFiltersFromGenerate synthesizes size(arr)>0/isnotnull filters
-    // under every explode; filter pushdown then drags the WHOLE array
-    // expression chain (tokenize→shingle) below the first exchange, where
-    // it re-evaluates per row on the unparallelized scan partition —
-    // measured 7× slowdown on the shingle/LSH pipelines. The inferred
-    // filters buy nothing on this workload (arrays are computed, never
-    // scanned), so exclude the rule for any session running our queries.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    configure(spark)
     name match {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-      // legacy conf and truncate to Spark's micros TimestampType with
+      // Truncate events' raw nanos to Spark's micros TimestampType with
       // exact integral division (`div`, not FP `/` — nanos ~1.7e18
       // exceed double's 2^53 integer range, FP division would corrupt
       // the low microseconds). DuckDB's CAST(ts_ns AS TIMESTAMP)
       // truncates identically, so oracle comparisons line up.
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>

@@ -39,11 +39,22 @@ object AsOfJoinNativeApi {
     def attr(plan: LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
+    // the exec merges on getLong over the time slot, so only long-backed
+    // time types are admissible — reject anything else here rather than
+    // silently misreading bytes at execution time
+    def requireLongBacked(a: org.apache.spark.sql.catalyst.expressions.Attribute): a.type = a.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.LongType => a
+      case dt => throw new IllegalArgumentException(
+        s"asofJoin time column ${a.name} has type ${dt.simpleString}; " +
+          "expected timestamp, timestamp_ntz, or bigint")
+    }
     val node = AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)),
       keys.map(k => attr(rPlan, s"__rk_$k")),
-      attr(lPlan, leftTime),
-      attr(rPlan, rightPrefix + rightTime))
+      requireLongBacked(attr(lPlan, leftTime)),
+      requireLongBacked(attr(rPlan, rightPrefix + rightTime)))
     GraftBridge.ofRows(left.sparkSession, node)
       .drop(keys.map(k => s"__rk_$k"): _*)
   }

@@ -80,14 +80,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
       lIter.map { l =>
         val lk = lKeyProj(l).copy()
-        val lt = lTimeProj(l).getLong(0)
-        var advancing = true
+        val lTimeRow = lTimeProj(l)
+        // a NULL left time matches nothing (ASOF `ts >= r.ts` is unknown
+        // for NULL) — without this check getLong(0) would read the null
+        // slot as 0 and match the row as if at the epoch
+        val lNull = lTimeRow.isNullAt(0)
+        val lt = if (lNull) Long.MinValue else lTimeRow.getLong(0)
+        var advancing = !lNull
         while (advancing && rBuf.hasNext) {
           val r = rBuf.head
           val rk = rKeyProj(r)
           val cmp = keyOrd.compare(rk, lk)
           if (cmp < 0) {
             rBuf.next() // right key already behind every remaining left row
+          } else if (cmp == 0 && rTimeProj(r).isNullAt(0)) {
+            rBuf.next() // NULL right time can never be the latest <= lt
           } else if (cmp == 0 && rTimeProj(r).getLong(0) <= lt) {
             heldKey = rk.copy()
             heldRight = rBuf.next().copy()
@@ -95,7 +102,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             advancing = false
           }
         }
-        val matched = heldRight != null && heldKey != null &&
+        val matched = !lNull && heldRight != null && heldKey != null &&
           keyOrd.compare(heldKey, lk) == 0
         joined(l, if (matched) heldRight else nullRight)
         outProj(joined)

@@ -42,6 +42,23 @@ object SimilarityOps {
 
   private def cos = VectorFunctions.cosineSim _
 
+  /** IVF cell assignment shared by s37/s39: a fixed coarse quantizer
+    * (vectors 0..15 as cell centroids), every vector assigned to its
+    * highest-cosine cell. Deterministic (seedless), so both consumers
+    * stay DuckDB-oracle-checkable. Centroids broadcast; the only
+    * shuffle is the per-vector arg-max window. */
+  private def cellAssign(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosc").desc, col("cid").asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
     "s33_knn_bruteforce" -> { (s, d) =>
@@ -83,7 +100,12 @@ object SimilarityOps {
       val rng = new Random(42)
       val planes = Array.fill(nTables, planesPerTable, dim)(
         if (rng.nextBoolean()) 1.0 else -1.0)
+      // the base table feeds three plan branches (bucket keying + both
+      // sides of the exact-confirm join) — persist once instead of
+      // re-scanning and re-shuffling parquet per branch (same documented
+      // reuse point discipline as d28)
       val e = emb(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tableBuckets = (0 until nTables).map { tb =>
         val bucket = (0 until planesPerTable).map { p =>
           val proj = aggregate(
@@ -99,8 +121,8 @@ object SimilarityOps {
         .join(keyed.select(col("vec_id").as("ib"), col("tb").as("tbb")),
           col("tb") === col("tbb") && col("ia") < col("ib"))
         .select(col("ia"), col("ib")).distinct()
-      val va = emb(s, d).select(col("vec_id").as("ia"), col("emb").as("ea"))
-      val vb = emb(s, d).select(col("vec_id").as("ib"), col("emb").as("eb"))
+      val va = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+      val vb = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
       cands.join(va, "ia").join(vb, "ib")
         .withColumn("cosine", cos(col("ea"), col("eb")))
         .filter(col("cosine") >= 0.4)

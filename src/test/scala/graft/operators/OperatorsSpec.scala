@@ -63,6 +63,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(m(5L) === None)  // key never seen on the right → null payload
   }
 
+  test("NATIVE asofJoin: null time columns never match (not read as epoch 0)") {
+    import spark.implicits._
+    // a right row at the epoch would be the "latest <= lt" for every left
+    // row if a null ts were misread as 0 — plant one to catch that
+    val trades = Seq(
+      ("A", Some(ts("2024-01-01 10:00:00")), 1L),
+      ("A", None, 2L),                        // null left ts → matches nothing
+      ("B", Some(ts("2024-01-01 10:00:00")), 3L)
+    ).toDF("sym", "tts", "trade_id")
+    val quotes = Seq(
+      ("A", Some(ts("2024-01-01 09:30:00")), 100.0),
+      ("A", None, 666.0),                     // null right ts → never a match
+      ("B", Option.empty[Timestamp], 777.0)   // only quote for B is null-ts
+    ).toDF("sym", "qts", "px")
+    val m = AsOfJoinNativeApi.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
+      .collect().map(r => r.getLong(r.fieldIndex("trade_id")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_px"))) None
+         else Some(r.getDouble(r.fieldIndex("asof_px"))))).toMap
+    assert(m(1L) === Some(100.0)) // real quote still wins over the null-ts one
+    assert(m(2L) === None)        // null left time: unknown <= unknown → no match
+    assert(m(3L) === None)        // B's only quote has null ts → no match
+  }
+
+  test("NATIVE asofJoin rejects non-long-backed time columns at the API") {
+    import spark.implicits._
+    val l = Seq(("A", "2024-01-01", 1L)).toDF("sym", "tts", "trade_id")
+    val r = Seq(("A", "2024-01-01", 1.0)).toDF("sym", "qts", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNativeApi.asofJoin(l, r, Seq("sym"), "tts", "qts")
+    }
+    assert(e.getMessage.contains("expected timestamp"))
+  }
+
   test("native and composed as-of joins return identical results on events") {
     val composed = SparkEntry.queries("q37_asof_join")(spark, sf0001)
       .collect().map(_.toString).sorted
