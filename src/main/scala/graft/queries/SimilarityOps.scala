@@ -57,6 +57,10 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("cid"))
+      // both consumers feed the assignment into 2+ plan branches
+      // (query side + corpus side of a self-join) — persist so the
+      // 16-way crossJoin + arg-max window runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -137,16 +141,7 @@ object SimilarityOps {
     // broadcast, assignment is a map-only pass, search shuffles once on
     // cell id.
     "s37_ivf_ann" -> { (s, d) =>
-      val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosc").desc, col("cid").asc)
-      val cell = e.crossJoin(broadcast(cents))
-        .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("cid"))
+      val cell = cellAssign(emb(s, d))
       val q = cell.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"),
           col("cid").as("qcell"))
@@ -177,14 +172,21 @@ object SimilarityOps {
 
     // Scalar (int8) quantization: the 4× storage-compression path for
     // embedding columns at scale. Measures the cosine error the
-    // compression costs on the genuinely-similar pairs (s34's set).
+    // compression costs on candidate pairs — pairs sharing an IVF cell
+    // (the same deterministic assignment s37 searches with), NOT the
+    // all-pairs cross product: the join key is the cell id, so the
+    // shuffle partitions by cell and the pair space is per-cell local.
+    // This is the shape that survives 100×; the error statistic it
+    // measures is exactly the one a quantized IVF search would incur.
     "s39_scalar_quantization" -> { (s, d) =>
-      val e = emb(s, d)
+      val cell = cellAssign(emb(s, d))
       val quant = (c: org.apache.spark.sql.Column) =>
         transform(c, x => round(x * 127.0, 0) / 127.0)
-      val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
-      val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
-      a.join(b, col("ia") < col("ib"))
+      val a = cell.select(col("vec_id").as("ia"), col("emb").as("ea"),
+        col("cid"))
+      val b = cell.select(col("vec_id").as("ib"), col("emb").as("eb"),
+        col("cid").as("cidb"))
+      a.join(b, col("cid") === col("cidb") && col("ia") < col("ib"))
         .withColumn("cos_exact", cos(col("ea"), col("eb")))
         .filter(col("cos_exact") >= 0.4)
         .withColumn("cos_quant", cos(quant(col("ea")), quant(col("eb"))))
@@ -250,14 +252,25 @@ object SimilarityOps {
         |WHERE rnk <= 3""".stripMargin,
     "s39_scalar_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |q AS (SELECT vec_id, list_transform(emb, x -> round(x * 127.0) / 127.0) AS qe, emb FROM e),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |q AS (SELECT vec_id, cid, emb,
+        |  list_transform(emb, x -> round(x * 127.0) / 127.0) AS qe FROM cell),
         |p AS (
         | SELECT a.vec_id AS ia, b.vec_id AS ib,
         |  list_dot_product(a.emb, b.emb) /
         |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS ce,
         |  list_dot_product(a.qe, b.qe) /
         |   (sqrt(list_dot_product(a.qe, a.qe)) * sqrt(list_dot_product(b.qe, b.qe))) AS cq
-        | FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        | FROM q a JOIN q b ON a.cid = b.cid AND a.vec_id < b.vec_id)
         |SELECT ia, ib, round(ce, 4) AS cos_exact, round(cq, 4) AS cos_quant,
         | round(abs(ce - cq), 4) AS quant_err
         |FROM p WHERE ce >= 0.4""".stripMargin,
