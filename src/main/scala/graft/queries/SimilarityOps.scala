@@ -63,6 +63,35 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Trained coarse quantizer for s40: seeded k-means (k=8) fit once
+    * per SF dir; centroids are rounded to 6 dp so the SAME literals
+    * enter both engines' plans (Spark via typed rows, DuckDB via a
+    * VALUES clause in the oracle — Verify dumps oracle SQL after the
+    * queries run, so the fit has always happened by then). The fit
+    * runs on a single partition: seeded k-means is only reproducible
+    * for a fixed input order, and the per-SF table is small — at real
+    * scale the quantizer trains on a bounded sample exactly like this,
+    * never on the full corpus. */
+  private object TrainedQuantizer {
+    private val fitted =
+      scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    @volatile private var lastDir: Option[String] = None
+    val k = 8
+    def centroids(s: SparkSession, d: String): Array[Array[Double]] = {
+      lastDir = Some(d)
+      fitted.getOrElseUpdate(d, {
+        val v = graft.ml.EmbeddingModels.vectors(
+          t(s, d, "embeddings").coalesce(1))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(42L).setFeaturesCol("vec")
+          .fit(v).clusterCenters
+          .map(_.toArray.map(x => math.rint(x * 1e6) / 1e6))
+      })
+    }
+    def lastCentroids: Array[Array[Double]] =
+      lastDir.flatMap(fitted.get).getOrElse(Array.empty)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
     "s33_knn_bruteforce" -> { (s, d) =>
@@ -156,6 +185,45 @@ object SimilarityOps {
           col("cosine"))
     },
 
+    // IVF with TRAINED centroids and nprobe=2 — the production shape
+    // of s37: a seeded k-means coarse quantizer (fit on a bounded
+    // sample), corpus vectors assigned to their single nearest cell,
+    // queries probing their 2 nearest cells. The fitted centroids are
+    // rounded and enter the plan as literals, so unlike most trained
+    // models this stays DuckDB-oracle-checkable end to end. At 100 TB:
+    // centroids broadcast, assignment map-only, one shuffle on cell id;
+    // nprobe trades recall for the number of cells scanned.
+    "s40_ivf_trained" -> { (s, d) =>
+      import s.implicits._
+      VectorFunctions.register(s)
+      val cents = TrainedQuantizer.centroids(s, d)
+      val centsDf = cents.zipWithIndex.toSeq
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cemb")
+      val e = emb(s, d)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosc").desc, col("cid").asc)
+      val ranked = e.crossJoin(broadcast(centsDf))
+        .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
+        .withColumn("rn", row_number().over(wAssign))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid"))
+      // probe cells are distinct per query, and each corpus vector lives
+      // in exactly one cell, so the candidate set needs no distinct()
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("pcell"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      corpus.join(broadcast(probes),
+          col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+    },
+
     // L2 vector normalization (unit vectors), flat output — the
     // preprocessing step that turns cosine search into dot-product
     // search.
@@ -207,7 +275,40 @@ object SimilarityOps {
     }
   )
 
-  val oracle: Map[String, String] = Map(
+  /** s40's oracle carries the trained centroids as a VALUES clause —
+    * identical literals to the ones the Spark plan used, captured from
+    * the most recent fit (Verify dumps oracle SQL after running the
+    * queries, so the capture is always populated in the driver flow). */
+  private def s40Oracle: String = {
+    val values = TrainedQuantizer.lastCentroids.zipWithIndex.map {
+      case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c(cid, cemb) AS (VALUES $values),
+       |sim AS (
+       | SELECT e.vec_id, e.emb, c.cid,
+       |  round(list_dot_product(e.emb, c.cemb) /
+       |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+       | FROM e, c),
+       |ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cosc DESC, cid ASC) AS rn FROM sim),
+       |corpus AS (SELECT vec_id, emb, cid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, emb AS qemb, cid AS pcell
+       |  FROM ranked WHERE rn <= 2 AND vec_id < 10),
+       |cand AS (
+       | SELECT p.qid, corpus.vec_id,
+       |  round(list_dot_product(p.qemb, corpus.emb) /
+       |   (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(corpus.emb, corpus.emb))), 6) AS cosine
+       | FROM probes p JOIN corpus ON corpus.cid = p.pcell AND corpus.vec_id <> p.qid)
+       |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM (
+       | SELECT *, row_number() OVER (PARTITION BY qid
+       |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "s40_ivf_trained" -> s40Oracle,
     "s33_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),

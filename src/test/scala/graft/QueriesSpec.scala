@@ -54,6 +54,18 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(total > 5000L)
   }
 
+  test("s40 trained-IVF nprobe=2 recall@3 beats a useful floor vs brute force") {
+    import org.apache.spark.sql.functions._
+    def top3(name: String): Set[(String, String)] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+        .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val brute = top3("s33_knn_bruteforce") // exact top-5, cut to top-3
+    val ivf = top3("s40_ivf_trained")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"s40 recall@3 was $recall")
+  }
+
   test("queries are deterministic across two runs (hash-stable for the driver)") {
     val sample = Seq("q01_pricing_summary", "q14_running_total",
       "t25_fingerprint", "s33_knn_bruteforce", "d28_neardup_jaccard")
