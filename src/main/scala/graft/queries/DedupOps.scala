@@ -126,6 +126,55 @@ object DedupOps {
           col("simhash").bitwiseAND(lit(0xffffL)).as("band3"))
     },
 
+    // SimHash near-dup SEARCH — the consumer d29's fingerprint exists
+    // for: band the signature into 16-bit keys, equi-join on (band,
+    // value) so the shuffle partitions by band key (never all-pairs),
+    // then confirm candidates with bit_count(xor) <= 6. Unlike d29
+    // (engine-specific xxhash64, rows-only) this uses a PORTABLE
+    // 48-bit signature built from md5 nibbles — bit b of a token's
+    // hash is bit (b%4) of hex digit b/4 — so DuckDB reproduces the
+    // identical fingerprint and the whole search is hash-checked.
+    "d32_simhash_hamming" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("hx", md5(col("tok")))
+      val nibs = (0 until 12).map { j =>
+        (expr(s"instr('0123456789abcdef', substring(hx, ${j + 1}, 1))") - 1)
+          .cast("long").as(s"nib$j")
+      }
+      val votes = (0 until 48).map { b =>
+        sum(when(shiftright(col(s"nib${b / 4}"), b % 4)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+      }
+      val sig = (0 until 48).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      // signature table feeds band keying AND both sides of the confirm
+      // join — persist at the documented reuse point (as d28 does)
+      val sigs = tok.select(col("doc_id") +: nibs: _*)
+        .groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sig.as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array(
+          struct(lit(0).as("bi"),
+            shiftright(col("sig"), 32).bitwiseAND(lit(0xffffL)).as("bv")),
+          struct(lit(1).as("bi"),
+            shiftright(col("sig"), 16).bitwiseAND(lit(0xffffL)).as("bv")),
+          struct(lit(2).as("bi"),
+            col("sig").bitwiseAND(lit(0xffffL)).as("bv")))).as("b"))
+      banded.select(col("doc_id").as("ia"), col("sig").as("sa"), col("b"))
+        .join(banded.select(col("doc_id").as("ib"), col("sig").as("sb"),
+          col("b").as("bb")),
+          col("b") === col("bb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), col("sa"), col("sb")).distinct()
+        .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(col("hamming") <= 6)
+        .select(col("ia"), col("ib"), col("hamming"))
+    },
+
     // MinHash + LSH banding near-dup (probabilistic, seeded): shingle
     // sets → HashingTF index space → MinHashLSH approxSimilarityJoin.
     // distCol is the exact Jaccard distance on the hashed sets; LSH only
@@ -151,7 +200,41 @@ object DedupOps {
     }
   )
 
+  /** d32 oracle: the 48 bit-vote columns and the signature summation
+    * are generated, so DuckDB provably computes the identical portable
+    * simhash (md5-nibble bits, strictly-positive vote → 1). */
+  private def d32Oracle: String = {
+    val votes = (0 until 48).map { b =>
+      s" sum(CASE WHEN (((strpos('0123456789abcdef', substring(hx, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n")
+    val sig = (0 until 48).map { b =>
+      s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | FROM documents WHERE length(trim(text)) > 0),
+       |hx AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+       |votes AS (
+       | SELECT doc_id,
+       |$votes
+       | FROM hx GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ($sig) AS sig FROM votes),
+       |banded AS (
+       | SELECT doc_id, sig, b.bi,
+       |  CASE b.bi WHEN 0 THEN (sig >> 32) & 65535
+       |            WHEN 1 THEN (sig >> 16) & 65535
+       |            ELSE sig & 65535 END AS bv
+       | FROM sigs, (VALUES (0),(1),(2)) b(bi)),
+       |cands AS (
+       | SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.sig AS sa, b.sig AS sb
+       | FROM banded a JOIN banded b ON a.bi = b.bi AND a.bv = b.bv
+       |   AND a.doc_id < b.doc_id)
+       |SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cands WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d32_simhash_hamming" -> d32Oracle,
     "d31_dedup_clusters" ->
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -30,6 +30,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"minhash recall $recall")
   }
 
+  test("simhash Hamming search (d32) recovers most exact-Jaccard near-dups") {
+    val d32 = pairSet("d32_simhash_hamming")
+    val recall = (exactJaccard & d32).size.toDouble / exactJaccard.size
+    assert(recall >= 0.7, s"d32 recall vs exact jaccard was $recall")
+    assert(d32.forall { case (a, b) => a < b })
+  }
+
   test("sign-LSH cosine pairs are a subset of brute force (precision 1.0)") {
     assert(lshCosine.subsetOf(exactCosine))
   }
