@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -28,11 +28,14 @@ object Analytic {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ranking window: top-3 customers by balance per nation.
     "q13_window_rank" -> { (s, d) =>
-      val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      t(s, d, "customer")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      // routed through the NATIVE bounded-heap exec (plans/
+      // TopKPerKeyNative): same contract as row_number().over(
+      // partitionBy(nation).orderBy(acctbal desc, custkey)) <= 3, but
+      // one streaming pass with O(keys × k) state instead of a full
+      // per-partition sort — the window composition is what it replaces
+      graft.operators.TopKPerKeyApi.topKPerKey(
+        t(s, d, "customer"), Seq("c_nationkey"),
+        Seq(("c_acctbal", false), ("c_custkey", true)), 3)
         .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
           col("c_acctbal"))
     },

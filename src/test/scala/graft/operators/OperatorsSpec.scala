@@ -111,6 +111,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() === errors.count())
   }
 
+  test("NATIVE topKPerKey matches the window composition exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val cust = graft.Tables.t(spark, sf0001, "customer")
+    val native = TopKPerKeyApi.topKPerKey(cust, Seq("c_nationkey"),
+      Seq(("c_acctbal", false), ("c_custkey", true)), 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val windowed = cust.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+    val a = native.collect().map(_.toString).sorted
+    val b = windowed.collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("NATIVE topKPerKey plans through the custom exec with NO sort") {
+    val cust = graft.Tables.t(spark, sf0001, "customer")
+    val out = TopKPerKeyApi.topKPerKey(cust, Seq("c_nationkey"),
+      Seq(("c_acctbal", false), ("c_custkey", true)), 3)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("TopKPerKey"), "must plan through the custom exec")
+    assert(!phys.toLowerCase.contains("sort"),
+      s"bounded-heap exec must not require a sort, plan was:\n$phys")
+  }
+
+  test("NATIVE topKPerKey: groups smaller than k rank 1..size, ascending order") {
+    import spark.implicits._
+    val df = Seq(("a", 5), ("a", 1), ("a", 3), ("b", 9)).toDF("g", "v")
+    val out = TopKPerKeyApi.topKPerKey(df, Seq("g"), Seq(("v", true)), 2)
+      .select(col("g"), col("rnk"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set(("a", 1, 1), ("a", 2, 3), ("b", 1, 9)))
+  }
+
   test("saltedJoin produces exactly the plain join result") {
     val li = graft.Tables.t(spark, sf0001, "lineitem")
       .withColumnRenamed("l_partkey", "p_partkey")
