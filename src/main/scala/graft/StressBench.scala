@@ -114,6 +114,53 @@ object StressBench {
       graft.operators.SaltedJoin.saltedJoin(fact, dim, "k", Seq("fid"), 32)
         .agg(count(lit(1))).head()
     }
+
+    // ---- runtime bloom-filter join pruning: a 1%-selective dim filter
+    // should prune the FACT side before its shuffle (Spark injects a
+    // bloom filter built from the filtered dim into the fact branch).
+    // Broadcast stays off so the join genuinely shuffles both sides —
+    // the 100 TB case this models is dim too big to broadcast but still
+    // selective. Thresholds are lowered to demo scale; at real scale
+    // the 10 MB / 10 GB defaults engage on their own.
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1MB")
+    val fact2 = spark.range(5000000).toDF("fid")
+      .withColumn("k", pmod(xxhash64(col("fid")), lit(100000)))
+      .withColumn("payload", md5(col("fid").cast("string")))
+    fact2.repartition(32).write.mode("overwrite").parquet(s"$base/fact2.parquet")
+    val dim2 = spark.range(100000).toDF("k")
+      .withColumn("cat", pmod(xxhash64(col("k") + 7), lit(100)))
+    dim2.repartition(4).write.mode("overwrite").parquet(s"$base/dim2.parquet")
+    // AQE wraps materialized exchanges in QueryStageExec LEAF nodes, so
+    // a plain collect never reaches their metrics — unwrap explicitly
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(q.plan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(allNodes)
+    }
+    def shuffleRecords(df: DataFrame): Long =
+      allNodes(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
+    def bloomRun(enabled: Boolean): Unit = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled)
+      val f = spark.read.parquet(s"$base/fact2.parquet")
+      val dd = spark.read.parquet(s"$base/dim2.parquet").filter(col("cat") === 0)
+      val joined = f.join(dd, "k").agg(count(lit(1)))
+      // collect(), not head(): head() executes a separate limit()
+      // QueryExecution, leaving this plan's metric accumulators at zero
+      val n = tm(s"bloom_join_enabled_$enabled")(joined.collect()(0).getLong(0))
+      val hasBloom = joined.queryExecution.executedPlan.toString
+        .toLowerCase.contains("bloomfilter")
+      println(s"""{"stress":"bloom_join_enabled_$enabled","joined_rows":$n,"bloom_in_plan":$hasBloom,"shuffle_records":${shuffleRecords(joined)}}""")
+    }
+    bloomRun(enabled = false)
+    bloomRun(enabled = true)
     spark.stop()
   }
 }
