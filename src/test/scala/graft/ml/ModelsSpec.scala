@@ -63,6 +63,48 @@ class ModelsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, s"trained-IVF nprobe=1 recall@3 was $recall")
   }
 
+  test("product quantization: ADC top-10 planted recall >= 0.8, 32x compression") {
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val pq = ProductQuantizer.fit(e, m = 16, k = 16)
+    assert(pq.bytesPerVector === 8.0) // 16 codes x 4 bits vs 256 B raw = 32x
+    val codes = pq.encode(e).select(col("vec_id"), col("pq_code"))
+    // reproducible: same seed, same codebooks, same codes
+    val codes2 = ProductQuantizer.fit(e, m = 16, k = 16).encode(e)
+      .select(col("vec_id"), col("pq_code"))
+    assert(codes.collect().map(_.toString).sorted
+      .sameElements(codes2.collect().map(_.toString).sorted))
+
+    // Planted-neighbor recall: the corpus's GENUINE near-dups (exact
+    // cosine >= 0.4, s34's oracle-checked pair set) must surface in the
+    // ADC top-10 of their partner's search. Random-noise neighbors are
+    // not the contract — on near-orthogonal vectors no 4-byte code can
+    // order noise, and no consumer needs it to.
+    val planted = graft.SparkEntry.queries("s34_embedding_neardup")(spark, sf0001)
+      .select(col("ia"), col("ib")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    assert(planted.nonEmpty)
+    val qids = planted.map(_._1).distinct
+    val queries = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qLut = queries.map { case (qid, v) => (qid, pq.lut(v)) }.toSeq
+      .toDF("qid", "lut")
+    val adcTop = graft.operators.TopKPerKeyApi.topKPerKey(
+      codes.crossJoin(broadcast(qLut))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist", pq.adc(col("lut"), col("pq_code"))),
+      Seq("qid"), Seq(("dist", true), ("vec_id", true)), 10)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recall = planted.count { case (q, nb) =>
+      adcTop.getOrElse(q, Set.empty).contains(nb)
+    }.toDouble / planted.length
+    assert(recall >= 0.8, s"PQ ADC planted-neighbor recall@10 was $recall")
+  }
+
   test("tfidf pipeline: stopwords removed, vocab bounded, idf formula matches") {
     val fitted = TextPipeline.tfidfPipeline().fit(documents)
     val out = fitted.transform(documents)
