@@ -1,7 +1,5 @@
 package graft.ml
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -72,24 +70,89 @@ case class ProductQuantizerModel(m: Int, k: Int, dsub: Int,
 
 object ProductQuantizer {
 
-  /** Train per-subspace codebooks with seeded k-means. `df` must carry
-    * `embCol: array<double>` of fixed dimension divisible by m. The
-    * input is coalesced to one partition: seeded k-means is only
-    * reproducible for a fixed input order, and codebook training runs
-    * on a bounded sample by design. */
+  /** Train per-subspace codebooks: seeded k-means++ init + Lloyd's
+    * iterations, run DRIVER-SIDE over a deterministic bounded sample
+    * (sorted by vector value, capped at `sampleSize` — ~0.5 MB of
+    * doubles). Codebook training on a bounded sample is the standard
+    * PQ recipe at any corpus size, and keeping it off the cluster makes
+    * the fitted centroids independent of input partitioning — they can
+    * enter any engine's plan as literals. Centroids are rounded to 6 dp
+    * for cross-engine literal portability. */
   def fit(df: DataFrame, embCol: String = "emb", m: Int = 8, k: Int = 16,
-      seed: Long = 42L): ProductQuantizerModel = {
-    val dim = df.select(size(col(embCol))).head().getInt(0)
+      seed: Long = 42L, sampleSize: Int = 2048): ProductQuantizerModel = {
+    val sample = df.select(col(embCol)).orderBy(col(embCol))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val one = df.select(col(embCol)).coalesce(1).cache()
     val codebooks = Array.tabulate(m) { j =>
-      val sub = one.select(
-        array_to_vector(slice(col(embCol), j * dsub + 1, dsub)).as("v"))
-      new KMeans().setK(k).setSeed(seed + j).setFeaturesCol("v")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(pts, k, new scala.util.Random(seed + j))
+        .map(_.map(x => math.rint(x * 1e6) / 1e6))
     }
-    one.unpersist()
     ProductQuantizerModel(m, k, dsub, codebooks)
+  }
+
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+      rng: scala.util.Random, iters: Int = 20): Array[Array[Double]] = {
+    val d = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center drawn ∝ squared distance to the
+    // nearest already-chosen one
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = pts(rng.nextInt(pts.length)).clone()
+    for (c <- 1 until k) {
+      val dists = pts.map(p => (0 until c).map(ci => d2(p, centers(ci))).min)
+      val total = dists.sum
+      if (total == 0) centers(c) = pts(rng.nextInt(pts.length)).clone()
+      else {
+        var r = rng.nextDouble() * total
+        var i = 0
+        while (i < pts.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers(c) = pts(i).clone()
+      }
+    }
+    val assign = Array.fill(pts.length)(-1)
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      moved = false
+      var p = 0
+      while (p < pts.length) {
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val dd = d2(pts(p), centers(c))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      if (moved) {
+        val sums = Array.fill(k, d)(0.0)
+        val cnt = Array.fill(k)(0)
+        for (p <- pts.indices) {
+          val a = assign(p)
+          cnt(a) += 1
+          var i = 0
+          while (i < d) { sums(a)(i) += pts(p)(i); i += 1 }
+        }
+        for (c <- 0 until k if cnt(c) > 0) {
+          var i = 0
+          while (i < d) { centers(c)(i) = sums(c)(i) / cnt(c); i += 1 }
+        }
+      }
+      it += 1
+    }
+    centers
   }
 }

@@ -92,6 +92,24 @@ object SimilarityOps {
       lastDir.flatMap(fitted.get).getOrElse(Array.empty)
   }
 
+  /** s41's product quantizer: driver-side seeded Lloyd's on a sorted
+    * bounded sample ([[graft.ml.ProductQuantizer.fit]]), memoized per
+    * SF dir with the same last-fit capture discipline as
+    * [[TrainedQuantizer]] — the rounded codebooks are literals in both
+    * engines' plans. */
+  private object PqModel {
+    private val fitted = scala.collection.concurrent.TrieMap
+      .empty[String, graft.ml.ProductQuantizerModel]
+    @volatile private var lastDir: Option[String] = None
+    def model(s: SparkSession, d: String): graft.ml.ProductQuantizerModel = {
+      lastDir = Some(d)
+      fitted.getOrElseUpdate(d,
+        graft.ml.ProductQuantizer.fit(emb(s, d), m = 16, k = 16))
+    }
+    def lastModel: Option[graft.ml.ProductQuantizerModel] =
+      lastDir.flatMap(fitted.get)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
     "s33_knn_bruteforce" -> { (s, d) =>
@@ -224,6 +242,42 @@ object SimilarityOps {
           col("cosine"))
     },
 
+    // Product-quantized ANN search: corpus stored as 16 4-bit codes per
+    // vector (32× smaller than the raw floats — at 100 TB the scan
+    // itself shrinks 32×), queries stay uncompressed and rank by
+    // ASYMMETRIC distance: per subspace, exact squared distance from
+    // the query slice to the centroid named by the code, summed across
+    // subspaces. Codebooks are trained driver-side on a bounded sample
+    // (seeded Lloyd's, partition-independent) and enter both engines'
+    // plans as literals — like s40, a trained model that stays
+    // hash-checked. Top-5 served by the native bounded-heap exec.
+    "s41_pq_adc" -> { (s, d) =>
+      val pq = PqModel.model(s, d)
+      val e = emb(s, d)
+      val codes = pq.encode(e).select(col("vec_id"), col("pq_code"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val cb3 = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val dsub = pq.dsub
+      val subDist = (c: org.apache.spark.sql.Column,
+          j: org.apache.spark.sql.Column) =>
+        aggregate(
+          zip_with(slice(col("qemb"), j * dsub + 1, lit(dsub)),
+            element_at(element_at(cb3, j + 1), c + 1),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v)
+      val searched = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("adc", round(
+          aggregate(
+            zip_with(col("pq_code"), sequence(lit(0), lit(pq.m - 1)), subDist),
+            lit(0.0), (a, v) => a + v), 6))
+        .select(col("qid"), col("vec_id"), col("adc"))
+      graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
+        Seq(("adc", true), ("vec_id", true)), 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("adc"))
+    },
+
     // L2 vector normalization (unit vectors), flat output — the
     // preprocessing step that turns cosine search into dot-product
     // search.
@@ -307,8 +361,53 @@ object SimilarityOps {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** s41's oracle replays encode + ADC with the SAME rounded codebook
+    * literals. Accumulation-order parity: every sum is rendered as
+    * list_dot_product (left-to-right from 0, matching Spark's
+    * aggregate-with-0.0-init), including the cross-subspace sum (dot
+    * with a ones vector). */
+  private def s41Oracle: String = PqModel.lastModel match {
+    case None => "SELECT 1 WHERE 1=0 -- s41 not yet run in this session"
+    case Some(pq) =>
+      val cbLit = pq.codebooks.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val ones = Seq.fill(pq.m)("1.0").mkString("[", ", ", "]")
+      val m = pq.m
+      val k = pq.k
+      val dsub = pq.dsub
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cb(B) AS (VALUES ($cbLit::DOUBLE[][][])),
+         |dists AS (
+         | SELECT vec_id, emb,
+         |  list_transform(range(1, ${m + 1}), j ->
+         |    list_transform(range(1, ${k + 1}), c ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> emb[(j-1)*$dsub + i] - B[j][c][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> emb[(j-1)*$dsub + i] - B[j][c][i])))) AS dd
+         | FROM e, cb),
+         |codes AS (
+         | SELECT vec_id,
+         |  list_transform(dd, d -> list_position(d, list_min(d)) - 1) AS code
+         | FROM dists),
+         |qs AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+         |cand AS (
+         | SELECT q.qid, co.vec_id,
+         |  round(list_dot_product(
+         |    list_transform(range(1, ${m + 1}), j ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> q.qemb[(j-1)*$dsub + i] - B[j][co.code[j]+1][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> q.qemb[(j-1)*$dsub + i] - B[j][co.code[j]+1][i]))),
+         |    $ones), 6) AS adc
+         | FROM codes co, cb, qs q WHERE co.vec_id <> q.qid)
+         |SELECT qid, rnk, vec_id AS neighbor_id, adc FROM (
+         | SELECT *, row_number() OVER (PARTITION BY qid
+         |   ORDER BY adc ASC, vec_id ASC) AS rnk FROM cand)
+         |WHERE rnk <= 5""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "s40_ivf_trained" -> s40Oracle,
+    "s41_pq_adc" -> s41Oracle,
     "s33_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
