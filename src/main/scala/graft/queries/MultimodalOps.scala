@@ -77,6 +77,65 @@ object MultimodalOps extends Serializable {
   case class PpmFeatures(img_id: Long, width: Int, height: Int,
       meanR: Double, meanG: Double, meanB: Double, features: Array[Float])
 
+  /** Parse a P6 PPM header: returns (width, height, pixel offset). */
+  private def parseP6(bytes: Array[Byte], id: Long): (Int, Int, Int) = {
+    var i = 0
+    def skipWs(): Unit = {
+      while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+      if (i < bytes.length && bytes(i) == '#') { // comment to end of line
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        skipWs()
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace) i += 1
+      new String(bytes, start, i - start, "US-ASCII")
+    }
+    require(token() == "P6", s"img $id: not a P6 PPM")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval == 255, s"img $id: unsupported maxval $maxval")
+    i += 1 // single whitespace after maxval, then raw data
+    require(bytes.length - i >= w * h * 3, s"img $id: truncated pixel data")
+    (w, h, i)
+  }
+
+  /** REAL image resize — nearest-neighbor resample of a P6 PPM to
+    * (tw × th), emitting a valid P6 payload: the north star's "resize"
+    * step as partition-parallel binary→binary map, no shuffle. Swap the
+    * kernel for bilinear/Lanczos without touching the plumbing. */
+  def resizePpm(images: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      tw: Int, th: Int)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import images.sparkSession.implicits._
+    require(tw > 0 && th > 0)
+    images.mapPartitions(_.map { case (id, bytes) =>
+      val (w, h, off) = parseP6(bytes, id)
+      val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + tw * th * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * w / tw
+          val sp = off + (sy * w + sx) * 3
+          val dp = header.length + (y * tw + x) * 3
+          out(dp) = bytes(sp)
+          out(dp + 1) = bytes(sp + 1)
+          out(dp + 2) = bytes(sp + 2)
+          x += 1
+        }
+        y += 1
+      }
+      (id, out)
+    })
+  }
+
   /** REAL binary image decode — no stub: PPM (P6) is a header + raw RGB
     * bytes, parseable in pure JVM code, so this is the full multimodal
     * path with an actual codec: binary column → partition-parallel
@@ -150,16 +209,52 @@ object MultimodalOps extends Serializable {
 
     // Stubbed feature extraction: fixed-width float vector per payload,
     // exploded to (doc_id, dim, value) so the result is flat/verifiable.
-    // Rows-only for the driver (hex→int differs across engines); exact
-    // values asserted in scalatest.
+    // r2: oracle-checked — the oracle reproduces hex→int nibble-by-
+    // nibble (strpos on the hex alphabet), and every value is a
+    // <=16-bit integer scaled by a power of two, so the float cast is
+    // exact and both engines agree bitwise.
     "m32_payload_features" -> { (s, d) =>
       multimodalTable(s, d)
         .select(col("doc_id"),
           posexplode(stubFeatures(col("payload"))).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
           round(col("value").cast("double"), 6).as("value"))
+    },
+
+    // Frame sampling — the video-pipeline shape: payload split into
+    // fixed-width frames, every `stride`-th frame kept and fingerprinted.
+    // Frames are character-aligned slices so both engines slice
+    // identically (the corpus payloads are single-byte text; a real
+    // video codec replaces the slicer, not the plumbing). Map-only:
+    // generate per-row frame indices, no shuffle.
+    "m33_frame_sample" -> { (s, d) =>
+      val frameChars = 32
+      val stride = 4
+      t(s, d, "documents")
+        .withColumn("nf", floor(length(col("text")) / frameChars).cast("long"))
+        .withColumn("fidx", explode(when(col("nf") > 0,
+          sequence(lit(0L), col("nf") - 1))
+          .otherwise(array().cast("array<long>"))))
+        .filter(col("fidx") % stride === 0)
+        .select(col("doc_id"), col("fidx").as("frame_idx"),
+          md5(encode(expr(
+            s"substring(text, CAST(fidx * $frameChars + 1 AS INT), $frameChars)"),
+            "utf-8")).as("frame_md5"))
     }
   )
+
+  /** m32 oracle: DuckDB has no hex→int conv(), so each 4-hex-digit
+    * group is rebuilt nibble-by-nibble via strpos on the hex alphabet —
+    * the same portable-hash discipline as d32. */
+  private def m32Oracle: String = {
+    def nib(pos: String) =
+      s"(strpos('0123456789abcdef', substring(hx, $pos, 1)) - 1)"
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+       |SELECT doc_id, CAST(i AS BIGINT) AS dim,
+       | round((${nib("i*4 + 1")} * 4096 + ${nib("i*4 + 2")} * 256 +
+       |        ${nib("i*4 + 3")} * 16 + ${nib("i*4 + 4")}) / 65536.0, 6) AS value
+       |FROM h, range(0, $featureDim) r(i)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
@@ -167,6 +262,16 @@ object MultimodalOps extends Serializable {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
         | md5(text) AS payload_md5, source
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "m32_payload_features" -> m32Oracle,
+    // 64 is a safe frame-count cap (max doc ≈ 18 frames of 32 chars);
+    // DuckDB's range() can't take a correlated bound, so cap + filter.
+    "m33_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CAST(floor(length(text) / 32) AS BIGINT) AS nf FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        | md5(substring(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
+        |FROM f, range(0, 64) r(i)
+        |WHERE i < nf AND i % 4 = 0""".stripMargin
   )
 }

@@ -52,6 +52,22 @@ object TextOps {
             .as("avg_token_len"))
     },
 
+    // BPE-style pre-tokenizer counts: the GPT-2 pre-tokenizer regex
+    // family (contraction suffixes | space?+letters | space?+digits |
+    // space?+punct-run | whitespace-run), restricted to the
+    // lookahead-free subset both Java regex and RE2 (DuckDB) support
+    // identically. This is the "token budget" estimator an LLM-data
+    // pipeline runs over every document — map-only, no shuffle.
+    "t29_bpe_tokens" -> { (s, d) =>
+      val pat =
+        "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct_bpe"))
+    },
+
     // Corpus term frequency + document frequency (the CountVectorizer
     // vocabulary-fit shape, as a verifiable aggregation).
     "t22_term_frequency" -> { (s, d) =>
@@ -160,6 +176,11 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t29_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
+        | len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS n_distinct_bpe
+        |FROM documents""".stripMargin,
     "t21_token_stats" ->
       """WITH tok AS (
         | SELECT doc_id, text,

@@ -120,6 +120,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L).features(3) === 1.0f) // right blocks white
   }
 
+  test("PPM resize: nearest-neighbor downsample produces exact expected pixels") {
+    import spark.implicits._
+    // 4×2 image: top row R G B W, bottom row K K K K
+    val px = Array[Int](
+      255,0,0,  0,255,0,  0,0,255,  255,255,255,
+      0,0,0,    0,0,0,    0,0,0,    0,0,0).map(_.toByte)
+    val img = ("P6\n4 2\n255\n".getBytes("US-ASCII") ++ px)
+    val resized = MultimodalOps.resizePpm(Seq((1L, img)).toDS(), 2, 1)
+      .collect().head._2
+    // nearest-neighbor to 2×1 samples source pixels (0,0) and (2,0): R, B
+    val expected = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Int](255,0,0, 0,0,255).map(_.toByte)
+    assert(resized.sameElements(expected))
+    // the resized payload is itself a decodable P6 image
+    val dec = MultimodalOps.decodePpm(Seq((1L, resized)).toDS()).collect().head
+    assert(dec.width === 2 && dec.height === 1)
+    assert(dec.meanR === 127.5 && dec.meanG === 0.0 && dec.meanB === 127.5)
+  }
+
+  test("frame sampling keeps every 4th frame and fingerprints match direct slices") {
+    import spark.implicits._
+    val out = SparkEntry.queries("m33_frame_sample")(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) % 4 == 0), "only stride-aligned frames")
+    // cross-check one document against a driver-side slice
+    val doc = graft.Tables.t(spark, sf0001, "documents")
+      .filter(col("doc_id") === 0L).select(col("text")).head().getString(0)
+    val got = rows.filter(_.getLong(0) == 0L).map(r => r.getLong(1) -> r.getString(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((fidx, hash) <- got) {
+      val slice = doc.substring(fidx.toInt * 32, fidx.toInt * 32 + 32)
+      val exp = md.digest(slice.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(hash === exp, s"frame $fidx digest mismatch")
+    }
+    val nf = doc.length / 32
+    assert(got.size === (nf + 3) / 4, "one sampled frame per stride window")
+  }
+
   test("mapPartitions batch decode: typed rows, byte counts match, deterministic") {
     val decoded = MultimodalOps.decodeBatches(spark, sf0001)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
