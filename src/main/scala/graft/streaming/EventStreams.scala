@@ -35,6 +35,18 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming rendering of d27: replayed
+    * or at-least-once-delivered events are dropped if a row with the
+    * same key was seen within the watermark horizon. State holds only
+    * keys inside the horizon (bounded by rate × delay), so unlike a
+    * plain dropDuplicates it does not grow with the stream's history —
+    * the property that makes it runnable forever at 100 TB/day. */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("user_id", "ts"),
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -83,6 +83,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: replayed events are emitted exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = EventStreams.dedupWithinWatermark(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      val evs = mkEvents.take(50)
+      input.addData(evs)
+      query.processAllAvailable()
+      input.addData(evs) // exact replay (at-least-once delivery)
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length === 50, "each replayed event must appear exactly once")
+    } finally query.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
