@@ -99,6 +99,67 @@ object StressBench {
     }
     println(s"""{"stress":"brute_pairs","value":$bruteN}""")
 
+    // ---- d32-style portable simhash + banded Hamming near-dup at 100k
+    // docs: signature aggregation is one pass over the token stream,
+    // candidate generation shuffles on (band, value) keys only.
+    val simhamN = tm("simhash_hamming_100k") {
+      val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("hx", md5(col("tok")))
+      val nibs = (0 until 12).map { j =>
+        (expr(s"instr('0123456789abcdef', substring(hx, ${j + 1}, 1))") - 1)
+          .cast("long").as(s"nib$j")
+      }
+      val votes = (0 until 48).map { b =>
+        sum(when(shiftright(col(s"nib${b / 4}"), b % 4)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+      }
+      val sig = (0 until 48).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      val sigs = tok.select(col("doc_id") +: nibs: _*).groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), sig.as("sig")).persist()
+      val banded = sigs.select(col("doc_id"), col("sig"), explode(array(
+        struct(lit(0).as("bi"),
+          shiftright(col("sig"), 32).bitwiseAND(lit(0xffffL)).as("bv")),
+        struct(lit(1).as("bi"),
+          shiftright(col("sig"), 16).bitwiseAND(lit(0xffffL)).as("bv")),
+        struct(lit(2).as("bi"),
+          col("sig").bitwiseAND(lit(0xffffL)).as("bv")))).as("b"))
+      val n = banded.select(col("doc_id").as("ia"), col("sig").as("sa"), col("b"))
+        .join(banded.select(col("doc_id").as("ib"), col("sig").as("sb"),
+          col("b").as("bb")),
+          col("b") === col("bb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), col("sa"), col("sb")).distinct()
+        .filter(expr("bit_count(sa ^ sb)") <= 6).count()
+      sigs.unpersist()
+      n
+    }
+    println(s"""{"stress":"simhash_pairs","value":$simhamN}""")
+
+    // ---- product-quantized ADC search over 20k vectors: codebooks fit
+    // driver-side on a bounded sample; corpus scan is 8-byte codes.
+    val pqN = tm("pq_adc_20k") {
+      val e2 = e.select(col("vec_id"), col("emb"))
+      val pq = graft.ml.ProductQuantizer.fit(e2, m = 16, k = 16)
+      val codes = pq.encode(e2).select(col("vec_id"), col("pq_code"))
+      val q = e2.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val dsub = pq.dsub
+      val cbL = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val searched = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("adc", aggregate(
+          zip_with(col("pq_code"), sequence(lit(0), lit(pq.m - 1)), (c, j) =>
+            aggregate(zip_with(slice(col("qemb"), j * dsub + 1, lit(dsub)),
+              element_at(element_at(cbL, j + 1), c + 1),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)),
+          lit(0.0), (a, v) => a + v))
+        .select(col("qid"), col("vec_id"), col("adc"))
+      graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
+        Seq(("adc", true), ("vec_id", true)), 10).count()
+    }
+    println(s"""{"stress":"pq_top10_rows","value":$pqN}""")
+
     // ---- skewed join: 5M fact rows, 50% on one key, 1000-row dim;
     // broadcast + AQE skew handling off to isolate the salting effect.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
