@@ -138,6 +138,24 @@ object Extended {
           round(avg(col("c_acctbal")), 4).as("avg_in_band"))
     },
 
+    // Deterministic hash-based train/valid/test split (80/10/10) — the
+    // 100 TB-safe way to split a corpus: assignment is a pure function
+    // of the row key (first 24 bits of md5 mod 100), so it is stable
+    // under retries, repartitioning, and incremental arrivals — no
+    // randomSplit, no seed to lose. The PORTABLE hash (hex via conv /
+    // strpos nibbles, the d32 discipline) keeps it oracle-checkable;
+    // sum(doc_id) in the output catches any single-row reassignment.
+    "q65_hash_split" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      t(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+    },
+
     // HLL approximate distinct counts — the 100 TB rendering of q08.
     // Sketches differ across engines → rows-only; relative-error bound
     // vs the exact counts is asserted in scalatest.
@@ -149,7 +167,25 @@ object Extended {
     }
   )
 
+  /** q65 oracle: rebuild the 24-bit hex prefix nibble-by-nibble
+    * (DuckDB has no conv()). */
+  private def q65Oracle: String = {
+    val nibs = (1 to 6).map(p =>
+      s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1)")
+    val value = nibs.reduce((acc, n) => s"($acc * 16 + $n)")
+    s"""WITH b AS (
+       | SELECT doc_id, ($value) % 100 AS bucket
+       | FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+       |       FROM documents))
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'valid'
+       |            ELSE 'test' END AS split,
+       | count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q65_hash_split" -> q65Oracle,
     "q37_asof_join" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
         |           FROM events WHERE event_type = 'error'),
