@@ -42,6 +42,15 @@ object SimilarityOps {
 
   private def cos = VectorFunctions.cosineSim _
 
+  /** s35's sign-LSH hyperplanes: seeded ±1 entries, generated once at
+    * object init. SF-independent driver-side literals in BOTH engines'
+    * plans — which is what makes the "seeded" LSH fully deterministic
+    * and therefore oracle-checkable (r2; it was rows-only in r1). */
+  private val s35Planes: Array[Array[Array[Double]]] = {
+    val rng = new Random(42)
+    Array.fill(6, 4, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** IVF cell assignment shared by s37/s39: a fixed coarse quantizer
     * (vectors 0..15 as cell centroids), every vector assigned to its
     * highest-cosine cell. Deterministic (seedless), so both consumers
@@ -147,10 +156,7 @@ object SimilarityOps {
     "s35_ann_lsh" -> { (s, d) =>
       val nTables = 6
       val planesPerTable = 4
-      val dim = 64
-      val rng = new Random(42)
-      val planes = Array.fill(nTables, planesPerTable, dim)(
-        if (rng.nextBoolean()) 1.0 else -1.0)
+      val planes = s35Planes
       // the base table feeds three plan branches (bucket keying + both
       // sides of the exact-confirm join) — persist once instead of
       // re-scanning and re-shuffling parquet per branch (same documented
@@ -405,7 +411,37 @@ object SimilarityOps {
          |WHERE rnk <= 5""".stripMargin
   }
 
+  /** s35's oracle replays the sign-LSH end to end: the 6×4 hyperplanes
+    * enter as a 24-row VALUES table, bucket bits via the same
+    * left-to-right dot products, candidate pairs from the (table,
+    * bucket) equi-join, exact-cosine confirm identical to s34's. */
+  private def s35Oracle: String = {
+    val planeRows = (for {
+      tb <- s35Planes.indices
+      p <- s35Planes(tb).indices
+    } yield s"($tb, ${1 << p}, [${s35Planes(tb)(p).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pl(tb, bit, v) AS (VALUES $planeRows),
+       |keyed AS (
+       | SELECT e.vec_id, pl.tb,
+       |  sum(CASE WHEN list_dot_product(e.emb, pl.v) >= 0 THEN pl.bit ELSE 0 END) AS bucket
+       | FROM e, pl GROUP BY 1, 2),
+       |cands AS (
+       | SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       | FROM keyed a JOIN keyed b
+       |   ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |confirmed AS (
+       | SELECT c.ia, c.ib,
+       |  list_dot_product(ea.emb, eb.emb) /
+       |   (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) AS cosine
+       | FROM cands c JOIN e ea ON ea.vec_id = c.ia JOIN e eb ON eb.vec_id = c.ib)
+       |SELECT ia, ib, round(cosine, 4) AS cosine
+       |FROM confirmed WHERE cosine >= 0.4""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "s35_ann_lsh" -> s35Oracle,
     "s40_ivf_trained" -> s40Oracle,
     "s41_pq_adc" -> s41Oracle,
     "s33_knn_bruteforce" ->
