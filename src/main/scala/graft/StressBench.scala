@@ -145,15 +145,8 @@ object StressBench {
       val codes = pq.encode(e2).select(col("vec_id"), col("pq_code"))
       val q = e2.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-      val dsub = pq.dsub
-      val cbL = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
       val searched = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("adc", aggregate(
-          zip_with(col("pq_code"), sequence(lit(0), lit(pq.m - 1)), (c, j) =>
-            aggregate(zip_with(slice(col("qemb"), j * dsub + 1, lit(dsub)),
-              element_at(element_at(cbL, j + 1), c + 1),
-              (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)),
-          lit(0.0), (a, v) => a + v))
+        .withColumn("adc", pq.adcNative(col("pq_code"), col("qemb")))
         .select(col("qid"), col("vec_id"), col("adc"))
       graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
         Seq(("adc", true), ("vec_id", true)), 10).count()

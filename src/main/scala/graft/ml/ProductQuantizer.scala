@@ -63,6 +63,18 @@ case class ProductQuantizerModel(m: Int, k: Int, dsub: Int,
         (c, j) => element_at(element_at(lutCol, j + 1), c + 1)),
       lit(0.0), (a, v) => a + v)
 
+  /** ADC as the NATIVE codegen'd expression
+    * ([[graft.functions.PqAdcDistance]]) — one fused loop over the
+    * codes with the codebooks as a reference object, no per-query LUT
+    * column and no interpreted lambdas. Identical accumulation order to
+    * [[adc]], so results are bitwise-equal. */
+  def adcNative(codeCol: Column, qembCol: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.GraftBridge.expression(codeCol),
+        org.apache.spark.sql.GraftBridge.expression(qembCol),
+        codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
   /** Bytes per stored vector, 4-bit-packed codes. */
   def bytesPerVector: Double =
     m * (math.log(k) / math.log(2)) / 8.0

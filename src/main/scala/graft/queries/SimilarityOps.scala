@@ -263,20 +263,12 @@ object SimilarityOps {
       val codes = pq.encode(e).select(col("vec_id"), col("pq_code"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-      val cb3 = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-      val dsub = pq.dsub
-      val subDist = (c: org.apache.spark.sql.Column,
-          j: org.apache.spark.sql.Column) =>
-        aggregate(
-          zip_with(slice(col("qemb"), j * dsub + 1, lit(dsub)),
-            element_at(element_at(cb3, j + 1), c + 1),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, v) => a + v)
+      // ADC via the native codegen'd PqAdcDistance expression — one
+      // fused loop, bitwise-identical accumulation to the HOF/oracle
+      // rendering (parity asserted in VectorFunctionsSpec)
       val searched = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("adc", round(
-          aggregate(
-            zip_with(col("pq_code"), sequence(lit(0), lit(pq.m - 1)), subDist),
-            lit(0.0), (a, v) => a + v), 6))
+        .withColumn("adc",
+          round(pq.adcNative(col("pq_code"), col("qemb")), 6))
         .select(col("qid"), col("vec_id"), col("adc"))
       graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
         Seq(("adc", true), ("vec_id", true)), 5)

@@ -14,4 +14,10 @@ object GraftBridge {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

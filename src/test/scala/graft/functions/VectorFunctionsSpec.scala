@@ -22,6 +22,30 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(cosOf(Seq(0, 0), Seq(1, 1)) === 0.0)
   }
 
+  test("native PqAdcDistance is bitwise-equal to the HOF LUT rendering") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pq = graft.ml.ProductQuantizer.fit(e, m = 16, k = 16)
+    val codes = pq.encode(e).select(col("vec_id"), col("pq_code"), col("emb"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qLut = queries.map { case (qid, v) => (qid, pq.lut(v), v.toSeq) }.toSeq
+      .toDF("qid", "lut", "qemb")
+    val both = codes.crossJoin(broadcast(qLut))
+      .select(col("qid"), col("vec_id"),
+        pq.adc(col("lut"), col("pq_code")).as("hof"),
+        pq.adcNative(col("pq_code"), col("qemb")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"ADC mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("matches the higher-order-function formula on real embeddings") {
     VectorFunctions.register(spark)
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
