@@ -119,6 +119,25 @@ object SimilarityOps {
       lastDir.flatMap(fitted.get)
   }
 
+  /** Trained-centroid cell ranking shared by s40/s42: every vector's
+    * cosine rank against the fitted k-means centroids (rn=1 is its home
+    * cell; rn<=nprobe are a query's probe cells). Persisted — it feeds
+    * corpus and query branches in both consumers, and the CacheManager
+    * dedupes the plan across them. */
+  private def trainedRanked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val cents = TrainedQuantizer.centroids(s, d)
+    val centsDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cemb")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosc").desc, col("cid").asc)
+    emb(s, d).crossJoin(broadcast(centsDf))
+      .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
     "s33_knn_bruteforce" -> { (s, d) =>
@@ -218,18 +237,7 @@ object SimilarityOps {
     // centroids broadcast, assignment map-only, one shuffle on cell id;
     // nprobe trades recall for the number of cells scanned.
     "s40_ivf_trained" -> { (s, d) =>
-      import s.implicits._
-      VectorFunctions.register(s)
-      val cents = TrainedQuantizer.centroids(s, d)
-      val centsDf = cents.zipWithIndex.toSeq
-        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cemb")
-      val e = emb(s, d)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosc").desc, col("cid").asc)
-      val ranked = e.crossJoin(broadcast(centsDf))
-        .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
-        .withColumn("rn", row_number().over(wAssign))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = trainedRanked(s, d)
       val corpus = ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("emb"), col("cid"))
       // probe cells are distinct per query, and each corpus vector lives
@@ -267,6 +275,34 @@ object SimilarityOps {
       // fused loop, bitwise-identical accumulation to the HOF/oracle
       // rendering (parity asserted in VectorFunctionsSpec)
       val searched = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("adc",
+          round(pq.adcNative(col("pq_code"), col("qemb")), 6))
+        .select(col("qid"), col("vec_id"), col("adc"))
+      graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
+        Seq(("adc", true), ("vec_id", true)), 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("adc"))
+    },
+
+    // IVF-PQ — the production ANN pipeline (the FAISS IndexIVFPQ
+    // shape): the trained coarse quantizer prunes the corpus to the
+    // query's 2 probe cells, then PQ codes rank the survivors by
+    // asymmetric distance through the native codegen'd expression.
+    // At 100 TB: cells cut the scan to nprobe/k of the corpus AND the
+    // scanned rows are 8-byte codes, so the two quantizers multiply —
+    // ~1/4 of the rows at 1/32 of the bytes here. Both models enter the
+    // plans as literals, so the whole pipeline stays hash-checked.
+    "s42_ivfpq_ann" -> { (s, d) =>
+      val pq = PqModel.model(s, d)
+      val ranked = trainedRanked(s, d)
+      val corpus = pq.encode(ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("emb"), col("cid")))
+        .select(col("vec_id"), col("cid"), col("pq_code"))
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("pcell"))
+      val searched = corpus.join(broadcast(probes),
+          col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
         .withColumn("adc",
           round(pq.adcNative(col("pq_code"), col("qemb")), 6))
         .select(col("qid"), col("vec_id"), col("adc"))
@@ -432,10 +468,69 @@ object SimilarityOps {
        |FROM confirmed WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** s42's oracle composes s40's cell CTEs with s41's code/ADC CTEs —
+    * both trained models as literals, captured from the fits the s42
+    * query itself triggered. */
+  private def s42Oracle: String = (PqModel.lastModel,
+      TrainedQuantizer.lastCentroids) match {
+    case (Some(pq), cents) if cents.nonEmpty =>
+      val centVals = cents.zipWithIndex.map {
+        case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      val cbLit = pq.codebooks.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val ones = Seq.fill(pq.m)("1.0").mkString("[", ", ", "]")
+      val m = pq.m
+      val k = pq.k
+      val dsub = pq.dsub
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |c(cid, cemb) AS (VALUES $centVals),
+         |sim AS (
+         | SELECT e.vec_id, e.emb, c.cid,
+         |  round(list_dot_product(e.emb, c.cemb) /
+         |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+         | FROM e, c),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY cosc DESC, cid ASC) AS rn FROM sim),
+         |corpus0 AS (SELECT vec_id, emb, cid FROM ranked WHERE rn = 1),
+         |cb(B) AS (VALUES ($cbLit::DOUBLE[][][])),
+         |dists AS (
+         | SELECT vec_id, emb, cid,
+         |  list_transform(range(1, ${m + 1}), j ->
+         |    list_transform(range(1, ${k + 1}), cc ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> emb[(j-1)*$dsub + i] - B[j][cc][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> emb[(j-1)*$dsub + i] - B[j][cc][i])))) AS dd
+         | FROM corpus0, cb),
+         |codes AS (
+         | SELECT vec_id, cid,
+         |  list_transform(dd, dx -> list_position(dx, list_min(dx)) - 1) AS code
+         | FROM dists),
+         |probes AS (SELECT vec_id AS qid, emb AS qemb, cid AS pcell
+         |  FROM ranked WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (
+         | SELECT p.qid, co.vec_id,
+         |  round(list_dot_product(
+         |    list_transform(range(1, ${m + 1}), j ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> p.qemb[(j-1)*$dsub + i] - B[j][co.code[j]+1][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> p.qemb[(j-1)*$dsub + i] - B[j][co.code[j]+1][i]))),
+         |    $ones), 6) AS adc
+         | FROM codes co, cb, probes p
+         | WHERE co.cid = p.pcell AND co.vec_id <> p.qid)
+         |SELECT qid, rnk, vec_id AS neighbor_id, adc FROM (
+         | SELECT *, row_number() OVER (PARTITION BY qid
+         |   ORDER BY adc ASC, vec_id ASC) AS rnk FROM cand)
+         |WHERE rnk <= 5""".stripMargin
+    case _ => "SELECT 1 WHERE 1=0 -- s42 not yet run in this session"
+  }
+
   def oracle: Map[String, String] = Map(
     "s35_ann_lsh" -> s35Oracle,
     "s40_ivf_trained" -> s40Oracle,
     "s41_pq_adc" -> s41Oracle,
+    "s42_ivfpq_ann" -> s42Oracle,
     "s33_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
