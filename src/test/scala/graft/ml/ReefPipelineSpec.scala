@@ -165,4 +165,18 @@ class ReefPipelineSpec extends AnyFunSuite with SparkTestBase {
       includeLatInFeatures = false)
     assert(honest.head().getAs[Vector]("features").size === vocab.size)
   }
+
+  test("pivot scales to the reference's full 189-slot vocabulary width") {
+    // the reference pivots on 189 families (familias.txt); prove the
+    // explicit-value pivot + assembler hold at that width with a
+    // generated vocabulary (the fixture's 3 known families embedded)
+    val wide = (1 to 186).map(i => s"Fam$i") ++ vocab.take(3)
+    assert(wide.size === 189)
+    val out = ReefPipeline.featurize(spark, csvPath, wide)
+    val v = out.head().getAs[Vector]("features")
+    assert(v.size === 190, "189 family shares + appended latitude")
+    // L1 normalization still holds across the wide, mostly-zero vector
+    val shares = v.toArray.dropRight(1)
+    assert(math.abs(shares.sum - 1.0) < 1e-9 || shares.sum == 0.0)
+  }
 }
