@@ -104,21 +104,9 @@ object StressBench {
     // candidate generation shuffles on (band, value) keys only.
     val simhamN = tm("simhash_hamming_100k") {
       val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("hx", md5(col("tok")))
-      val nibs = (0 until 12).map { j =>
-        (expr(s"instr('0123456789abcdef', substring(hx, ${j + 1}, 1))") - 1)
-          .cast("long").as(s"nib$j")
-      }
-      val votes = (0 until 48).map { b =>
-        sum(when(shiftright(col(s"nib${b / 4}"), b % 4)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
-      }
-      val sig = (0 until 48).map { b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      val sigs = tok.select(col("doc_id") +: nibs: _*).groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), sig.as("sig")).persist()
+      val sigs = tok.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHash48Agg.simhash48(col("tok")).as("sig"))
+        .persist()
       val banded = sigs.select(col("doc_id"), col("sig"), explode(array(
         struct(lit(0).as("bi"),
           shiftright(col("sig"), 32).bitwiseAND(lit(0xffffL)).as("bv")),

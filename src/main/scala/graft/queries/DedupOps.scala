@@ -138,24 +138,14 @@ object DedupOps {
       val tok = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .withColumn("hx", md5(col("tok")))
-      val nibs = (0 until 12).map { j =>
-        (expr(s"instr('0123456789abcdef', substring(hx, ${j + 1}, 1))") - 1)
-          .cast("long").as(s"nib$j")
-      }
-      val votes = (0 until 48).map { b =>
-        sum(when(shiftright(col(s"nib${b / 4}"), b % 4)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
-      }
-      val sig = (0 until 48).map { b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      // signature table feeds band keying AND both sides of the confirm
-      // join — persist at the documented reuse point (as d28 does)
-      val sigs = tok.select(col("doc_id") +: nibs: _*)
-        .groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), sig.as("sig"))
+      // ONE custom TypedImperativeAggregate (48-slot vote buffer,
+      // partial-merged map-side) instead of 12 nibble columns + 48
+      // sum(CASE) aggregates — bit-identical layout, so the DuckDB
+      // oracle is untouched. Signature table feeds band keying AND both
+      // sides of the confirm join — persist at the documented reuse
+      // point (as d28 does).
+      val sigs = tok.groupBy(col("doc_id"))
+        .agg(graft.functions.SimHash48Agg.simhash48(col("tok")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("doc_id"), col("sig"),
         explode(array(

@@ -22,6 +22,43 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(cosOf(Seq(0, 0), Seq(1, 1)) === 0.0)
   }
 
+  test("SimHash48Agg matches the expression-composed vote rendering, any partitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("the", "quick", "brown", "fox", "jumps")),
+      (2L, Seq("the", "quick", "brown", "fox", "jumped")),
+      (3L, Seq("completely", "different", "words", "here"))
+    ).toDF("doc_id", "ws")
+    def viaAgg(parts: Int): Map[Long, Long] =
+      docs.select(col("doc_id"), explode(col("ws")).as("tok"))
+        .repartition(parts)
+        .groupBy(col("doc_id"))
+        .agg(SimHash48Agg.simhash48(col("tok")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expression-composed reference: 12 nibbles, 48 sum(CASE) votes
+    val tok = docs.select(col("doc_id"), explode(col("ws")).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val nibs = (0 until 12).map { j =>
+      (expr(s"instr('0123456789abcdef', substring(hx, ${j + 1}, 1))") - 1)
+        .cast("long").as(s"nib$j")
+    }
+    val votes = (0 until 48).map { b =>
+      sum(when(shiftright(col(s"nib${b / 4}"), b % 4)
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until 48).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val ref = tok.select(col("doc_id") +: nibs: _*).groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*).select(col("doc_id"), sig.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg(1) === ref)
+    assert(viaAgg(8) === ref, "partial-merge across partitions must not change votes")
+    assert(java.lang.Long.bitCount(ref(1L) ^ ref(2L)) <
+      java.lang.Long.bitCount(ref(1L) ^ ref(3L)),
+      "near-identical docs must be closer in Hamming space")
+  }
+
   test("native PqAdcDistance is bitwise-equal to the HOF LUT rendering") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
