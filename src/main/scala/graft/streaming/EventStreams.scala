@@ -47,6 +47,27 @@ object EventStreams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream INTERVAL join: each click attributed to the same
+    * user's impression it followed within `window`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the state store provably evicts rows older than the window —
+    * state is O(rate × window), not O(stream history). Inner join →
+    * matches emit as they arrive (no watermark finalization needed
+    * for output completeness). */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val i = impressions.select(col("user_id").as("i_user"),
+      col("ts").as("imp_ts")).withWatermark("imp_ts", window)
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", window)
+    i.join(c, expr(
+        s"""i_user = c_user AND click_ts >= imp_ts
+           |AND click_ts <= imp_ts + interval $window""".stripMargin))
+      .select(col("i_user").as("user_id"), col("imp_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

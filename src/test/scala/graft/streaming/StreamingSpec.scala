@@ -83,6 +83,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: streaming attribution == batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val impEvents = mkEvents.filter(_.event_type == "view")
+    val clickEvents = mkEvents.filter(_.event_type == "click")
+    val query = EventStreams.attributeClicks(imps.toDF(), clicks.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out")
+      .start()
+    try {
+      imps.addData(impEvents.take(40))
+      clicks.addData(clickEvents.take(30))
+      query.processAllAvailable()
+      imps.addData(impEvents.drop(40))
+      clicks.addData(clickEvents.drop(30))
+      query.processAllAvailable()
+      val streaming = spark.table("attrib_out").collect().map(_.toString).sorted
+      val batch = EventStreams.attributeClicks(
+          impEvents.toDF(), clickEvents.toDF())
+        .collect().map(_.toString).sorted
+      assert(streaming.nonEmpty)
+      assert(streaming.sameElements(batch))
+    } finally query.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: replayed events are emitted exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
