@@ -82,6 +82,55 @@ object StressBench {
     println(s"""{"stress":"neardup_pairs","value":$nd}""")
     sh.unpersist()
 
+    // ---- stop-shingle capping under planted boilerplate: prepend a
+    // universal 12-token header to EVERY doc. Each header shingle then
+    // has df = n, so the uncapped shingle join materializes O(n²)
+    // candidate rows from boilerplate alone — the capped variant drops
+    // df>50 shingles from candidate generation (exact Jaccard recounted
+    // on full sets for survivors) and stays linear.
+    val header = "common header boilerplate repeated across every single document in this corpus verbatim "
+    val poisoned = d.withColumn("text", concat(lit(header), col("text")))
+    def neardupCount(docs: DataFrame, cap: Option[Int]): Long = {
+      val psh = docs.withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("shingles")).persist()
+      val pex = psh.select(col("doc_id"), explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+      val gen = cap match {
+        case Some(c) =>
+          val rare = pex.groupBy(col("sv")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= c).select(col("sv"))
+          pex.join(rare, "sv")
+        case None => pex
+      }
+      val cands = gen.select(col("doc_id").as("ia"), col("sv"))
+        .join(gen.select(col("doc_id").as("ib"), col("sv").as("svb")),
+          col("sv") === col("svb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+      val exA = pex.select(col("doc_id").as("ia"), col("sv"))
+      val exB = pex.select(col("doc_id").as("ibb"), col("sv").as("svb"))
+      val sizes = psh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val res = cands
+        .join(exA, "ia")
+        .join(exB, col("ib") === col("ibb") && col("sv") === col("svb"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
+        .count()
+      psh.unpersist()
+      res
+    }
+    val cappedN = tm("neardup_capped_poisoned_100k") {
+      neardupCount(poisoned, Some(50))
+    }
+    println(s"""{"stress":"capped_poisoned_pairs","value":$cappedN}""")
+    val plainN = tm("neardup_plain_poisoned_3k") {
+      neardupCount(poisoned.filter(col("doc_id") < 3000), None)
+    }
+    println(s"""{"stress":"plain_poisoned_pairs_3k","value":$plainN}""")
+
     // ---- synthesize embeddings: 20k × 64 dims from hashes
     val emb = spark.range(20000).toDF("vec_id")
       .withColumn("emb", transform(sequence(lit(1), lit(64)),

@@ -92,6 +92,53 @@ object DedupOps {
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
     },
 
+    // d28 with STOP-SHINGLE capping — the 100 TB hardening: a shingle
+    // appearing in more than `maxDf` docs generates O(df²) candidate
+    // pairs on its own (boilerplate headers/footers are the classic
+    // poison), so it is dropped from candidate GENERATION; the exact
+    // Jaccard confirm still runs on the FULL shingle sets, so scores
+    // are exact — capping can only lose pairs whose every shared
+    // shingle is ubiquitous, which at jaccard ≥ 0.8 means boilerplate
+    // twins, not content dups. StressBench: under planted boilerplate
+    // the uncapped join explodes quadratically; this stays linear.
+    "d33_neardup_capped" -> { (s, d) =>
+      val maxDf = 50
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"),
+        explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+      // df per shingle hash; rare(sv) survives — one extra partial-agg
+      // pass over the exploded shingles, shuffled on the 8-byte hash
+      val rare = ex.groupBy(col("sv"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("sv"))
+      val exCapped = ex.join(rare, "sv")
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val pairs = exCapped.select(col("doc_id").as("ia"), col("sv"))
+        .join(exCapped.select(col("doc_id").as("ib"), col("sv").as("svb")),
+          col("sv") === col("svb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("inter_rare"))
+      // exact confirm on FULL sets: recount true intersection for the
+      // surviving candidates only
+      val exA = ex.select(col("doc_id").as("ia"), col("sv"))
+      val exB = ex.select(col("doc_id").as("ibb"), col("sv").as("svb"))
+      val trueInter = pairs.select(col("ia"), col("ib"))
+        .join(exA, "ia")
+        .join(exB, col("ib") === col("ibb") && col("sv") === col("svb"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("inter"))
+      trueInter
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .withColumn("jac",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
+    },
+
     // Near-dup CLUSTERING: connected components over the d28 edge list
     // (min-label propagation — graft.operators.DedupClustering), so one
     // canonical doc survives per duplicate cluster. Oracle: transitive
@@ -225,6 +272,38 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "d32_simhash_hamming" -> d32Oracle,
+    // candidate generation over rare shingles only (df <= 50), exact
+    // Jaccard recounted on full sets for survivors — mirrors the Spark
+    // plan; shingle identity via the string itself (no xxhash64 in
+    // DuckDB, and hashing is an impl detail of the join key)
+    "d33_neardup_capped" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |exc AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+        |cand AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |inter AS (
+        | SELECT c.ia, c.ib, count(*) AS inter
+        | FROM cand c
+        |  JOIN ex ea ON ea.doc_id = c.ia
+        |  JOIN ex eb ON eb.doc_id = c.ib AND eb.s = ea.s
+        | GROUP BY 1, 2)
+        |SELECT ia, ib,
+        | round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter
+        | JOIN sizes sa ON sa.doc_id = ia
+        | JOIN sizes sb ON sb.doc_id = ib
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
     "d31_dedup_clusters" ->
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

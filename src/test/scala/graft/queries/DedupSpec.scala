@@ -30,6 +30,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"minhash recall $recall")
   }
 
+  test("stop-shingle capped near-dup (d33) equals exact d28 on a clean corpus") {
+    // no shingle in the test corpus is ubiquitous, so capping candidate
+    // generation must lose nothing — the capped variant is exact here
+    assert(pairSet("d33_neardup_capped") === exactJaccard)
+  }
+
   test("simhash Hamming search (d32) recovers most exact-Jaccard near-dups") {
     val d32 = pairSet("d32_simhash_hamming")
     val recall = (exactJaccard & d32).size.toDouble / exactJaccard.size
