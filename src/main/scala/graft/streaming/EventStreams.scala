@@ -90,4 +90,40 @@ object EventStreams {
           Iterator(UserTotals(uid, c, t))
       }
   }
+
+  /** The same running totals through `transformWithState` (Spark 4
+    * arbitrary-state v2): typed per-key ValueState via the
+    * StatefulProcessor handle, RocksDB-backed state store. The v2 API
+    * is the forward surface — multiple named state variables, TTL,
+    * timers — so the engine ships both renderings with one contract
+    * (asserted identical in StreamingSpec). */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+      var c = prev.count
+      var t = prev.total
+      rows.foreach { e => c += 1; t += e.value }
+      totals.update(UserState(c, t))
+      Iterator.single(UserTotals(key, c, t))
+    }
+  }
+
+  def runningTotalsV2(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

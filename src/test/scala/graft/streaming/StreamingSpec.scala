@@ -83,6 +83,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("transformWithState (v2) running totals match flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the v2 API requires the RocksDB state store
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreams.UserEvent]
+    val query = EventStreams.runningTotalsV2(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_v2_out")
+      .start()
+    try {
+      input.addData(Seq(EventStreams.UserEvent(1L, 10.0),
+        EventStreams.UserEvent(1L, 5.0), EventStreams.UserEvent(2L, 1.0)))
+      query.processAllAvailable()
+      input.addData(Seq(EventStreams.UserEvent(1L, 2.5)))
+      query.processAllAvailable()
+      val rows = spark.table("state_v2_out")
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max($"n_events").as("n"),
+          org.apache.spark.sql.functions.max($"total_value").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows(1L) === ((3L, 17.5))) // same contract as the v1 test
+      assert(rows(2L) === ((1L, 1.0)))
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join: streaming attribution == batch join") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
