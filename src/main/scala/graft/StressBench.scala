@@ -104,22 +104,20 @@ object StressBench {
           pex.join(rare, "sv")
         case None => pex
       }
-      val cands = gen.select(col("doc_id").as("ia"), col("sv"))
-        .join(gen.select(col("doc_id").as("ib"), col("sv").as("svb")),
+      val genP = gen.persist()
+      val cands = genP.select(col("doc_id").as("ia"), col("sv"))
+        .join(genP.select(col("doc_id").as("ib"), col("sv").as("svb")),
           col("sv") === col("svb") && col("ia") < col("ib"))
         .select(col("ia"), col("ib")).distinct()
-      val exA = pex.select(col("doc_id").as("ia"), col("sv"))
-      val exB = pex.select(col("doc_id").as("ibb"), col("sv").as("svb"))
-      val sizes = psh.select(col("doc_id"), size(col("shingles")).as("n"))
       val res = cands
-        .join(exA, "ia")
-        .join(exB, col("ib") === col("ibb") && col("sv") === col("svb"))
-        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
+        .join(psh.select(col("doc_id").as("ia"), col("shingles").as("sa")), "ia")
+        .join(psh.select(col("doc_id").as("ib"), col("shingles").as("sb")), "ib")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")) >= 0.8)
         .count()
       psh.unpersist()
+      genP.unpersist()
       res
     }
     val cappedN = tm("neardup_capped_poisoned_100k") {

@@ -84,13 +84,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Register `cosine_sim` in the session's function registry (idempotent;
-    * Spark 4's Column API goes through the registry + `call_function`). */
-  def register(spark: SparkSession): Unit =
+  /** Register the engine's named functions in the session registry
+    * (idempotent; Spark 4's Column API goes through the registry +
+    * `call_function`). `simhash48` is an AggregateFunction — the
+    * analyzer wraps registry-built aggregates in AggregateExpression
+    * automatically, so it works from SQL GROUP BY like any built-in. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash48",
+      exprs => SimHash48Agg(exprs.head),
+      "scala_udf")
+  }
 
   /** Cosine similarity Column over two array<double> columns; caller must
     * have invoked [[register]] on the session first. */

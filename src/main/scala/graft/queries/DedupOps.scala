@@ -114,27 +114,25 @@ object DedupOps {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf)
         .select(col("sv"))
+      // both sides of the candidate self-join read the capped stream —
+      // persist it so explode+hash+df-filter run once
       val exCapped = ex.join(rare, "sv")
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val pairs = exCapped.select(col("doc_id").as("ia"), col("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = exCapped.select(col("doc_id").as("ia"), col("sv"))
         .join(exCapped.select(col("doc_id").as("ib"), col("sv").as("svb")),
           col("sv") === col("svb") && col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib"))
-        .agg(count(lit(1)).as("inter_rare"))
-      // exact confirm on FULL sets: recount true intersection for the
-      // surviving candidates only
-      val exA = ex.select(col("doc_id").as("ia"), col("sv"))
-      val exB = ex.select(col("doc_id").as("ibb"), col("sv").as("svb"))
-      val trueInter = pairs.select(col("ia"), col("ib"))
-        .join(exA, "ia")
-        .join(exB, col("ib") === col("ibb") && col("sv") === col("svb"))
-        .groupBy(col("ia"), col("ib"))
-        .agg(count(lit(1)).as("inter"))
-      trueInter
-        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-        .withColumn("jac",
-          col("inter") / (col("na") + col("nb") - col("inter")))
+        .select(col("ia"), col("ib")).distinct()
+      // exact confirm on FULL sets: candidates are few, so intersect
+      // the persisted shingle ARRAYS per candidate pair instead of
+      // re-exploding the corpus into a second hash join
+      cands
+        .join(sh.select(col("doc_id").as("ia"), col("shingles").as("sa")),
+          "ia")
+        .join(sh.select(col("doc_id").as("ib"), col("shingles").as("sb")),
+          "ib")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac", col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jac") >= 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
     },
@@ -285,7 +283,6 @@ object DedupOps {
         |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
         | FROM tok WHERE len(w) >= 3),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
         |exc AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
         |cand AS (
@@ -293,17 +290,16 @@ object DedupOps {
         | FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
         | GROUP BY 1, 2),
         |inter AS (
-        | SELECT c.ia, c.ib, count(*) AS inter
+        | SELECT c.ia, c.ib,
+        |  len(list_intersect(sha.shingles, shb.shingles)) AS inter,
+        |  len(sha.shingles) AS na, len(shb.shingles) AS nb
         | FROM cand c
-        |  JOIN ex ea ON ea.doc_id = c.ia
-        |  JOIN ex eb ON eb.doc_id = c.ib AND eb.s = ea.s
-        | GROUP BY 1, 2)
+        |  JOIN sh sha ON sha.doc_id = c.ia
+        |  JOIN sh shb ON shb.doc_id = c.ib)
         |SELECT ia, ib,
-        | round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        | round(inter / (na + nb - inter), 4) AS jaccard
         |FROM inter
-        | JOIN sizes sa ON sa.doc_id = ia
-        | JOIN sizes sb ON sb.doc_id = ib
-        |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+        |WHERE inter / (na + nb - inter) >= 0.8""".stripMargin,
     "d31_dedup_clusters" ->
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

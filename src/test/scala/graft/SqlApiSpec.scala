@@ -33,6 +33,31 @@ class SqlApiSpec extends AnyFunSuite with SparkTestBase {
     assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("custom simhash48 aggregate is callable from SQL GROUP BY") {
+    Tables.registerViews(spark, sf0001)
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash48(tok) AS sig
+        |FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS tok
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = graft.Tables.t(spark, sf0001, "documents")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHash48Agg.simhash48(
+        org.apache.spark.sql.functions.col("tok")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql.nonEmpty && viaSql === viaDf)
+  }
+
   test("events view exposes micros timestamps through SQL (ns parquet handled)") {
     Tables.registerViews(spark, sf0001)
     val n = spark.sql(
