@@ -55,4 +55,80 @@ object DedupClustering {
     sym.unpersist()
     labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
   }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — same output
+    * contract as [[connectedComponents]], but alternating large/small
+    * star rounds converge in O(log n) REGARDLESS of component
+    * diameter, where label propagation needs O(diameter) supersteps.
+    * This is the adversarial-chain fallback the 100 TB posture calls
+    * for: a transitive near-dup chain of length 10k converges in ~14
+    * rounds here vs 10k supersteps there.
+    *
+    * Each round is two join+aggregate passes over the edge list;
+    * driver involvement is one (count, hash-sum) aggregate per round
+    * for the fixpoint check.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): each round's plan embeds the
+    // previous one 4× over (symmetrize + two join branches), so after
+    // ~10 rounds the LOGICAL PLAN itself is exponentially large —
+    // checkpointing truncates lineage to the materialized blocks
+    var e = edges
+      .select(col("ia").cast("long").as("a"), col("ib").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    val allNodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().persist()
+    // fixpoint check: (edge count, order-independent xor of edge
+    // hashes — xor, not sum: ANSI mode makes a long sum overflow)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = sig(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR: for each center c, attach every strictly larger
+      // neighbor to m = min(N(c) ∪ {c})
+      val sym = e.select(col("u").as("c"), col("v").as("n"))
+        .union(e.select(col("v").as("c"), col("u").as("n")))
+      val mins = sym.groupBy(col("c")).agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val ls = sym.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().persist()
+      // SMALL-STAR: for each center u over its smaller neighbors S,
+      // attach S ∪ {u} to min(S) (ls edges are already big→small)
+      val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(minsS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(minsS.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint(true)
+      val nextSig = sig(next)
+      ls.unpersist()
+      e = next
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      i += 1
+    }
+    // at the fixpoint the edges form stars rooted at component minima;
+    // min(v) per u guards the not-converged maxIter edge case
+    val stars = e.groupBy(col("u")).agg(min(col("v")).as("root"))
+    val out = allNodes
+      .join(stars, col("node") === col("u"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("root"), col("node")).as("cluster_id"))
+    allNodes.unpersist()
+    out
+  }
 }

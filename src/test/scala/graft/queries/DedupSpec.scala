@@ -82,6 +82,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("star connected components match label propagation on real near-dup edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001)
+      .select(col("ia"), col("ib"))
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = asMap(graft.operators.DedupClustering.connectedComponents(edges))
+    val star = asMap(graft.operators.DedupClustering.connectedComponentsStar(edges))
+    assert(star.nonEmpty && star === prop)
+  }
+
+  test("star connected components converge on a 200-node chain (diameter >> rounds)") {
+    import spark.implicits._
+    // a transitive chain: label propagation needs ~200 supersteps; the
+    // star rounds collapse it logarithmically
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val out = graft.operators.DedupClustering.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 201)
+    assert(out.forall(_._2 == 0L), "every chain node must label to the minimum")
+  }
+
   test("dedup clusters cover every doc that appears in a near-dup pair") {
     val nodes = exactJaccard.flatMap { case (a, b) => Seq(a, b) }
     val clustered = SparkEntry.queries("d31_dedup_clusters")(spark, sf0001)
