@@ -30,18 +30,40 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
+    // Median of 3 timed repetitions per query: single-shot wall clock on
+    // a shared host swings up to 9× on VM/GC noise (r2 postmortem), and
+    // the median is robust to one contended rep where the mean is not.
+    // Min/max ship alongside so a noisy run is VISIBLY noisy instead of
+    // silently wrong. Persisted handles are released between reps
+    // (SparkEntry.release), so every rep pays the query's full cost —
+    // rep 2 never gets rep 1's cache for free.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        SparkEntry.release(spark)
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sorted = times.sorted
+      // median of what succeeded; a fully-failed query reports its
+      // (tiny) failure wall time so the row still exists in the JSON
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+      (name, median, sorted.headOption.getOrElse(0.0),
+        sorted.lastOption.getOrElse(0.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":[" + mn + "," + mx + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

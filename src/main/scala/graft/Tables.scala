@@ -31,6 +31,14 @@ object Tables {
     *  - events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
     *    rejects (PARQUET_TYPE_ILLEGAL); the legacy conf reads it as raw
     *    nanos (see the events case below).
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: both confs apply to the whole
+    * session from the first `t()` call on, not just to this library's
+    * reads — in particular any nanos-timestamp parquet the caller reads
+    * afterwards yields raw longs instead of PARQUET_TYPE_ILLEGAL. The
+    * one-shot set is also not re-asserted if caller code later
+    * overwrites either conf; a caller that needs different engine confs
+    * should use a separate session (`spark.newSession()`).
     */
   def configure(spark: SparkSession): Unit =
     if (configuredSessions.add(spark)) {

@@ -222,16 +222,25 @@ object MultimodalOps extends Serializable {
     },
 
     // Frame sampling — the video-pipeline shape: payload split into
-    // fixed-width frames, every `stride`-th frame kept and fingerprinted.
-    // Frames are character-aligned slices so both engines slice
-    // identically (the corpus payloads are single-byte text; a real
-    // video codec replaces the slicer, not the plumbing). Map-only:
-    // generate per-row frame indices, no shuffle.
+    // fixed-width frames, every `stride`-th frame kept and fingerprinted,
+    // capped at `maxFrames` frames per document (the bounded-sampling
+    // contract a real video pipeline enforces anyway — unbounded
+    // per-row explode is a skew hazard at 100 TB). The cap is an
+    // explicit semantic in BOTH engines' plans, so a future corpus with
+    // longer documents cannot silently diverge from the oracle (which
+    // needs a constant range() bound — DuckDB range() can't take a
+    // correlated upper limit). Frames are character-aligned slices so
+    // both engines slice identically (the corpus payloads are
+    // single-byte text; a real video codec replaces the slicer, not the
+    // plumbing). Map-only: generate per-row frame indices, no shuffle.
     "m33_frame_sample" -> { (s, d) =>
       val frameChars = 32
       val stride = 4
+      val maxFrames = 64L
       t(s, d, "documents")
-        .withColumn("nf", floor(length(col("text")) / frameChars).cast("long"))
+        .withColumn("nf", least(
+          floor(length(col("text")) / frameChars).cast("long"),
+          lit(maxFrames)))
         .withColumn("fidx", explode(when(col("nf") > 0,
           sequence(lit(0L), col("nf") - 1))
           .otherwise(array().cast("array<long>"))))
@@ -264,11 +273,13 @@ object MultimodalOps extends Serializable {
         | md5(text) AS payload_md5, source
         |FROM documents""".stripMargin,
     "m32_payload_features" -> m32Oracle,
-    // 64 is a safe frame-count cap (max doc ≈ 18 frames of 32 chars);
-    // DuckDB's range() can't take a correlated bound, so cap + filter.
+    // range(0, 64) mirrors the Spark side's explicit 64-frame cap
+    // (least(nf, 64)) — both engines share the bounded-sampling
+    // semantic, so the compare stays exact for any document length.
     "m33_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
-        |  CAST(floor(length(text) / 32) AS BIGINT) AS nf FROM documents)
+        |  least(CAST(floor(length(text) / 32) AS BIGINT), 64) AS nf
+        | FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         | md5(substring(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
         |FROM f, range(0, 64) r(i)

@@ -367,7 +367,9 @@ object SimilarityOps {
     * identical literals to the ones the Spark plan used, captured from
     * the most recent fit (Verify dumps oracle SQL after running the
     * queries, so the capture is always populated in the driver flow). */
-  private def s40Oracle: String = {
+  private def s40Oracle: String = if (TrainedQuantizer.lastCentroids.isEmpty)
+    "SELECT 1 WHERE 1=0 -- s40 not yet run in this session"
+  else {
     val values = TrainedQuantizer.lastCentroids.zipWithIndex.map {
       case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")

@@ -56,11 +56,14 @@ object TextOps {
     // family (contraction suffixes | space?+letters | space?+digits |
     // space?+punct-run | whitespace-run), restricted to the
     // lookahead-free subset both Java regex and RE2 (DuckDB) support
-    // identically. This is the "token budget" estimator an LLM-data
-    // pipeline runs over every document — map-only, no shuffle.
+    // identically. Whitespace is the EXPLICIT class [ \t\n\f\r], not
+    // \s — Java's \s includes vertical tab U+000B, RE2's does not, so
+    // \s would diverge on a document containing one. This is the
+    // "token budget" estimator an LLM-data pipeline runs over every
+    // document — map-only, no shuffle.
     "t29_bpe_tokens" -> { (s, d) =>
       val pat =
-        "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
       val toks = regexp_extract_all(col("text"), lit(pat), lit(0))
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -178,8 +181,8 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "t29_bpe_tokens" ->
       """SELECT doc_id,
-        | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
-        | len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))) AS n_distinct_bpe
+        | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS n_bpe_tokens,
+        | len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))) AS n_distinct_bpe
         |FROM documents""".stripMargin,
     "t21_token_stats" ->
       """WITH tok AS (
