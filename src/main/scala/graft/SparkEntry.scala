@@ -27,6 +27,28 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.TypedOps.queries
 
+  /** Release every cached block this library has created in `spark`.
+    *
+    * Registry queries persist at documented reuse points (shingle sets,
+    * normalized embeddings) but a library query cannot know when its
+    * caller is done with the result — so the lifecycle hook lives here:
+    * Bench/Verify call it between queries, and a long-lived session
+    * embedding the registry should do the same. Two layers to cover:
+    *  - the Dataset cache manager (every `df.persist()` in
+    *    graft.queries.* registers here) — `catalog.clearCache()`;
+    *  - stray RDD-level blocks (`localCheckpoint` leaves its final
+    *    checkpointed RDD resident; DedupClustering unpersists its
+    *    intermediates but the returned lineage root outlives the call)
+    *    — unpersist everything still in `getPersistentRDDs`.
+    * Non-blocking: block removal is async so the next query never waits
+    * on executor cleanup. Safe between queries only — a still-referenced
+    * localCheckpointed RDD cannot be recomputed once its blocks drop. */
+  def release(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -146,6 +146,18 @@ object DedupOps {
       graft.operators.DedupClustering.connectedComponents(edges)
     },
 
+    // Same clustering contract as d31, but via alternating large-star/
+    // small-star rounds (Kiveris et al.) — O(log n) rounds regardless
+    // of component diameter where d31's label propagation needs
+    // O(diameter) supersteps. This is the registry's scale-safe CC
+    // path: a transitive 10k-long dup chain converges in ~14 rounds
+    // here vs 10k there (StressBench `cc` scenario measures both).
+    // Shares d31's recursive-CTE oracle verbatim.
+    "d34_dedup_clusters_star" -> { (s, d) =>
+      val edges = queries("d28_neardup_jaccard")(s, d).select(col("ia"), col("ib"))
+      graft.operators.DedupClustering.connectedComponentsStar(edges)
+    },
+
     // SimHash: 64-bit per-doc fingerprint from xxhash64(token) bit
     // votes, plus 4×16-bit band keys for bucketed near-dup search.
     // No DuckDB oracle (xxhash64 is Spark-specific) → rows-only +
@@ -300,7 +312,37 @@ object DedupOps {
         | round(inter / (na + nb - inter), 4) AS jaccard
         |FROM inter
         |WHERE inter / (na + nb - inter) >= 0.8""".stripMargin,
-    "d31_dedup_clusters" ->
+    "d31_dedup_clusters" -> d31OracleSql,
+    // identical output contract (connected components of the d28 edge
+    // list, min-id label) — only the Spark-side algorithm differs
+    "d34_dedup_clusters_star" -> d31OracleSql,
+    "d27_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d28_neardup_jaccard" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT ia, ib,
+        | round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs
+        | JOIN sizes sa ON sa.doc_id = ia
+        | JOIN sizes sb ON sb.doc_id = ib
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+  )
+
+  private def d31OracleSql: String =
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
@@ -328,30 +370,5 @@ object DedupOps {
         |   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
         | ) SELECT * FROM reach)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |FROM rec GROUP BY src""".stripMargin,
-    "d27_dedup_exact" ->
-      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
-        | count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
-    "d28_neardup_jaccard" ->
-      """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        | FROM documents WHERE length(trim(text)) > 0),
-        |sh AS (
-        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
-        | FROM tok WHERE len(w) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |pairs AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
-        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT ia, ib,
-        | round(inter / (sa.n + sb.n - inter), 4) AS jaccard
-        |FROM pairs
-        | JOIN sizes sa ON sa.doc_id = ia
-        | JOIN sizes sb ON sb.doc_id = ib
-        |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
-  )
+        |FROM rec GROUP BY src""".stripMargin
 }

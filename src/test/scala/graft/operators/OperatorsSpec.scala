@@ -146,6 +146,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set(("a", 1, 1), ("a", 2, 3), ("b", 1, 9)))
   }
 
+  test("NATIVE topKPerKey under forced disk spill matches the window composition") {
+    import org.apache.spark.sql.expressions.Window
+    // ~2 KB bound → every partition spills multiple sorted runs; the
+    // merge path must reproduce the no-spill (and window) result bit
+    // for bit, including high key cardinality (c_custkey ≈ unique)
+    spark.conf.set("spark.graft.topk.spillBytes", "2048")
+    try {
+      val cust = graft.Tables.t(spark, sf0001, "customer")
+      val native = TopKPerKeyApi.topKPerKey(cust, Seq("c_nationkey"),
+        Seq(("c_acctbal", false), ("c_custkey", true)), 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val windowed = cust.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+      val a = native.collect().map(_.toString).sorted
+      val b = windowed.collect().map(_.toString).sorted
+      assert(a.nonEmpty && a.sameElements(b))
+      // adversarial cardinality: every row its own group — the map can
+      // never hold the partition; correctness rides entirely on spills
+      val perRow = TopKPerKeyApi.topKPerKey(cust, Seq("c_custkey"),
+        Seq(("c_acctbal", false)), 1)
+      assert(perRow.count() === cust.count())
+      assert(perRow.filter(col("rnk") =!= 1).isEmpty)
+    } finally spark.conf.unset("spark.graft.topk.spillBytes")
+  }
+
   test("saltedJoin produces exactly the plain join result") {
     val li = graft.Tables.t(spark, sf0001, "lineitem")
       .withColumnRenamed("l_partkey", "p_partkey")
