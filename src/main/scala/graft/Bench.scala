@@ -63,7 +63,10 @@ object Bench {
       "\"" + k + "\":[" + mn + "," + mx + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
+    // lifecycle evidence: after release() between reps, nothing this
+    // library persisted may outlive the pass (0 expected)
+    val leaked = spark.sparkContext.getPersistentRDDs.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

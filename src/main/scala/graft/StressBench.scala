@@ -172,6 +172,29 @@ object StressBench {
     }
     println(s"""{"stress":"simhash_pairs","value":$simhamN}""")
 
+    // ---- connected components under an ADVERSARIAL diameter: one
+    // 10k-long chain (edges i—i+1). Label propagation needs one
+    // superstep per hop of diameter — 10k supersteps here — while the
+    // large-star/small-star variant (registry d34) contracts the chain
+    // in O(log n) rounds. Propagation gets a 100× SHORTER chain and
+    // still loses; extrapolate ×100 for its 10k cost.
+    val chainLen = 10000
+    val chain = spark.range(chainLen - 1)
+      .select(col("id").as("ia"), (col("id") + 1).as("ib"))
+    val starCc = tm("cc_star_chain_10k") {
+      graft.operators.DedupClustering.connectedComponentsStar(chain)
+        .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    }
+    println(s"""{"stress":"cc_star_components","value":$starCc}""")
+    val propChain = spark.range(99)
+      .select(col("id").as("ia"), (col("id") + 1).as("ib"))
+    val propCc = tm("cc_propagation_chain_100") {
+      graft.operators.DedupClustering.connectedComponents(propChain,
+        maxIter = 120)
+        .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    }
+    println(s"""{"stress":"cc_propagation_components","value":$propCc}""")
+
     // ---- product-quantized ADC search over 20k vectors: codebooks fit
     // driver-side on a bounded sample; corpus scan is 8-byte codes.
     val pqN = tm("pq_adc_20k") {
@@ -187,6 +210,120 @@ object StressBench {
         Seq(("adc", true), ("vec_id", true)), 10).count()
     }
     println(s"""{"stress":"pq_top10_rows","value":$pqN}""")
+
+    // ---- IVF-PQ recall: raw-vector codes (registry s42) vs RESIDUAL
+    // codes (registry s43) at equal code budget (16×16). 100 planted
+    // queries = noisy copies of corpus vectors; ground truth = exact
+    // brute-force cosine top-10 over the full 20.1k set; both ANN
+    // variants probe the same 4 of 32 trained cells. Residual encoding
+    // should recover measurably more of the true top-10 because the
+    // codebooks quantize the (small) residual domain, not the raw one.
+    {
+      // CLUSTERED corpus (unlike the uniform `e` above): 32 true
+      // clusters, per-vector noise at ~1/5 the center scale. Real
+      // embedding spaces are clustered — and residual encoding's whole
+      // premise is that vectors sit near their cell centroid (on
+      // uniform data centroids collapse to ~0 and residual ≡ raw;
+      // measured: 0.390 vs 0.393 — a tie, as theory predicts).
+      val clustered = spark.range(20000).toDF("vec_id")
+        .withColumn("cl", pmod(xxhash64(col("vec_id")), lit(32)))
+        .withColumn("emb", transform(sequence(lit(1), lit(64)), i =>
+          (pmod(xxhash64(col("cl") * 64 + i), lit(2000)) - 1000.0) / 1000.0 +
+          (pmod(xxhash64(col("vec_id") * 64 + i, lit(7)), lit(2000)) - 1000.0) / 5000.0))
+        .select(col("vec_id"), col("emb"))
+      val planted = clustered.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("emb"),
+            x => x + (pmod(xxhash64(x), lit(100)) - 50.0) / 2000.0).as("emb"))
+      val all = clustered.union(planted).persist()
+      val q = planted.select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val cosSim = graft.functions.VectorFunctions.cosineSim _
+      def top10(scored: DataFrame, scoreCol: String, asc: Boolean): DataFrame =
+        graft.operators.TopKPerKeyApi.topKPerKey(scored, Seq("qid"),
+          Seq((scoreCol, asc), ("vec_id", true)), 10)
+      val globalGt = tm("recall_ground_truth_brute") {
+        top10(all.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("neg", -cosSim(col("qemb"), col("emb")))
+          .select(col("qid"), col("vec_id"), col("neg")), "neg", asc = true)
+          .select(col("qid"), col("vec_id")).persist()
+      }
+      globalGt.count()
+      // trained coarse quantizer: seeded k-means, 32 cells; assignment
+      // + probe ranking via one broadcast crossJoin + rank window
+      val cents = new org.apache.spark.ml.clustering.KMeans()
+        .setK(32).setSeed(42L).setFeaturesCol("vec")
+        .fit(graft.ml.EmbeddingModels.vectors(
+          all.coalesce(1).withColumnRenamed("emb", "embedding")))
+        .clusterCenters.map(_.toArray.map(x => math.rint(x * 1e6) / 1e6))
+      val centsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.zipWithIndex.toSeq.map {
+          case (c, i) => org.apache.spark.sql.Row(i.toLong, c.toSeq) }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cemb",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cosc").desc, col("cid").asc)
+      val ranked = all.crossJoin(broadcast(centsDf))
+        .withColumn("cosc", cosSim(col("emb"), col("cemb")))
+        .withColumn("rn", row_number().over(wAssign))
+        .persist()
+      val corpus0 = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("emb"), col("cemb"))
+      val probes = ranked.filter(col("rn") <= 4 && col("vec_id") >= 20000)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cemb").as("pcemb"), col("cid").as("pcell"))
+      // TWO ground truths: global (how much the 4-of-32 cell pruning
+      // costs — identical for both code types, reported once) and
+      // IN-PROBE exact-L2 top-10 (the quantization-isolating one: both
+      // variants rank the SAME candidate set, so any recall difference
+      // is purely ADC distortion — raw codes vs residual codes)
+      val exactL2 = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, v) => s + v)
+      val probeGt = top10(corpus0.join(broadcast(probes),
+          col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
+        .withColumn("d2", exactL2(col("emb"), col("qemb")))
+        .select(col("qid"), col("vec_id"), col("d2")), "d2", asc = true)
+        .select(col("qid"), col("vec_id")).persist()
+      val cellCeiling = probeGt.join(globalGt, Seq("qid", "vec_id"),
+        "left_semi").count() / (100 * 10.0)
+      def recallOf(search: DataFrame, gt: DataFrame): Double = {
+        val hits = search.select(col("qid"), col("vec_id"))
+          .join(gt, Seq("qid", "vec_id"), "left_semi").count()
+        hits.toDouble / (100 * 10)
+      }
+      val rawPq = graft.ml.ProductQuantizer.fit(
+        corpus0.select(col("emb")), m = 16, k = 16)
+      val rawRecall = tm("ivfpq_recall_raw") {
+        val codes = rawPq.encode(corpus0).select(col("vec_id"), col("cid"),
+          col("pq_code"))
+        recallOf(top10(codes.join(broadcast(probes),
+            col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
+          .withColumn("adc", rawPq.adcNative(col("pq_code"), col("qemb")))
+          .select(col("qid"), col("vec_id"), col("adc")), "adc", asc = true),
+          probeGt)
+      }
+      val resid0 = corpus0.select(col("vec_id"), col("cid"),
+        zip_with(col("emb"), col("cemb"), (x, y) => x - y).as("remb"))
+      val resPq = graft.ml.ProductQuantizer.fit(
+        resid0.select(col("remb")), embCol = "remb", m = 16, k = 16)
+      val resRecall = tm("ivfpq_recall_residual") {
+        val codes = resPq.encode(resid0, embCol = "remb")
+          .select(col("vec_id"), col("cid"), col("pq_code"))
+        recallOf(top10(codes.join(broadcast(probes.withColumn("qres",
+            zip_with(col("qemb"), col("pcemb"), (x, y) => x - y))),
+            col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
+          .withColumn("adc", resPq.adcNative(col("pq_code"), col("qres")))
+          .select(col("qid"), col("vec_id"), col("adc")), "adc", asc = true),
+          probeGt)
+      }
+      println(f"""{"stress":"ivfpq_recall","in_probe_raw":$rawRecall%.3f,"in_probe_residual":$resRecall%.3f,"cell_ceiling":$cellCeiling%.3f}""")
+      all.unpersist(); globalGt.unpersist(); probeGt.unpersist(); ranked.unpersist()
+    }
 
     // ---- skewed join: 5M fact rows, 50% on one key, 1000-row dim;
     // broadcast + AQE skew handling off to isolate the salting effect.
@@ -250,6 +387,33 @@ object StressBench {
     }
     bloomRun(enabled = false)
     bloomRun(enabled = true)
+
+    // ---- incremental dedup prefilter (registry d35's operator): 1k
+    // new docs vs the 100k corpus. The candidate join only needs corpus
+    // shingles that collide with a NEW doc's shingle, so pruning the
+    // explode pre-shuffle (broadcast semi on new hashes, or a 1% bloom)
+    // should collapse shuffle volume by ~corpus/new — with identical
+    // output pairs, since the exact confirm ignores how candidates
+    // were generated.
+    val shInc = d.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingles"))
+      .withColumn("is_new", col("doc_id") >= nDocs - 1000)
+    def incRun(mode: String): Long = {
+      val out = graft.operators.IncrementalDedup.pairs(shInc, 0.8, mode,
+        expectedNewShingles = 200000L)
+      // collect() so the metrics land on THIS plan (see bloomRun note)
+      val n = tm(s"incremental_dedup_$mode")(out.collect().length)
+      println(s"""{"stress":"incremental_dedup_$mode","pairs":$n,"shuffle_records":${shuffleRecords(out)}}""")
+      SparkEntry.release(spark)
+      n
+    }
+    val incNone = incRun("none")
+    val incSemi = incRun("semi")
+    val incBloom = incRun("bloom")
+    require(incNone == incSemi && incSemi == incBloom,
+      s"prefilter changed the result: none=$incNone semi=$incSemi bloom=$incBloom")
     spark.stop()
   }
 }

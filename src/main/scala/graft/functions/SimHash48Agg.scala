@@ -43,6 +43,13 @@ case class SimHash48Agg(child: Expression,
       s"simhash48 expects a string token column, got ${dt.catalogString}")
   }
 
+  // Thread-safety: MessageDigest is stateful and NOT thread-safe, but
+  // this instance is never shared across threads — Spark gives each
+  // task its own deserialized copy of the aggregate expression (and
+  // @transient makes the lazy val re-initialize per copy), so update()
+  // calls on one instance are always single-threaded. PropertySpec
+  // hammers signature stability across 1↔32-partition layouts to lock
+  // the invariant down.
   @transient private lazy val md5 = MessageDigest.getInstance("MD5")
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](48)

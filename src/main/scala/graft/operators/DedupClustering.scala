@@ -26,8 +26,14 @@ object DedupClustering {
       .union(edges
         .select(col("ib").cast("long").as("src"), col("ia").cast("long").as("dst")))
       .distinct().persist()
+    // localCheckpoint (not persist) per superstep: persist caches the
+    // DATA but the logical plan still nests one join level per
+    // superstep — at O(diameter) supersteps even *stringifying* the
+    // plan (event log, explain) is O(2^depth)/OOM territory. Eager
+    // checkpoint truncates lineage to the materialized blocks, keeping
+    // every superstep's plan shallow no matter how many run.
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
+      .withColumn("comp", col("node")).localCheckpoint(true)
     // labels only ever decrease, so sum(comp) strictly decreases iff any
     // label changed — convergence is one cheap aggregate per superstep
     // instead of a self-join diff
@@ -44,9 +50,8 @@ object DedupClustering {
         .join(prop, col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -50,6 +50,19 @@ object DedupOps {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingleCol.as("shingles"))
 
+  /** d36's permutation field: a prime modulus just above 2^29 keeps
+    * every a·x + b strictly below 2^60, so the affine-permutation
+    * arithmetic is EXACT 64-bit integer math in both engines (no
+    * overflow, no FP). Coefficients are seeded driver literals entering
+    * both plans — the s35 discipline that makes seeded LSH
+    * oracle-checkable. */
+  private val MinhashP = 1000000007L
+  private val minhashPerms: (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(42)
+    (Array.fill(24)(rng.nextInt(1000000006).toLong + 1L),
+      Array.fill(24)(rng.nextInt(1000000007).toLong))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content digest, keep min doc_id per group.
     "d27_dedup_exact" -> { (s, d) =>
@@ -158,6 +171,22 @@ object DedupOps {
       graft.operators.DedupClustering.connectedComponentsStar(edges)
     },
 
+    // Incremental near-dup: the daily-ingest shape — pairs touching the
+    // "new batch" (top 10% of doc_ids) against the whole corpus. The
+    // corpus side's exploded shingles are pruned by a broadcast semi-
+    // join on the new batch's distinct shingle hashes BEFORE any
+    // shuffle (operators.IncrementalDedup; bloom variant + shuffle-cut
+    // evidence in StressBench), so shuffle volume scales with the new
+    // batch, not the lake. The max(doc_id) threshold stays in-plan via
+    // a broadcast cross join — no collect.
+    "d35_incremental_dedup" -> { (s, d) =>
+      val mx = t(s, d, "documents").agg(max(col("doc_id")).as("mx"))
+      val marked = shingles(s, d).crossJoin(broadcast(mx))
+        .withColumn("is_new", col("doc_id") >= lit(0.9) * col("mx"))
+        .select(col("doc_id"), col("shingles"), col("is_new"))
+      graft.operators.IncrementalDedup.pairs(marked, 0.8, "semi")
+    },
+
     // SimHash: 64-bit per-doc fingerprint from xxhash64(token) bit
     // votes, plus 4×16-bit band keys for bucketed near-dup search.
     // No DuckDB oracle (xxhash64 is Spark-specific) → rows-only +
@@ -222,6 +251,51 @@ object DedupOps {
         .select(col("ia"), col("ib"), col("hamming"))
     },
 
+    // PORTABLE banded MinHash — the oracle-checkable rendering of d30:
+    // 24 seeded affine permutations h_i(x) = (a_i·x + b_i) mod p over a
+    // portable 48-bit shingle hash (md5 prefix — Spark `conv`, DuckDB
+    // nibble arithmetic), banded 6×4, candidates from the (band,
+    // md5-of-band-signature) equi-join, exact Jaccard confirm on full
+    // shingle sets. The permutation coefficients are driver literals in
+    // BOTH engines' plans (the s35 discipline), so unlike MLlib's
+    // MinHashLSH (engine-private seeds → d30 stays rows-only) this one
+    // hash-matches end to end. All arithmetic stays < 2^60 (a,x < 2^30)
+    // so BIGINT math is exact in both engines. Scale: the shuffle keys
+    // are (band, 16-byte key) — never all-pairs; banding recall at
+    // j=0.8 is 1-(1-0.8⁴)⁶ ≈ 0.956, and candidates the bands miss are
+    // misses in the oracle too (it replays the same bands).
+    "d36_minhash_banded" -> { (s, d) =>
+      val p = MinhashP
+      val (as, bs) = minhashPerms
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sstr"))
+        .withColumn("x",
+          conv(substring(md5(col("sstr")), 1, 12), 16, 10).cast("long") % p)
+      val mins = (0 until 24).map(i =>
+        min((lit(as(i)) * col("x") + lit(bs(i))) % p).as(s"mh$i"))
+      val sigs = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bandCols = (0 until 6).map { b =>
+        struct(lit(b).as("bi"),
+          md5(concat_ws(",", (0 until 4).map(r =>
+            col(s"mh${b * 4 + r}").cast("string")): _*)).as("bkey"))
+      }
+      val banded = sigs.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      val cands = banded.select(col("doc_id").as("ia"), col("bk"))
+        .join(banded.select(col("doc_id").as("ib"), col("bk").as("bkb")),
+          col("bk") === col("bkb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+      cands
+        .join(sh.select(col("doc_id").as("ia"), col("shingles").as("sa")), "ia")
+        .join(sh.select(col("doc_id").as("ib"), col("shingles").as("sb")), "ib")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac", col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
+    },
+
     // MinHash + LSH banding near-dup (probabilistic, seeded): shingle
     // sets → HashingTF index space → MinHashLSH approxSimilarityJoin.
     // distCol is the exact Jaccard distance on the hashed sets; LSH only
@@ -280,7 +354,55 @@ object DedupOps {
        |FROM cands WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin
   }
 
+  /** d36 oracle: full replay — portable 48-bit shingle hash (md5-prefix
+    * nibble arithmetic ≡ Spark's conv(hex,16,10)), the same 24 (a, b)
+    * literals, the same 6×4 banding with md5 band keys, the same exact
+    * confirm. Generated, so both engines provably run one algorithm. */
+  private def d36Oracle: String = {
+    val (as, bs) = minhashPerms
+    val permRows = (0 until 24)
+      .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    val h48 = (1 to 12).map { j =>
+      val w = 1L << (4 * (12 - j))
+      s"(CAST(strpos('0123456789abcdef', substring(hx, $j, 1)) - 1 AS BIGINT) * $w)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       | FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (
+       | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+       | FROM tok WHERE len(w) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hx AS (SELECT doc_id, md5(s) AS hx FROM ex),
+       |xs AS (SELECT doc_id, ($h48) % $MinhashP AS x FROM hx),
+       |perm(i, a, b) AS (VALUES $permRows),
+       |mh AS (
+       | SELECT doc_id, i, min((a * x + b) % $MinhashP) AS mh
+       | FROM xs, perm GROUP BY doc_id, i),
+       |bands AS (
+       | SELECT doc_id, i // 4 AS bi,
+       |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+       | FROM mh GROUP BY doc_id, i // 4),
+       |cands AS (
+       | SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       | FROM bands a JOIN bands b ON a.bi = b.bi AND a.bkey = b.bkey
+       |   AND a.doc_id < b.doc_id),
+       |inter AS (
+       | SELECT c.ia, c.ib,
+       |  len(list_intersect(sha.shingles, shb.shingles)) AS inter,
+       |  len(sha.shingles) AS na, len(shb.shingles) AS nb
+       | FROM cands c
+       |  JOIN sh sha ON sha.doc_id = c.ia
+       |  JOIN sh shb ON shb.doc_id = c.ib)
+       |SELECT ia, ib,
+       | round(inter / (na + nb - inter), 4) AS jaccard
+       |FROM inter
+       |WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d36_minhash_banded" -> d36Oracle,
     "d32_simhash_hamming" -> d32Oracle,
     // candidate generation over rare shingles only (df <= 50), exact
     // Jaccard recounted on full sets for survivors — mirrors the Spark
@@ -312,6 +434,31 @@ object DedupOps {
         | round(inter / (na + nb - inter), 4) AS jaccard
         |FROM inter
         |WHERE inter / (na + nb - inter) >= 0.8""".stripMargin,
+    // d28's exact pair set restricted to pairs touching the new batch
+    // (doc_id >= 0.9 * max) — prefiltering shapes candidate generation
+    // only, so the oracle needs no pruning step
+    "d35_incremental_dedup" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |thr AS (SELECT 0.9 * max(doc_id) AS t FROM documents),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT ia, ib,
+        | round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs
+        | JOIN sizes sa ON sa.doc_id = ia
+        | JOIN sizes sb ON sb.doc_id = ib, thr
+        |WHERE inter / (sa.n + sb.n - inter) >= 0.8
+        |  AND (ia >= thr.t OR ib >= thr.t)""".stripMargin,
     "d31_dedup_clusters" -> d31OracleSql,
     // identical output contract (connected components of the d28 edge
     // list, min-id label) — only the Spark-side algorithm differs

@@ -119,6 +119,26 @@ object SimilarityOps {
       lastDir.flatMap(fitted.get)
   }
 
+  /** s43's RESIDUAL product quantizer: same driver-side seeded fit as
+    * [[PqModel]], but trained on cell residuals (emb − home-cell
+    * centroid) — the quantity PQ actually has to encode in a residual
+    * IVF-PQ index. Residual magnitudes are a fraction of raw-vector
+    * magnitudes, so the same 16×16 code budget spends its resolution
+    * on a much smaller domain → lower ADC distortion at identical
+    * storage (recall evidence: StressBench `ivfpq_recall_*`). */
+  private object PqResidualModel {
+    private val fitted = scala.collection.concurrent.TrieMap
+      .empty[String, graft.ml.ProductQuantizerModel]
+    @volatile private var lastDir: Option[String] = None
+    def model(resid: DataFrame, d: String): graft.ml.ProductQuantizerModel = {
+      lastDir = Some(d)
+      fitted.getOrElseUpdate(d,
+        graft.ml.ProductQuantizer.fit(resid, embCol = "remb", m = 16, k = 16))
+    }
+    def lastModel: Option[graft.ml.ProductQuantizerModel] =
+      lastDir.flatMap(fitted.get)
+  }
+
   /** Trained-centroid cell ranking shared by s40/s42: every vector's
     * cosine rank against the fitted k-means centroids (rn=1 is its home
     * cell; rn<=nprobe are a query's probe cells). Persisted — it feeds
@@ -305,6 +325,41 @@ object SimilarityOps {
           col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
         .withColumn("adc",
           round(pq.adcNative(col("pq_code"), col("qemb")), 6))
+        .select(col("qid"), col("vec_id"), col("adc"))
+      graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
+        Seq(("adc", true), ("vec_id", true)), 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("adc"))
+    },
+
+    // IVF-PQ with RESIDUAL encoding — the refinement FAISS's
+    // IndexIVFPQ applies over s42: PQ codes encode (vector − home-cell
+    // centroid) instead of the raw vector, and each query is likewise
+    // re-expressed relative to every probed cell's centroid before the
+    // ADC lookup. The residual domain is much tighter than the raw
+    // domain, so the same 16×16 codebooks quantize finer — higher
+    // recall at IDENTICAL storage and scan cost (same 8-byte codes,
+    // same broadcast, same single shuffle on cell id). Both trained
+    // models (centroids + residual codebooks) enter both engines'
+    // plans as rounded literals — still end-to-end hash-checked.
+    "s43_ivfpq_residual" -> { (s, d) =>
+      val ranked = trainedRanked(s, d)
+      def resid(e: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        zip_with(e, c, (x, y) => x - y)
+      val corpus0 = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"),
+          resid(col("emb"), col("cemb")).as("remb"))
+      val pq = PqResidualModel.model(corpus0, d)
+      val corpus = pq.encode(corpus0, embCol = "remb")
+        .select(col("vec_id"), col("cid"), col("pq_code"))
+      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          resid(col("emb"), col("cemb")).as("qres"),
+          col("cid").as("pcell"))
+      val searched = corpus.join(broadcast(probes),
+          col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
+        .withColumn("adc",
+          round(pq.adcNative(col("pq_code"), col("qres")), 6))
         .select(col("qid"), col("vec_id"), col("adc"))
       graft.operators.TopKPerKeyApi.topKPerKey(searched, Seq("qid"),
         Seq(("adc", true), ("vec_id", true)), 5)
@@ -528,8 +583,74 @@ object SimilarityOps {
     case _ => "SELECT 1 WHERE 1=0 -- s42 not yet run in this session"
   }
 
+  /** s43's oracle: s42's cell CTEs, with the corpus PQ-encoded on cell
+    * residuals and the query re-expressed per probed cell — residual
+    * arithmetic (emb[i] − cemb[i]) runs on the SAME rounded centroid
+    * literals in both engines, so every subtraction is the identical
+    * IEEE op and the compare stays bitwise. */
+  private def s43Oracle: String = (PqResidualModel.lastModel,
+      TrainedQuantizer.lastCentroids) match {
+    case (Some(pq), cents) if cents.nonEmpty =>
+      val centVals = cents.zipWithIndex.map {
+        case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      val cbLit = pq.codebooks.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val ones = Seq.fill(pq.m)("1.0").mkString("[", ", ", "]")
+      val m = pq.m
+      val k = pq.k
+      val dsub = pq.dsub
+      val dim = m * dsub
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |c(cid, cemb) AS (VALUES $centVals),
+         |sim AS (
+         | SELECT e.vec_id, e.emb, c.cid, c.cemb,
+         |  round(list_dot_product(e.emb, c.cemb) /
+         |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+         | FROM e, c),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY cosc DESC, cid ASC) AS rn FROM sim),
+         |corpus0 AS (SELECT vec_id, cid,
+         |  list_transform(range(1, ${dim + 1}), i -> emb[i] - cemb[i]) AS remb
+         | FROM ranked WHERE rn = 1),
+         |cb(B) AS (VALUES ($cbLit::DOUBLE[][][])),
+         |dists AS (
+         | SELECT vec_id, cid,
+         |  list_transform(range(1, ${m + 1}), j ->
+         |    list_transform(range(1, ${k + 1}), cc ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> remb[(j-1)*$dsub + i] - B[j][cc][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> remb[(j-1)*$dsub + i] - B[j][cc][i])))) AS dd
+         | FROM corpus0, cb),
+         |codes AS (
+         | SELECT vec_id, cid,
+         |  list_transform(dd, dx -> list_position(dx, list_min(dx)) - 1) AS code
+         | FROM dists),
+         |probes AS (SELECT vec_id AS qid,
+         |  list_transform(range(1, ${dim + 1}), i -> emb[i] - cemb[i]) AS qres,
+         |  cid AS pcell
+         | FROM ranked WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (
+         | SELECT p.qid, co.vec_id,
+         |  round(list_dot_product(
+         |    list_transform(range(1, ${m + 1}), j ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> p.qres[(j-1)*$dsub + i] - B[j][co.code[j]+1][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> p.qres[(j-1)*$dsub + i] - B[j][co.code[j]+1][i]))),
+         |    $ones), 6) AS adc
+         | FROM codes co, cb, probes p
+         | WHERE co.cid = p.pcell AND co.vec_id <> p.qid)
+         |SELECT qid, rnk, vec_id AS neighbor_id, adc FROM (
+         | SELECT *, row_number() OVER (PARTITION BY qid
+         |   ORDER BY adc ASC, vec_id ASC) AS rnk FROM cand)
+         |WHERE rnk <= 5""".stripMargin
+    case _ => "SELECT 1 WHERE 1=0 -- s43 not yet run in this session"
+  }
+
   def oracle: Map[String, String] = Map(
     "s35_ann_lsh" -> s35Oracle,
+    "s43_ivfpq_residual" -> s43Oracle,
     "s40_ivf_trained" -> s40Oracle,
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,

@@ -71,6 +71,30 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("simhash48 signatures are invariant to partitioning (1 vs 32)") {
+    import spark.implicits._
+    // same docs, radically different physical layouts: the aggregate's
+    // partial-merge (vector addition of vote buffers) must commute, and
+    // the per-task MessageDigest must never cross-contaminate under 32
+    // concurrent tasks
+    val docGen = Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 11L)
+      tok <- Gen.oneOf("alpha", "beta", "gamma", "δelta", "ε", "zw1", "")
+    } yield (id, tok))
+    forAllSeeded(docGen, 8) { rows =>
+      val df = rows.toDF("doc_id", "tok")
+      def sigs(parts: Int): Map[Long, Long] =
+        df.repartition(parts).groupBy(col("doc_id"))
+          .agg(graft.functions.SimHash48Agg.simhash48(col("tok")).as("sig"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val one = sigs(1)
+      val many = sigs(32)
+      assert(one === many)
+      // 48-bit contract: no signature ever sets bits 48..63
+      assert(one.values.forall(s => (s >>> 48) == 0L))
+    }
+  }
+
   test("salted join row count is invariant to salt fan-out") {
     import spark.implicits._
     val n = 200

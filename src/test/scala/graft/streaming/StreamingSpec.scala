@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class NewDoc(doc_id: Long, text: String)
 
 /** The q17/q18 logical plans under true Structured Streaming execution:
   * MemoryStream → EventStreams transform → memory sink, compared row-
@@ -232,6 +233,86 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val streamed = spark.table("wm_out").collect().map(_.toString).sorted
       // every original window must have been emitted exactly once
       assert(batch.forall(streamed.contains))
+    } finally query.stop()
+  }
+
+  test("stream-static incremental near-dup: arriving docs join the static lake") {
+    // The streaming rendering of registry d35 (IncrementalDedup): new
+    // documents arrive on a stream and candidate-join against the
+    // STATIC lake's exploded shingle hashes — a stream-static equi-join,
+    // re-planned per micro-batch, state-free on the static side. An
+    // arriving exact copy of a lake doc must surface its source with
+    // shared-shingle count == the doc's full shingle set; a novel doc
+    // must surface nothing.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lake = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    def shingleEx(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("w", split(trim(col("text")), "\\s+"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sv"))
+    val srcRow = lake.filter(col("doc_id") === 7L).head()
+    val srcText = srcRow.getString(1)
+    val srcShingles = shingleEx(lake.filter(col("doc_id") === 7L)).count()
+    val input = MemoryStream[NewDoc]
+    val pairs = shingleEx(input.toDF())
+      .select(col("doc_id").as("new_id"), col("sv"))
+      .join(shingleEx(lake).select(col("doc_id").as("lake_id"), col("sv")), "sv")
+      .groupBy(col("new_id"), col("lake_id"))
+      .agg(count(lit(1)).as("shared"))
+    val query = pairs.writeStream.outputMode("complete")
+      .format("memory").queryName("inc_stream").start()
+    try {
+      input.addData(
+        NewDoc(100000L, srcText),                               // exact copy
+        NewDoc(100001L, "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7"))  // novel tokens
+      query.processAllAvailable()
+      val out = spark.table("inc_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.contains((100000L, 7L, srcShingles)),
+        s"copy must hit its source with the full shingle set, got ${out.toSeq}")
+      assert(!out.exists(_._1 == 100001L), "novel doc must match nothing")
+    } finally query.stop()
+  }
+
+  test("REGISTRY GATE: finalized streaming windows == oracle-checked q17 batch rows") {
+    // The streaming correctness gate the driver can't run (DuckDB has
+    // no streams): replay the REAL sf0.001 events table through the
+    // watermarked append-mode tumbling agg to completion, and require
+    // the finalized windows to equal the q17 registry query — the
+    // exact rows the DuckDB oracle hash-matches every round. Closed
+    // windows under append mode are contractually exact, so this ties
+    // the streaming path to the same oracle as the batch path.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      .as[Ev].collect().toSeq
+    val input = MemoryStream[Ev]
+    val query = EventStreams.tumblingAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q17_gate")
+      .start()
+    try {
+      input.addData(ev)
+      query.processAllAvailable()
+      // sentinel far past the data: advances the watermark so every
+      // real window finalizes; its own window never closes, so it adds
+      // no output row and equality below is EXACT
+      input.addData(Seq(Ev(Timestamp.valueOf("2031-01-01 00:00:00"), "view", 0.0, 0L)))
+      query.processAllAvailable()
+      val batch = graft.SparkEntry.queries("q17_tumbling_window")(spark, sf0001)
+        .collect().map(_.toString).sorted
+      val streamed = spark.table("q17_gate").collect().map(_.toString).sorted
+      assert(batch.nonEmpty)
+      assert(streamed.sameElements(batch))
     } finally query.stop()
   }
 }
