@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank over an undirected edge list — the graph
+  * centrality step of a dedup/link-analysis pipeline (rank canonical
+  * documents inside near-dup neighborhoods, weight crawl frontiers).
+  *
+  * ALL arithmetic is 64-bit INTEGER fixed-point (ranks scaled by 1e12,
+  * truncating division): floating-point PageRank is not reproducible
+  * across engines because per-node contribution sums reorder, but
+  * integer addition commutes exactly — so a fixed iteration count
+  * yields bit-identical ranks in any engine, and the whole iterative
+  * algorithm becomes hash-checkable (d37's DuckDB oracle unrolls the
+  * same 10 iterations as chained CTEs). Bounds: Σ ranks ≈ scale = 1e12,
+  * so 85·sum < 2^47 — no overflow anywhere.
+  *
+  * Scale shape: one equi-join + one aggregate per iteration, shuffled
+  * on node id; per-iteration lineage truncated by eager localCheckpoint
+  * (the DedupClustering discipline — persist alone nests one join per
+  * iteration into the logical plan).
+  */
+object GraphRank {
+
+  val Scale = 1000000000000L
+
+  def pagerankFixedPoint(edges: DataFrame, iters: Int = 10,
+      scale: Long = Scale): DataFrame = {
+    val sym = edges
+      .select(col("ia").cast("long").as("src"), col("ib").cast("long").as("dst"))
+      .union(edges
+        .select(col("ib").cast("long").as("src"), col("ia").cast("long").as("dst")))
+      .distinct().persist()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("dnode"), col("deg"))
+    val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty graph")
+    // damping 0.85 as integer ops: base = (15·scale/100)/n, identical
+    // truncation order in the oracle
+    val base = (15L * scale / 100L) / n
+    var pr = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = sym
+        .join(pr.select(col("node").as("src"), col("r")), "src")
+        .join(deg, col("src") === col("dnode"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    pr.select(col("node").as("doc_id"), col("r").as("rank_scaled"))
+  }
+}

@@ -187,6 +187,17 @@ object DedupOps {
       graft.operators.IncrementalDedup.pairs(marked, 0.8, "semi")
     },
 
+    // Fixed-point PageRank over the near-dup graph (rank canonical
+    // docs inside dup neighborhoods). 10 fixed iterations of PURE
+    // 64-bit integer arithmetic (ranks scaled 1e12, truncating div) —
+    // integer sums commute where float sums don't, so an ITERATIVE
+    // numeric algorithm hash-matches the oracle bit for bit (the
+    // DuckDB side unrolls the same 10 iterations as chained CTEs).
+    "d37_pagerank" -> { (s, d) =>
+      val edges = queries("d28_neardup_jaccard")(s, d).select(col("ia"), col("ib"))
+      graft.operators.GraphRank.pagerankFixedPoint(edges, iters = 10)
+    },
+
     // SimHash: 64-bit per-doc fingerprint from xxhash64(token) bit
     // votes, plus 4×16-bit band keys for bucketed near-dup search.
     // No DuckDB oracle (xxhash64 is Spark-specific) → rows-only +
@@ -401,7 +412,56 @@ object DedupOps {
        |WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
   }
 
+  /** d37 oracle: the d28 edge CTEs, then the SAME 10 fixed-point
+    * iterations unrolled as chained CTEs (recursive CTEs disallow
+    * aggregation in the recursive term, and the iteration count is
+    * fixed anyway). Every divide is `//` on BIGINT with all-positive
+    * operands ≡ Spark's `div` truncation; sums are integer, so
+    * accumulation order cannot matter. */
+  private def d37Oracle: String = {
+    val scale = graft.operators.GraphRank.Scale
+    val baseNum = 15L * scale / 100L
+    val chain = (1 to 10).map { k =>
+      s"""pr$k AS (
+         | SELECT nd.node,
+         |  ($baseNum // nn.n) + (85 * coalesce(c.s, 0)) // 100 AS r
+         | FROM nodes nd CROSS JOIN nn
+         | LEFT JOIN (
+         |   SELECT sym.dst AS node, CAST(sum(p.r // dg.deg) AS BIGINT) AS s
+         |   FROM sym JOIN pr${k - 1} p ON p.node = sym.src
+         |            JOIN deg dg ON dg.node = sym.src
+         |   GROUP BY 1) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       | FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (
+       | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+       | FROM tok WHERE len(w) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |pairs AS (
+       | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+       | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2),
+       |edges0 AS (
+       | SELECT ia, ib FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = ia
+       |  JOIN sizes sb ON sb.doc_id = ib
+       | WHERE inter / (sa.n + sb.n - inter) >= 0.8),
+       |sym AS (SELECT ia AS src, ib AS dst FROM edges0
+       |        UNION SELECT ib, ia FROM edges0),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, ($scale // nn.n) AS r FROM nodes, nn),
+       |$chain
+       |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM pr10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d37_pagerank" -> d37Oracle,
     "d36_minhash_banded" -> d36Oracle,
     "d32_simhash_hamming" -> d32Oracle,
     // candidate generation over rare shingles only (df <= 50), exact

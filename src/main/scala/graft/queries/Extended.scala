@@ -156,6 +156,48 @@ object Extended {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
     },
 
+    // Correlated LATERAL subquery join (SQL API surface): top-2
+    // customers by balance per nation, written the way an analyst
+    // writes it. Catalyst decorrelates the per-row ORDER BY/LIMIT into
+    // a ranked window join — no per-nation re-execution — so the SQL
+    // convenience costs one shuffle, same as the window rendering.
+    "q66_lateral_join" -> { (s, d) =>
+      graft.Tables.registerViews(s, d)
+      s.sql("""SELECT n.n_name, c.c_custkey, c.c_acctbal
+              |FROM nation n, LATERAL (
+              |  SELECT c_custkey, c_acctbal FROM customer
+              |  WHERE c_nationkey = n.n_nationkey
+              |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) c
+              |""".stripMargin)
+    },
+
+    // Time-grid resample + forward-fill — the feature-pipeline
+    // gap-filling shape: per user, an hourly grid spanning that user's
+    // activity, hours with no events carrying the last observed hourly
+    // value forward. Grid generation is sequence()+explode (map-side,
+    // no shuffle beyond the per-user agg); the fill is one
+    // last(ignoreNulls) running window — never a self-join per gap.
+    "q67_resample_ffill" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(sum(col("value")), 2).as("hv"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("hv"), ignoreNulls = true).over(w).as("filled_value"))
+    },
+
     // HLL approximate distinct counts — the 100 TB rendering of q08.
     // Sketches differ across engines → rows-only; relative-error bound
     // vs the exact counts is asserted in scalatest.
@@ -186,6 +228,33 @@ object Extended {
 
   val oracle: Map[String, String] = Map(
     "q65_hash_split" -> q65Oracle,
+    // the SAME lateral SQL runs in DuckDB verbatim
+    "q66_lateral_join" ->
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) c""".stripMargin,
+    "q67_resample_ffill" ->
+      """WITH ev AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (
+        | SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |  date_trunc('hour', max(ts)) AS h1
+        | FROM ev GROUP BY 1),
+        |grid AS (
+        | SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        | FROM b),
+        |hourly AS (
+        | SELECT user_id, date_trunc('hour', ts) AS hour,
+        |  round(sum(value), 2) AS hv, count(*) AS n
+        | FROM ev GROUP BY 1, 2)
+        |SELECT g.user_id, g.hour, coalesce(h.n, 0) AS n_events,
+        | last_value(h.hv IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |   ORDER BY g.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS filled_value
+        |FROM grid g LEFT JOIN hourly h USING (user_id, hour)""".stripMargin,
     "q37_asof_join" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
         |           FROM events WHERE event_type = 'error'),

@@ -174,6 +174,64 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.topk.spillBytes")
   }
 
+  test("GraphRank: star-graph center outranks leaves; mass conserved up to truncation") {
+    import spark.implicits._
+    // K1,4 star: center 0, leaves 1..4
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("ia", "ib")
+    val pr = GraphRank.pagerankFixedPoint(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size === 5)
+    val center = pr(0L)
+    (1L to 4L).foreach(l => assert(center > pr(l),
+      s"center $center must outrank leaf ${pr(l)}"))
+    // leaves are symmetric → identical ranks
+    assert((2L to 4L).forall(l => pr(l) == pr(1L)))
+    // integer truncation only ever loses mass, bounded by ~1 unit per
+    // division per node per iteration
+    val total = pr.values.sum
+    assert(total <= GraphRank.Scale)
+    assert(total > GraphRank.Scale - 1000L)
+  }
+
+  test("IncrementalDedup: none/semi/bloom modes emit identical pairs") {
+    import spark.implicits._
+    val mk = (id: Long, text: String) => (id, text)
+    val docs = Seq(
+      mk(0L, "the quick brown fox jumps over the lazy dog today"),
+      mk(1L, "completely different content about spark execution engines"),
+      mk(2L, "the quick brown fox jumps over the lazy dog today"), // dup of 0, NEW
+      mk(3L, "unrelated new arrival with novel tokens entirely")   // NEW
+    ).toDF("doc_id", "text")
+    val sh = docs
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingles"))
+      .withColumn("is_new", col("doc_id") >= 2L)
+    def run(mode: String) = IncrementalDedup
+      .pairs(sh, 0.8, mode, expectedNewShingles = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val none = run("none")
+    assert(none === Set((0L, 2L, 1.0)),
+      s"only the (old 0, new 2) exact dup pair qualifies, got $none")
+    assert(run("semi") === none)
+    assert(run("bloom") === none)
+    graft.SparkEntry.release(spark)
+  }
+
+  test("d36 portable MinHash: found pairs are a subset of exact d28 with recall >= 0.9") {
+    val d28 = SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001)
+      .select(col("ia"), col("ib")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d36 = SparkEntry.queries("d36_minhash_banded")(spark, sf0001)
+      .select(col("ia"), col("ib")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d36.subsetOf(d28), "confirm step must make banded pairs a subset of exact")
+    assert(d28.nonEmpty && d36.size.toDouble / d28.size >= 0.9,
+      s"banding recall ${d36.size}/${d28.size} below floor")
+    graft.SparkEntry.release(spark)
+  }
+
   test("saltedJoin produces exactly the plain join result") {
     val li = graft.Tables.t(spark, sf0001, "lineitem")
       .withColumnRenamed("l_partkey", "p_partkey")
