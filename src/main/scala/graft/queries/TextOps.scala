@@ -38,6 +38,65 @@ object TextOps {
     "zh" -> Seq("的", "是", "了"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Document CHUNKING — the RAG/pretraining chunker: fixed-size token
+    // windows (32 tokens) with overlap (stride 24), one output row per
+    // chunk, fingerprinted. Map-only: per-doc window starts via
+    // sequence()+explode, chunk text via slice — no shuffle at all.
+    // The start set is capped at 4096 tokens/doc as an EXPLICIT
+    // semantic in both engines (the m33 bounded-sampling discipline:
+    // DuckDB range() can't take a correlated bound, and unbounded
+    // per-row explode is a skew hazard at 100 TB anyway).
+    "t30_chunking" -> { (s, d) =>
+      val size32 = 32
+      val stride = 24
+      val cap = 4096
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+        .withColumn("st", explode(sequence(lit(0),
+          least(col("n") - 1, lit(cap - 1)), lit(stride))))
+        .select(col("doc_id"),
+          (col("st") / stride).cast("long").as("chunk_idx"),
+          size(slice(col("w"), col("st") + 1, lit(size32))).cast("long")
+            .as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("w"), col("st") + 1, lit(size32))))
+            .as("chunk_md5"))
+    },
+
+    // Sequence PACKING — concat-and-chunk batch assignment (the
+    // GPT-style pretraining packer): documents concatenate in doc_id
+    // order into a single token stream cut every 2048 tokens; each doc
+    // is assigned the bin its first token lands in. The global running
+    // sum this needs is computed the SCALABLE way — a bare
+    // `sum() over (order by)` would move the whole corpus to one
+    // partition, so instead: per-block intra-window cumsum (blocks =
+    // doc_id ranges, distributed), block totals rolled into prefix
+    // offsets (one window over #blocks rows — tiny), offsets broadcast
+    // back. Exact integer math throughout; bin stats from one
+    // partial-agg groupBy.
+    "t31_seq_packing" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048
+      val block = 65536
+      val base = t(s, d, "documents")
+        .withColumn("n", size(tokens(col("text"))).cast("long"))
+        .withColumn("blk", expr(s"doc_id div $block"))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("blk")).agg(sum(col("n")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("off"))
+      base.withColumn("icum", sum(col("n")).over(wIn))
+        .join(broadcast(offsets), "blk")
+        .withColumn("bin", expr(s"(off + icum - n) div $budget"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
+
     // Token / char counts + mean token length per document.
     "t21_token_stats" -> { (s, d) =>
       t(s, d, "documents")
@@ -179,6 +238,36 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // chunk slicing replayed with 1-based inclusive list slices; the
+    // 4096-token cap is the same explicit semantic as the Spark side
+    "t30_chunking" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        | SELECT doc_id, w, len(w) AS n, CAST(r.st AS BIGINT) AS st
+        | FROM tok, range(0, 4096, 24) r(st) WHERE r.st < len(w))
+        |SELECT doc_id, st // 24 AS chunk_idx,
+        | CAST(len(w[st + 1 : least(st + 32, n)]) AS BIGINT) AS chunk_tokens,
+        | md5(array_to_string(w[st + 1 : least(st + 32, n)], ' ')) AS chunk_md5
+        |FROM st""".stripMargin,
+    // the oracle can afford the simple single-window rendering — the
+    // two-phase offset decomposition on the Spark side is exactly
+    // equal by construction (integer sums)
+    "t31_seq_packing" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n,
+        |  sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM n)
+        |SELECT (cum - n) // 2048 AS bin, count(*) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1""".stripMargin,
     "t29_bpe_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS n_bpe_tokens,
