@@ -249,6 +249,30 @@ object MultimodalOps extends Serializable {
           md5(encode(expr(
             s"substring(text, CAST(fidx * $frameChars + 1 AS INT), $frameChars)"),
             "utf-8")).as("frame_md5"))
+    },
+
+    // Payload TILING — the image-tile shape: the binary payload cut
+    // into fixed 256-byte tiles, each fingerprinted (dedup/indexing at
+    // sub-asset granularity: shared tiles across assets dedupe even
+    // when whole files differ). Byte ranges are sliced on the payload's
+    // hex rendering — the portable byte-accessor both engines share
+    // (DuckDB can't substring a BLOB; the m32 discipline) — and the
+    // tile count caps at 64 per asset, explicit in both plans. Map-only.
+    "m34_payload_tiles" -> { (s, d) =>
+      val hexPerTile = 512 // 256 bytes
+      val maxTiles = 64L
+      multimodalTable(s, d)
+        .withColumn("hx", lower(hex(col("payload"))))
+        .withColumn("nt", least(
+          ceil(length(col("hx")) / lit(hexPerTile.toDouble)).cast("long"),
+          lit(maxTiles)))
+        .filter(col("nt") > 0)
+        .withColumn("tidx", explode(sequence(lit(0L), col("nt") - 1)))
+        .select(col("doc_id"), col("tidx").as("tile_idx"),
+          (length(expr(s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)")) / 2)
+            .cast("long").as("tile_bytes"),
+          md5(expr(s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
+            .as("tile_md5"))
     }
   )
 
@@ -266,6 +290,22 @@ object MultimodalOps extends Serializable {
   }
 
   val oracle: Map[String, String] = Map(
+    // hex(text) hexes the string's UTF-8 bytes in DuckDB — the same
+    // bytes Spark's hex(encode(text,'utf-8')) renders; lower() pins
+    // the case on both sides. range(0,64) mirrors the explicit cap.
+    "m34_payload_tiles" ->
+      """WITH p AS (
+        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+        |n AS (
+        | SELECT doc_id, hx,
+        |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
+        | FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
+        | CAST(length(substring(hx, CAST(i*512 + 1 AS BIGINT), 512)) // 2
+        |   AS BIGINT) AS tile_bytes,
+        | md5(substring(hx, CAST(i*512 + 1 AS BIGINT), 512)) AS tile_md5
+        |FROM n, range(0, 64) r(i)
+        |WHERE i < nt""".stripMargin,
     // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
     "m31_payload_meta" ->
       """SELECT doc_id,
