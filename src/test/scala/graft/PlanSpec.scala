@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape regression tests (SURVEY.md §8: the plan IS the
+  * product at 100 TB). Each assertion pins a property that makes a
+  * query scale — pushdown reaching the scan, small sides broadcast,
+  * map-only families staying shuffle-free — so a refactor that silently
+  * trades one away fails here, not in a cluster bill. String-level
+  * checks on the executed plan: crude but stable across Spark patch
+  * versions, and exactly what a reviewer greps for in `explain`.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q02: both predicates reach the parquet scan; scan reads only needed columns") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushdown in:\n$p")
+    assert(p.contains("GreaterThan(l_quantity"), "range predicate must push")
+    assert(!p.contains("l_comment"), "untouched wide column must be pruned")
+  }
+
+  test("q04: dimension joins broadcast — the fact table is never shuffled for dims") {
+    val p = plan("q04_region_revenue")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      s"expected >=3 broadcast joins for region/nation/customer dims in:\n$p")
+  }
+
+  test("q13: native TopKPerKey exec, no per-partition sort") {
+    val p = plan("q13_window_rank")
+    assert(p.contains("TopKPerKey"), "must plan through the custom exec")
+    assert(!p.toLowerCase.contains("sort "), s"bounded heap needs no sort:\n$p")
+  }
+
+  test("map-only families plan with zero exchanges (t30 chunking, m34 tiling)") {
+    for (q <- Seq("t30_chunking", "m34_payload_tiles")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must stay map-only (no shuffle), plan was:\n$p")
+    }
+  }
+
+  test("s33 broadcasts the query side: no shuffle of the corpus for the kNN probe") {
+    val p = plan("s33_knn_bruteforce")
+    assert(p.contains("Broadcast"), s"query set must broadcast in:\n$p")
+  }
+
+  test("d35 prunes the lake pre-shuffle via a broadcast left-semi join") {
+    val p = plan("d35_incremental_dedup")
+    assert(p.contains("LeftSemi"), s"semi prefilter missing in:\n$p")
+    assert(p.contains("Broadcast"), s"prefilter must broadcast in:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
+    val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"offsets must broadcast in:\n$p")
+    // the only SinglePartition exchange allowed is the tiny block-totals
+    // side (#blocks rows), which feeds a Window then the broadcast —
+    // the corpus-side window must partition by blk
+    assert(p.contains("hashpartitioning(blk"),
+      s"corpus window must partition by block in:\n$p")
+  }
+}
