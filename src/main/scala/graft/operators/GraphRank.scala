@@ -32,23 +32,25 @@ object GraphRank {
       .union(edges
         .select(col("ib").cast("long").as("src"), col("ia").cast("long").as("dst")))
       .distinct().persist()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("dnode"), col("deg"))
-    val n = nodes.count()
+    // degree is static — carry it INSIDE the rank table so each
+    // iteration costs one join + one aggregate + one reassembly join,
+    // not an extra degree join per superstep
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.count()
     require(n > 0, "pagerank needs a non-empty graph")
     // damping 0.85 as integer ops: base = (15·scale/100)/n, identical
     // truncation order in the oracle
     val base = (15L * scale / 100L) / n
-    var pr = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    var pr = deg.withColumn("r", lit(scale / n)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = sym
-        .join(pr.select(col("node").as("src"), col("r")), "src")
-        .join(deg, col("src") === col("dnode"))
-        .select(col("dst"), expr("r div deg").as("c"))
+        .join(pr.select(col("node").as("src"), expr("r div deg").as("c")),
+          "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = nodes.join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
+      pr = pr.select(col("node"), col("deg"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"),
           (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
         .localCheckpoint(true)
     }

@@ -273,6 +273,19 @@ object MultimodalOps extends Serializable {
             .cast("long").as("tile_bytes"),
           md5(expr(s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
             .as("tile_md5"))
+    },
+
+    // Sub-asset dedup — m34's payoff: tiles whose fingerprint recurs
+    // across assets. Whole-file digests (d27/m31) miss assets that
+    // share 90% of their bytes; tile-level grouping catches them, and
+    // the shuffle key is the 32-char digest, never the tile bytes.
+    "m35_shared_tiles" -> { (s, d) =>
+      queries("m34_payload_tiles")(s, d)
+        .groupBy(col("tile_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tiles"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
     }
   )
 
@@ -289,23 +302,30 @@ object MultimodalOps extends Serializable {
        |FROM h, range(0, $featureDim) r(i)""".stripMargin
   }
 
+  /** hex(text) hexes the string's UTF-8 bytes in DuckDB — the same
+    * bytes Spark's hex(encode(text,'utf-8')) renders; lower() pins the
+    * case on both sides. range(0,64) mirrors the explicit cap. */
+  private def m34OracleSql: String =
+    """WITH p AS (
+      | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+      |n AS (
+      | SELECT doc_id, hx,
+      |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
+      | FROM p)
+      |SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
+      | CAST(length(substring(hx, CAST(i*512 + 1 AS BIGINT), 512)) // 2
+      |   AS BIGINT) AS tile_bytes,
+      | md5(substring(hx, CAST(i*512 + 1 AS BIGINT), 512)) AS tile_md5
+      |FROM n, range(0, 64) r(i)
+      |WHERE i < nt""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // hex(text) hexes the string's UTF-8 bytes in DuckDB — the same
-    // bytes Spark's hex(encode(text,'utf-8')) renders; lower() pins
-    // the case on both sides. range(0,64) mirrors the explicit cap.
-    "m34_payload_tiles" ->
-      """WITH p AS (
-        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
-        |n AS (
-        | SELECT doc_id, hx,
-        |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
-        | FROM p)
-        |SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
-        | CAST(length(substring(hx, CAST(i*512 + 1 AS BIGINT), 512)) // 2
-        |   AS BIGINT) AS tile_bytes,
-        | md5(substring(hx, CAST(i*512 + 1 AS BIGINT), 512)) AS tile_md5
-        |FROM n, range(0, 64) r(i)
-        |WHERE i < nt""".stripMargin,
+    "m34_payload_tiles" -> m34OracleSql,
+    "m35_shared_tiles" ->
+      s"""SELECT tile_md5, count(DISTINCT doc_id) AS n_docs,
+         | count(*) AS n_tiles, min(doc_id) AS first_doc
+         |FROM ($m34OracleSql)
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
     // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
     "m31_payload_meta" ->
       """SELECT doc_id,
