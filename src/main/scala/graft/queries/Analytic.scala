@@ -226,10 +226,66 @@ object Analytic {
           round(avg(col("c_acctbal")), 4).as("avg_acctbal"),
           round(min(col("c_acctbal")), 2).as("min_acctbal"),
           round(max(col("c_acctbal")), 2).as("max_acctbal"))
+    },
+
+    // The remaining ranking-function family in one pass: dense_rank
+    // (no gaps), percent_rank ((rank-1)/(n-1)), cume_dist (≤-fraction)
+    // per nation. The rank ratios are small-integer divisions — the
+    // identical IEEE operation in both engines, so no rounding is even
+    // needed; rounded anyway to keep the family's parity discipline.
+    "q68_rank_functions" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    },
+
+    // Null-safe equality join (<=>): rows whose JOIN KEY IS NULL must
+    // pair with each other, where plain `=` drops them — the semantic
+    // SQL's IS NOT DISTINCT FROM exists for. Nullable keys are derived
+    // deterministically (every 7th key nulled) so both engines build
+    // the identical join input.
+    "q69_nullsafe_join" -> { (s, d) =>
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_nationkey") % 7 === 0, lit(null))
+            .otherwise(col("c_nationkey")).as("nk"))
+      val nat = t(s, d, "nation")
+        .select(col("n_name"),
+          when(col("n_nationkey") % 7 === 0, lit(null))
+            .otherwise(col("n_nationkey")).as("nk2"))
+      cust.join(nat, col("nk") <=> col("nk2"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("c_custkey")).as("min_custkey"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_rank_functions" ->
+      """SELECT c_nationkey, c_custkey,
+        | dense_rank() OVER w AS drnk,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "q69_nullsafe_join" ->
+      """WITH c AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        | FROM customer),
+        |n AS (
+        | SELECT n_name,
+        |  CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS nk2
+        | FROM nation)
+        |SELECT n_name, count(*) AS n_customers,
+        | min(c_custkey) AS min_custkey
+        |FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk2
+        |GROUP BY 1""".stripMargin,
     "q13_window_rank" ->
       """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
         | SELECT c_nationkey, c_custkey, c_acctbal,

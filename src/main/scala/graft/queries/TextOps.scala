@@ -97,6 +97,28 @@ object TextOps {
           min(col("doc_id")).as("first_doc"))
     },
 
+    // Per-source token ENTROPY (Shannon bits) — the distribution-drift
+    // metric a data-quality pipeline tracks per slice: low entropy =
+    // repetitive/boilerplate slice, drops vs yesterday = collapse.
+    // Two partial-agg groupBys (token counts, then the entropy sum);
+    // the FP sum is order-dependent at ~1e-12 so the output rounds to
+    // 4 dp (the q17 discipline), with q61's +0.0 sign-of-zero guard.
+    "t32_token_entropy" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val counts = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("source"))
+        .agg(sum(col("n")).as("tt"))
+      counts.join(totals, "source")
+        .groupBy(col("source"))
+        .agg(
+          (round(-sum((col("n") / col("tt")) * log2(col("n") / col("tt"))), 4)
+            + lit(0.0)).as("entropy_bits"),
+          max(col("tt")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"))
+    },
+
     // Token / char counts + mean token length per document.
     "t21_token_stats" -> { (s, d) =>
       t(s, d, "documents")
@@ -238,6 +260,19 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t32_token_entropy" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (
+        | SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        |totals AS (
+        | SELECT source, CAST(sum(n) AS BIGINT) AS tt FROM counts GROUP BY 1)
+        |SELECT c.source,
+        | round(-sum((c.n / t.tt) * log2(c.n / t.tt)), 4) + 0.0 AS entropy_bits,
+        | max(t.tt) AS n_tokens, count(*) AS n_distinct
+        |FROM counts c JOIN totals t ON c.source = t.source
+        |GROUP BY 1""".stripMargin,
     // chunk slicing replayed with 1-based inclusive list slices; the
     // 4096-token cap is the same explicit semantic as the Spark side
     "t30_chunking" ->
