@@ -230,17 +230,21 @@ object Analytic {
 
     // The remaining ranking-function family in one pass: dense_rank
     // (no gaps), percent_rank ((rank-1)/(n-1)), cume_dist (≤-fraction)
-    // per nation. The rank ratios are small-integer divisions — the
-    // identical IEEE operation in both engines, so no rounding is even
-    // needed; rounded anyway to keep the family's parity discipline.
+    // per nation. The rank ratios ship UNROUNDED: both engines divide
+    // the same integers, so the doubles are bitwise identical already —
+    // and rounding would actually BREAK parity, because k/640 lands
+    // exactly on 6-dp half boundaries where Spark rounds HALF_UP and
+    // DuckDB HALF_EVEN (observed at sf0.1: 0.0640625 → .064063 vs
+    // .064062). Exact-operand ratios are the one family where
+    // no-rounding is the discipline.
     "q68_rank_functions" -> { (s, d) =>
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       t(s, d, "customer")
         .select(col("c_nationkey"), col("c_custkey"),
           dense_rank().over(w).as("drnk"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
     },
 
     // Null-safe equality join (<=>): rows whose JOIN KEY IS NULL must
@@ -268,8 +272,8 @@ object Analytic {
     "q68_rank_functions" ->
       """SELECT c_nationkey, c_custkey,
         | dense_rank() OVER w AS drnk,
-        | round(percent_rank() OVER w, 6) AS pct_rank,
-        | round(cume_dist() OVER w, 6) AS cume
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
