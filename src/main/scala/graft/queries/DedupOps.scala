@@ -28,10 +28,12 @@ import graft.Tables.t
   */
 object DedupOps {
 
-  /** Whitespace tokens of trim(text); [] for blank text. */
+  /** Whitespace tokens of trim(text); [] for blank text. Explicit
+    * class, not \s: Java's \s includes U+000B, RE2's (DuckDB) does not,
+    * so \s on both sides diverges on a vertical-tab document. */
   private def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+      .otherwise(split(trim(c), "[ \\t\\n\\f\\r]+"))
 
   /** Distinct word-3-gram shingles (0-based Spark array indexing). */
   private def shingleCol: Column =
@@ -343,7 +345,7 @@ object DedupOps {
       s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
     s"""WITH tok AS (
-       | SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+')) AS tok
        | FROM documents WHERE length(trim(text)) > 0),
        |hx AS (SELECT doc_id, md5(tok) AS hx FROM tok),
        |votes AS (
@@ -378,7 +380,7 @@ object DedupOps {
       s"(CAST(strpos('0123456789abcdef', substring(hx, $j, 1)) - 1 AS BIGINT) * $w)"
     }.mkString(" + ")
     s"""WITH tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
        | FROM documents WHERE length(trim(text)) > 0),
        |sh AS (
        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -433,7 +435,7 @@ object DedupOps {
          |   GROUP BY 1) c ON c.node = nd.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
        | FROM documents WHERE length(trim(text)) > 0),
        |sh AS (
        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -470,7 +472,7 @@ object DedupOps {
     // DuckDB, and hashing is an impl detail of the join key)
     "d33_neardup_capped" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
         |sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -499,7 +501,7 @@ object DedupOps {
     // only, so the oracle needs no pruning step
     "d35_incremental_dedup" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
         |sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -529,7 +531,7 @@ object DedupOps {
         |FROM documents GROUP BY 1""".stripMargin,
     "d28_neardup_jaccard" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
         |sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
@@ -551,7 +553,7 @@ object DedupOps {
 
   private def d31OracleSql: String =
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
         |sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),

@@ -21,10 +21,12 @@ import graft.Tables.t
   */
 object TextOps {
 
-  /** Whitespace tokens of trim(text); [] for blank text. */
+  /** Whitespace tokens of trim(text); [] for blank text. Explicit
+    * class, not \s: Java's \s includes U+000B, RE2's (DuckDB) does not,
+    * so \s on both sides diverges on a vertical-tab document. */
   private def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+      .otherwise(split(trim(c), "[ \\t\\n\\f\\r]+"))
 
   private val stopwords = Seq("the", "a", "and", "of")
 
@@ -262,7 +264,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "t32_token_entropy" ->
       """WITH tok AS (
-        | SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | SELECT source, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
         | FROM documents WHERE length(trim(text)) > 0),
         |counts AS (
         | SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
@@ -277,7 +279,7 @@ object TextOps {
     // 4096-token cap is the same explicit semantic as the Spark side
     "t30_chunking" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
         |st AS (
         | SELECT doc_id, w, len(w) AS n, CAST(r.st AS BIGINT) AS st
@@ -293,7 +295,7 @@ object TextOps {
       """WITH n AS (
         | SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n
         | FROM documents),
         |c AS (
         | SELECT doc_id, n,
@@ -312,7 +314,7 @@ object TextOps {
       """WITH tok AS (
         | SELECT doc_id, text,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS n_tokens
         | FROM documents)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
         | CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -323,7 +325,7 @@ object TextOps {
     "t22_term_frequency" ->
       """SELECT token, count(*) AS n_occurrences,
         | count(DISTINCT doc_id) AS n_docs
-        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
         |      FROM documents WHERE length(trim(text)) > 0)
         |GROUP BY token""".stripMargin,
     "t23_stopword_ratio" ->
@@ -332,14 +334,14 @@ object TextOps {
         |   AS n_stopwords,
         | round(CAST(sum(CASE WHEN token IN ('the','a','and','of') THEN 1 ELSE 0 END) AS BIGINT)
         |   / count(*), 4) AS stopword_ratio
-        |FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |FROM (SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
         |      FROM documents WHERE length(trim(text)) > 0)
         |GROUP BY lang""".stripMargin,
     "t24_quality_score" ->
       """WITH tok AS (
         | SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
         | FROM documents)
         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
@@ -353,14 +355,14 @@ object TextOps {
       """WITH tok AS (
         | SELECT doc_id, text,
         |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
         | FROM documents)
         |SELECT doc_id, md5(text) AS exact_md5,
         | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_md5
         |FROM tok""".stripMargin,
     "t27_tfidf" ->
       """WITH tok AS (
-        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
         | FROM documents WHERE length(trim(text)) > 0),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dfreq AS (SELECT token, count(*) AS n_docs_with_term FROM tf GROUP BY 1),
@@ -373,7 +375,7 @@ object TextOps {
       """WITH tok AS (
         | SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\s+') END AS w
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
         | FROM documents)
         |SELECT doc_id,
         | CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long_tokens,
@@ -384,7 +386,7 @@ object TextOps {
       """WITH sc AS (
         | SELECT doc_id, lang,
         |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS wd
+        |       ELSE list_distinct(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS wd
         | FROM documents),
         |s AS (
         | SELECT doc_id, lang,
