@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.MultimodalOps.queries ++
       graft.queries.SimilarityOps.queries ++
       graft.queries.Extended.queries ++
+      graft.queries.SamplingOps.queries ++
       graft.queries.TypedOps.queries
 
   /** Release every cached block this library has created in `spark`.
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.MultimodalOps.oracle ++
       graft.queries.SimilarityOps.oracle ++
       graft.queries.Extended.oracle ++
+      graft.queries.SamplingOps.oracle ++
       graft.queries.TypedOps.oracle
 }

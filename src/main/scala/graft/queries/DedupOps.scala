@@ -331,6 +331,36 @@ object DedupOps {
         .select(col("datasetA.doc_id").as("ia"),
           col("datasetB.doc_id").as("ib"),
           round(lit(1.0) - col("jaccard_dist"), 4).as("est_jaccard"))
+    },
+
+    // BENCHMARK DECONTAMINATION — the eval-leak scan every training
+    // corpus needs: a training doc is contaminated if it shares any
+    // word-5-gram with the benchmark set (here: doc_id % 7 == 0 stands
+    // in for the eval suite; in production it is a separate small
+    // table). The asymmetry is the whole design: the benchmark side is
+    // MBs where the corpus is TBs, so its distinct 5-gram hashes
+    // BROADCAST and the corpus-side match is a map-side hash probe —
+    // the 100 TB corpus is never shuffled; the only exchange is the
+    // per-doc hit count over the (tiny) surviving matches. Both sides
+    // push their doc_id % 7 filter into the parquet scan.
+    "d38_decontamination" -> { (s, d) =>
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-5), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .as("g"))
+      val docs = t(s, d, "documents")
+      // join on the 8-byte hash, not the ~30-byte gram string (d28
+      // discipline; collision odds are below the oracle's noise floor)
+      val bench = grams(docs.filter(col("doc_id") % 7 === 0))
+        .select(xxhash64(col("g")).as("gh")).distinct()
+      grams(docs.filter(col("doc_id") % 7 =!= 0))
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .join(broadcast(bench), "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("hits"))
     }
   )
 
@@ -463,6 +493,20 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // gram identity via the string (hashing is a join-key impl detail)
+    "d38_decontamination" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |gr AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-3),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
+        | FROM tok WHERE len(w) >= 5),
+        |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0)
+        |SELECT gr.doc_id, count(*) AS hits
+        |FROM gr JOIN bench USING (g)
+        |WHERE gr.doc_id % 7 <> 0
+        |GROUP BY 1""".stripMargin,
     "d37_pagerank" -> d37Oracle,
     "d36_minhash_banded" -> d36Oracle,
     "d32_simhash_hamming" -> d32Oracle,

@@ -206,6 +206,28 @@ object Extended {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    },
+
+    // ROLLUP — hierarchical subtotals (region → nation → grand total)
+    // in ONE pass: Catalyst's Expand node replicates each input row per
+    // grouping set BEFORE the exchange, so partial aggregation still
+    // applies and the corpus shuffles once, not once per level.
+    // grouping_id() disambiguates real NULL keys from rolled-up rows
+    // (same bit order as DuckDB's GROUPING(): first arg = MSB).
+    // Aggregates are integer-exact (count + sum of integral quantity)
+    // so subtotals hash-match bitwise regardless of accumulation order.
+    "q72_grouping_id" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
     }
   )
 
@@ -325,6 +347,17 @@ object Extended {
         | FROM customer GROUP BY 1)
         |SELECT c_nationkey, 'sum_acctbal' AS metric, sum_acctbal AS value FROM m
         |UNION ALL
-        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM m""".stripMargin
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM m""".stripMargin,
+    "q72_grouping_id" ->
+      """SELECT r_name, n_name,
+        | CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+        | count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
   )
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.TopKPerKeyApi
+
+/** Sampling / data-mixture operators — the curation stage of a training
+  * pipeline: which rows survive into the training set, and in what
+  * proportion per source. Reference analogue: the randomSplit train/test
+  * stage (`Data_transform.py:61`), generalized to the corpus-curation
+  * shapes a 100 TB pretraining run needs.
+  *
+  * Determinism contract (same discipline as q65_hash_split): every
+  * sampling decision derives from md5(doc_id) — a pure function of the
+  * row, independent of partitioning, task order, and engine. That is
+  * what makes these oracle-checkable AND what a production pipeline
+  * wants anyway: re-running the job on the same snapshot yields the
+  * same sample (auditable lineage), and adding a shard never reshuffles
+  * previous decisions.
+  */
+object SamplingOps {
+
+  /** md5-derived integer in [0, 16^6): first 6 hex nibbles. Portable —
+    * Spark conv(hex,16,10) ≡ the DuckDB strpos-nibble expansion below. */
+  private def bucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[bucket]] over column expression `col`
+    * (DuckDB has no conv()): nibble-by-nibble hex→int. */
+  private def bucketSql(col: String): String = {
+    val nibs = (1 to 6).map(p =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST($col AS VARCHAR)), $p, 1)) - 1)")
+    nibs.reduce((acc, n) => s"($acc * 16 + $n)")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STRATIFIED QUOTA SAMPLE — exactly min(20, |stratum|) docs per
+    // source, chosen by deterministic hash rank (the "take a fixed
+    // eval slice per domain" shape). Runs through the native
+    // TopKPerKey operator: one shuffle on `source`, bounded per-key
+    // heaps, no per-partition full sort — at 100 TB the shuffle ships
+    // only (source, doc_id, 32-byte hash) triples and each reducer
+    // keeps 20 rows per stratum resident, never the stratum itself.
+    "q70_stratified_sample" -> { (s, d) =>
+      val ranked = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      TopKPerKeyApi.topKPerKey(ranked, Seq("source"),
+          Seq(("h", true), ("doc_id", true)), 20, rankName = "rnk")
+        .select(col("source"), col("doc_id"), col("rnk"))
+    },
+
+    // DATA-MIXTURE REWEIGHTING — resample every source toward a UNIFORM
+    // target mixture: desired per-source quota = n_tot DIV n_sources;
+    // a doc survives iff bucket(doc_id) * n_src < 16^6 * quota, i.e.
+    // each source keeps ~quota docs (sources already under quota keep
+    // everything — the rule degrades to b < 16^6). All-integer
+    // arithmetic: bucket < 2^24 and n_src < 2^38 stay exact in 64-bit,
+    // so both engines make bitwise-identical keep decisions — no float
+    // rate ever computed. Plan shape: two tiny aggregates broadcast
+    // back onto the corpus scan (map-side filter), then one partial-agg
+    // groupBy — the corpus itself is never shuffled unfiltered.
+    "q71_mixture_weights" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"),
+        countDistinct(col("source")).as("k"))
+      docs.select(col("source"), col("doc_id"),
+          bucket(col("doc_id")).as("b"))
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(tot))
+        .filter(col("b") * col("n_src") <
+          lit(16777216L) * expr("n_tot DIV k"))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_src"),
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q70_stratified_sample" ->
+      """WITH r AS (
+        | SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+        |   AS rnk
+        | FROM documents)
+        |SELECT source, doc_id, rnk FROM r WHERE rnk <= 20""".stripMargin,
+    "q71_mixture_weights" -> {
+      s"""WITH b AS (
+         | SELECT source, doc_id, ${bucketSql("doc_id")} AS b
+         | FROM documents),
+         |c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+         |tt AS (SELECT count(*) AS n_tot, count(DISTINCT source) AS k
+         |       FROM documents)
+         |SELECT b.source, max(c.n_src) AS n_src, count(*) AS n_kept,
+         | CAST(sum(b.doc_id) AS BIGINT) AS sum_id
+         |FROM b JOIN c USING (source), tt
+         |WHERE b.b * c.n_src < 16777216 * (tt.n_tot // tt.k)
+         |GROUP BY 1""".stripMargin
+    })
+}

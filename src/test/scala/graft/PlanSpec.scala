@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d38: benchmark gram set broadcasts — the corpus side is probed map-side, never shuffled unfiltered") {
+    val p = plan("d38_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast in:\n$p")
+  }
+
+  test("q70: stratified quota sample plans through the native TopKPerKey exec") {
+    val p = plan("q70_stratified_sample")
+    assert(p.contains("TopKPerKey"), s"must use the custom exec in:\n$p")
+  }
+
   test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
     val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString

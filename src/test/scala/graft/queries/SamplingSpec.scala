@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Contracts for the sampling/curation family (SamplingOps + d38).
+  * The oracle gate proves cross-engine equality; these pin the
+  * SEMANTICS the equality is supposed to mean. */
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q70: exactly min(20, |stratum|) docs per source, ranks contiguous from 1") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q70_stratified_sample")(spark, sf0001)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), min($"rnk").as("lo"), max($"rnk").as("hi"))
+      .collect()
+    val sizes = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      assert(n == math.min(20L, sizes(src)), s"$src quota")
+      assert(r.getInt(2) == 1 && r.getInt(3) == n, s"$src ranks not 1..$n")
+    }
+  }
+
+  test("q70: sample is deterministic — a pure function of doc_id, not partitioning") {
+    val a = SparkEntry.queries("q70_stratified_sample")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    val b = SparkEntry.queries("q70_stratified_sample")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("q71: under-quota sources keep everything; over-quota sources are downsampled") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val quota = docs.count() / docs.select($"source").distinct().count()
+    val rows = SparkEntry.queries("q71_mixture_weights")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nSrc, nKept, _) =>
+      assert(nKept <= nSrc, s"$src kept more than it has")
+      if (nSrc <= quota) assert(nKept == nSrc,
+        s"$src is under quota ($nSrc <= $quota) and must keep all")
+    }
+    // the mixture actually moves toward uniform: at least one over-quota
+    // source sheds rows
+    assert(rows.exists { case (_, nSrc, nKept, _) => nKept < nSrc },
+      "no source was downsampled — reweighting did nothing")
+  }
+
+  test("d38: only train docs flagged, every flag has >=1 gram hit; golden sf0.001 totals") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d38_decontamination")(spark, sf0001)
+      .as[(Long, Long)].collect()
+    assert(rows.forall(_._1 % 7 != 0), "benchmark docs must never be flagged")
+    assert(rows.forall(_._2 >= 1))
+    // independently computed in DuckDB over the fixed corpus
+    assert(rows.length == 11, s"expected 11 contaminated docs, got ${rows.length}")
+    assert(rows.map(_._2).sum == 365L, "total matched 5-grams")
+  }
+
+  test("q72: grouping_id semantics — gid=3 grand total equals the sum of gid=0 leaves") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q72_grouping_id")(spark, sf0001)
+      .select($"gid", $"n_items", $"sum_qty")
+      .as[(Int, Long, Long)].collect()
+    val leaves = out.filter(_._1 == 0)
+    val Array(total) = out.filter(_._1 == 3).map(t => (t._2, t._3))
+    assert(leaves.map(_._2).sum == total._1)
+    assert(leaves.map(_._3).sum == total._2)
+    // rolled-up levels present: nation subtotals (gid=1) and one grand total
+    assert(out.count(_._1 == 1) > 1)
+    assert(out.count(_._1 == 3) == 1)
+  }
+}
