@@ -38,8 +38,9 @@ object SparkEntry {
     *  - the Dataset cache manager (every `df.persist()` in
     *    graft.queries.* registers here) — `catalog.clearCache()`;
     *  - stray RDD-level blocks (`localCheckpoint` leaves its final
-    *    checkpointed RDD resident; DedupClustering unpersists its
-    *    intermediates but the returned lineage root outlives the call)
+    *    checkpointed RDD resident; DedupClustering/GraphRank unpersist
+    *    each superseded generation in-loop via GraftBridge.uncheckpoint,
+    *    but the returned lineage root outlives the call)
     *    — unpersist everything still in `getPersistentRDDs`.
     * Non-blocking: block removal is async so the next query never waits
     * on executor cleanup. Safe between queries only — a still-referenced

@@ -52,6 +52,10 @@ object DedupClustering {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
+      // next is materialized (eager checkpoint + the labelSum action) —
+      // release the superseded generation's blocks or storage grows
+      // O(supersteps × nodes) inside a single query
+      org.apache.spark.sql.GraftBridge.uncheckpoint(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -85,8 +89,13 @@ object DedupClustering {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(true)
+    // eager checkpoint, NOT lazy persist: the in-loop uncheckpoint of
+    // superseded edge generations drops gen-0's blocks, so allNodes
+    // must materialize (and truncate its lineage off gen-0) before the
+    // first round runs — a lazy persist would first compute at the
+    // final join and find its parent blocks gone
     val allNodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct().persist()
+      .union(e.select(col("v").as("node"))).distinct().localCheckpoint(true)
     // fixpoint check: (edge count, order-independent xor of edge
     // hashes — xor, not sum: ANSI mode makes a long sum overflow)
     def sig(df: DataFrame): (Long, Long) = {
@@ -121,6 +130,9 @@ object DedupClustering {
         .distinct().localCheckpoint(true)
       val nextSig = sig(next)
       ls.unpersist()
+      // release the superseded round's checkpoint blocks (next is
+      // already materialized by the eager checkpoint + sig action)
+      org.apache.spark.sql.GraftBridge.uncheckpoint(e)
       e = next
       converged = nextSig == prevSig
       prevSig = nextSig
@@ -129,11 +141,12 @@ object DedupClustering {
     // at the fixpoint the edges form stars rooted at component minima;
     // min(v) per u guards the not-converged maxIter edge case
     val stars = e.groupBy(col("u")).agg(min(col("v")).as("root"))
-    val out = allNodes
+    // allNodes' checkpoint blocks stay resident — they are a leaf of
+    // the returned (lazy) plan and cannot be recomputed once dropped;
+    // SparkEntry.release() reaps them between queries
+    allNodes
       .join(stars, col("node") === col("u"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("root"), col("node")).as("cluster_id"))
-    allNodes.unpersist()
-    out
   }
 }

@@ -48,11 +48,15 @@ object GraphRank {
         .join(pr.select(col("node").as("src"), expr("r div deg").as("c")),
           "src")
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = pr.select(col("node"), col("deg"))
+      val next = pr.select(col("node"), col("deg"))
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
         .localCheckpoint(true)
+      // the eager checkpoint materialized `next`; release the previous
+      // iteration's blocks or storage grows O(iters × nodes)
+      org.apache.spark.sql.GraftBridge.uncheckpoint(pr)
+      pr = next
     }
     sym.unpersist()
     pr.select(col("node").as("doc_id"), col("r").as("rank_scaled"))

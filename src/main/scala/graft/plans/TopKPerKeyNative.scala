@@ -158,10 +158,33 @@ private[plans] final class TopKPartitionIterator(
     if (trackedBytes > spillBytes) spill()
   }
 
+  /** Spill under Spark's configured local dirs (`spark.local.dir`),
+    * NOT `java.io.tmpdir`: on clusters /tmp is often a small tmpfs, and
+    * filling it in exactly the adversarial-cardinality case the spill
+    * exists for would OOM the node. Executors relocate `spark.local.dir`
+    * to their allocated scratch space (YARN/K8s set it per-container),
+    * so this lands next to Spark's own shuffle/spill files. Multiple
+    * dirs round-robin by partition (same spreading DiskBlockManager
+    * does — its API is private[spark], hence the conf-derived path). */
+  private def spillDir(): java.io.File = {
+    val dirs = Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.get("spark.local.dir", System.getProperty("java.io.tmpdir")))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val pid = Option(org.apache.spark.TaskContext.get())
+      .map(_.partitionId()).getOrElse(0)
+    val d = new java.io.File(dirs(pid % dirs.length), "graft-topk-spill")
+    d.mkdirs()
+    d
+  }
+
   /** Write the whole map as one key-sorted run, then clear it.
     * Entry layout: keyLen, keyBytes, nRows, (rowLen, rowBytes)*. */
   private def spill(): Unit = {
-    val f = java.io.File.createTempFile("graft-topk-", ".spill")
+    val f = java.io.File.createTempFile("graft-topk-", ".spill", spillDir())
+    // belt-and-braces for the no-TaskContext path (iterator abandoned
+    // before exhaustion outside any task): JVM exit still reaps the run
+    f.deleteOnExit()
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f), 1 << 16))
     try {

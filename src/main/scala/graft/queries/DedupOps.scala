@@ -184,7 +184,11 @@ object DedupOps {
     "d35_incremental_dedup" -> { (s, d) =>
       val mx = t(s, d, "documents").agg(max(col("doc_id")).as("mx"))
       val marked = shingles(s, d).crossJoin(broadcast(mx))
-        .withColumn("is_new", col("doc_id") >= lit(0.9) * col("mx"))
+        // exact integer arithmetic (doc_id*10 >= mx*9 ≡ doc_id >= 0.9*mx)
+        // so the boundary doc classifies identically in both engines even
+        // when mx is a multiple of 10 — a double 0.9*mx can land a ULP
+        // above the exact product and flip the comparison
+        .withColumn("is_new", col("doc_id") * 10 >= col("mx") * 9)
         .select(col("doc_id"), col("shingles"), col("is_new"))
       graft.operators.IncrementalDedup.pairs(marked, 0.8, "semi")
     },
@@ -553,7 +557,7 @@ object DedupOps {
         | FROM tok WHERE len(w) >= 3),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |thr AS (SELECT 0.9 * max(doc_id) AS t FROM documents),
+        |thr AS (SELECT max(doc_id) AS mx FROM documents),
         |pairs AS (
         | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
         | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -564,7 +568,7 @@ object DedupOps {
         | JOIN sizes sa ON sa.doc_id = ia
         | JOIN sizes sb ON sb.doc_id = ib, thr
         |WHERE inter / (sa.n + sb.n - inter) >= 0.8
-        |  AND (ia >= thr.t OR ib >= thr.t)""".stripMargin,
+        |  AND (ia * 10 >= 9 * thr.mx OR ib * 10 >= 9 * thr.mx)""".stripMargin,
     "d31_dedup_clusters" -> d31OracleSql,
     // identical output contract (connected components of the d28 edge
     // list, min-id label) — only the Spark-side algorithm differs

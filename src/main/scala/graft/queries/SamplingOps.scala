@@ -52,16 +52,22 @@ object SamplingOps {
         .select(col("source"), col("doc_id"), col("rnk"))
     },
 
-    // DATA-MIXTURE REWEIGHTING — resample every source toward a UNIFORM
-    // target mixture: desired per-source quota = n_tot DIV n_sources;
-    // a doc survives iff bucket(doc_id) * n_src < 16^6 * quota, i.e.
-    // each source keeps ~quota docs (sources already under quota keep
-    // everything — the rule degrades to b < 16^6). All-integer
-    // arithmetic: bucket < 2^24 and n_src < 2^38 stay exact in 64-bit,
-    // so both engines make bitwise-identical keep decisions — no float
-    // rate ever computed. Plan shape: two tiny aggregates broadcast
-    // back onto the corpus scan (map-side filter), then one partial-agg
-    // groupBy — the corpus itself is never shuffled unfiltered.
+    // DATA-MIXTURE REWEIGHTING — resample each source toward an
+    // EXPLICIT per-source target quota (the training-mix-config shape:
+    // downweight over-represented domains, keep rare ones whole). The
+    // quota here derives deterministically from the source name —
+    // quota = avg ÷ 2 for sources whose md5 bucket is even, avg × 2
+    // for odd (avg = n_tot DIV k) — standing in for the hand-tuned
+    // weights a real mixture config supplies. A doc survives iff
+    // bucket(doc_id) * n_src < 16^6 * quota, i.e. each source keeps
+    // ~quota docs in expectation; quota ≥ n_src degrades to b < 16^6,
+    // keeping EVERYTHING (under-quota sources are never subsampled).
+    // All-integer arithmetic: bucket < 2^24 and n_src < 2^38 stay
+    // exact in 64-bit, so both engines make bitwise-identical keep
+    // decisions — no float rate ever computed. Plan shape: two tiny
+    // aggregates broadcast back onto the corpus scan (map-side
+    // filter), then one partial-agg groupBy — the corpus itself is
+    // never shuffled unfiltered.
     "q71_mixture_weights" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val counts = docs.groupBy(col("source"))
@@ -72,10 +78,13 @@ object SamplingOps {
           bucket(col("doc_id")).as("b"))
         .join(broadcast(counts), "source")
         .crossJoin(broadcast(tot))
-        .filter(col("b") * col("n_src") <
-          lit(16777216L) * expr("n_tot DIV k"))
+        .withColumn("quota",
+          when(bucket(col("source")) % 2 === 0, expr("n_tot DIV k DIV 2"))
+            .otherwise(expr("(n_tot DIV k) * 2")))
+        .filter(col("b") * col("n_src") < lit(16777216L) * col("quota"))
         .groupBy(col("source"))
         .agg(max(col("n_src")).as("n_src"),
+          max(col("quota")).as("quota"),
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_id"))
     })
@@ -95,11 +104,17 @@ object SamplingOps {
          | FROM documents),
          |c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
          |tt AS (SELECT count(*) AS n_tot, count(DISTINCT source) AS k
-         |       FROM documents)
-         |SELECT b.source, max(c.n_src) AS n_src, count(*) AS n_kept,
+         |       FROM documents),
+         |q AS (SELECT c.source, c.n_src,
+         |  CASE WHEN ${bucketSql("c.source")} % 2 = 0
+         |       THEN tt.n_tot // tt.k // 2
+         |       ELSE (tt.n_tot // tt.k) * 2 END AS quota
+         | FROM c, tt)
+         |SELECT b.source, CAST(max(q.n_src) AS BIGINT) AS n_src,
+         | CAST(max(q.quota) AS BIGINT) AS quota, count(*) AS n_kept,
          | CAST(sum(b.doc_id) AS BIGINT) AS sum_id
-         |FROM b JOIN c USING (source), tt
-         |WHERE b.b * c.n_src < 16777216 * (tt.n_tot // tt.k)
+         |FROM b JOIN q USING (source)
+         |WHERE b.b * q.n_src < 16777216 * q.quota
          |GROUP BY 1""".stripMargin
     })
 }

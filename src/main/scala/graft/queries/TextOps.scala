@@ -302,7 +302,7 @@ object TextOps {
         |  sum(n) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         | FROM n)
-        |SELECT (cum - n) // 2048 AS bin, count(*) AS n_docs,
+        |SELECT CAST((cum - n) // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
         | CAST(sum(n) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc
         |FROM c GROUP BY 1""".stripMargin,
     "t29_bpe_tokens" ->

@@ -20,4 +20,18 @@ object GraftBridge {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame. `Dataset.unpersist()` only evicts plan-cache entries
+    * registered via `persist()` — a localCheckpoint's blocks live on
+    * the checkpointed RDD inside the plan's LogicalRDD leaf, so
+    * iterative algorithms that checkpoint per round must unpersist the
+    * superseded generation here or storage grows O(rounds × data).
+    * Only call once the DataFrame will never be read again: dropped
+    * localCheckpoint blocks cannot be recomputed. */
+  def uncheckpoint(df: DataFrame): Unit =
+    analyzedPlan(df).foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -36,19 +36,20 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
 
   test("q71: under-quota sources keep everything; over-quota sources are downsampled") {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val quota = docs.count() / docs.select($"source").distinct().count()
     val rows = SparkEntry.queries("q71_mixture_weights")(spark, sf0001)
-      .as[(String, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (src, nSrc, nKept, _) =>
+    rows.foreach { case (src, nSrc, quota, nKept, _) =>
       assert(nKept <= nSrc, s"$src kept more than it has")
       if (nSrc <= quota) assert(nKept == nSrc,
         s"$src is under quota ($nSrc <= $quota) and must keep all")
     }
-    // the mixture actually moves toward uniform: at least one over-quota
-    // source sheds rows
-    assert(rows.exists { case (_, nSrc, nKept, _) => nKept < nSrc },
+    // the per-source targets actually bite in both directions on this
+    // corpus: some sources are under quota (keep all, asserted above)
+    // and at least one over-quota source sheds rows
+    assert(rows.exists { case (_, nSrc, quota, _, _) => quota >= nSrc },
+      "no source under quota — the keep-all leg is untested")
+    assert(rows.exists { case (_, nSrc, _, nKept, _) => nKept < nSrc },
       "no source was downsampled — reweighting did nothing")
   }
 
