@@ -158,17 +158,21 @@ private[plans] final class TopKPartitionIterator(
     if (trackedBytes > spillBytes) spill()
   }
 
-  /** Spill under Spark's configured local dirs (`spark.local.dir`),
-    * NOT `java.io.tmpdir`: on clusters /tmp is often a small tmpfs, and
-    * filling it in exactly the adversarial-cardinality case the spill
-    * exists for would OOM the node. Executors relocate `spark.local.dir`
-    * to their allocated scratch space (YARN/K8s set it per-container),
-    * so this lands next to Spark's own shuffle/spill files. Multiple
+  /** Spill under Spark's configured local dirs, NOT `java.io.tmpdir`:
+    * on clusters /tmp is often a small tmpfs, and filling it in exactly
+    * the adversarial-cardinality case the spill exists for would OOM
+    * the node. Resolution mirrors Spark's own
+    * `Utils.getConfiguredLocalDirs` (private[spark], hence re-derived):
+    * cluster managers deliver per-container scratch space via the
+    * LOCAL_DIRS (YARN) / SPARK_LOCAL_DIRS env vars — which OVERRIDE any
+    * user-set `spark.local.dir` — then the conf, then tmpdir. Multiple
     * dirs round-robin by partition (same spreading DiskBlockManager
-    * does — its API is private[spark], hence the conf-derived path). */
+    * does). */
   private def spillDir(): java.io.File = {
-    val dirs = Option(org.apache.spark.SparkEnv.get)
-      .map(_.conf.get("spark.local.dir", System.getProperty("java.io.tmpdir")))
+    val dirs = sys.env.get("LOCAL_DIRS")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .orElse(Option(org.apache.spark.SparkEnv.get)
+        .flatMap(e => Option(e.conf.get("spark.local.dir", null))))
       .getOrElse(System.getProperty("java.io.tmpdir"))
       .split(",").map(_.trim).filter(_.nonEmpty)
     val pid = Option(org.apache.spark.TaskContext.get())
@@ -182,9 +186,12 @@ private[plans] final class TopKPartitionIterator(
     * Entry layout: keyLen, keyBytes, nRows, (rowLen, rowBytes)*. */
   private def spill(): Unit = {
     val f = java.io.File.createTempFile("graft-topk-", ".spill", spillDir())
-    // belt-and-braces for the no-TaskContext path (iterator abandoned
-    // before exhaustion outside any task): JVM exit still reaps the run
-    f.deleteOnExit()
+    // Only the no-TaskContext path (iterator abandoned before exhaustion
+    // outside any task) needs the JVM-exit backstop: inside a task the
+    // TaskCompletionListener deletes the run, and deleteOnExit() entries
+    // are never pruned — registering every executor spill would leak the
+    // hook set on long-running executors.
+    if (org.apache.spark.TaskContext.get() == null) f.deleteOnExit()
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f), 1 << 16))
     try {

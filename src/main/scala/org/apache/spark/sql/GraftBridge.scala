@@ -28,10 +28,17 @@ object GraftBridge {
     * iterative algorithms that checkpoint per round must unpersist the
     * superseded generation here or storage grows O(rounds × data).
     * Only call once the DataFrame will never be read again: dropped
-    * localCheckpoint blocks cannot be recomputed. */
+    * localCheckpoint blocks cannot be recomputed.
+    *
+    * Accepts ONLY the checkpointed DataFrame itself (plan root is the
+    * LogicalRDD), never a derivation of it: matching anywhere in the
+    * tree would silently drop blocks of OTHER live checkpointed
+    * DataFrames embedded in a derived plan. */
   def uncheckpoint(df: DataFrame): Unit =
-    analyzedPlan(df).foreach {
+    analyzedPlan(df) match {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "uncheckpoint expects the localCheckpointed DataFrame itself " +
+          s"(root LogicalRDD), got plan root ${other.getClass.getSimpleName}")
     }
 }
