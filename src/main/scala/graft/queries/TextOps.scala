@@ -40,6 +40,82 @@ object TextOps {
     "zh" -> Seq("的", "是", "了"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REPETITION quality signals (the Gopher-style filters): per-doc
+    // top-bigram fraction (what share of all bigram occurrences the
+    // single most frequent bigram takes) and duplicate-bigram fraction
+    // (share of occurrences that are repeats). High values = degenerate
+    // generated/boilerplate text a pretraining filter drops. One
+    // partial-agg groupBy on (doc_id, bigram), then a per-doc window
+    // argmax and a reduce on the SAME doc_id partitioning — no second
+    // shuffle. Ratios are integer-derived → shipped UNROUNDED (exact
+    // operands make the doubles bitwise-identical across engines;
+    // rounding is what breaks parity — see the q68 lesson).
+    "t33_repetition" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bg = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bg"))
+      val counts = bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("bg").asc)
+      counts.withColumn("rn", row_number().over(wTop))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          max(when(col("rn") === 1, col("bg"))).as("top_bigram"),
+          max(when(col("rn") === 1, col("n"))).as("top_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+          col("top_bigram"), col("top_n"),
+          (col("top_n") / col("n_bigrams")).as("top_bigram_frac"),
+          ((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))
+            .as("dup_bigram_frac"))
+    },
+
+    // BM25 ranked retrieval for a fixed literal query — the relevance
+    // scorer a training-data pipeline uses to mine topic-targeted
+    // subsets from a raw corpus. Per-doc term frequencies are map-only
+    // lambda filters over the token array; the global stats BM25 needs
+    // (N, Σdl, per-term df) are ONE tiny aggregate broadcast back onto
+    // the corpus scan — two passes over the data, zero wide shuffles.
+    // k1 = 1.25 and b = 0.75 are deliberately binary-exact literals:
+    // DuckDB parses FP literals as DECIMAL and multiplies BIGINT×DECIMAL
+    // exactly before converting, so a non-representable k1 (e.g. 1.2)
+    // would diverge from Java's double path in the last ulp. The ln()
+    // output rounds to 6 dp (the t27 idf discipline).
+    "t34_bm25" -> { (s, d) =>
+      val terms = Seq("spark", "table", "vector")
+      val docs = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+          terms.map(tm =>
+            size(filter(col("w"), x => x === lit(tm))).cast("long")
+              .as(s"tf_$tm")): _*)
+        // feeds the stats aggregate AND the scoring pass — persist the
+        // (doc_id, 4×long) projection so tokenize runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+          terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L))
+            .as(s"df_$tm")): _*)
+      def termScore(tm: String): Column = {
+        val tf = col(s"tf_$tm")
+        val dfc = col(s"df_$tm")
+        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((tf * lit(2.25)) / (tf + lit(1.25) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") * col("n_docs")) /
+              col("sum_dl"))))
+      }
+      docs.crossJoin(broadcast(stats))
+        .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+        .select(col("doc_id") +: col("dl") +:
+          terms.map(tm => col(s"tf_$tm")) :+
+          round(terms.map(termScore).reduce(_ + _), 6).as("bm25"): _*)
+    },
+
     // Document CHUNKING — the RAG/pretraining chunker: fixed-size token
     // windows (32 tokens) with overlap (stride 24), one output row per
     // chunk, fingerprinted. Map-only: per-doc window starts via
