@@ -98,7 +98,8 @@ object TextOps {
         // (doc_id, 4×long) projection so tokenize runs once
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = docs.agg(
-        count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl") +:
           terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L))
             .as(s"df_$tm")): _*)
       def termScore(tm: String): Column = {
