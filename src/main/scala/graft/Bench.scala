@@ -66,7 +66,17 @@ object Bench {
     // lifecycle evidence: after release() between reps, nothing this
     // library persisted may outlive the pass (0 expected)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir"}"""
+    println(line)
+    // durability: the driver's BENCH_r0x.json keeps only a 2 KB stdout
+    // tail, which truncates the per-query map — also land the full line
+    // in-repo so every round's numbers survive for cross-round diffs
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LAST.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -51,6 +51,21 @@ object SparkEntry {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Queries deliberately shipped WITHOUT a DuckDB oracle, each for a
+    * documented reason (randomized hashing the oracle can't replay).
+    * `QueriesSpec` asserts the registry equals `oracleSql.keySet ++
+    * rowsOnly`, and Verify warns at runtime on any query in neither —
+    * so an oracle-less query is visible in the driver log even on
+    * rounds where the scalatests never run.
+    *  - d29_simhash: engine-native xxhash64 simhash (seed-dependent);
+    *    quality contract lives in DedupOpsSpec.
+    *  - d30_minhash_lsh: MLlib MinHashLSH's private hash coefficients;
+    *    recall floor asserted in DedupOpsSpec (portable twin: d36).
+    *  - q45_approx_distinct: HLL sketch estimate; 5%-of-exact contract
+    *    in ExtendedSpec (exact twin: q08). */
+  val rowsOnly: Set[String] =
+    Set("d29_simhash", "d30_minhash_lsh", "q45_approx_distinct")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -19,6 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // registry guard, mirrored from QueriesSpec: surface any query that
+    // has neither an oracle nor a documented rows-only listing, so the
+    // gap shows in the driver log even on rounds where tests don't run
+    val undocumented =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- SparkEntry.rowsOnly
+    undocumented.toSeq.sorted.foreach(n =>
+      System.err.println(s"[verify] WARNING: $n has no oracleSql entry and no rowsOnly listing"))
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -175,8 +175,22 @@ object SimilarityOps {
     },
 
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
+    //
+    // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
+    // not a production path: it exists as the recall oracle the banded/
+    // bucketed ANN variants (s35 LSH, s37/s40 IVF, s41-s43 PQ) are
+    // measured against in SimilaritySpec. All-pairs over 100 TB would
+    // be ~10^18 comparisons, so the query refuses inputs larger than
+    // `spark.graft.exact.maxRows` (default 1,000,000) up front — the
+    // one extra count() job is noise next to the join it fences.
     "s34_embedding_neardup" -> { (s, d) =>
       val e = emb(s, d)
+      val maxRows = s.conf.get("spark.graft.exact.maxRows", "1000000").toLong
+      val n = e.count()
+      require(n <= maxRows,
+        s"s34_embedding_neardup is the all-pairs exactness baseline (O(n^2) in rows); " +
+          s"input has $n rows > spark.graft.exact.maxRows=$maxRows — " +
+          "use s35_ann_lsh / s37_ann_ivf / s41_pq_adc for at-scale near-dup")
       val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
       val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
       a.join(b, col("ia") < col("ib"))

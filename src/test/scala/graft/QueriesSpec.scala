@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("every query in the registry has either an oracle or a documented rows-only reason") {
-    val rowsOnly = Set("d29_simhash", "d30_minhash_lsh", "q45_approx_distinct")
+    val rowsOnly = SparkEntry.rowsOnly // single source of truth; Verify warns on drift at runtime
     val declared = SparkEntry.queries.keySet
     val withOracle = SparkEntry.oracleSql.keySet
     assert(withOracle.subsetOf(declared))

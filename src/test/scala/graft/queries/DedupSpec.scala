@@ -20,6 +20,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   lazy val exactCosine = pairSet("s34_embedding_neardup")
   lazy val lshCosine = pairSet("s35_ann_lsh")
 
+  test("s34 scale fence refuses inputs above spark.graft.exact.maxRows") {
+    spark.conf.set("spark.graft.exact.maxRows", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("s34_embedding_neardup")(spark, sf0001)
+      }
+      assert(e.getMessage.contains("exactness baseline"))
+    } finally spark.conf.unset("spark.graft.exact.maxRows")
+  }
+
   test("exact near-dup pairs exist in the corpus and are ordered ia<ib") {
     assert(exactJaccard.nonEmpty, "corpus should contain planted near-dups")
     assert(exactJaccard.forall { case (a, b) => a < b })
