@@ -79,6 +79,61 @@ object TextOps {
             .as("dup_bigram_frac"))
     },
 
+    // Composite QUALITY FILTER — the Gopher/C4-style keep-or-drop gate
+    // a pretraining pipeline actually runs, composed from the already-
+    // green signal families: token/diversity counts (t24), repetition
+    // fractions (t33) and per-language marker-stopword hits (t26).
+    // Emits one row per document with keep + the FIRST failing rule as
+    // a reason code (priority: too_short > too_long > low_diversity >
+    // repetitive_top_bigram > repetitive_dup_bigram > no_stopwords).
+    // All thresholds are binary-exact literals (16, 4096, 3/8, 1/16) so
+    // the double comparisons agree bitwise across engines; ratios ship
+    // unrounded (exact integer operands). Plan shape: map-only signal
+    // projection + the t33 bigram double-groupBy keyed by doc_id, then
+    // one doc_id equi-join — nothing wider than the repetition stats
+    // themselves, so the composite adds no new shuffle shape at 100 TB.
+    "t35_quality_filter" -> { (s, d) =>
+      val base = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("n_unique", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("stop_hits",
+          langMarkers.foldRight(lit(null).cast("long")) {
+            case ((lang, ms), els) =>
+              when(col("lang") === lang,
+                size(array_intersect(array_distinct(col("w")),
+                  array(ms.map(lit): _*))).cast("long")).otherwise(els)
+          })
+      val bgStats = base.filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("nb"), count(lit(1)).as("ndb"),
+          max(col("n")).as("topn"))
+        .select(col("doc_id"), (col("topn") / col("nb")).as("tbf"),
+          ((col("nb") - col("ndb")) / col("nb")).as("dbf"))
+      val topF = coalesce(col("tbf"), lit(0.0))
+      val dupF = coalesce(col("dbf"), lit(0.0))
+      val reason = when(col("n_tokens") < 16, "too_short")
+        .when(col("n_tokens") > 4096, "too_long")
+        .when(col("n_unique") / col("n_tokens") < 0.375, "low_diversity")
+        .when(topF > 0.0625, "repetitive_top_bigram")
+        .when(dupF > 0.0625, "repetitive_dup_bigram")
+        .when(col("stop_hits") === 0, "no_stopwords")
+        .otherwise("keep")
+      base.select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("n_unique"), col("stop_hits"))
+        .join(bgStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          when(col("n_tokens") > 0, col("n_unique") / col("n_tokens"))
+            .as("uniq_ratio"),
+          topF.as("top_bigram_frac"), dupF.as("dup_bigram_frac"),
+          col("stop_hits"), reason.as("reason"),
+          (reason === "keep").as("keep"))
+    },
+
     // BM25 ranked retrieval for a fixed literal query — the relevance
     // scorer a training-data pipeline uses to mine topic-targeted
     // subsets from a raw corpus. Per-doc term frequencies are map-only
@@ -346,6 +401,57 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // same bigram/marker building blocks as t33/t26; the CASE rule
+    // chain evaluates in the identical priority order, and a NULL
+    // stop_hits (unknown lang) falls through to keep in both engines
+    "t35_quality_filter" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+        |  CAST(CASE lang
+        |   WHEN 'en' THEN len(list_intersect(list_distinct(w), ['the','a','and','of','is']))
+        |   WHEN 'es' THEN len(list_intersect(list_distinct(w), ['el','la','de','que','los']))
+        |   WHEN 'de' THEN len(list_intersect(list_distinct(w), ['der','die','das','und','ist']))
+        |   WHEN 'fr' THEN len(list_intersect(list_distinct(w), ['le','les','des','et','est']))
+        |   WHEN 'zh' THEN len(list_intersect(list_distinct(w), ['的','是','了']))
+        |   END AS BIGINT) AS stop_hits,
+        |  w
+        | FROM tok),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        | FROM base WHERE n_tokens >= 2),
+        |counts AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+        |stats AS (
+        | SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) / CAST(sum(n) AS BIGINT) AS tbf,
+        |  (CAST(sum(n) AS BIGINT) - count(*)) / CAST(sum(n) AS BIGINT) AS dbf
+        | FROM counts GROUP BY 1),
+        |j AS (
+        | SELECT b.doc_id, b.lang, b.n_tokens, b.n_unique, b.stop_hits,
+        |  coalesce(s.tbf, 0.0) AS top_bigram_frac,
+        |  coalesce(s.dbf, 0.0) AS dup_bigram_frac
+        | FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id),
+        |r AS (
+        | SELECT *,
+        |  CASE WHEN n_tokens < 16 THEN 'too_short'
+        |       WHEN n_tokens > 4096 THEN 'too_long'
+        |       WHEN n_unique / n_tokens < 0.375 THEN 'low_diversity'
+        |       WHEN top_bigram_frac > 0.0625 THEN 'repetitive_top_bigram'
+        |       WHEN dup_bigram_frac > 0.0625 THEN 'repetitive_dup_bigram'
+        |       WHEN stop_hits = 0 THEN 'no_stopwords'
+        |       ELSE 'keep' END AS reason
+        | FROM j)
+        |SELECT doc_id, lang, n_tokens,
+        | CASE WHEN n_tokens > 0 THEN n_unique / n_tokens END AS uniq_ratio,
+        | top_bigram_frac, dup_bigram_frac, stop_hits,
+        | reason, reason = 'keep' AS keep
+        |FROM r""".stripMargin,
     // bigrams replayed with 1-based list indexing (range(1, len) +
     // w[i]||' '||w[i+1] ≡ Spark's 0-based sequence/transform); the
     // row_number argmax uses the same total order (n DESC, bg ASC —

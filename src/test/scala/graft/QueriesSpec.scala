@@ -65,6 +65,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.4, s"s40 recall@3 was $recall")
   }
 
+  test("t35 quality filter: every rule fires on the corpus and keep matches reason") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("t35_quality_filter")(spark, sf0001)
+      .select(col("reason"), col("keep")).collect()
+    val reasons = rows.map(_.getString(0)).toSet
+    // thresholds were picked against the corpus distributions — a rule
+    // that never fires is dead code, a corpus with no keeps is a
+    // miscalibrated gate (too_long genuinely can't fire on ≤99-token docs)
+    assert(Set("keep", "too_short", "low_diversity", "repetitive_top_bigram",
+      "repetitive_dup_bigram", "no_stopwords").subsetOf(reasons), reasons.toString)
+    assert(rows.forall(r => r.getBoolean(1) == (r.getString(0) == "keep")))
+  }
+
   test("queries are deterministic across two runs (hash-stable for the driver)") {
     val sample = Seq("q01_pricing_summary", "q14_running_total",
       "t25_fingerprint", "s33_knn_bruteforce", "d28_neardup_jaccard")
