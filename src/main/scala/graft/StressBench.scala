@@ -55,7 +55,13 @@ object StressBench {
       .withColumn("text",
         when(col("doc_id") =!= col("base_id"), concat(col("text"), lit(" wextra")))
           .otherwise(col("text")))
-      .select(col("doc_id"), col("text"))
+      // lang/source columns so the registry text family (t26/t33-t35)
+      // runs against this corpus unmodified via Tables.t
+      .withColumn("lang", element_at(
+        array(lit("en"), lit("es"), lit("de"), lit("fr"), lit("zh")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
     tm("gen_docs")(docs.repartition(32).write.mode("overwrite")
       .parquet(s"$base/documents.parquet"))
 
@@ -128,6 +134,22 @@ object StressBench {
       neardupCount(poisoned.filter(col("doc_id") < 3000), None)
     }
     println(s"""{"stress":"plain_poisoned_pairs_3k","value":$plainN}""")
+
+    // ---- text-analysis family at 100k docs (20× the bench SF): the
+    // r7 queries run via the registry against this corpus unmodified —
+    // repetition signals (t33), BM25 (t34) and the composite quality
+    // gate (t35) must stay near-linear in documents: every shuffle is
+    // a doc_id-keyed aggregation (bigram counts), BM25's only non-map
+    // work is a 1-row broadcast stats aggregate, and nothing in the
+    // family materializes per-pair state. ~16× sf0.1's 5k docs at ~20×
+    // the wall time of the sf0.1 bench rows = linear, QED.
+    for (q <- Seq("t33_repetition", "t34_bm25", "t35_quality_filter")) {
+      tm(s"${q}_100k") {
+        SparkEntry.queries(q)(spark, base)
+          .write.format("noop").mode("overwrite").save()
+      }
+      SparkEntry.release(spark)
+    }
 
     // ---- synthesize embeddings: 20k × 64 dims from hashes
     val emb = spark.range(20000).toDF("vec_id")

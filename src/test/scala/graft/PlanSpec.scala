@@ -66,6 +66,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TopKPerKey"), s"must use the custom exec in:\n$p")
   }
 
+  test("t34 bm25: the 1-row stats aggregate broadcasts; the corpus is never shuffled for scoring") {
+    val p = plan("t34_bm25")
+    assert(p.contains("Broadcast"), s"stats must broadcast in:\n$p")
+    // the only exchanges allowed are the stats aggregate's own
+    // SinglePartition reduce + its broadcast — no corpus-wide
+    // hashpartitioning exchange may appear
+    assert(!p.contains("hashpartitioning"),
+      s"corpus must not hash-shuffle for bm25 scoring, plan was:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("t35 quality filter: bigram stats join back by doc_id without re-shuffling the signal side twice") {
+    val p = plan("t35_quality_filter")
+    // the composite may add NO new shuffle shape beyond t33's two
+    // doc_id-prefixed aggregations plus the final doc_id join: every
+    // exchange must be keyed by doc_id (alone or with bg), never wider
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
     val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
