@@ -179,6 +179,74 @@ object TextOps {
           round(terms.map(termScore).reduce(_ + _), 6).as("bm25"): _*)
     },
 
+    // Bigram language-model PERPLEXITY — the CCNet-style quality signal:
+    // train a bigram LM on the corpus itself (two partial-agg groupBys:
+    // bigram counts and first-token context counts), then score every
+    // document by the mean negative log2 conditional probability of its
+    // bigram occurrences. The model is JOINED onto the exploded bigram
+    // stream on the bigram / context keys — never broadcast or
+    // collected — so an unbounded vocabulary at 100 TB just means a
+    // bigger (well-partitioned) shuffle, not a driver OOM. p = c(w1 w2)
+    // / c(w1 ·) is an exact BIGINT/BIGINT double; the per-doc log2 sum
+    // is order-dependent at ~1e-12 so both outputs round to 4 dp (the
+    // t32 discipline). perplexity = 2^avg is computed on the UNROUNDED
+    // mean in both engines. Docs with <2 tokens have no bigrams and are
+    // absent, matching t33.
+    "t36_lm_perplexity" -> { (s, d) =>
+      val bg = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bg"))
+        // tokens contain no spaces (whitespace split), so the first
+        // token of the bigram string is recoverable exactly
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        // feeds the model fit (twice) and the scoring join — persist so
+        // tokenize+explode runs once; released by SparkEntry.release()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+      val nll = -sum(log2(col("c_bg") / col("c_ctx"))) / count(lit(1))
+      bg.join(model, "bg").join(ctx, "w1")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(nll, 4).as("avg_neg_log2"),
+          round(pow(lit(2.0), nll), 4).as("perplexity"))
+    },
+
+    // Cross-document DUPLICATE-SPAN fraction — the RefinedWeb/C4-style
+    // corpus-level boilerplate signal: what share of a document's
+    // distinct 8-token spans also occur in at least one OTHER document.
+    // (Distinct from d28's pairwise Jaccard: this is a per-doc signal
+    // against the whole corpus, not a pair list.) Spans are md5-
+    // fingerprinted INSIDE the per-doc transform, so the exploded
+    // stream and every shuffle key is a fixed 32-char digest, never the
+    // token text — the m35 shared-tile discipline. Plan: map-side
+    // explode → one partial-agg groupBy on span_md5 (docs-per-span) →
+    // join back on span_md5 → per-doc reduce. All shuffles keyed by
+    // digest or doc_id; ratios integer-derived, shipped unrounded.
+    "t37_dup_span_fraction" -> { (s, d) =>
+      val span = 8
+      val sp = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= span)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(w)-$span), " +
+            s"i -> md5(concat_ws(' ', slice(w, i+1, $span)))))"))
+          .as("span_md5"))
+        // feeds the docs-per-span aggregate AND the scoring join —
+        // persist the digest stream; released by SparkEntry.release()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perSpan = sp.groupBy(col("span_md5")).agg(count(lit(1)).as("n_docs"))
+      sp.join(perSpan, "span_md5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared_spans"),
+          (col("n_shared_spans") / col("n_spans")).as("shared_span_frac"))
+    },
+
     // Document CHUNKING — the RAG/pretraining chunker: fixed-size token
     // windows (32 tokens) with overlap (stride 24), one output row per
     // chunk, fingerprinted. Map-only: per-doc window starts via
@@ -518,6 +586,45 @@ object TextOps {
         |  ), 6) AS bm25
         |FROM tf CROSS JOIN stats
         |WHERE tf_spark + tf_table + tf_vector > 0""".stripMargin,
+    // same bigram building blocks as t33; p = BIGINT/BIGINT (DuckDB /
+    // is float division), log2 sums round to 4 dp (t32 discipline),
+    // power(2, x) evaluates on the unrounded mean like the Spark pow
+    "t36_lm_perplexity" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        | FROM tok WHERE len(w) >= 2),
+        |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+        |model AS (SELECT bg, count(*) AS c_bg FROM b2 GROUP BY 1),
+        |ctx AS (SELECT w1, count(*) AS c_ctx FROM b2 GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(-sum(log2(c_bg / c_ctx)) / count(*), 4) AS avg_neg_log2,
+        | round(power(2.0, -sum(log2(c_bg / c_ctx)) / count(*)), 4) AS perplexity
+        |FROM b2 JOIN model USING (bg) JOIN ctx USING (w1)
+        |GROUP BY doc_id""".stripMargin,
+    // spans replayed with 1-based inclusive slices (range(1, len-6) +
+    // w[i : i+7] ≡ Spark's 0-based sequence + slice(w, i+1, 8));
+    // per-doc list_distinct before unnest matches array_distinct, so
+    // docs-per-span counts distinct documents in both engines
+    "t37_dup_span_fraction" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sp AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> md5(array_to_string(w[i : i + 7], ' '))))) AS span_md5
+        | FROM tok WHERE len(w) >= 8),
+        |ps AS (SELECT span_md5, count(*) AS n_docs FROM sp GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) / count(*)
+        |   AS shared_span_frac
+        |FROM sp JOIN ps USING (span_md5)
+        |GROUP BY doc_id""".stripMargin,
     "t32_token_entropy" ->
       """WITH tok AS (
         | SELECT source, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token

@@ -88,6 +88,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("t36 perplexity: model joins keyed by bigram/context — the token text never widens a shuffle beyond its key") {
+    val p = plan("t36_lm_perplexity")
+    // the LM must ride the shuffle as equi-join keys (bg, w1) plus the
+    // final doc_id reduce — no broadcast of the unbounded model, no
+    // SinglePartition collapse of the corpus
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("bg", "w1", "doc_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("t37 dup spans: every shuffle is keyed by the 32-char digest or doc_id, never the token text") {
+    val p = plan("t37_dup_span_fraction")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("span_md5", "doc_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
     val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
