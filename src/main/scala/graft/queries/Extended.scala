@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -11,6 +11,24 @@ import graft.operators.{AsOfJoin, AsOfJoinNativeApi, RangeJoin, SaltedJoin}
   * conditional aggregation, unpivot, and approximate distinct counts.
   */
 object Extended {
+
+  /** 32-bit Morton code: bit i of x lands at position 2i, bit i of y at
+    * 2i+1. Bits never overlap, so the terms sum without carries — `+`
+    * is `|`, and the identical arithmetic rendering runs in DuckDB.
+    * Used by q73 and by LayoutSpec's clustering-bound proof. */
+  private[graft] def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The DuckDB rendering of [[morton16]]: same shift/mask/scale terms,
+    * generated from the same loop so the two engines cannot drift. */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 16).flatMap { i =>
+      Seq(s"(($x >> $i) & 1) * ${1L << (2 * i)}",
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // As-of join: every error event picks up the user's most recent
@@ -201,6 +219,27 @@ object Extended {
     // HLL approximate distinct counts — the 100 TB rendering of q08.
     // Sketches differ across engines → rows-only; relative-error bound
     // vs the exact counts is asserted in scalatest.
+    // Z-ORDER (Morton) interleave key — the multi-dimensional data-
+    // layout primitive behind Delta/Iceberg OPTIMIZE ZORDER BY: sorting
+    // or range-partitioning a 100 TB table by this key clusters BOTH
+    // dimensions into every file, so parquet footer min/max stats prune
+    // 2-D box predicates where a single-column sort only prunes one
+    // dimension (LayoutSpec proves the clustering bound: an aligned
+    // 32x32 box touches 1 z-bucket vs 8 single-dim buckets). The key
+    // itself is pure integer bit math — 16 bits per dimension
+    // interleaved — evaluated identically in both engines (non-
+    // overlapping bits, so + is |). Map-only: zero exchanges; the sort
+    // that USES the key is the writer's repartitionByRange, not part of
+    // key computation.
+    "q73_zorder_key" -> { (s, d) =>
+      val x = pmod(col("l_partkey"), lit(65536L))
+      val y = pmod(col("l_suppkey"), lit(65536L))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          x.as("x"), y.as("y"),
+          morton16(x, y).as("zkey"))
+    },
+
     "q45_approx_distinct" -> { (s, d) =>
       t(s, d, "lineitem").agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
@@ -249,6 +288,15 @@ object Extended {
   }
 
   val oracle: Map[String, String] = Map(
+    // bit terms generated by the same Scala loop as the Spark plan
+    "q73_zorder_key" ->
+      s"""WITH b AS (
+         | SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+         | FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, x, y,
+         | ${mortonSql("x", "y")} AS zkey
+         |FROM b""".stripMargin,
     "q65_hash_split" -> q65Oracle,
     // the SAME lateral SQL runs in DuckDB verbatim
     "q66_lateral_join" ->

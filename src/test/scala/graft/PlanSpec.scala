@@ -35,8 +35,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.toLowerCase.contains("sort "), s"bounded heap needs no sort:\n$p")
   }
 
-  test("map-only families plan with zero exchanges (t30 chunking, m34 tiling)") {
-    for (q <- Seq("t30_chunking", "m34_payload_tiles")) {
+  test("map-only families plan with zero exchanges (t30 chunking, m34 tiling, q73 z-order)") {
+    for (q <- Seq("t30_chunking", "m34_payload_tiles", "q73_zorder_key")) {
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must stay map-only (no shuffle), plan was:\n$p")
