@@ -57,6 +57,31 @@ object Analytic {
           col("running_spend"), col("days_since_prev"))
     },
 
+    // SCD TYPE-2 interval build — the CDC/warehouse history op: collapse
+    // each user's event stream into contiguous [valid_from, valid_to)
+    // state intervals, one row per state CHANGE, open-ended (null
+    // valid_to) on the current state. Two windows over the same
+    // (user_id) clustering — the change-detect lag and the interval-
+    // close lead — so the plan shuffles the log ONCE by user_id and
+    // sorts within partitions; at 100 TB that is one keyed exchange of
+    // the event log, the minimum any history build needs. Tie-break on
+    // (ts, event_id) makes the order total and both engines agree.
+    "q74_scd2_intervals" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val changes = t(s, d, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -269,6 +294,23 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    // same change-detect + interval-close windows over the identical
+    // (ts, event_id) total order
+    "q74_scd2_intervals" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_type
+        | FROM events),
+        |ch AS (
+        | SELECT * FROM c
+        | WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC) AS valid_to,
+        | lead(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+        |FROM ch""".stripMargin,
     "q68_rank_functions" ->
       """SELECT c_nationkey, c_custkey,
         | dense_rank() OVER w AS drnk,

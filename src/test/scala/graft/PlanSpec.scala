@@ -109,6 +109,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
+    val p = plan("q74_scd2_intervals")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges === List("user_id"),
+      s"expected exactly one user_id exchange, got $exchanges in:\n$p")
+  }
+
   test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
     val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
