@@ -137,13 +137,16 @@ object StressBench {
 
     // ---- text-analysis family at 100k docs (20× the bench SF): the
     // r7 queries run via the registry against this corpus unmodified —
-    // repetition signals (t33), BM25 (t34) and the composite quality
-    // gate (t35) must stay near-linear in documents: every shuffle is
-    // a doc_id-keyed aggregation (bigram counts), BM25's only non-map
-    // work is a 1-row broadcast stats aggregate, and nothing in the
-    // family materializes per-pair state. ~16× sf0.1's 5k docs at ~20×
-    // the wall time of the sf0.1 bench rows = linear, QED.
-    for (q <- Seq("t33_repetition", "t34_bm25", "t35_quality_filter")) {
+    // repetition signals (t33), BM25 (t34), the composite quality gate
+    // (t35), bigram-LM perplexity (t36) and the cross-doc duplicate-
+    // span fraction (t37) must stay near-linear in documents: every
+    // shuffle is keyed by doc_id / bigram / span digest (fixed-width
+    // keys, partial-agg), BM25's only non-map work is a 1-row broadcast
+    // stats aggregate, and nothing in the family materializes per-pair
+    // state. ~16× sf0.1's 5k docs at ~20× the wall time of the sf0.1
+    // bench rows = linear, QED.
+    for (q <- Seq("t33_repetition", "t34_bm25", "t35_quality_filter",
+      "t36_lm_perplexity", "t37_dup_span_fraction")) {
       tm(s"${q}_100k") {
         SparkEntry.queries(q)(spark, base)
           .write.format("noop").mode("overwrite").save()

@@ -82,6 +82,55 @@ object Analytic {
           col("valid_to").isNull.as("is_current"))
     },
 
+    // FUNNEL analysis — ordered-stage conversion (view → click →
+    // purchase): each stage's timestamp is the user's first qualifying
+    // event AT OR AFTER the previous stage, so out-of-order events
+    // don't count. Three per-user conditional aggregations chained by
+    // user_id equi-joins — every shuffle and join is keyed by user_id,
+    // so at 100 TB the event log partitions once per stage with no
+    // widening (and AQE broadcasts the shrinking stage tables). Rows =
+    // users who completed stage 1; later stages null when unreached.
+    "q75_funnel_stages" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          when(col("t_purchase").isNotNull, "purchase")
+            .when(col("t_click").isNotNull, "click")
+            .otherwise("view").as("stage_reached"))
+    },
+
+    // COHORT RETENTION — the signup-week cohort grid: users bucket by
+    // the week of their first signup event; every later event marks
+    // them active in week N after signup; cells count distinct active
+    // users. Integer week arithmetic (floor of day diff / 7) — exact in
+    // both engines. One user_id join + one (cohort, week) partial-agg
+    // countDistinct: the 100 TB plan is a single keyed repartition of
+    // the log, with the per-user cohort table broadcast by AQE when it
+    // fits.
+    "q76_cohort_retention" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      e.join(cohort, "user_id")
+        .filter(col("ts") >= col("cohort_week"))
+        .withColumn("week_n",
+          floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / 7)
+            .cast("long"))
+        .groupBy(col("cohort_week"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -294,6 +343,41 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same chained conditional-min staging; left joins keep
+    // view-only users with null later stages
+    "q75_funnel_stages" ->
+      """WITH v AS (
+        | SELECT user_id, min(ts) AS t_view FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        | SELECT e.user_id, min(e.ts) AS t_click
+        | FROM events e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        | GROUP BY 1),
+        |p AS (
+        | SELECT e.user_id, min(e.ts) AS t_purchase
+        | FROM events e JOIN c ON e.user_id = c.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        | GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        | CASE WHEN p.t_purchase IS NOT NULL THEN 'purchase'
+        |      WHEN c.t_click IS NOT NULL THEN 'click'
+        |      ELSE 'view' END AS stage_reached
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // date_trunc('week', ...) is ISO-Monday in both engines; week_n is
+    // exact integer day-diff arithmetic
+    "q76_cohort_retention" ->
+      """WITH cohort AS (
+        | SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        | FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT c.cohort_week,
+        | CAST((CAST(e.ts AS DATE) - CAST(c.cohort_week AS DATE)) // 7 AS BIGINT)
+        |   AS week_n,
+        | count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |WHERE e.ts >= c.cohort_week
+        |GROUP BY 1, 2""".stripMargin,
     // same change-detect + interval-close windows over the identical
     // (ts, event_id) total order
     "q74_scd2_intervals" ->

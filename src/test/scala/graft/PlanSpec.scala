@@ -117,6 +117,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one user_id exchange, got $exchanges in:\n$p")
   }
 
+  test("q75/q76 event analytics: every shuffle is keyed by user_id or the final cohort cell") {
+    for ((q, allowed) <- Seq(
+      "q75_funnel_stages" -> Set("user_id"),
+      "q76_cohort_retention" -> Set("user_id", "cohort_week"))) {
+      val p = plan(q)
+      val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(exchanges.subsetOf(allowed),
+        s"$q: unexpected shuffle keys $exchanges in:\n$p")
+    }
+  }
+
   test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
     val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
