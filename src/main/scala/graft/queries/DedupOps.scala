@@ -107,6 +107,45 @@ object DedupOps {
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
     },
 
+    // TRIANGLE enumeration on the near-dup graph — the third graph
+    // primitive beside CC (d31/d34) and PageRank (d37): triangles are
+    // the clustering-coefficient / community-density signal a dedup
+    // pipeline uses to tell tight dup-cliques from chains of marginal
+    // matches. Edges = d28's shingle-join pairs at jaccard >= 0.5
+    // (binary-exact threshold). Enumeration is the classic two-path +
+    // closure join (Suri & Vassilvitskii's MapReduce pattern): edges
+    // are stored once with ia < ib, so each triangle a<b<c is emitted
+    // exactly once — path (a,b)+(b,c) closed by edge (a,c). Both joins
+    // are equi-joins on vertex ids; the edge list persists once and
+    // feeds all three branches. At 100 TB the known refinement is
+    // degree-ordering instead of id-ordering (bounds the path fan-out
+    // by degeneracy); id-ordering keeps the oracle exactly replayable
+    // and the join shape identical.
+    "d40_triangles" -> { (s, d) =>
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"),
+        explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val e = ex.select(col("doc_id").as("ia"), col("sv"))
+        .join(ex.select(col("doc_id").as("ib"), col("sv").as("svb")),
+          col("sv") === col("svb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select(col("ia"), col("ib"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.select(col("ia").as("a"), col("ib").as("b"))
+        .join(e.select(col("ia").as("b2"), col("ib").as("c")),
+          col("b") === col("b2"))
+        .join(e.select(col("ia").as("a3"), col("ib").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+    },
+
     // d28 with STOP-SHINGLE capping — the 100 TB hardening: a shingle
     // appearing in more than `maxDf` docs generates O(df²) candidate
     // pairs on its own (boilerplate headers/footers are the classic
@@ -577,6 +616,31 @@ object DedupOps {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // same edge CTE as d28 at the 0.5 threshold; the two-path + closure
+    // self-joins replay the a<b<c single-count exactly
+    "d40_triangles" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |e AS (
+        | SELECT ia, ib FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = ia
+        |  JOIN sizes sb ON sb.doc_id = ib
+        | WHERE inter / (sa.n + sb.n - inter) >= 0.5)
+        |SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        |FROM e e1
+        | JOIN e e2 ON e1.ib = e2.ia
+        | JOIN e e3 ON e1.ia = e3.ia AND e2.ib = e3.ib""".stripMargin,
     "d28_neardup_jaccard" ->
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
