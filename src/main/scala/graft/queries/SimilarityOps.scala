@@ -160,6 +160,41 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 10.
+    // HYBRID RETRIEVAL via Reciprocal Rank Fusion — the modern search
+    // stack's fusion step: the lexical ranking (t34's BM25, shared
+    // helper so the algebra cannot drift) and the semantic ranking
+    // (cosine to the query document's embedding, doc_id ≡ vec_id in the
+    // corpus) each take their top-50 through a DISTRIBUTED
+    // TakeOrderedAndProject; ranks are then assigned by a window over
+    // at most 50 rows (bounded by the constant k, not the corpus — the
+    // only acceptable use of an unpartitioned window), fused full-outer
+    // on doc id with rrf = Σ 1/(60+rank). At 100 TB each arm scans its
+    // own index path and only the k survivors meet — the fusion itself
+    // never touches the corpus. 1/(60+rank) on integer ranks is
+    // binary-exact in both engines; the two-term sum is fixed-order.
+    "s44_hybrid_rrf" -> { (s, d) =>
+      val lex = TextOps.bm25Scores(s, d).select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+      val lexR = lex.withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+      val sem = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cos(col("qemb"), col("emb")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(50)
+      val semR = sem.withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      lexR.select(col("doc_id"), col("lex_rank"))
+        .join(semR.select(col("vec_id"), col("sem_rank")),
+          col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          col("lex_rank"), col("sem_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6)
+            .as("rrf"))
+    },
+
     "s33_knn_bruteforce" -> { (s, d) =>
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -663,6 +698,28 @@ object SimilarityOps {
   }
 
   def oracle: Map[String, String] = Map(
+    // the lexical arm embeds t34's oracle verbatim (same map entry, so
+    // the BM25 algebra literally cannot drift between the two queries);
+    // ranks come from the identical ORDER BY ... LIMIT 50 + row_number
+    // total order; CAST(1.0 AS DOUBLE) keeps the rrf terms out of
+    // DuckDB's DECIMAL division path
+    "s44_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id, bm25 FROM (${TextOps.oracle("t34_bm25")}) tl),
+         |lex50 AS (SELECT doc_id, bm25 FROM lex ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank FROM lex50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+         |sem AS (
+         | SELECT vec_id, round(list_dot_product(qemb, emb) /
+         |  (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS cosine
+         | FROM e, q WHERE vec_id <> 0),
+         |sem50 AS (SELECT vec_id, cosine FROM sem ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+         |semr AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS sem_rank FROM sem50)
+         |SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+         | l.lex_rank, s.sem_rank,
+         | round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+         |     + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), 0.0), 6) AS rrf
+         |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id""".stripMargin,
     "s35_ann_lsh" -> s35Oracle,
     "s43_ivfpq_residual" -> s43Oracle,
     "s40_ivf_trained" -> s40Oracle,

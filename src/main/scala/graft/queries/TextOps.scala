@@ -30,6 +30,43 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "and", "of")
 
+  /** t34's BM25 scoring, shared verbatim with s44's hybrid fusion.
+    * Output: (doc_id, dl, tf_spark, tf_table, tf_vector, bm25) for
+    * every document matching ≥1 query term. Persists the tokenized
+    * projection (released by SparkEntry.release() per the registry
+    * lifecycle contract — Bench/Verify call it between queries; a
+    * long-lived session embedding the registry must do the same). */
+  private[queries] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "table", "vector")
+    val docs = t(s, d, "documents")
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+        terms.map(tm =>
+          size(filter(col("w"), x => x === lit(tm))).cast("long")
+            .as(s"tf_$tm")): _*)
+      // feeds the stats aggregate AND the scoring pass — persist the
+      // (doc_id, 4×long) projection so tokenize runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L))
+          .as(s"df_$tm")): _*)
+    def termScore(tm: String): Column = {
+      val tf = col(s"tf_$tm")
+      val dfc = col(s"df_$tm")
+      log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+        ((tf * lit(2.25)) / (tf + lit(1.25) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") * col("n_docs")) /
+            col("sum_dl"))))
+    }
+    docs.crossJoin(broadcast(stats))
+      .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(tm => col(s"tf_$tm")) :+
+        round(terms.map(termScore).reduce(_ + _), 6).as("bm25"): _*)
+  }
+
   /** Per-language marker stopword sets for the lang-ID heuristic. Order
     * here is the deterministic tie-break priority. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -145,39 +182,7 @@ object TextOps {
     // exactly before converting, so a non-representable k1 (e.g. 1.2)
     // would diverge from Java's double path in the last ulp. The ln()
     // output rounds to 6 dp (the t27 idf discipline).
-    "t34_bm25" -> { (s, d) =>
-      val terms = Seq("spark", "table", "vector")
-      val docs = t(s, d, "documents")
-        .withColumn("w", tokens(col("text")))
-        .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
-          terms.map(tm =>
-            size(filter(col("w"), x => x === lit(tm))).cast("long")
-              .as(s"tf_$tm")): _*)
-        // feeds the stats aggregate AND the scoring pass — persist the
-        // (doc_id, 4×long) projection so tokenize runs once. Released
-        // by SparkEntry.release() per the registry lifecycle contract
-        // (Bench/Verify call it between queries; a long-lived session
-        // embedding the registry must do the same or blocks accumulate).
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl") +:
-          terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L))
-            .as(s"df_$tm")): _*)
-      def termScore(tm: String): Column = {
-        val tf = col(s"tf_$tm")
-        val dfc = col(s"df_$tm")
-        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
-          ((tf * lit(2.25)) / (tf + lit(1.25) *
-            (lit(0.25) + lit(0.75) * (col("dl").cast("double") * col("n_docs")) /
-              col("sum_dl"))))
-      }
-      docs.crossJoin(broadcast(stats))
-        .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
-        .select(col("doc_id") +: col("dl") +:
-          terms.map(tm => col(s"tf_$tm")) :+
-          round(terms.map(termScore).reduce(_ + _), 6).as("bm25"): _*)
-    },
+    "t34_bm25" -> { (s, d) => bm25Scores(s, d) },
 
     // Bigram language-model PERPLEXITY — the CCNet-style quality signal:
     // train a bigram LM on the corpus itself (two partial-agg groupBys:

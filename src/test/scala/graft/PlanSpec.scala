@@ -129,6 +129,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("s44 hybrid rrf: both arms take their top-50 through distributed TakeOrderedAndProject") {
+    val p = plan("s44_hybrid_rrf")
+    assert(p.split("TakeOrderedAndProject").length - 1 >= 2,
+      s"both ranking arms must use distributed top-k, plan was:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("t31 packing: block-offset table broadcasts; no global single-partition window over the corpus") {
     val df = SparkEntry.queries("t31_seq_packing")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
