@@ -3,7 +3,8 @@ package graft.ml
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{Normalizer, VectorAssembler}
-import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressor}
+import org.apache.spark.ml.regression.{GBTRegressor, RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,5 +113,36 @@ object ReefPipeline {
       .setMetricName("rmse")
       .evaluate(predictions)
     (model, rmse)
+  }
+
+  /** Seeded k-fold model selection — the `CrossValidator` surface the
+    * MLlib north star implies (Pipeline + param grid + evaluator; the
+    * reference imports Pipeline and never tunes, Data_transform.py:9).
+    * Fold assignment and tree seeds are all fixed, so the selected
+    * maxDepth and per-candidate mean RMSEs are run-to-run
+    * reproducible. `parallelism(2)` fits grid candidates concurrently
+    * — on a cluster each fit is itself distributed, so the two knobs
+    * compose. Returns (best mean RMSE, best maxDepth, all mean RMSEs
+    * in grid order). */
+  def crossValidate(featured: DataFrame, labelCol: String,
+      seed: Long = 42L): (Double, Int, Array[Double]) = {
+    val rf = new RandomForestRegressor()
+      .setFeaturesCol("features").setLabelCol(labelCol).setSeed(seed)
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.maxDepth, Array(3, 5))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(new Pipeline().setStages(Array(rf)))
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol(labelCol).setPredictionCol("prediction")
+        .setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setSeed(seed)
+      .setParallelism(2)
+    val m = cv.fit(featured)
+    val bestDepth = m.bestModel.asInstanceOf[PipelineModel]
+      .stages(0).asInstanceOf[RandomForestRegressionModel].getMaxDepth
+    (m.avgMetrics.min, bestDepth, m.avgMetrics)
   }
 }

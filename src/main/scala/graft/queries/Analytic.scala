@@ -82,6 +82,29 @@ object Analytic {
           col("valid_to").isNull.as("is_current"))
     },
 
+    // Per-entity ANOMALY flags — the monitoring/data-quality shape:
+    // z-score each event's value against ITS USER's mean/stddev and
+    // keep |z| > 2. One partial-agg groupBy on user_id for the stats,
+    // joined back (AQE broadcasts the per-user stats when they fit) —
+    // the log itself shuffles once. z rounds to 4 dp BEFORE the
+    // threshold compare (the q61/t32 float discipline: avg/stddev sum
+    // order differs ~1e-12 between engines; comparing on the rounded
+    // value keeps the kept-set identical except on exact knife edges,
+    // which the 4-dp grid makes measure-zero for this data).
+    "q77_zscore_outliers" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val stats = e.groupBy(col("user_id"))
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"),
+          count(lit(1)).as("n_events"))
+      e.join(stats, "user_id")
+        .filter(col("sigma") > 0)
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 4))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("n_events"), col("z"))
+    },
+
     // FUNNEL analysis — ordered-stage conversion (view → click →
     // purchase): each stage's timestamp is the user's first qualifying
     // event AT OR AFTER the previous stage, so out-of-order events
@@ -343,6 +366,20 @@ object Analytic {
   )
 
   val oracle: Map[String, String] = Map(
+    // avg/stddev_samp replayed per user; round-then-compare keeps the
+    // kept-set identical across engines
+    "q77_zscore_outliers" ->
+      """WITH stats AS (
+        | SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma,
+        |  count(*) AS n_events
+        | FROM events GROUP BY 1),
+        |z AS (
+        | SELECT e.user_id, e.event_id, e.value, s.n_events,
+        |  round((e.value - s.mu) / s.sigma, 4) AS z
+        | FROM events e JOIN stats s ON e.user_id = s.user_id
+        | WHERE s.sigma > 0)
+        |SELECT user_id, event_id, value, n_events, z
+        |FROM z WHERE abs(z) > 2.0""".stripMargin,
     // the same chained conditional-min staging; left joins keep
     // view-only users with null later stages
     "q75_funnel_stages" ->

@@ -252,6 +252,31 @@ object TextOps {
           (col("n_shared_spans") / col("n_spans")).as("shared_span_frac"))
     },
 
+    // Top BOILERPLATE SPANS per source — the report a data-cleaning
+    // pipeline actually reads: for each source, the 5 most-duplicated
+    // 8-token spans (shared by ≥2 docs). Composes t37's digest stream
+    // with the NATIVE bounded-heap TopKPerKey exec (plans/
+    // TopKPerKeyNative) — per-(source,span) counts then one streaming
+    // top-k pass with O(sources × 5) state, no per-partition sort.
+    // Shuffle keys: (source, span_md5) for the count, source for the
+    // heap — both bounded-width; span text never ships.
+    "t38_top_spans_per_source" -> { (s, d) =>
+      val span = 8
+      val sp = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= span)
+        .select(col("source"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(w)-$span), " +
+            s"i -> md5(concat_ws(' ', slice(w, i+1, $span)))))"))
+          .as("span_md5"))
+      val stats = sp.groupBy(col("source"), col("span_md5"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      graft.operators.TopKPerKeyApi.topKPerKey(stats, Seq("source"),
+        Seq(("n_docs", false), ("span_md5", true)), 5)
+        .select(col("source"), col("rnk"), col("span_md5"), col("n_docs"))
+    },
+
     // Document CHUNKING — the RAG/pretraining chunker: fixed-size token
     // windows (32 tokens) with overlap (stride 24), one output row per
     // chunk, fingerprinted. Map-only: per-doc window starts via
@@ -610,6 +635,28 @@ object TextOps {
         | round(power(2.0, -sum(log2(c_bg / c_ctx)) / count(*)), 4) AS perplexity
         |FROM b2 JOIN model USING (bg) JOIN ctx USING (w1)
         |GROUP BY doc_id""".stripMargin,
+    // t37's span digests grouped by source; the row_number replay of
+    // the native TopKPerKey heap uses the identical (n_docs DESC,
+    // span_md5 ASC) total order
+    "t38_top_spans_per_source" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sp AS (
+        | SELECT source,
+        |  unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> md5(array_to_string(w[i : i + 7], ' '))))) AS span_md5
+        | FROM tok WHERE len(w) >= 8),
+        |stats AS (
+        | SELECT source, span_md5, count(*) AS n_docs FROM sp
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (
+        | SELECT source, span_md5, n_docs,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_docs DESC, span_md5 ASC) AS rnk
+        | FROM stats)
+        |SELECT source, rnk, span_md5, n_docs FROM r WHERE rnk <= 5""".stripMargin,
     // spans replayed with 1-based inclusive slices (range(1, len-6) +
     // w[i : i+7] ≡ Spark's 0-based sequence + slice(w, i+1, 8));
     // per-doc list_distinct before unnest matches array_distinct, so

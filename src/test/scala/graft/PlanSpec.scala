@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TopKPerKey"), s"must use the custom exec in:\n$p")
   }
 
+  test("t38: per-source top spans plan through the native TopKPerKey exec, no sort") {
+    val p = plan("t38_top_spans_per_source")
+    assert(p.contains("TopKPerKey"), s"must use the custom exec in:\n$p")
+    assert(!p.toLowerCase.contains("sort "), s"bounded heap needs no sort:\n$p")
+  }
+
   test("t34 bm25: the 1-row stats aggregate broadcasts; the corpus is never shuffled for scoring") {
     val p = plan("t34_bm25")
     assert(p.contains("Broadcast"), s"stats must broadcast in:\n$p")

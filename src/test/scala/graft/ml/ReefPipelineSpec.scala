@@ -116,6 +116,19 @@ class ReefPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rmseGbt >= 0 && !rmseGbt.isNaN)
   }
 
+  test("seeded 3-fold cross-validation selects reproducibly over the maxDepth grid") {
+    val (best1, depth1, metrics1) =
+      ReefPipeline.crossValidate(featured, "longitude")
+    val (best2, depth2, metrics2) =
+      ReefPipeline.crossValidate(featured, "longitude")
+    assert(metrics1.toSeq === metrics2.toSeq,
+      "seeded folds + seeded trees must reproduce every candidate's mean RMSE")
+    assert(depth1 === depth2)
+    assert(best1 === best2)
+    assert(metrics1.length === 2 && metrics1.forall(m => m > 0 && !m.isNaN))
+    assert(best1 === metrics1.min)
+  }
+
   test("regression learns signal on a 2000-survey synthetic reef (rmse < label stddev)") {
     // larger deterministic fixture: longitude is a (noisy) function of
     // the family mix, so a working pipeline must beat the stddev
