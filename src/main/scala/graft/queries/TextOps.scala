@@ -212,8 +212,16 @@ object TextOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
       val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+      // attach the context count to the DISTINCT-BIGRAM model first
+      // (model-side join, one row per distinct bigram) so the heavy
+      // occurrence stream reshuffles ONCE on bg instead of twice —
+      // at 100 TB the stream dwarfs the model by the repeat factor
+      val modelC = model
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(ctx, "w1")
+        .select(col("bg"), col("c_bg"), col("c_ctx"))
       val nll = -sum(log2(col("c_bg") / col("c_ctx"))) / count(lit(1))
-      bg.join(model, "bg").join(ctx, "w1")
+      bg.join(modelC, "bg")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(nll, 4).as("avg_neg_log2"),
