@@ -154,6 +154,71 @@ object Analytic {
         .agg(countDistinct(col("user_id")).as("active_users"))
     },
 
+    // GAP-BASED SESSIONIZATION — the batch form of session_window (q18)
+    // that emits STABLE PER-USER SESSION NUMBERS, which the native
+    // session-window operator does not: flag rows whose gap from the
+    // previous event exceeds 4 h, then a running sum of flags numbers
+    // the sessions. Both windows and the final aggregate share the
+    // (user_id) clustering — the event log shuffles exactly ONCE, and
+    // the (user_id, session_n) groupBy reuses the partitioning because
+    // user_id is a prefix of its keys. Gap arithmetic is exact integer
+    // microseconds (unix_micros / epoch_us truncate identically), so
+    // the session boundaries agree bitwise across engines.
+    "q78_sessionize" -> { (s, d) =>
+      val gapUs = 4L * 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+            .cast("long"))
+        .withColumn("session_n",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+
+    // MERGE/UPSERT (SCD type-1) — the warehouse `MERGE INTO` shape:
+    // fold a batch of late arrivals into a latest-state-per-key target.
+    // The cutoff splitting target from batch is the exact integer
+    // midpoint of the event-time range ((min+max) div 2 — truncating
+    // integer division agrees across engines on positive micros, where
+    // a double midpoint could differ by a ULP), carried in-plan as a
+    // broadcast 1-row cross join, no collect. Latest-per-key on each
+    // side is a row_number argmax over the total (ts, event_id) DESC
+    // order; the full-outer merge then classifies each key as
+    // update (both sides) / insert (batch only) / keep (target only).
+    // Every shuffle — both argmax windows and the merge join — is
+    // keyed by user_id.
+    "q79_merge_upsert" -> { (s, d) =>
+      val e = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val cut = e.agg(expr("(min(us) + max(us)) div 2").as("cut_us"))
+      val marked = e.crossJoin(broadcast(cut))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(side: DataFrame, stateAs: String, tsAs: String) =
+        side.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as(stateAs),
+            col("ts").as(tsAs))
+      val target = latest(marked.filter(col("us") < col("cut_us")),
+        "tgt_state", "tgt_ts")
+      val batch = latest(marked.filter(col("us") >= col("cut_us")),
+        "src_state", "src_ts")
+      target.join(batch, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("src_state"), col("tgt_state")).as("state"),
+          coalesce(col("src_ts"), col("tgt_ts")).as("state_ts"),
+          when(col("src_state").isNotNull && col("tgt_state").isNotNull,
+            "update")
+            .when(col("tgt_state").isNull, "insert")
+            .otherwise("keep").as("action"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -415,6 +480,55 @@ object Analytic {
         |FROM events e JOIN cohort c ON e.user_id = c.user_id
         |WHERE e.ts >= c.cohort_week
         |GROUP BY 1, 2""".stripMargin,
+    // identical flag/cumsum windows over the same (ts, event_id) total
+    // order; gap math is exact integer microseconds in both engines
+    "q78_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_us
+        | FROM events),
+        |f AS (
+        | SELECT *, CASE WHEN prev_us IS NULL
+        |   OR us - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM g),
+        |sn AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM f)
+        |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sn GROUP BY 1, 2""".stripMargin,
+    // same integer-midpoint cutoff, row_number argmax per side, and
+    // full-outer action classification
+    "q79_merge_upsert" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us
+        | FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut_us FROM e),
+        |tgt AS (
+        | SELECT user_id, event_type AS tgt_state, ts AS tgt_ts FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e, cut WHERE e.us < cut.cut_us)
+        | WHERE rn = 1),
+        |src AS (
+        | SELECT user_id, event_type AS src_state, ts AS src_ts FROM (
+        |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e, cut WHERE e.us >= cut.cut_us)
+        | WHERE rn = 1)
+        |SELECT coalesce(tgt.user_id, src.user_id) AS user_id,
+        | coalesce(src.src_state, tgt.tgt_state) AS state,
+        | coalesce(src.src_ts, tgt.tgt_ts) AS state_ts,
+        | CASE WHEN src.src_state IS NOT NULL AND tgt.tgt_state IS NOT NULL
+        |        THEN 'update'
+        |      WHEN tgt.tgt_state IS NULL THEN 'insert'
+        |      ELSE 'keep' END AS action
+        |FROM tgt FULL OUTER JOIN src ON tgt.user_id = src.user_id""".stripMargin,
     // same change-detect + interval-close windows over the identical
     // (ts, event_id) total order
     "q74_scd2_intervals" ->

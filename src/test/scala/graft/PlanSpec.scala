@@ -135,6 +135,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q78 sessionize: the event log shuffles ONCE by user_id — flag window, cumsum window, and session aggregate all reuse the clustering") {
+    val p = plan("q78_sessionize")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges === List("user_id"),
+      s"expected exactly one user_id exchange, got $exchanges in:\n$p")
+  }
+
+  test("q79 merge upsert: every shuffle is keyed by user_id; the cutoff stat broadcasts") {
+    val p = plan("q79_merge_upsert")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("user_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(p.contains("Broadcast"), s"cutoff must broadcast in:\n$p")
+  }
+
   test("s44 hybrid rrf: both arms take their top-50 through distributed TakeOrderedAndProject") {
     val p = plan("s44_hybrid_rrf")
     assert(p.split("TakeOrderedAndProject").length - 1 >= 2,
