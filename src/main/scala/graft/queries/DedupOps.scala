@@ -212,6 +212,31 @@ object DedupOps {
       graft.operators.DedupClustering.connectedComponentsStar(edges)
     },
 
+    // CANONICAL KEEP-LIST — the end-to-end dedup OUTPUT a pipeline
+    // actually ships: near-dup edges (d28) → connected components (the
+    // scale-safe star variant, d34) → one canonical survivor per
+    // cluster. The component label IS the min member id, so keep ≡
+    // (doc_id = cluster_rep) with no extra argmin pass; docs outside
+    // every edge are their own singleton cluster via the left join.
+    // Composes three green pieces with no new shuffle shape: beyond
+    // the d28 edge build, exchanges are keyed by doc_id (component
+    // join) and cluster_rep (size aggregate).
+    "d41_canonical_docs" -> { (s, d) =>
+      val edges = queries("d28_neardup_jaccard")(s, d)
+        .select(col("ia"), col("ib"))
+      val comps = graft.operators.DedupClustering.connectedComponentsStar(edges)
+        .withColumnRenamed("cluster_id", "cid")
+      val labeled = t(s, d, "documents").select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("cid"), col("doc_id")))
+      val sizes = labeled.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"),
+          (col("doc_id") === col("cluster_rep")).as("keep"),
+          col("cluster_size"))
+    },
+
     // Incremental near-dup: the daily-ingest shape — pairs touching the
     // "new batch" (top 10% of doc_ids) against the whole corpus. The
     // corpus side's exploded shingles are pruned by a broadcast semi-
@@ -612,6 +637,7 @@ object DedupOps {
     // identical output contract (connected components of the d28 edge
     // list, min-id label) — only the Spark-side algorithm differs
     "d34_dedup_clusters_star" -> d31OracleSql,
+    "d41_canonical_docs" -> d41OracleSql,
     "d27_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         | count(*) AS n_copies
@@ -664,6 +690,34 @@ object DedupOps {
   )
 
   private def d31OracleSql: String =
+    ccClosureCte +
+      """
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM rec GROUP BY src""".stripMargin
+
+  /** d41: the d31/d34 transitive closure extended with singleton docs
+    * (left join), the min-member representative, and per-cluster sizes
+    * — the same keep-list contract as the Spark side. */
+  private def d41OracleSql: String =
+    ccClosureCte +
+      """,
+        |comp AS (
+        | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        | FROM rec GROUP BY src),
+        |labeled AS (
+        | SELECT d.doc_id,
+        |  coalesce(c.cluster_id, d.doc_id) AS cluster_rep
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |sz AS (
+        | SELECT cluster_rep, count(*) AS cluster_size
+        | FROM labeled GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_rep,
+        | l.doc_id = l.cluster_rep AS keep, sz.cluster_size
+        |FROM labeled l JOIN sz ON l.cluster_rep = sz.cluster_rep""".stripMargin
+
+  /** Shared prefix for the CC-family oracles: d28's edge CTE at the 0.8
+    * threshold, symmetrized, plus the recursive transitive closure. */
+  private def ccClosureCte: String =
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
@@ -689,7 +743,5 @@ object DedupOps {
         |   SELECT src, dst FROM edges
         |   UNION
         |   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        | ) SELECT * FROM reach)
-        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |FROM rec GROUP BY src""".stripMargin
+        | ) SELECT * FROM reach)""".stripMargin
 }

@@ -409,6 +409,46 @@ object TextOps {
           countDistinct(col("doc_id")).as("n_docs"))
     },
 
+    // PER-SOURCE DISTRIBUTION DRIFT — the corpus-monitoring signal a
+    // production pipeline alarms on: KL divergence of each source's
+    // unigram distribution from the corpus distribution, both
+    // restricted to the corpus TOP-100 vocabulary (count DESC, token
+    // ASC — a deterministic total order, so both engines pick the
+    // identical vocab) and renormalized within it. Vocab selection is
+    // a distributed TakeOrderedAndProject over the token counts; the
+    // 100-row vocab and the 1-row corpus total then BROADCAST onto the
+    // per-source counts — the exploded token stream shuffles only on
+    // its natural keys (token, then (source, token)), never on a
+    // global sort. Terms a source never emits contribute 0 by the
+    // standard convention (the inner join drops them). Σ over ≤100
+    // double terms rounds to 6 dp (the t27 discipline).
+    "t39_unigram_kl" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("c_corpus"))
+        .orderBy(col("c_corpus").desc, col("token").asc)
+        .limit(100)
+      val vTot = vocab.agg(sum(col("c_corpus")).as("corpus_tot"))
+      val srcCounts = tok
+        .join(broadcast(vocab.select(col("token"))), "token")
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c_src"))
+      val srcTot = srcCounts.groupBy(col("source"))
+        .agg(sum(col("c_src")).as("src_tot"))
+      srcCounts
+        .join(broadcast(vocab), "token")
+        .join(srcTot, "source")
+        .crossJoin(broadcast(vTot))
+        .withColumn("p_src", col("c_src") / col("src_tot"))
+        .withColumn("p_corpus", col("c_corpus") / col("corpus_tot"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab_terms"),
+          min(col("src_tot")).as("vocab_tokens"),
+          round(sum(col("p_src") * log(col("p_src") / col("p_corpus"))), 6)
+            .as("kl"))
+    },
+
     // Stopword ratio per language label.
     "t23_stopword_ratio" -> { (s, d) =>
       t(s, d, "documents")
@@ -760,6 +800,31 @@ object TextOps {
         |FROM (SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
         |      FROM documents WHERE length(trim(text)) > 0)
         |GROUP BY lang""".stripMargin,
+    // identical deterministic vocab (count DESC, token ASC LIMIT 100),
+    // the same long/long→double divisions, ln, and the 6-dp final
+    // round; sums over ≤100 double terms differ only in order
+    "t39_unigram_kl" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |corpus AS (SELECT token, count(*) AS c_corpus FROM tok GROUP BY 1),
+        |vocab AS (SELECT token, c_corpus FROM corpus
+        |          ORDER BY c_corpus DESC, token ASC LIMIT 100),
+        |vtot AS (SELECT sum(c_corpus) AS corpus_tot FROM vocab),
+        |sc AS (
+        | SELECT t.source, t.token, count(*) AS c_src
+        | FROM tok t JOIN vocab v ON t.token = v.token GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c_src) AS src_tot FROM sc GROUP BY 1)
+        |SELECT sc.source, count(*) AS n_vocab_terms,
+        | CAST(min(st.src_tot) AS BIGINT) AS vocab_tokens,
+        | round(sum((sc.c_src / st.src_tot) *
+        |   ln((sc.c_src / st.src_tot) / (v.c_corpus / vtot.corpus_tot))), 6)
+        |   AS kl
+        |FROM sc
+        | JOIN vocab v ON sc.token = v.token
+        | JOIN st ON sc.source = st.source, vtot
+        |GROUP BY 1""".stripMargin,
     "t24_quality_score" ->
       """WITH tok AS (
         | SELECT doc_id,

@@ -152,6 +152,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Broadcast"), s"cutoff must broadcast in:\n$p")
   }
 
+  test("t39 kl drift: vocab selects through distributed top-k and broadcasts; token stream shuffles only on its natural keys") {
+    val p = plan("t39_unigram_kl")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab must select via distributed top-k, not a global sort:\n$p")
+    assert(p.contains("Broadcast"), s"vocab/corpus-total must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("token", "source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("d41 canonical keep-list: every exchange is keyed by a vertex/cluster id — no global sort, no unkeyed shuffle") {
+    val p = plan("d41_canonical_docs")
+    // node/u are the star-CC label-resolution join keys (the CC body
+    // itself is materialized behind localCheckpoint); doc_id/cluster_rep
+    // are the keep-list's own joins
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id", "cluster_rep", "node", "u")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort in the keep-list build:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("s44 hybrid rrf: both arms take their top-50 through distributed TakeOrderedAndProject") {
     val p = plan("s44_hybrid_rrf")
     assert(p.split("TakeOrderedAndProject").length - 1 >= 2,
