@@ -237,6 +237,25 @@ object DedupOps {
           col("cluster_size"))
     },
 
+    // DEDUP REPORT — the per-source dataset-card table a cleaning run
+    // publishes: document counts, kept counts, duplicate rate, and the
+    // largest dup cluster touching each source. Composes d41's
+    // keep-list with the documents metadata (one doc_id equi-join —
+    // AQE broadcasts the 4-column keep-list when it fits) and reduces
+    // by source; dup_rate is exact long arithmetic divided once,
+    // rounded at 4 dp.
+    "d42_dedup_report" -> { (s, d) =>
+      val keep = queries("d41_canonical_docs")(s, d)
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(keep, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          max(col("cluster_size")).as("max_cluster_size"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_kept")) / col("n_docs"), 4))
+    },
+
     // Incremental near-dup: the daily-ingest shape — pairs touching the
     // "new batch" (top 10% of doc_ids) against the whole corpus. The
     // corpus side's exploded shingles are pruned by a broadcast semi-
@@ -638,6 +657,19 @@ object DedupOps {
     // list, min-id label) — only the Spark-side algorithm differs
     "d34_dedup_clusters_star" -> d31OracleSql,
     "d41_canonical_docs" -> d41OracleSql,
+    // wraps the d41 oracle verbatim as a subquery (WITH nests fine in
+    // DuckDB), so the keep-list algebra cannot drift between the two
+    // registry entries
+    "d42_dedup_report" ->
+      s"""SELECT d.source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(max(k.cluster_size) AS BIGINT) AS max_cluster_size,
+        | round((count(*) - CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT))
+        |   / count(*), 4) AS dup_rate
+        |FROM documents d JOIN (
+        |${d41OracleSql}
+        |) k ON d.doc_id = k.doc_id
+        |GROUP BY 1""".stripMargin,
     "d27_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -260,6 +260,38 @@ object TextOps {
           (col("n_shared_spans") / col("n_spans")).as("shared_span_frac"))
     },
 
+    // TEMPORAL NOVELTY — the ingest-ordered "how much of this doc is
+    // genuinely new" signal a continuously-fed corpus tracks: the share
+    // of a doc's distinct 8-token spans whose FIRST occurrence (min
+    // doc_id, the ingest-order surrogate) is this doc. t37's digest
+    // discipline — spans md5-fingerprinted inside the per-doc
+    // transform, so the exploded stream and every shuffle key is a
+    // fixed 32-char digest, never token text. One span-keyed min
+    // aggregate, one join back, one doc_id reduce; at 100 TB the span
+    // stream shuffles once on its digest, exactly like t37.
+    "t40_ngram_novelty" -> { (s, d) =>
+      val span = 8
+      val sp = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= span)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(0, size(w)-$span), " +
+            s"i -> md5(concat_ws(' ', slice(w, i+1, $span)))))"))
+          .as("span_md5"))
+        // feeds the first-occurrence aggregate AND the scoring join —
+        // persist once; released by SparkEntry.release()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = sp.groupBy(col("span_md5"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sp.join(first, "span_md5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_spans"), col("n_novel"),
+          (col("n_novel") / col("n_spans")).as("novelty_frac"))
+    },
+
     // Top BOILERPLATE SPANS per source — the report a data-cleaning
     // pipeline actually reads: for each source, the 5 most-duplicated
     // 8-token spans (shared by ≥2 docs). Composes t37's digest stream
@@ -709,6 +741,25 @@ object TextOps {
     // w[i : i+7] ≡ Spark's 0-based sequence + slice(w, i+1, 8));
     // per-doc list_distinct before unnest matches array_distinct, so
     // docs-per-span counts distinct documents in both engines
+    // the same span CTE as t37 with a min(doc_id) first-occurrence
+    // aggregate; novelty is exact long/long→double division
+    "t40_ngram_novelty" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sp AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> md5(array_to_string(w[i : i + 7], ' '))))) AS span_md5
+        | FROM tok WHERE len(w) >= 8),
+        |fo AS (SELECT span_md5, min(doc_id) AS first_doc FROM sp GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_novel,
+        | CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |   / count(*) AS novelty_frac
+        |FROM sp JOIN fo USING (span_md5)
+        |GROUP BY doc_id""".stripMargin,
     "t37_dup_span_fraction" ->
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w

@@ -115,6 +115,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t40 novelty: every shuffle is keyed by the span digest or doc_id, like t37") {
+    val p = plan("t40_ngram_novelty")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("span_md5", "doc_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("d42 dedup report: exchanges stay on vertex/cluster/doc keys plus the final source reduce") {
+    val p = plan("d42_dedup_report")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(
+      Set("doc_id", "cluster_rep", "node", "u", "source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
