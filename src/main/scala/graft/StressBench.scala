@@ -146,13 +146,25 @@ object StressBench {
     // state. ~16× sf0.1's 5k docs at ~20× the wall time of the sf0.1
     // bench rows = linear, QED.
     for (q <- Seq("t33_repetition", "t34_bm25", "t35_quality_filter",
-      "t36_lm_perplexity", "t37_dup_span_fraction")) {
+      "t36_lm_perplexity", "t37_dup_span_fraction", "t40_ngram_novelty")) {
       tm(s"${q}_100k") {
         SparkEntry.queries(q)(spark, base)
           .write.format("noop").mode("overwrite").save()
       }
       SparkEntry.release(spark)
     }
+
+    // ---- canonical keep-list (registry d41) end-to-end at 100k docs:
+    // shingle-join edges → star CC → keep/drop flags + cluster sizes.
+    // The dup structure is ~2000 planted pairs (id ≡ 1 mod 50), so CC
+    // runs on a sparse 2k-edge graph and the dominant cost stays the
+    // d28 edge build — keep-list overhead must be a small constant on
+    // top of neardup_jaccard_100k above.
+    tm("canonical_docs_100k") {
+      SparkEntry.queries("d41_canonical_docs")(spark, base)
+        .write.format("noop").mode("overwrite").save()
+    }
+    SparkEntry.release(spark)
 
     // ---- synthesize embeddings: 20k × 64 dims from hashes
     val emb = spark.range(20000).toDF("vec_id")

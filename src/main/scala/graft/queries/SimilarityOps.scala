@@ -209,6 +209,28 @@ object SimilarityOps {
           col("cosine"))
     },
 
+    // ANN RECALL EVALUATION — the eval harness a vector pipeline runs
+    // before trusting an index: recall@3 of the IVF scale path (s37)
+    // against the exact brute-force ground truth (s33), per query and
+    // exactly replayable (both arms are deterministic registry twins;
+    // the oracle composes their SQL verbatim, the s44 discipline). At
+    // 100 TB the eval runs over a bounded query SAMPLE, so the exact
+    // arm — a broadcast of the sample against one corpus scan — is
+    // linear, not quadratic; the per-query join is constant-k rows.
+    "s45_ann_recall" -> { (s, d) =>
+      val exact = queries("s33_knn_bruteforce")(s, d)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+      val approx = queries("s37_ivf_ann")(s, d)
+        .select(col("qid").as("aqid"), col("neighbor_id").as("aneib"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("neighbor_id") === col("aneib"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("aneib").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall_at_3", round(col("hits") / col("k"), 4))
+    },
+
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
     //
     // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
@@ -697,6 +719,42 @@ object SimilarityOps {
     case _ => "SELECT 1 WHERE 1=0 -- s43 not yet run in this session"
   }
 
+  private def s33OracleSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |p AS (
+        | SELECT qid, vec_id,
+        |  round(list_dot_product(qemb, emb) /
+        |   (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS cosine
+        | FROM e, q WHERE vec_id <> qid),
+        |r AS (SELECT qid, vec_id, cosine,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+        | FROM p)
+        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM r WHERE rnk <= 5""".stripMargin
+
+  private def s37OracleSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, cid AS qcell FROM cell WHERE vec_id < 10),
+        |cand AS (
+        | SELECT q.qid, cell.vec_id,
+        |  round(list_dot_product(q.qemb, cell.emb) /
+        |   (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(cell.emb, cell.emb))), 6) AS cosine
+        | FROM q JOIN cell ON cell.cid = q.qcell AND cell.vec_id <> q.qid)
+        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
+        |WHERE rnk <= 3""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the lexical arm embeds t34's oracle verbatim (same map entry, so
     // the BM25 algebra literally cannot drift between the two queries);
@@ -725,18 +783,22 @@ object SimilarityOps {
     "s40_ivf_trained" -> s40Oracle,
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
-    "s33_knn_bruteforce" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
-        |p AS (
-        | SELECT qid, vec_id,
-        |  round(list_dot_product(qemb, emb) /
-        |   (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS cosine
-        | FROM e, q WHERE vec_id <> qid),
-        |r AS (SELECT qid, vec_id, cosine,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
-        | FROM p)
-        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM r WHERE rnk <= 5""".stripMargin,
+    "s33_knn_bruteforce" -> s33OracleSql,
+    // composes the s33 and s37 oracle SQL VERBATIM (the s44 discipline:
+    // shared text, so the arms cannot drift from their registry twins)
+    "s45_ann_recall" ->
+      s"""WITH exact AS (
+         | SELECT qid, neighbor_id FROM (${s33OracleSql}) x WHERE rnk <= 3),
+         |approx AS (
+         | SELECT qid AS aqid, neighbor_id AS aneib FROM (${s37OracleSql}) y)
+         |SELECT e.qid, count(*) AS k,
+         | CAST(sum(CASE WHEN a.aneib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS hits,
+         | round(CAST(sum(CASE WHEN a.aneib IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   / count(*), 4) AS recall_at_3
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.qid = a.aqid AND e.neighbor_id = a.aneib
+         |GROUP BY 1""".stripMargin,
     "s34_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -745,28 +807,7 @@ object SimilarityOps {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
-    "s37_ivf_ann" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
-        |sim AS (
-        | SELECT e.vec_id, e.emb, c.cid,
-        |  round(list_dot_product(e.emb, c.cemb) /
-        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
-        | FROM e, c),
-        |cell AS (
-        | SELECT vec_id, emb, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
-        |q AS (SELECT vec_id AS qid, emb AS qemb, cid AS qcell FROM cell WHERE vec_id < 10),
-        |cand AS (
-        | SELECT q.qid, cell.vec_id,
-        |  round(list_dot_product(q.qemb, cell.emb) /
-        |   (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(cell.emb, cell.emb))), 6) AS cosine
-        | FROM q JOIN cell ON cell.cid = q.qcell AND cell.vec_id <> q.qid)
-        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM (
-        | SELECT *, row_number() OVER (PARTITION BY qid
-        |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
-        |WHERE rnk <= 3""".stripMargin,
+    "s37_ivf_ann" -> s37OracleSql,
     "s39_scalar_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
