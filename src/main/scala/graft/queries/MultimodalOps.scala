@@ -286,6 +286,37 @@ object MultimodalOps extends Serializable {
           count(lit(1)).as("n_tiles"),
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
+    },
+
+    // ASSET-LEVEL NEAR-DUP — the multimodal counterpart of d28: pairs
+    // of assets whose tile-fingerprint sets overlap at Jaccard ≥ 0.5
+    // (re-encoded or truncated copies share most tiles even when the
+    // whole-file digest differs). Same candidate-generation shape as
+    // the text shingle join — the equi-join key is the 32-char tile
+    // digest, never payload bytes, and the per-asset tile count is
+    // CAPPED at 64 (m34), so a pathological asset cannot widen the
+    // join the way uncapped boilerplate widens d28 (the d33 concern is
+    // structurally absent here).
+    "m36_asset_similarity" -> { (s, d) =>
+      // distinct tile set feeds both join sides and the size lookup —
+      // persist once; released by SparkEntry.release()
+      val tiles = queries("m34_payload_tiles")(s, d)
+        .select(col("doc_id"), col("tile_md5")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = tiles.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val pairs = tiles.select(col("doc_id").as("ia"), col("tile_md5"))
+        .join(tiles.select(col("doc_id").as("ib"),
+          col("tile_md5").as("tb")),
+          col("tile_md5") === col("tb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("ia"), col("nt").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("nt").as("nb")), "ib")
+        .withColumn("jac",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("ia"), col("ib"), col("inter"),
+          round(col("jac"), 4).as("tile_jaccard"))
     }
   )
 
@@ -326,6 +357,23 @@ object MultimodalOps extends Serializable {
          | count(*) AS n_tiles, min(doc_id) AS first_doc
          |FROM ($m34OracleSql)
          |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+    // wraps the m34 tile SQL verbatim; the same distinct-set Jaccard
+    // algebra as d28 over exact integer counts, one 4-dp final round
+    "m36_asset_similarity" ->
+      s"""WITH tiles AS (
+         | SELECT DISTINCT doc_id, tile_md5 FROM ($m34OracleSql)),
+         |sz AS (SELECT doc_id, count(*) AS nt FROM tiles GROUP BY 1),
+         |pr AS (
+         | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         | FROM tiles a JOIN tiles b
+         |   ON a.tile_md5 = b.tile_md5 AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT ia, ib, inter,
+         | round(inter / (sa.nt + sb.nt - inter), 4) AS tile_jaccard
+         |FROM pr
+         | JOIN sz sa ON sa.doc_id = ia
+         | JOIN sz sb ON sb.doc_id = ib
+         |WHERE inter / (sa.nt + sb.nt - inter) >= 0.5""".stripMargin,
     // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
     "m31_payload_meta" ->
       """SELECT doc_id,

@@ -134,6 +134,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m36 asset similarity: every shuffle is keyed by the tile digest or asset ids, never payload bytes") {
+    val p = plan("m36_asset_similarity")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id", "tile_md5", "ia", "ib")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
