@@ -219,6 +219,27 @@ object Analytic {
             .otherwise("keep").as("action"))
     },
 
+    // EVENT TRANSITION MATRIX — the user-journey Markov analysis: for
+    // every consecutive event pair in a user's (ts, event_id)-ordered
+    // stream, count type→next-type transitions and the conditional
+    // probability of each next step. One user_id shuffle of the log
+    // (the lead window), one (type, next) partial-agg reduce; the
+    // row-probability window runs over the |types|² aggregate, not the
+    // log. Counts are exact; p_next rounds at 4 dp.
+    "q80_event_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("p_next",
+          round(col("n_transitions") /
+            sum(col("n_transitions"))
+              .over(Window.partitionBy(col("event_type"))), 4))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -480,6 +501,20 @@ object Analytic {
         |FROM events e JOIN cohort c ON e.user_id = c.user_id
         |WHERE e.ts >= c.cohort_week
         |GROUP BY 1, 2""".stripMargin,
+    // the same lead window over the identical total order; the
+    // conditional-probability window replays over the tiny aggregate
+    "q80_event_transitions" ->
+      """WITH tr AS (
+        | SELECT event_type, lead(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC) AS next_type
+        | FROM events),
+        |c AS (
+        | SELECT event_type, next_type, count(*) AS n_transitions
+        | FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n_transitions,
+        | round(n_transitions /
+        |   sum(n_transitions) OVER (PARTITION BY event_type), 4) AS p_next
+        |FROM c""".stripMargin,
     // identical flag/cumsum windows over the same (ts, event_id) total
     // order; gap math is exact integer microseconds in both engines
     "q78_sessionize" ->

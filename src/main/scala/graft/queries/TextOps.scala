@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -481,6 +482,30 @@ object TextOps {
             .as("kl"))
     },
 
+    // ZIPF SLOPE — the distribution-SHAPE monitor beside t39's drift:
+    // regress ln(frequency) on ln(rank) over each source's top-50
+    // tokens (row_number over the deterministic (n DESC, token ASC)
+    // order) and report the fitted slope — natural text sits near −1;
+    // templated/boilerplate sources flatten or steepen. regr_slope is
+    // the same covar_pop/var_pop algebra in both engines over the
+    // identical 50 points; one (source, token) partial-agg reduce plus
+    // a source-partitioned rank window — every shuffle keyed by
+    // source. 4-dp final round (the q61 correlation discipline).
+    "t41_zipf_slope" -> { (s, d) =>
+      val counts = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("token").asc)
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          (round(expr("regr_slope(ln(n), ln(rnk))"), 4) + 0.0)
+            .as("zipf_slope"))
+    },
+
     // Stopword ratio per language label.
     "t23_stopword_ratio" -> { (s, d) =>
       t(s, d, "documents")
@@ -851,6 +876,23 @@ object TextOps {
         |FROM (SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
         |      FROM documents WHERE length(trim(text)) > 0)
         |GROUP BY lang""".stripMargin,
+    // same deterministic per-source top-50 rank order and the same
+    // covar_pop/var_pop regr_slope algebra; round(...)+0.0 normalizes
+    // IEEE -0.0 (the q61 discipline)
+    "t41_zipf_slope" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+        |r AS (
+        | SELECT source, n, row_number() OVER (PARTITION BY source
+        |   ORDER BY n DESC, token ASC) AS rnk
+        | FROM c)
+        |SELECT source, count(*) AS n_terms,
+        | round(regr_slope(ln(n), ln(rnk)), 4) + 0.0 AS zipf_slope
+        |FROM r WHERE rnk <= 50
+        |GROUP BY 1""".stripMargin,
     // identical deterministic vocab (count DESC, token ASC LIMIT 100),
     // the same long/long→double divisions, ln, and the 6-dp final
     // round; sums over ≤100 double terms differ only in order

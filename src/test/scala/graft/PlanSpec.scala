@@ -143,6 +143,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q80 transitions: the log shuffles once by user_id; the probability window runs over the tiny type-pair aggregate") {
+    val p = plan("q80_event_transitions")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("user_id", "event_type")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("t41 zipf: every shuffle is keyed by source — count reduce, rank window, and slope aggregate share the clustering") {
+    val p = plan("t41_zipf_slope")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
