@@ -240,6 +240,63 @@ object Analytic {
               .over(Window.partitionBy(col("event_type"))), 4))
     },
 
+    // WINSORIZATION — the numeric-cleaning op a feature pipeline runs
+    // before training: clip each value to its group's [p05, p95] and
+    // report how much was clipped. One per-type percentile aggregate
+    // (exact interpolated percentile — the q19 quantile shape),
+    // broadcast back onto the stream; the clip itself is map-only.
+    // The clip COMPARES against the unrounded percentiles — both
+    // engines compute the identical lo + (hi-lo)·frac interpolation on
+    // the same sorted doubles, so the kept/clipped sets agree exactly;
+    // only the REPORTED bounds and sums round (4/2 dp).
+    "q81_winsorize" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val bounds = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      e.join(broadcast(bounds), "event_type")
+        .withColumn("clipped",
+          least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+            .as("n_clipped_high"),
+          round(min(col("p05")), 4).as("p05"),
+          round(min(col("p95")), 4).as("p95"),
+          round(sum(col("clipped")), 2).as("sum_clipped"))
+    },
+
+    // REFERENTIAL-INTEGRITY AUDIT — the warehouse DQ check: orphan
+    // child rows per foreign-key relationship (rows whose key has no
+    // parent), as one small report table. Each relationship is a
+    // broadcast-able anti join (the parent side ships only its key
+    // column) + one count aggregate; the child tables stream through
+    // map-side. NULL keys count as orphans in both engines (a NULL
+    // never equality-matches a parent).
+    "q82_ri_audit" -> { (s, d) =>
+      def audit(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val total = child.agg(count(lit(1)).as("n_child"))
+        child.join(parent.select(col(pkey).as("__pk")),
+            col(key) === col("__pk"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col(key)).as("n_orphan_keys"))
+          .crossJoin(broadcast(total))
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_orphans"), col("n_orphan_keys"))
+      }
+      audit("lineitem.orderkey->orders", t(s, d, "lineitem"),
+          "l_orderkey", t(s, d, "orders"), "o_orderkey")
+        .unionByName(audit("orders.custkey->customer", t(s, d, "orders"),
+          "o_custkey", t(s, d, "customer"), "c_custkey"))
+        .unionByName(audit("lineitem.partkey->part", t(s, d, "lineitem"),
+          "l_partkey", t(s, d, "part"), "p_partkey"))
+        .unionByName(audit("events.user_id->customer", t(s, d, "events"),
+          "user_id", t(s, d, "customer"), "c_custkey"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -501,6 +558,49 @@ object Analytic {
         |FROM events e JOIN cohort c ON e.user_id = c.user_id
         |WHERE e.ts >= c.cohort_week
         |GROUP BY 1, 2""".stripMargin,
+    // NOT EXISTS replays the anti join, including NULL-key orphans
+    "q82_ri_audit" ->
+      """WITH a1 AS (
+        | SELECT 'lineitem.orderkey->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  count(*) AS n_orphans, count(DISTINCT l_orderkey) AS n_orphan_keys
+        | FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |a2 AS (
+        | SELECT 'orders.custkey->customer',
+        |  (SELECT count(*) FROM orders), count(*), count(DISTINCT o_custkey)
+        | FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |a3 AS (
+        | SELECT 'lineitem.partkey->part',
+        |  (SELECT count(*) FROM lineitem), count(*), count(DISTINCT l_partkey)
+        | FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |a4 AS (
+        | SELECT 'events.user_id->customer',
+        |  (SELECT count(*) FROM events), count(*), count(DISTINCT user_id)
+        | FROM events e
+        | WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""".stripMargin,
+    // quantile_cont is the same lo + (hi-lo)·frac interpolation as
+    // Spark's percentile(); comparisons use the unrounded bounds
+    "q81_winsorize" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  quantile_cont(value, 0.05) AS p05,
+        |  quantile_cont(value, 0.95) AS p95
+        | FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        | CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_low,
+        | CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clipped_high,
+        | round(min(b.p05), 4) AS p05, round(min(b.p95), 4) AS p95,
+        | round(sum(least(greatest(e.value, b.p05), b.p95)), 2)
+        |   AS sum_clipped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1""".stripMargin,
     // the same lead window over the identical total order; the
     // conditional-probability window replays over the tiny aggregate
     "q80_event_transitions" ->

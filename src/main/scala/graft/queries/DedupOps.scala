@@ -237,6 +237,27 @@ object DedupOps {
           col("cluster_size"))
     },
 
+    // SIGNAL AGREEMENT — the multi-signal dedup AUDIT: for every
+    // lexical near-dup pair (d28, jaccard ≥ 0.8), the pair's embedding
+    // cosine — do the two duplicate signals agree? A pipeline runs
+    // this before trusting either signal alone (low-cosine lexical
+    // dups flag template noise; the inverse flags paraphrase dups the
+    // lexical pass misses). Cosine is computed ONLY for the already-
+    // bounded pair set — never all-pairs — via two vec_id equi-joins,
+    // so the embedding table streams through keyed by id.
+    "d43_signal_agreement" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val pairs = queries("d28_neardup_jaccard")(s, d)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      pairs
+        .join(e.select(col("vec_id").as("ia"), col("emb").as("ea")), "ia")
+        .join(e.select(col("vec_id").as("ib"), col("emb").as("eb")), "ib")
+        .select(col("ia"), col("ib"), col("jaccard"),
+          round(graft.functions.VectorFunctions.cosineSim(
+            col("ea"), col("eb")), 4).as("cosine"))
+    },
+
     // DEDUP REPORT — the per-source dataset-card table a cleaning run
     // publishes: document counts, kept counts, duplicate rate, and the
     // largest dup cluster touching each source. Composes d41's
@@ -699,7 +720,25 @@ object DedupOps {
         |FROM e e1
         | JOIN e e2 ON e1.ib = e2.ia
         | JOIN e e3 ON e1.ia = e3.ia AND e2.ib = e3.ib""".stripMargin,
-    "d28_neardup_jaccard" ->
+    "d28_neardup_jaccard" -> d28OracleSql,
+    // wraps the d28 pair SQL verbatim; cosine is the s34 formula over
+    // the pair's embeddings, one 4-dp final round
+    "d43_signal_agreement" ->
+      s"""WITH pr AS (SELECT * FROM (
+         |${d28OracleSql}
+         |) z),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings)
+         |SELECT pr.ia, pr.ib, pr.jaccard,
+         | round(list_dot_product(a.emb, b.emb) /
+         |  (sqrt(list_dot_product(a.emb, a.emb)) *
+         |   sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+         |FROM pr
+         | JOIN e a ON pr.ia = a.vec_id
+         | JOIN e b ON pr.ib = b.vec_id""".stripMargin
+  )
+
+  private def d28OracleSql: String =
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
@@ -719,7 +758,6 @@ object DedupOps {
         | JOIN sizes sa ON sa.doc_id = ia
         | JOIN sizes sb ON sb.doc_id = ib
         |WHERE inter / (sa.n + sb.n - inter) >= 0.8""".stripMargin
-  )
 
   private def d31OracleSql: String =
     ccClosureCte +

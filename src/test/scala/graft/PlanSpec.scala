@@ -159,6 +159,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("q81 winsorize: percentile bounds broadcast; the log shuffles only by event_type") {
+    val p = plan("q81_winsorize")
+    assert(p.contains("Broadcast"), s"bounds must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("event_type")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q82 ri audit: all four relationships check through broadcast anti joins") {
+    val p = plan("q82_ri_audit")
+    assert(p.split("LeftAnti").length - 1 >= 4,
+      s"expected 4 anti joins in:\n$p")
+    assert(p.contains("Broadcast"), s"parent key sides must broadcast in:\n$p")
+  }
+
+  test("d43 signal agreement: cosine runs only over the bounded d28 pair set — shuffles stay on shingle/id keys") {
+    val p = plan("d43_signal_agreement")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("sv", "ia", "ib", "doc_id", "vec_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
