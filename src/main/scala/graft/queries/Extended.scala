@@ -31,6 +31,29 @@ object Extended {
     }.mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FUZZY ENTITY MATCH — the blocked edit-distance join entity
+    // resolution runs: candidate pairs come only from equal-brand
+    // BLOCKS (the join key), then codegen'd levenshtein ≤ 5 confirms —
+    // never an all-pairs comparison; the block key bounds the
+    // quadratic to the largest block, which is what every production
+    // ER pipeline relies on. At 100 TB the known refinements are
+    // sorted-neighborhood or q-gram prefilters INSIDE each block —
+    // same join shape, narrower candidates. Both engines implement
+    // the classic Wagner–Fischer edit distance, so `dist` is exact.
+    "q83_fuzzy_match" -> { (s, d) =>
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("ia"),
+        col("p_name").as("na"))
+      val b = p.select(col("p_brand").as("bb"), col("p_partkey").as("ib"),
+        col("p_name").as("nb"))
+      a.join(b, col("p_brand") === col("bb") && col("ia") < col("ib"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 5)
+        .select(col("p_brand"), col("ia"), col("ib"),
+          col("dist").cast("long").as("dist"))
+    },
+
     // As-of join: every error event picks up the user's most recent
     // prior (or simultaneous) purchase. Custom operator — see
     // graft.operators.AsOfJoin; DuckDB's native ASOF JOIN is the oracle.
@@ -288,6 +311,13 @@ object Extended {
   }
 
   val oracle: Map[String, String] = Map(
+    // the same equal-brand blocking and the same classic edit distance
+    "q83_fuzzy_match" ->
+      """SELECT a.p_brand, a.p_partkey AS ia, b.p_partkey AS ib,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5""".stripMargin,
     // bit terms generated by the same Scala loop as the Spark plan
     "q73_zorder_key" ->
       s"""WITH b AS (

@@ -184,6 +184,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q83 fuzzy match: candidates come only from equal-brand blocks — every shuffle keyed by the block key") {
+    val p = plan("q83_fuzzy_match")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("p_brand", "bb")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
