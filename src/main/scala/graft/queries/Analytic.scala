@@ -297,6 +297,30 @@ object Analytic {
           "user_id", t(s, d, "customer"), "c_custkey"))
     },
 
+    // INCREMENTAL ROLLUP MAINTENANCE — the materialized-view pattern:
+    // yesterday's rollup MERGED with today's delta must equal a full
+    // recompute. The query computes the hourly rollup as
+    // re-aggregation of two partials split at the integer-midpoint
+    // cutoff (the q79 discipline) — the cutoff deliberately lands
+    // mid-hour, so boundary cells genuinely merge counts/sums from
+    // both sides. The ORACLE is the direct single-pass rollup: two
+    // different computation paths, one result — re-aggregability
+    // itself is what the gate checks. Counts are exact; the merged
+    // double sum rounds at 2 dp (the q15 discipline).
+    "q84_incremental_rollup" -> { (s, d) =>
+      val e = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val cut = e.agg(expr("(min(us) + max(us)) div 2").as("cut_us"))
+      val m = e.crossJoin(broadcast(cut))
+      def rollup(side: DataFrame): DataFrame = side
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      rollup(m.filter(col("us") < col("cut_us")))
+        .unionByName(rollup(m.filter(col("us") >= col("cut_us"))))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"),
+          round(sum(col("sum_value")), 2).as("sum_value"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -558,6 +582,12 @@ object Analytic {
         |FROM events e JOIN cohort c ON e.user_id = c.user_id
         |WHERE e.ts >= c.cohort_week
         |GROUP BY 1, 2""".stripMargin,
+    // deliberately the DIRECT single-pass rollup — the gate checks
+    // that Spark's merged partials equal a full recompute
+    "q84_incremental_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // NOT EXISTS replays the anti join, including NULL-key orphans
     "q82_ri_audit" ->
       """WITH a1 AS (

@@ -195,6 +195,20 @@ object SimilarityOps {
             .as("rrf"))
     },
 
+    // RADIUS SEARCH — the fixed-threshold companion to top-k (s33):
+    // all corpus vectors within cosine ≥ 0.2 of each query. Query set
+    // broadcasts; the corpus is scanned ONCE map-side with no shuffle
+    // at all — the cheapest possible shape, linear at any scale.
+    "s46_radius_search" -> { (s, d) =>
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .filter(col("cosine") >= 0.2)
+        .select(col("qid"), col("vec_id").as("neighbor_id"), col("cosine"))
+    },
+
     "s33_knn_bruteforce" -> { (s, d) =>
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -784,6 +798,18 @@ object SimilarityOps {
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
     "s33_knn_bruteforce" -> s33OracleSql,
+    // the filter applies to the ROUNDED cosine in both engines, so the
+    // boundary rows agree exactly
+    "s46_radius_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5),
+        |p AS (
+        | SELECT qid, vec_id,
+        |  round(list_dot_product(qemb, emb) /
+        |   (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS cosine
+        | FROM e, q WHERE vec_id <> qid)
+        |SELECT qid, vec_id AS neighbor_id, cosine
+        |FROM p WHERE cosine >= 0.2""".stripMargin,
     // composes the s33 and s37 oracle SQL VERBATIM (the s44 discipline:
     // shared text, so the arms cannot drift from their registry twins)
     "s45_ann_recall" ->

@@ -192,6 +192,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("q84 incremental rollup: both partials and the merge shuffle only on the rollup key; the cutoff broadcasts") {
+    val p = plan("q84_incremental_rollup")
+    assert(p.contains("Broadcast"), s"cutoff must broadcast in:\n$p")
+    // date_trunc appears as _groupingexpression in the exchange keys
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("hour", "_groupingexpression")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("s46 radius search: query set broadcasts, corpus scans once — zero hash exchanges") {
+    val p = plan("s46_radius_search")
+    assert(p.contains("Broadcast"), s"query set must broadcast in:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"radius search must be map-only over the corpus:\n$p")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
