@@ -258,6 +258,35 @@ object DedupOps {
             col("ea"), col("eb")), 4).as("cosine"))
     },
 
+    // END-TO-END CORPUS CLEANING — the flagship composition: the final
+    // keep/drop decision a pretraining data pipeline materializes,
+    // folding the quality gate (t35), the near-dup keep-list (d41) and
+    // benchmark decontamination (d38) into one verdict per document
+    // with a first-failing-rule reason, precedence contaminated >
+    // duplicate > quality. All three inputs are green registry
+    // entries; the joins are doc_id equi-joins, so the composition
+    // adds no new shuffle shape. (Bench-side docs, id % 7 = 0, are
+    // d38's benchmark and cannot be flagged contaminated by
+    // construction — they face the other two gates like any doc.)
+    "d44_clean_corpus" -> { (s, d) =>
+      val quality = graft.queries.TextOps.queries("t35_quality_filter")(s, d)
+        .select(col("doc_id"), col("reason").as("q_reason"))
+      val dedup = queries("d41_canonical_docs")(s, d)
+        .select(col("doc_id"), col("keep").as("dd_keep"))
+      val contam = queries("d38_decontamination")(s, d)
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      val decision =
+        when(col("contaminated"), "drop_contaminated")
+          .when(!col("dd_keep"), "drop_duplicate")
+          .when(col("q_reason") =!= "keep",
+            concat(lit("drop_"), col("q_reason")))
+          .otherwise("keep")
+      quality.join(dedup, "doc_id")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), decision.as("decision"),
+          (decision === "keep").as("keep"))
+    },
+
     // DEDUP REPORT — the per-source dataset-card table a cleaning run
     // publishes: document counts, kept counts, duplicate rate, and the
     // largest dup cluster touching each source. Composes d41's
@@ -600,9 +629,7 @@ object DedupOps {
        |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM pr10""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
-    // gram identity via the string (hashing is a join-key impl detail)
-    "d38_decontamination" ->
+  private def d38OracleSql: String =
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
@@ -614,7 +641,34 @@ object DedupOps {
         |SELECT gr.doc_id, count(*) AS hits
         |FROM gr JOIN bench USING (g)
         |WHERE gr.doc_id % 7 <> 0
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // gram identity via the string (hashing is a join-key impl detail)
+    "d38_decontamination" -> d38OracleSql,
+    // composes the t35, d41 and d38 oracle SQL verbatim (the s44
+    // discipline) with the identical decision precedence
+    "d44_clean_corpus" ->
+      s"""WITH q AS (SELECT doc_id, reason AS q_reason
+         |           FROM (${graft.queries.TextOps.oracle("t35_quality_filter")}) tq),
+         |dd AS (SELECT doc_id, keep AS dd_keep FROM (
+         |${d41OracleSql}
+         |) tk),
+         |ct AS (SELECT doc_id, TRUE AS contaminated FROM (
+         |${d38OracleSql}
+         |) tc)
+         |SELECT q.doc_id,
+         | CASE WHEN ct.contaminated THEN 'drop_contaminated'
+         |      WHEN NOT dd.dd_keep THEN 'drop_duplicate'
+         |      WHEN q.q_reason <> 'keep' THEN 'drop_' || q.q_reason
+         |      ELSE 'keep' END AS decision,
+         | CASE WHEN ct.contaminated THEN FALSE
+         |      WHEN NOT dd.dd_keep THEN FALSE
+         |      WHEN q.q_reason <> 'keep' THEN FALSE
+         |      ELSE TRUE END AS keep
+         |FROM q
+         | JOIN dd ON q.doc_id = dd.doc_id
+         | LEFT JOIN ct ON q.doc_id = ct.doc_id""".stripMargin,
     "d37_pagerank" -> d37Oracle,
     "d36_minhash_banded" -> d36Oracle,
     "d32_simhash_hamming" -> d32Oracle,

@@ -209,6 +209,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"radius search must be map-only over the corpus:\n$p")
   }
 
+  test("d44 clean corpus: the three-gate composition adds no new shuffle shape — every exchange keyed by doc/cluster/vertex ids") {
+    val df = SparkEntry.queries("d44_clean_corpus")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    // gh is d38's gram-hash distinct inside its broadcast build side
+    assert(exchanges.subsetOf(Set("doc_id", "cluster_rep", "node", "u", "gh")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    // every gate family must actually fire on the corpus — a vacuous
+    // composition (all keep, or one gate shadowing the rest) fails here
+    val decisions = df.groupBy("decision").count().collect()
+      .map(_.getString(0)).toSet
+    assert(Set("keep", "drop_duplicate", "drop_contaminated")
+      .subsetOf(decisions),
+      s"expected all three gate families in $decisions")
+    assert(decisions.exists(x => x.startsWith("drop_") &&
+      x != "drop_duplicate" && x != "drop_contaminated"),
+      s"expected at least one quality-rule drop in $decisions")
+    SparkEntry.release(spark)
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
