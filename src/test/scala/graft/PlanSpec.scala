@@ -230,6 +230,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q85 sorted-neighborhood: equi-join on (brand, rank) — bounded 20x fan-out, shuffles keyed by the block key") {
+    val p = plan("q85_fuzzy_neighborhood")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("p_brand", "bb")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q85 pairs are a subset of the q83 exact baseline, with full recall on small blocks") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf0001)
+        .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q83_fuzzy_match")
+    val neigh = pairs("q85_fuzzy_neighborhood")
+    assert(neigh.subsetOf(exact),
+      "every neighborhood pair must also be an exact-block pair")
+    // sf0.001 blocks (~8 parts) fit inside the w=20 window entirely
+    assert(neigh == exact,
+      s"expected full recall at sf0.001: ${neigh.size} vs ${exact.size}")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
