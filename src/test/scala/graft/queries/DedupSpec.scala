@@ -30,6 +30,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.exact.maxRows")
   }
 
+  test("q83 scale fence refuses inputs above spark.graft.exact.maxRows") {
+    spark.conf.set("spark.graft.exact.maxRows", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q83_fuzzy_match")(spark, sf0001)
+      }
+      assert(e.getMessage.contains("exactness baseline"))
+    } finally spark.conf.unset("spark.graft.exact.maxRows")
+  }
+
   test("exact near-dup pairs exist in the corpus and are ordered ia<ib") {
     assert(exactJaccard.nonEmpty, "corpus should contain planted near-dups")
     assert(exactJaccard.forall { case (a, b) => a < b })
