@@ -321,6 +321,32 @@ object Analytic {
           round(sum(col("sum_value")), 2).as("sum_value"))
     },
 
+    // ROBUST OUTLIERS via MAD — q77's z-score flags break when the
+    // group itself contains extreme values (mean/stddev are not
+    // robust); the modified z-score (Iglewicz–Hoberg) uses the median
+    // and the median absolute deviation instead. Two exact-percentile
+    // passes per group (the q81 interpolation, identical in both
+    // engines), each broadcast back; the log streams through twice
+    // with only event_type-keyed shuffles. The 0.6745 consistency
+    // constant enters both engines as the same double literal; rz
+    // rounds to 4 dp BEFORE the 3.5 threshold (the q77 discipline).
+    "q86_mad_outliers" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("rz",
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+        .filter(abs(col("rz")) > 3.5)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("rz"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -588,6 +614,26 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the same two quantile_cont passes; CAST(0.6745 AS DOUBLE) keeps
+    // the constant out of DuckDB's DECIMAL path (the s44 discipline)
+    "q86_mad_outliers" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1),
+        |dev AS (
+        | SELECT e.event_type, e.event_id, e.value, m.med,
+        |  abs(e.value - m.med) AS adev
+        | FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        | SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        | FROM dev GROUP BY 1),
+        |rz AS (
+        | SELECT d.event_type, d.event_id, d.value,
+        |  round(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad, 4) AS rz
+        | FROM dev d JOIN mad m ON d.event_type = m.event_type
+        | WHERE m.mad > 0)
+        |SELECT event_type, event_id, value, rz
+        |FROM rz WHERE abs(rz) > 3.5""".stripMargin,
     // NOT EXISTS replays the anti join, including NULL-key orphans
     "q82_ri_audit" ->
       """WITH a1 AS (

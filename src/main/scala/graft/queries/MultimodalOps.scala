@@ -288,6 +288,34 @@ object MultimodalOps extends Serializable {
         .filter(col("n_docs") > 1)
     },
 
+    // PAYLOAD ENTROPY — the compressibility/quality signal a media
+    // pipeline screens on (truncated/constant payloads score near 0,
+    // encrypted/compressed ones near max): Shannon entropy over the
+    // payload's hex-nibble distribution, computed on the portable hex
+    // rendering (the m32/m34 byte-accessor discipline). Nibble
+    // positions explode map-side; the only shuffles are the
+    // (doc_id, nibble) count and the per-doc reduce. log2 via
+    // ln/ln(2) identically in both engines; 4-dp final round (the
+    // t32 entropy discipline).
+    "m37_payload_entropy" -> { (s, d) =>
+      val counts = multimodalTable(s, d)
+        .withColumn("hx", lower(hex(col("payload"))))
+        .withColumn("pos", explode(sequence(lit(1), length(col("hx")))))
+        .select(col("doc_id"),
+          expr("substring(hx, pos, 1)").as("nib"))
+        .groupBy(col("doc_id"), col("nib"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(totals, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_nibbles"),
+          min(col("tot")).as("n_nibbles"),
+          round(-sum((col("n") / col("tot")) *
+            log(col("n") / col("tot")) / math.log(2.0)), 4)
+            .as("entropy_bits"))
+    },
+
     // ASSET-LEVEL NEAR-DUP — the multimodal counterpart of d28: pairs
     // of assets whose tile-fingerprint sets overlap at Jaccard ≥ 0.5
     // (re-encoded or truncated copies share most tiles even when the
@@ -357,6 +385,23 @@ object MultimodalOps extends Serializable {
          | count(*) AS n_tiles, min(doc_id) AS first_doc
          |FROM ($m34OracleSql)
          |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+    // the same nibble-position generation over the identical hex
+    // rendering; ln/ln(2) with the division order preserved
+    "m37_payload_entropy" ->
+      """WITH h AS (
+        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+        |nib AS (
+        | SELECT doc_id, substring(hx, CAST(i AS BIGINT), 1) AS nib
+        | FROM h, range(1, 8192) r(i)
+        | WHERE i <= length(hx)),
+        |c AS (SELECT doc_id, nib, count(*) AS n FROM nib GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.doc_id, count(*) AS n_distinct_nibbles,
+        | CAST(min(t.tot) AS BIGINT) AS n_nibbles,
+        | round(-sum((c.n / t.tot) * ln(c.n / t.tot) / ln(2)), 4)
+        |   AS entropy_bits
+        |FROM c JOIN t ON c.doc_id = t.doc_id
+        |GROUP BY 1""".stripMargin,
     // wraps the m34 tile SQL verbatim; the same distinct-set Jaccard
     // algebra as d28 over exact integer counts, one 4-dp final round
     "m36_asset_similarity" ->

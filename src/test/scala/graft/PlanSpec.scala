@@ -251,6 +251,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected full recall at sf0.001: ${neigh.size} vs ${exact.size}")
   }
 
+  test("q86 mad outliers: both percentile passes broadcast; the log shuffles only by event_type") {
+    val p = plan("q86_mad_outliers")
+    assert(p.contains("Broadcast"), s"median/MAD must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("event_type")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("m37 payload entropy: shuffles keyed by doc_id only — nibble explode stays map-side") {
+    val p = plan("m37_payload_entropy")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
