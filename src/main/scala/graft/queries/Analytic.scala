@@ -347,6 +347,27 @@ object Analytic {
           col("rz"))
     },
 
+    // PERIOD-OVER-PERIOD — the BI reporting staple: weekly order
+    // counts/revenue with week-over-week percent change. The lag
+    // window runs over the ~size-in-weeks AGGREGATE (bounded by the
+    // calendar, not the data — the s44 constant-k discipline), so its
+    // single-partition sort is fine at any corpus size; the fact
+    // table itself shuffles once on the week key. wow_pct is computed
+    // on the already-rounded (exact-cents) revenues, then rounds 4 dp.
+    "q87_period_over_period" -> { (s, d) =>
+      val weekly = t(s, d, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate").cast("timestamp"))
+          .as("week"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      val w = Window.orderBy(col("week").asc)
+      weekly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("wow_pct",
+          round((col("revenue") - col("prev_revenue")) /
+            col("prev_revenue") * 100, 4))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -614,6 +635,18 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // ISO-Monday date_trunc in both engines; wow arithmetic runs on
+    // the exact-cents rounded revenues
+    "q87_period_over_period" ->
+      """WITH weekly AS (
+        | SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        | FROM orders GROUP BY 1)
+        |SELECT week, n_orders, revenue,
+        | lag(revenue) OVER (ORDER BY week ASC) AS prev_revenue,
+        | round((revenue - lag(revenue) OVER (ORDER BY week ASC)) /
+        |   lag(revenue) OVER (ORDER BY week ASC) * 100, 4) AS wow_pct
+        |FROM weekly""".stripMargin,
     // the same two quantile_cont passes; CAST(0.6745 AS DOUBLE) keeps
     // the constant out of DuckDB's DECIMAL path (the s44 discipline)
     "q86_mad_outliers" ->

@@ -566,6 +566,20 @@ object TextOps {
             (col("n_docs_with_term") + 1.0)), 6).as("tfidf"))
     },
 
+    // KEYWORD EXTRACTION — top-3 TF-IDF terms per document, the
+    // summarization/tagging primitive: t27's fully-oracle-checked
+    // scores ranked through the NATIVE TopKPerKey bounded-heap exec
+    // (O(docs×3) state, no per-partition sort — the q13/t38
+    // discipline). Ranking on the ROUNDED 6-dp tfidf with token ASC
+    // tie-break gives both engines the identical total order.
+    "t43_keywords" -> { (s, d) =>
+      val scores = queries("t27_tfidf")(s, d)
+        .select(col("doc_id"), col("token"), col("tfidf"))
+      graft.operators.TopKPerKeyApi.topKPerKey(scores, Seq("doc_id"),
+        Seq(("tfidf", false), ("token", true)), 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
+    },
+
     // Array higher-order functions over the token array: lambda filter,
     // membership, ordered head — all inside whole-stage codegen.
     "t28_array_hof" -> { (s, d) =>
@@ -941,17 +955,17 @@ object TextOps {
         |SELECT doc_id, md5(text) AS exact_md5,
         | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_md5
         |FROM tok""".stripMargin,
-    "t27_tfidf" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
-        | FROM documents WHERE length(trim(text)) > 0),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfreq AS (SELECT token, count(*) AS n_docs_with_term FROM tf GROUP BY 1),
-        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
-        |SELECT doc_id, tf.token, tf.tf, dfreq.n_docs_with_term,
-        | round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.n_docs_with_term + 1.0)), 6)
-        |   AS tfidf
-        |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin,
+    "t27_tfidf" -> t27OracleSql,
+    // ranks on the ROUNDED tfidf from the shared t27 SQL with the
+    // identical (tfidf DESC, token ASC) total order the native heap
+    // uses — ties on the 6-dp grid break identically in both engines
+    "t43_keywords" ->
+      s"""SELECT doc_id, rnk, token, tfidf FROM (
+         | SELECT doc_id, token, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token ASC) AS rnk
+         | FROM (${t27OracleSql}) x)
+         |WHERE rnk <= 3""".stripMargin,
     "t28_array_hof" ->
       """WITH tok AS (
         | SELECT doc_id,
@@ -986,4 +1000,16 @@ object TextOps {
         | s_en, s_es
         |FROM s""".stripMargin
   )
+
+  private def t27OracleSql: String =
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS n_docs_with_term FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+        |SELECT doc_id, tf.token, tf.tf, dfreq.n_docs_with_term,
+        | round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.n_docs_with_term + 1.0)), 6)
+        |   AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n""".stripMargin
 }

@@ -268,6 +268,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("q87 period-over-period: orders shuffle once on the week key; the lag window runs over the tiny weekly aggregate") {
+    val p = plan("q87_period_over_period")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("week", "_groupingexpression")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(p.split("Exchange SinglePartition").length - 1 <= 1,
+      s"only the weeks-aggregate lag window may single-partition:\n$p")
+  }
+
+  test("t43 keywords: ranked through the native TopKPerKey bounded-heap exec") {
+    val p = plan("t43_keywords")
+    assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
