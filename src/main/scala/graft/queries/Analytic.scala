@@ -324,24 +324,38 @@ object Analytic {
     // ROBUST OUTLIERS via MAD — q77's z-score flags break when the
     // group itself contains extreme values (mean/stddev are not
     // robust); the modified z-score (Iglewicz–Hoberg) uses the median
-    // and the median absolute deviation instead. Two exact-percentile
-    // passes per group (the q81 interpolation, identical in both
-    // engines), each broadcast back; the log streams through twice
-    // with only event_type-keyed shuffles. The 0.6745 consistency
-    // constant enters both engines as the same double literal; rz
-    // rounds to 4 dp BEFORE the 3.5 threshold (the q77 discipline).
+    // and the median absolute deviation instead. Medians are the
+    // explicit RANK-BASED definition (middle one/two rows by a total
+    // (value, event_id) order, averaged) rather than percentile()/
+    // quantile_cont — the two engines' interpolation formulas differ
+    // by ULPs (lo+(hi-lo)·f vs lo·(1-f)+hi·f), which flipped a 4-dp
+    // knife edge at sf0.1; the rank median is two-operand arithmetic
+    // both replay bitwise. With bitwise-identical med/mad, rz itself
+    // is bitwise identical — so it ships UNROUNDED (the t33
+    // discipline): round() itself is the remaining divergence source
+    // (Spark rounds the exact binary value via BigDecimal, DuckDB
+    // scales in floating point — they disagree exactly on knife
+    // edges). The threshold compares the unrounded value too.
     "q86_mad_outliers" -> { (s, d) =>
+      def rankMedian(df: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(v).asc, col("event_id").asc)
+        val cw = Window.partitionBy(col("event_type"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"))
+          .groupBy(col("event_type")).agg(avg(col(v)).as(out))
+      }
       val e = t(s, d, "events")
-      val med = e.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
+      val med = rankMedian(e, "value", "med")
       val dev = e.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      val mad = rankMedian(dev, "adev", "mad")
       dev.join(broadcast(mad), "event_type")
         .filter(col("mad") > 0)
         .withColumn("rz",
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4))
+          lit(0.6745) * (col("value") - col("med")) / col("mad"))
         .filter(abs(col("rz")) > 3.5)
         .select(col("event_type"), col("event_id"), col("value"),
           col("rz"))
@@ -647,22 +661,36 @@ object Analytic {
         | round((revenue - lag(revenue) OVER (ORDER BY week ASC)) /
         |   lag(revenue) OVER (ORDER BY week ASC) * 100, 4) AS wow_pct
         |FROM weekly""".stripMargin,
-    // the same two quantile_cont passes; CAST(0.6745 AS DOUBLE) keeps
-    // the constant out of DuckDB's DECIMAL path (the s44 discipline)
+    // the same explicit rank-median (NOT quantile_cont — interpolation
+    // ULPs differ across engines) and the UNROUNDED rz (round() itself
+    // diverges on knife edges between the engines); CAST(0.6745 AS
+    // DOUBLE) keeps the constant out of DuckDB's DECIMAL path
     "q86_mad_outliers" ->
-      """WITH med AS (
-        | SELECT event_type, quantile_cont(value, 0.5) AS med
-        | FROM events GROUP BY 1),
+      """WITH r1 AS (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value ASC, event_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |med AS (
+        | SELECT event_type, avg(value) AS med FROM r1
+        | WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
         |dev AS (
         | SELECT e.event_type, e.event_id, e.value, m.med,
         |  abs(e.value - m.med) AS adev
         | FROM events e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (
+        | SELECT event_type, adev,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY adev ASC, event_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM dev),
         |mad AS (
-        | SELECT event_type, quantile_cont(adev, 0.5) AS mad
-        | FROM dev GROUP BY 1),
+        | SELECT event_type, avg(adev) AS mad FROM r2
+        | WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
         |rz AS (
         | SELECT d.event_type, d.event_id, d.value,
-        |  round(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad, 4) AS rz
+        |  CAST(0.6745 AS DOUBLE) * (d.value - d.med) / m.mad AS rz
         | FROM dev d JOIN mad m ON d.event_type = m.event_type
         | WHERE m.mad > 0)
         |SELECT event_type, event_id, value, rz
