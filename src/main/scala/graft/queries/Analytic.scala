@@ -382,6 +382,28 @@ object Analytic {
             col("prev_revenue") * 100, 4))
     },
 
+    // ACTIVITY STREAKS — the gaps-and-islands pattern on the retention
+    // metric product teams actually track: per user, runs of
+    // CONSECUTIVE active days. The classic rank-difference island key
+    // (day − row_number = constant within a run) stays PARTITIONED by
+    // user_id — no global sort, exact date arithmetic — so it scales
+    // as one keyed shuffle of the distinct (user, day) set, which is
+    // already a tiny projection of the log.
+    "q88_activity_streaks" -> { (s, d) =>
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      days
+        .withColumn("rn", row_number().over(w))
+        .withColumn("streak_key", date_sub(col("day"), col("rn")))
+        .groupBy(col("user_id"), col("streak_key"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -661,6 +683,22 @@ object Analytic {
         | round((revenue - lag(revenue) OVER (ORDER BY week ASC)) /
         |   lag(revenue) OVER (ORDER BY week ASC) * 100, 4) AS wow_pct
         |FROM weekly""".stripMargin,
+    // the same rank-difference island key over the identical
+    // (user_id, day) order; date − integer arithmetic is exact
+    "q88_activity_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |keyed AS (
+        | SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY day ASC) AS INT) AS streak_key
+        | FROM days),
+        |streaks AS (
+        | SELECT user_id, streak_key, count(*) AS len
+        | FROM keyed GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        | count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM streaks GROUP BY 1""".stripMargin,
     // the same explicit rank-median (NOT quantile_cont — interpolation
     // ULPs differ across engines) and the UNROUNDED rz (round() itself
     // diverges on knife edges between the engines); CAST(0.6745 AS

@@ -195,6 +195,29 @@ object SimilarityOps {
             .as("rrf"))
     },
 
+    // kNN GRAPH — every vector's top-3 neighbors (not just a query
+    // set): the primitive under graph clustering, label propagation
+    // and kNN-descent near-dup. IVF cells (s37's deterministic coarse
+    // quantizer) bound the candidate join to cell-mates — O(Σ cell²)
+    // instead of O(n²) — and the per-vector top-3 runs through the
+    // NATIVE TopKPerKey bounded-heap exec on the ROUNDED cosine with
+    // an id tie-break, the same total order the oracle's row_number
+    // replays. Vectors alone in their cell emit no rows (their
+    // candidate set is empty), identically in both engines.
+    "s47_knn_graph" -> { (s, d) =>
+      val cell = cellAssign(emb(s, d))
+      val nbrs = cell.select(col("vec_id").as("nb_id"),
+        col("emb").as("nemb"), col("cid").as("ncid"))
+      val scored = cell
+        .join(nbrs, col("cid") === col("ncid") && col("vec_id") =!= col("nb_id"))
+        .withColumn("cosine", round(cos(col("emb"), col("nemb")), 6))
+        .select(col("vec_id"), col("nb_id"), col("cosine"))
+      graft.operators.TopKPerKeyApi.topKPerKey(scored, Seq("vec_id"),
+        Seq(("cosine", false), ("nb_id", true)), 3)
+        .select(col("vec_id"), col("rnk"), col("nb_id").as("neighbor_id"),
+          col("cosine"))
+    },
+
     // RADIUS SEARCH — the fixed-threshold companion to top-k (s33):
     // all corpus vectors within cosine ≥ 0.2 of each query. Query set
     // broadcasts; the corpus is scanned ONCE map-side with no shuffle
@@ -834,6 +857,30 @@ object SimilarityOps {
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
     "s37_ivf_ann" -> s37OracleSql,
+    // the s37 cell CTE without the query filter; row_number replays
+    // the bounded heap's (cosine DESC, id ASC) total order
+    "s47_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |cand AS (
+        | SELECT a.vec_id, b.vec_id AS nb_id,
+        |  round(list_dot_product(a.emb, b.emb) /
+        |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+        | FROM cell a JOIN cell b
+        |   ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, rnk, nb_id AS neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cosine DESC, nb_id ASC) AS rnk FROM cand)
+        |WHERE rnk <= 3""".stripMargin,
     "s39_scalar_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),

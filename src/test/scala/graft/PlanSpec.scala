@@ -283,6 +283,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
   }
 
+  test("q88 streaks: rank-difference islands stay partitioned by user_id — no global sort") {
+    val p = plan("q88_activity_streaks")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("user_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort in the streak build:\n$p")
+  }
+
+  test("s47 knn graph: cell-bounded candidates, ranked through the native TopKPerKey exec") {
+    val p = plan("s47_knn_graph")
+    assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("vec_id", "cid", "ncid")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {
     val p = plan("q74_scd2_intervals")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
