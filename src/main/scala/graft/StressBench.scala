@@ -451,6 +451,57 @@ object StressBench {
     val incBloom = incRun("bloom")
     require(incNone == incSemi && incSemi == incBloom,
       s"prefilter changed the result: none=$incNone semi=$incSemi bloom=$incBloom")
+
+    // ---- distributed rank on ONE fat group (the q85/q86/q81
+    // primitive): a single "brand" with 200k/400k rows. A bare
+    // row_number window would sort the whole group in ONE task
+    // regardless of cluster size; DistributedRank.rowNumber blocks on
+    // the 2-char name prefix, so doubling the rows should ~double
+    // wall-time (never square it) and the work spreads over #prefix
+    // tasks. Sum-of-ranks n(n+1)/2 proves the rank is an exact
+    // permutation of 1..n either way.
+    for (n <- Seq(200000, 400000)) {
+      val fat = spark.range(n).toDF("k")
+        .withColumn("g", lit("B"))
+        .withColumn("name", concat(
+          element_at(array(lit("red"), lit("teal"), lit("olive"), lit("navy"),
+            lit("plum"), lit("mint"), lit("gold"), lit("gray")),
+            (pmod(xxhash64(col("k")), lit(8)) + 1).cast("int")),
+          lit(" item "), md5(col("k").cast("string"))))
+      val ranked = graft.operators.DistributedRank.rowNumber(
+        fat, Seq("g"), Seq(col("name").asc, col("k").asc),
+        substring(col("name"), 1, 2), "rn")
+      val sumRn = tm(s"dist_rank_fat_block_$n")(
+        ranked.agg(sum(col("rn"))).collect()(0).getLong(0))
+      require(sumRn == n.toLong * (n + 1) / 2,
+        s"rank must be a permutation of 1..$n: sum=$sumRn")
+      println(s"""{"stress":"dist_rank_fat_block_$n","rows":$n}""")
+    }
+
+    // ---- triangle orientation under a planted hub (registry d40 vs
+    // d45): vertex 0 touches all 6000 spokes, spokes chain with skip
+    // edges so real triangles exist. ID order charges the hub (id 0,
+    // lowest) with ~n²/2 two-paths; DEGREE order points every hub edge
+    // inward, so the hub contributes zero paths and the fan-out is
+    // bounded by the strip's degeneracy (3). Identical triangle sets.
+    val nSpokes = 6000
+    val hubE = spark.range(1, nSpokes + 1)
+      .select(lit(0L).as("ia"), col("id").as("ib"))
+    val stripE = spark.range(1, nSpokes - 1)
+      .select(col("id").as("ia"), (col("id") + 1).as("ib"))
+      .union(spark.range(1, nSpokes - 2)
+        .select(col("id").as("ia"), (col("id") + 2).as("ib")))
+    val tEdges = hubE.union(stripE)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tEdges.count()
+    val nTriId = tm("triangles_hub_id_ordered")(
+      graft.operators.Triangles.idOrdered(tEdges).count())
+    val nTriDeg = tm("triangles_hub_degree_ordered")(
+      graft.operators.Triangles.degreeOrdered(tEdges).count())
+    require(nTriId == nTriDeg,
+      s"orientation changed the result: id=$nTriId deg=$nTriDeg")
+    println(s"""{"stress":"triangles_hub","triangles":$nTriId}""")
+    tEdges.unpersist()
     spark.stop()
   }
 }

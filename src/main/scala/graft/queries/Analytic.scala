@@ -242,18 +242,33 @@ object Analytic {
 
     // WINSORIZATION — the numeric-cleaning op a feature pipeline runs
     // before training: clip each value to its group's [p05, p95] and
-    // report how much was clipped. One per-type percentile aggregate
-    // (exact interpolated percentile — the q19 quantile shape),
-    // broadcast back onto the stream; the clip itself is map-only.
-    // The clip COMPARES against the unrounded percentiles — both
-    // engines compute the identical lo + (hi-lo)·frac interpolation on
-    // the same sorted doubles, so the kept/clipped sets agree exactly;
-    // only the REPORTED bounds and sums round (4/2 dp).
+    // report how much was clipped. The bounds are NEAREST-RANK
+    // percentiles (value at rank ceil(p·n) in ascending order) — data
+    // values, not interpolations: Spark's percentile() computes
+    // lo + (hi-lo)·f where DuckDB's quantile_cont does neither that
+    // nor lo·(1-f) + hi·f consistently, and a ULP-different bound can
+    // flip n_clipped / the 2-dp sum on a knife edge (it did for q86 at
+    // sf0.1). A rank-selected bound is bitwise identical in any
+    // engine, so every comparison and the clip agree exactly; the
+    // REPORTED bounds and sums still round (4/2 dp). The rank itself
+    // is DISTRIBUTED (DistributedRank.valueRanks, the t31 prefix-
+    // offset discipline) — never a one-task-per-event_type sort; the
+    // clip is map-only against the broadcast 5-row bounds table.
     "q81_winsorize" -> { (s, d) =>
       val e = t(s, d, "events")
-      val bounds = e.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.05)").as("p05"),
-          expr("percentile(value, 0.95)").as("p95"))
+      val vr = graft.operators.DistributedRank.valueRanks(
+        e, "event_type", "value", floor(col("value")).cast("long"))
+      val lo = col("__cum") - col("__cnt") + lit(1L)
+      val k05 = expr("(__n + 19) div 20")
+      val k95 = expr("(19 * __n + 19) div 20")
+      val bounds = vr
+        .filter(k05.between(lo, col("__cum")) ||
+          k95.between(lo, col("__cum")))
+        .groupBy(col("event_type"))
+        .agg(min(when(k05.between(lo, col("__cum")), col("value")))
+            .as("p05"),
+          min(when(k95.between(lo, col("__cum")), col("value")))
+            .as("p95"))
       e.join(broadcast(bounds), "event_type")
         .withColumn("clipped",
           least(greatest(col("value"), col("p05")), col("p95")))
@@ -337,16 +352,20 @@ object Analytic {
     // scales in floating point — they disagree exactly on knife
     // edges). The threshold compares the unrounded value too.
     "q86_mad_outliers" -> { (s, d) =>
-      def rankMedian(df: DataFrame, v: String, out: String): DataFrame = {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col(v).asc, col("event_id").asc)
-        val cw = Window.partitionBy(col("event_type"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(cw))
-          .filter(col("rn") === expr("(n + 1) div 2") ||
-            col("rn") === expr("(n + 2) div 2"))
-          .groupBy(col("event_type")).agg(avg(col(v)).as(out))
-      }
+      // SCALE NOTE: the median is located by DISTRIBUTED rank
+      // (DistributedRank.valueAtRanks, the t31 prefix-offset
+      // discipline) — a bare row_number window partitioned by
+      // event_type would sort the whole corpus in 5 tasks (one per
+      // type), twice. Blocking on floor(v) multiplies parallelism by
+      // #integer-buckets of the value range; ranks land on the same
+      // values bitwise (the event_id tie-break only permutes rows
+      // WITHIN a value, never which values the middle ranks hit), so
+      // the row_number-based oracle is unchanged.
+      def rankMedian(df: DataFrame, v: String, out: String): DataFrame =
+        graft.operators.DistributedRank.valueAtRanks(df, "event_type", v,
+          blockKey = floor(col(v)).cast("long"),
+          ranks = n => Seq(shiftright(n + 1, 1), shiftright(n + 2, 1)),
+          out = out)
       val e = t(s, d, "events")
       val med = rankMedian(e, "value", "med")
       val dev = e.join(broadcast(med), "event_type")
@@ -758,14 +777,25 @@ object Analytic {
         | WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""".stripMargin,
-    // quantile_cont is the same lo + (hi-lo)·frac interpolation as
-    // Spark's percentile(); comparisons use the unrounded bounds
+    // the same nearest-rank bound definition, rendered with an
+    // explicit row_number (NOT quantile_cont / quantile_disc — their
+    // rank rules and interpolation differ from Spark's by ULPs, the
+    // q86 lesson): the bound is the VALUE at rank ceil(p·n), so both
+    // engines compare and clip against bitwise-identical doubles
     "q81_winsorize" ->
-      """WITH b AS (
+      """WITH r AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value ASC, event_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |b AS (
         | SELECT event_type,
-        |  quantile_cont(value, 0.05) AS p05,
-        |  quantile_cont(value, 0.95) AS p95
-        | FROM events GROUP BY 1)
+        |  min(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+        |  min(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+        | FROM r
+        | WHERE rn = (n + 19) // 20 OR rn = (19 * n + 19) // 20
+        | GROUP BY 1)
         |SELECT e.event_type, count(*) AS n_events,
         | CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_clipped_low,

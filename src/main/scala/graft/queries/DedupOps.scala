@@ -65,6 +65,29 @@ object DedupOps {
       Array.fill(24)(rng.nextInt(1000000007).toLong))
   }
 
+  /** The d28-shaped near-dup edge list at jaccard ≥ 0.5 feeding the
+    * triangle queries (d40/d45): canonical (ia < ib), persisted —
+    * the edge list feeds every branch of a triangle join; released by
+    * SparkEntry.release(). */
+  private def neardupEdges05(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("doc_id"),
+      explode(col("shingles")).as("sstr"))
+      .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    ex.select(col("doc_id").as("ia"), col("sv"))
+      .join(ex.select(col("doc_id").as("ib"), col("sv").as("svb")),
+        col("sv") === col("svb") && col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("ia"), col("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on content digest, keep min doc_id per group.
     "d27_dedup_exact" -> { (s, d) =>
@@ -117,33 +140,24 @@ object DedupOps {
     // are stored once with ia < ib, so each triangle a<b<c is emitted
     // exactly once — path (a,b)+(b,c) closed by edge (a,c). Both joins
     // are equi-joins on vertex ids; the edge list persists once and
-    // feeds all three branches. At 100 TB the known refinement is
-    // degree-ordering instead of id-ordering (bounds the path fan-out
-    // by degeneracy); id-ordering keeps the oracle exactly replayable
-    // and the join shape identical.
+    // feeds all three branches. At 100 TB the refinement is degree-
+    // ordering instead of id-ordering (bounds the path fan-out by
+    // degeneracy) — implemented as d45_triangles_ordered below, same
+    // oracle; id-ordering here stays as the oracle-transparent shape.
     "d40_triangles" -> { (s, d) =>
-      val sh = shingles(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ex = sh.select(col("doc_id"),
-        explode(col("shingles")).as("sstr"))
-        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val e = ex.select(col("doc_id").as("ia"), col("sv"))
-        .join(ex.select(col("doc_id").as("ib"), col("sv").as("svb")),
-          col("sv") === col("svb") && col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
-        .select(col("ia"), col("ib"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      e.select(col("ia").as("a"), col("ib").as("b"))
-        .join(e.select(col("ia").as("b2"), col("ib").as("c")),
-          col("b") === col("b2"))
-        .join(e.select(col("ia").as("a3"), col("ib").as("c3")),
-          col("a") === col("a3") && col("c") === col("c3"))
-        .select(col("a"), col("b"), col("c"))
+      graft.operators.Triangles.idOrdered(neardupEdges05(s, d))
+    },
+
+    // The SAME triangle set through the degree-ordered production
+    // variant (graft.operators.Triangles.degreeOrdered): vertices rank
+    // by (degree, id), edges orient low→high, so the two-path fan-out
+    // is bounded by graph DEGENERACY instead of hub degree — the
+    // refinement d40's scaladoc names for 100 TB (a planted hub costs
+    // id-order quadratically; StressBench measures the gap). Output
+    // rows are identical (a < b < c by id), so d40's oracle is shared
+    // verbatim.
+    "d45_triangles_ordered" -> { (s, d) =>
+      graft.operators.Triangles.degreeOrdered(neardupEdges05(s, d))
     },
 
     // d28 with STOP-SHINGLE capping — the 100 TB hardening: a shingle
@@ -226,9 +240,14 @@ object DedupOps {
         .select(col("ia"), col("ib"))
       val comps = graft.operators.DedupClustering.connectedComponentsStar(edges)
         .withColumnRenamed("cluster_id", "cid")
+      // labeled feeds TWO branches (the size aggregate and the final
+      // join) — persist it so the documents scan + component join run
+      // once per action, not twice; released by SparkEntry.release().
+      // This also halves what d42/d44 pay for their embedded d41.
       val labeled = t(s, d, "documents").select(col("doc_id"))
         .join(comps, Seq("doc_id"), "left")
         .withColumn("cluster_rep", coalesce(col("cid"), col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = labeled.groupBy(col("cluster_rep"))
         .agg(count(lit(1)).as("cluster_size"))
       labeled.join(sizes, "cluster_rep")
@@ -751,7 +770,33 @@ object DedupOps {
         |FROM documents GROUP BY 1""".stripMargin,
     // same edge CTE as d28 at the 0.5 threshold; the two-path + closure
     // self-joins replay the a<b<c single-count exactly
-    "d40_triangles" ->
+    "d40_triangles" -> d40OracleSql,
+    // the degree-ordered variant emits the IDENTICAL triangle set —
+    // orientation only changes which vertex finds each triangle — so
+    // the oracle is shared verbatim
+    "d45_triangles_ordered" -> d40OracleSql,
+    "d28_neardup_jaccard" -> d28OracleSql,
+    // wraps the d28 pair SQL verbatim; cosine is the s34 formula over
+    // the pair's embeddings, one 4-dp final round
+    "d43_signal_agreement" ->
+      s"""WITH pr AS (SELECT * FROM (
+         |${d28OracleSql}
+         |) z),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings)
+         |SELECT pr.ia, pr.ib, pr.jaccard,
+         | round(list_dot_product(a.emb, b.emb) /
+         |  (sqrt(list_dot_product(a.emb, a.emb)) *
+         |   sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+         |FROM pr
+         | JOIN e a ON pr.ia = a.vec_id
+         | JOIN e b ON pr.ib = b.vec_id""".stripMargin
+  )
+
+  /** d40/d45 shared oracle: the d28 edge CTE at the 0.5 threshold +
+    * id-ordered two-path/closure self-joins (a < b < c single-count —
+    * the canonical form BOTH Spark variants emit). */
+  private def d40OracleSql: String =
       """WITH tok AS (
         | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
         | FROM documents WHERE length(trim(text)) > 0),
@@ -773,24 +818,7 @@ object DedupOps {
         |SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
         |FROM e e1
         | JOIN e e2 ON e1.ib = e2.ia
-        | JOIN e e3 ON e1.ia = e3.ia AND e2.ib = e3.ib""".stripMargin,
-    "d28_neardup_jaccard" -> d28OracleSql,
-    // wraps the d28 pair SQL verbatim; cosine is the s34 formula over
-    // the pair's embeddings, one 4-dp final round
-    "d43_signal_agreement" ->
-      s"""WITH pr AS (SELECT * FROM (
-         |${d28OracleSql}
-         |) z),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |      FROM embeddings)
-         |SELECT pr.ia, pr.ib, pr.jaccard,
-         | round(list_dot_product(a.emb, b.emb) /
-         |  (sqrt(list_dot_product(a.emb, a.emb)) *
-         |   sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
-         |FROM pr
-         | JOIN e a ON pr.ia = a.vec_id
-         | JOIN e b ON pr.ib = b.vec_id""".stripMargin
-  )
+        | JOIN e e3 ON e1.ia = e3.ia AND e2.ib = e3.ib""".stripMargin
 
   private def d28OracleSql: String =
       """WITH tok AS (

@@ -292,28 +292,33 @@ object MultimodalOps extends Serializable {
     // pipeline screens on (truncated/constant payloads score near 0,
     // encrypted/compressed ones near max): Shannon entropy over the
     // payload's hex-nibble distribution, computed on the portable hex
-    // rendering (the m32/m34 byte-accessor discipline). Nibble
-    // positions explode map-side; the only shuffles are the
-    // (doc_id, nibble) count and the per-doc reduce. log2 via
+    // rendering (the m32/m34 byte-accessor discipline). The alphabet
+    // has exactly 16 symbols, so the histogram is computed MAP-SIDE —
+    // sixteen length(hx) - length(replace(hx, nib)) counters per row,
+    // entropy-reduced over that array with the aggregate() HOF — and
+    // the operator is ZERO-shuffle: no per-nibble explode (2 rows per
+    // payload byte) and no (doc_id, nibble) exchange at all. log2 via
     // ln/ln(2) identically in both engines; 4-dp final round (the
-    // t32 entropy discipline).
+    // t32 entropy discipline). Zero-length payloads are excluded
+    // explicitly: the oracle's position generator emits no rows for
+    // them, and the zero-count guard keeps 0·ln(0) NaNs out of the
+    // reduce.
     "m37_payload_entropy" -> { (s, d) =>
-      val counts = multimodalTable(s, d)
+      val nibbles = "0123456789abcdef"
+      multimodalTable(s, d)
         .withColumn("hx", lower(hex(col("payload"))))
-        .withColumn("pos", explode(sequence(lit(1), length(col("hx")))))
+        .filter(length(col("hx")) > 0)
+        .withColumn("cnts", array(nibbles.map(c =>
+          (length(col("hx")) -
+            length(expr(s"replace(hx, '$c', '')"))).cast("long")): _*))
+        .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
+        .withColumn("tot", length(col("hx")).cast("long"))
         .select(col("doc_id"),
-          expr("substring(hx, pos, 1)").as("nib"))
-        .groupBy(col("doc_id"), col("nib"))
-        .agg(count(lit(1)).as("n"))
-      val totals = counts.groupBy(col("doc_id"))
-        .agg(sum(col("n")).as("tot"))
-      counts.join(totals, "doc_id")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct_nibbles"),
-          min(col("tot")).as("n_nibbles"),
-          round(-sum((col("n") / col("tot")) *
-            log(col("n") / col("tot")) / math.log(2.0)), 4)
-            .as("entropy_bits"))
+          size(col("pres")).cast("long").as("n_distinct_nibbles"),
+          col("tot").as("n_nibbles"),
+          round(-aggregate(col("pres"), lit(0.0),
+            (acc, n) => acc + (n / col("tot")) * log(n / col("tot")) /
+              math.log(2.0)), 4).as("entropy_bits"))
     },
 
     // ASSET-LEVEL NEAR-DUP — the multimodal counterpart of d28: pairs
@@ -385,15 +390,19 @@ object MultimodalOps extends Serializable {
          | count(*) AS n_tiles, min(doc_id) AS first_doc
          |FROM ($m34OracleSql)
          |GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
-    // the same nibble-position generation over the identical hex
-    // rendering; ln/ln(2) with the division order preserved
+    // nibble positions generate from the ACTUAL hex length (unnest of
+    // a per-row generate_series — no silent 8 KiB payload cap, and
+    // zero-length payloads emit no rows, matching the Spark-side
+    // guard) over the identical hex rendering; ln/ln(2) with the
+    // division order preserved
     "m37_payload_entropy" ->
       """WITH h AS (
         | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
         |nib AS (
-        | SELECT doc_id, substring(hx, CAST(i AS BIGINT), 1) AS nib
-        | FROM h, range(1, 8192) r(i)
-        | WHERE i <= length(hx)),
+        | SELECT doc_id,
+        |  substring(hx, CAST(unnest(generate_series(1, length(hx)))
+        |    AS BIGINT), 1) AS nib
+        | FROM h),
         |c AS (SELECT doc_id, nib, count(*) AS n FROM nib GROUP BY 1, 2),
         |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
         |SELECT c.doc_id, count(*) AS n_distinct_nibbles,

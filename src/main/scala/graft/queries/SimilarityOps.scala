@@ -268,6 +268,40 @@ object SimilarityOps {
         .withColumn("recall_at_3", round(col("hits") / col("k"), 4))
     },
 
+    // ANN RECALL MATRIX — s45 widened to every deterministic index
+    // variant in the registry: recall@3 of the fixed-quantizer IVF
+    // (s37), trained IVF nprobe=2 (s40), IVF-PQ (s42) and residual
+    // IVF-PQ (s43) arms against the same exact brute-force ground
+    // truth (s33), one row per (variant, query). This is the eval
+    // table a vector pipeline publishes before switching index
+    // parameters; every arm is a deterministic registry twin, so the
+    // whole matrix stays DuckDB-oracle-checked (the composed-SQL s44/
+    // s45 discipline — trained-model literals included). The exact
+    // arm is computed once and persisted (4 probe joins reuse it);
+    // at 100 TB it is a bounded query sample (s33's broadcast shape),
+    // so the eval costs 4 index probes, not 4 corpus scans.
+    "s48_index_recall_matrix" -> { (s, d) =>
+      val exact = queries("s33_knn_bruteforce")(s, d)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def arm(label: String, name: String): DataFrame = {
+        val approx = queries(name)(s, d)
+          .select(col("qid").as("aqid"), col("neighbor_id").as("aneib"))
+        exact.join(approx,
+            col("qid") === col("aqid") && col("neighbor_id") === col("aneib"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("aneib").isNotNull, 1L).otherwise(0L)).as("hits"))
+          .select(lit(label).as("variant"), col("qid"), col("k"),
+            col("hits"), round(col("hits") / col("k"), 4).as("recall_at_3"))
+      }
+      arm("s37", "s37_ivf_ann")
+        .unionByName(arm("s40", "s40_ivf_trained"))
+        .unionByName(arm("s42", "s42_ivfpq_ann"))
+        .unionByName(arm("s43", "s43_ivfpq_residual"))
+    },
+
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
     //
     // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
@@ -833,6 +867,34 @@ object SimilarityOps {
         | FROM e, q WHERE vec_id <> qid)
         |SELECT qid, vec_id AS neighbor_id, cosine
         |FROM p WHERE cosine >= 0.2""".stripMargin,
+    // composes s33 + all four index-variant oracles VERBATIM (the s45
+    // discipline widened); the trained-model arms carry their captured
+    // literals, populated by the fits the Spark query performed
+    "s48_index_recall_matrix" -> {
+      def arm(label: String, sql: String) =
+        s"SELECT '$label' AS variant, qid, neighbor_id FROM (\n$sql\n) ${label}_arm"
+      s"""WITH exact AS (
+         | SELECT qid, neighbor_id FROM (${s33OracleSql}) ex WHERE rnk <= 3),
+         |approx AS (
+         |${arm("s37", s37OracleSql)}
+         |UNION ALL
+         |${arm("s40", s40Oracle)}
+         |UNION ALL
+         |${arm("s42", s42Oracle)}
+         |UNION ALL
+         |${arm("s43", s43Oracle)}),
+         |vs(variant) AS (VALUES ('s37'), ('s40'), ('s42'), ('s43')),
+         |pairs AS (SELECT vs.variant, e.qid, e.neighbor_id FROM exact e, vs)
+         |SELECT p.variant, p.qid, count(*) AS k,
+         | CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS hits,
+         | round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) / count(*), 4) AS recall_at_3
+         |FROM pairs p LEFT JOIN approx a
+         |  ON p.variant = a.variant AND p.qid = a.qid
+         |  AND p.neighbor_id = a.neighbor_id
+         |GROUP BY 1, 2""".stripMargin
+    },
     // composes the s33 and s37 oracle SQL VERBATIM (the s44 discipline:
     // shared text, so the arms cannot drift from their registry twins)
     "s45_ann_recall" ->

@@ -14,7 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * before these transforms and use append mode; the batch/test path
   * runs them watermark-free.
   */
-object EventStreams {
+// Serializable: the stateful-processor closures (gapSessionize /
+// scd2Stream) reference the module's timestamp helpers, so the module
+// itself ships with the task — it is stateless, so this is free.
+object EventStreams extends Serializable {
 
   /** Tumbling event-time window counts+sums per event_type. */
   def tumblingAgg(events: DataFrame, width: String = "10 minutes"): DataFrame =
@@ -66,6 +69,125 @@ object EventStreams {
            |AND click_ts <= imp_ts + interval $window""".stripMargin))
       .select(col("i_user").as("user_id"), col("imp_ts"),
         col("click_ts"), col("click_value"))
+  }
+
+  // ---- streaming twins of the batch analytics q78 (gap sessionize)
+  // and q74 (SCD2) — StreamingSpec asserts them row-identical to the
+  // batch window renderings on the same events.
+
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+  case class GapSessionState(sessionN: Long, startUs: Long, lastUs: Long,
+      n: Long, sum: Double)
+  case class GapSession(user_id: Long, session_n: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+  case class Scd2State(state: String, fromUs: Long)
+  case class Scd2Closed(user_id: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def usTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap SESSIONIZE under Structured Streaming — the q78 batch shape
+    * (new session when the inactivity gap exceeds `gapUs`, strict,
+    * sessions numbered 1.. per user in time order) as stateful
+    * streaming: per-user state is ONE open session (fixed-size struct,
+    * never the event buffer), closed sessions emit append-mode either
+    * when a later event proves the gap or when the event-time timeout
+    * fires (watermark passed lastTs + gap — so state is bounded by
+    * rate × gap, runnable forever). Input needs a watermark on `ts`;
+    * event-time order is guaranteed within a micro-batch by an
+    * explicit sort, across batches by the watermark contract (same
+    * constraint as any event-time operator). Sums emit unrounded —
+    * round at the sink (the q78 oracle rounds 2 dp). */
+  def gapSessionize(events: Dataset[TypedEvent],
+      gapUs: Long = 4L * 3600L * 1000000L): Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: GapSessionState): GapSession =
+      GapSession(uid, s.sessionN, usTs(s.startUs), usTs(s.lastUs),
+        s.n, s.sum)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapSessionState, GapSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TypedEvent],
+            state: GroupState[GapSessionState]) =>
+          if (state.hasTimedOut) {
+            // emit the open session but KEEP the numbering counter
+            // (n = 0 marks "no open session"): a later event must get
+            // sessionN + 1, matching the batch numbering — removing
+            // state here would restart every timed-out user at 1. The
+            // retained struct is a few dozen bytes per user ever seen;
+            // pipelines that prefer bounded state over stable numbering
+            // can key sessions by session_start instead.
+            val s = state.get
+            state.update(s.copy(n = 0L, sum = 0.0))
+            Iterator.single(close(uid, s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[GapSession]
+            var st = state.getOption
+            it.toSeq.sortBy(e => tsUs(e.ts)).foreach { e =>
+              val us = tsUs(e.ts)
+              st = st match {
+                case None =>
+                  Some(GapSessionState(1L, us, us, 1L, e.value))
+                case Some(s) if s.n == 0L => // closed marker after timeout
+                  Some(GapSessionState(s.sessionN + 1, us, us, 1L, e.value))
+                case Some(s) if us - s.lastUs > gapUs =>
+                  out += close(uid, s)
+                  Some(GapSessionState(s.sessionN + 1, us, us, 1L, e.value))
+                case Some(s) =>
+                  Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              if (s.n > 0L)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** SCD TYPE-2 under Structured Streaming — the q74 batch shape as
+    * CDC: per-user state holds the OPEN interval (current event_type +
+    * valid_from); when an arriving event changes the type, the closed
+    * interval emits append-mode with valid_to = the change timestamp.
+    * The open interval is exactly what append mode cannot emit (its
+    * valid_to is still moving) — it lives in the state store, which IS
+    * the is_current side of the batch table; StreamingSpec asserts the
+    * emitted set equals q74's is_current = false rows. State is one
+    * fixed-size struct per user; no timeout needed — closure is driven
+    * by data, not time. */
+  def scd2Stream(events: Dataset[TypedEvent]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TypedEvent],
+            state: GroupState[Scd2State]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var st = state.getOption
+          it.toSeq.sortBy(e => tsUs(e.ts)).foreach { e =>
+            val us = tsUs(e.ts)
+            st match {
+              case None =>
+                st = Some(Scd2State(e.event_type, us))
+              case Some(s) if s.state != e.event_type =>
+                out += Scd2Closed(uid, s.state, usTs(s.fromUs), usTs(us))
+                st = Some(Scd2State(e.event_type, us))
+              case Some(_) => // same state: interval extends, nothing emits
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
   }
 
   case class UserEvent(user_id: Long, value: Double)

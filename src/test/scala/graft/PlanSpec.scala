@@ -159,13 +159,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
-  test("q81 winsorize: percentile bounds broadcast; the log shuffles only by event_type") {
+  test("q81 winsorize: rank-based bounds broadcast; the value rank is block-distributed, never one sort task per event_type") {
     val p = plan("q81_winsorize")
     assert(p.contains("Broadcast"), s"bounds must broadcast in:\n$p")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exchanges.subsetOf(Set("event_type")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    // the corpus-width value window must carry the block key — a bare
+    // (event_type, value ASC) spec is the 5-task-per-pass shape
+    assert("windowspecdefinition\\(event_type#\\d+, __blk#\\d+L?, value#\\d+ ASC".r
+      .findFirstIn(p).isDefined, s"value rank must block-partition:\n$p")
+    assert("windowspecdefinition\\(event_type#\\d+, value#\\d+ ASC".r
+      .findFirstIn(p).isEmpty,
+      s"one-task-per-event_type value sort must not appear:\n$p")
   }
 
   test("q82 ri audit: all four relationships check through broadcast anti joins") {
@@ -236,6 +243,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exchanges.subsetOf(Set("p_brand", "bb")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    // the neighborhood rank must be the DISTRIBUTED rendering: its
+    // row_number window partitions by (p_brand, __blk), never by bare
+    // p_brand (one sort task per brand — 25 forever on part)
+    assert("windowspecdefinition\\(p_brand#\\d+, __blk#\\d+, p_name".r
+      .findFirstIn(p).isDefined, s"rank must block-partition:\n$p")
+    assert("windowspecdefinition\\(p_brand#\\d+, p_name".r
+      .findFirstIn(p).isEmpty,
+      s"one-task-per-brand rank sort must not appear:\n$p")
   }
 
   test("q85 pairs are a subset of the q83 exact baseline, with full recall on small blocks") {
@@ -251,21 +266,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected full recall at sf0.001: ${neigh.size} vs ${exact.size}")
   }
 
-  test("q86 mad outliers: both percentile passes broadcast; the log shuffles only by event_type") {
+  test("q86 mad outliers: both median passes broadcast; every corpus rank window is block-distributed") {
     val p = plan("q86_mad_outliers")
     assert(p.contains("Broadcast"), s"median/MAD must broadcast in:\n$p")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exchanges.subsetOf(Set("event_type")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    // both rank-median passes (value, then adev) must carry the block
+    // key in their cumsum windows — a bare (event_type, v ASC) spec
+    // would sort the whole corpus in 5 tasks
+    for (v <- Seq("value", "adev")) {
+      assert(s"windowspecdefinition\\(event_type#\\d+, __blk#\\d+L?, $v#\\d+ ASC".r
+        .findFirstIn(p).isDefined, s"$v rank must block-partition:\n$p")
+      assert(s"windowspecdefinition\\(event_type#\\d+, $v#\\d+ ASC".r
+        .findFirstIn(p).isEmpty,
+        s"one-task-per-event_type $v sort must not appear:\n$p")
+    }
   }
 
-  test("m37 payload entropy: shuffles keyed by doc_id only — nibble explode stays map-side") {
+  test("m37 payload entropy: zero exchanges — the 16-symbol histogram is computed map-side, no nibble explode") {
     val p = plan("m37_payload_entropy")
-    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(exchanges.subsetOf(Set("doc_id")),
-      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("Exchange"),
+      s"m37 must stay map-only (no shuffle), plan was:\n$p")
+    assert(!p.toLowerCase.contains("explode"),
+      s"no per-nibble row expansion allowed:\n$p")
   }
 
   test("q87 period-over-period: orders shuffle once on the week key; the lag window runs over the tiny weekly aggregate") {
@@ -281,6 +306,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("t43 keywords: ranked through the native TopKPerKey bounded-heap exec") {
     val p = plan("t43_keywords")
     assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
+    // t43 persists the doc-frequency stage — drop it so later plan
+    // tests never see an InMemoryRelation in place of an exchange
+    SparkEntry.release(spark)
   }
 
   test("q88 streaks: rank-difference islands stay partitioned by user_id — no global sort") {
@@ -300,6 +328,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exchanges.subsetOf(Set("vec_id", "cid", "ncid")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    // s47 persists its cell assignment — release like the d41/d42/m36
+    // tests so later plan-shape assertions stay order-independent
+    SparkEntry.release(spark)
   }
 
   test("q74 scd2: the event log shuffles ONCE by user_id — both windows reuse the same clustering") {

@@ -65,6 +65,28 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.4, s"s40 recall@3 was $recall")
   }
 
+  test("s48 recall matrix covers all four index variants with per-variant floors") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("s48_index_recall_matrix")(spark, sf0001)
+      .groupBy(col("variant"))
+      .agg(avg(col("recall_at_3")).as("mean_recall"),
+        count(lit(1)).as("n_queries"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("s37", "s40", "s42", "s43"), rows.keySet.toString)
+    // per-arm floors at the measured sf0.001 values minus slack (all
+    // arms are deterministic: fixed corpus, seeded fits) — the PQ arms
+    // are genuinely lossy on this tiny corpus, the matrix is exactly
+    // the table that makes that visible
+    for ((v, floor) <- Seq("s37" -> 0.6, "s40" -> 0.4, "s42" -> 0.15,
+        "s43" -> 0.25))
+      assert(rows(v)._1 >= floor, s"$v mean recall ${rows(v)._1} < $floor")
+    // the residual refinement must actually refine: s43 re-expresses
+    // codes relative to cell centroids and may not lose recall vs s42
+    assert(rows("s43")._1 >= rows("s42")._1,
+      s"residual PQ ${rows("s43")._1} fell below plain PQ ${rows("s42")._1}")
+    SparkEntry.release(spark)
+  }
+
   test("t35 quality filter: every rule fires on the corpus and keep matches reason") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("t35_quality_filter")(spark, sf0001)

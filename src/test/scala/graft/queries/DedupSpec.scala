@@ -135,6 +135,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("degree-ordered triangles (d45) emit exactly the id-ordered set (d40)") {
+    def triSet(name: String) = SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val id = triSet("d40_triangles")
+    val deg = triSet("d45_triangles_ordered")
+    assert(id == deg, s"variants disagree: ${id.size} vs ${deg.size}")
+    SparkEntry.release(spark)
+  }
+
+  test("Triangles.degreeOrdered matches idOrdered on a planted hub graph") {
+    // hub vertex 0 touches all of 1..40 (id-ordered two-paths from the
+    // hub: 40·39/2 candidates; degree-ordered: zero — all edges point
+    // INTO the hub) + a triangle strip among the spokes
+    import spark.implicits._
+    val hub = (1 to 40).map(v => (0L, v.toLong))
+    val strip = (1 to 38).map(v => (v.toLong, v + 1L)) ++
+      (1 to 37).map(v => (v.toLong, v + 2L))
+    val edges = (hub ++ strip).distinct.toDF("ia", "ib")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = canon(graft.operators.Triangles.idOrdered(edges))
+    val b = canon(graft.operators.Triangles.degreeOrdered(edges))
+    assert(a == b, s"hub graph disagreement: ${a.size} vs ${b.size}")
+    assert(a.nonEmpty, "planted strip must contain triangles")
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to doc count") {
     val d = SparkEntry.queries("d27_dedup_exact")(spark, sf0001)
     val total = d.agg(sum(col("n_copies"))).head().getLong(0)

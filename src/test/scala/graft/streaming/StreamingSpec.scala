@@ -121,6 +121,103 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gap sessionize (q78 twin): streamed sessions == batch window rendering") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 3 users × 12 events in 4 bursts separated by >4h (the q78 gap);
+    // in-burst spacing 17 min
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = for {
+      u <- 0L to 2L
+      burst <- 0 until 4
+      i <- 0 until 3
+    } yield EventStreams.TypedEvent(u,
+      new Timestamp(base + u * 61000L + burst * 5L * 3600000L + i * 17L * 60000L),
+      "view", u * 10.0 + burst + i * 0.25)
+    // feed in EVENT-TIME order: the watermark is global, so a source
+    // that interleaves users out of time order would have batch 2's
+    // older rows dropped as late — the same contract any watermarked
+    // pipeline has
+    val evsSorted = evs.sortBy(_.ts.getTime)
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val query = EventStreams.gapSessionize(
+        input.toDS().withWatermark("ts", "10 minutes").as[EventStreams.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_sess_out")
+      .start()
+    try {
+      input.addData(evsSorted.take(20))
+      query.processAllAvailable()
+      input.addData(evsSorted.drop(20))
+      query.processAllAvailable()
+      // sentinel far past every session's gap horizon: advances the
+      // watermark so the EventTimeTimeout closes the open sessions
+      input.addData(Seq(EventStreams.TypedEvent(777L,
+        Timestamp.valueOf("2030-01-01 00:00:00"), "view", 0.0)))
+      query.processAllAvailable()
+      val streamed = spark.table("gap_sess_out")
+        .filter($"user_id" =!= 777L)
+        .withColumn("sum_value", round($"sum_value", 2))
+        .collect().map(_.toString).sorted
+      // the q78 batch rendering on the same events
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+      val batch = evs.toDF()
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          ($"prev_us".isNull || $"us" - $"prev_us" > 4L * 3600L * 1000000L)
+            .cast("long"))
+        .withColumn("session_n",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_n")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .select("user_id", "session_n", "session_start", "session_end",
+          "n_events", "sum_value")
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(batch),
+        s"streamed:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+    } finally query.stop()
+  }
+
+  test("scd2 (q74 twin): streamed closed intervals == batch is_current=false rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val evs = mkEvents.map(e =>
+      EventStreams.TypedEvent(e.user_id, e.ts, e.event_type, e.value))
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val query = EventStreams.scd2Stream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out")
+      .start()
+    try {
+      input.addData(evs.take(120))
+      query.processAllAvailable()
+      input.addData(evs.drop(120))   // state continues across batches
+      query.processAllAvailable()
+      val streamed = spark.table("scd2_out").collect().map(_.toString).sorted
+      // q74's batch shape, restricted to the CLOSED intervals — the
+      // open interval is the state store's content, not appendable
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+      val batch = evs.toDF()
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .filter($"valid_to".isNotNull)
+        .select($"user_id", $"event_type".as("state"),
+          $"ts".as("valid_from"), $"valid_to")
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(batch),
+        s"streamed:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join: streaming attribution == batch join") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
