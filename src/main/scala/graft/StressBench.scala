@@ -479,19 +479,26 @@ object StressBench {
     }
 
     // ---- triangle orientation under a planted hub (registry d40 vs
-    // d45): vertex 0 touches all 6000 spokes, spokes chain with skip
-    // edges so real triangles exist. ID order charges the hub (id 0,
-    // lowest) with ~n²/2 two-paths; DEGREE order points every hub edge
-    // inward, so the hub contributes zero paths and the fan-out is
-    // bounded by the strip's degeneracy (3). Identical triangle sets.
+    // d45): a MID-RANGE-id hub (id = n/2) touches every other vertex,
+    // spokes chain with skip edges so real triangles exist. Under ID
+    // order the hub is the MIDDLE of in(hub)×out(hub) ≈ (n/2)² two-
+    // paths (the canonical a<b<c pattern pays in-degree × out-degree
+    // through every vertex); under DEGREE order the hub ranks last, so
+    // every hub edge points INTO it and it contributes zero paths —
+    // fan-out is bounded by the strip's degeneracy. Identical triangle
+    // sets either way.
     val nSpokes = 6000
-    val hubE = spark.range(1, nSpokes + 1)
-      .select(lit(0L).as("ia"), col("id").as("ib"))
-    val stripE = spark.range(1, nSpokes - 1)
+    val hubId = nSpokes / 2
+    val hubE = spark.range(0, nSpokes).filter(col("id") =!= hubId)
+      .select(least(col("id"), lit(hubId.toLong)).as("ia"),
+        greatest(col("id"), lit(hubId.toLong)).as("ib"))
+    val stripE = spark.range(0, nSpokes - 1)
       .select(col("id").as("ia"), (col("id") + 1).as("ib"))
-      .union(spark.range(1, nSpokes - 2)
+      .union(spark.range(0, nSpokes - 2)
         .select(col("id").as("ia"), (col("id") + 2).as("ib")))
-    val tEdges = hubE.union(stripE)
+    // distinct: strip edges touching the hub duplicate hub spokes, and
+    // a duplicated edge row would double-count its triangles
+    val tEdges = hubE.union(stripE).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tEdges.count()
     val nTriId = tm("triangles_hub_id_ordered")(
@@ -500,7 +507,17 @@ object StressBench {
       graft.operators.Triangles.degreeOrdered(tEdges).count())
     require(nTriId == nTriDeg,
       s"orientation changed the result: id=$nTriId deg=$nTriDeg")
-    println(s"""{"stress":"triangles_hub","triangles":$nTriId}""")
+    // the structural metric: candidate two-paths BEFORE the closure
+    // join. ID order charges the hub n(n-1)/2 ≈ 18M candidates; degree
+    // order must stay within a small multiple of the triangle count —
+    // at 6k spokes the 18M hash probes are still cheap enough that
+    // wall-time alone understates the gap, but at 100 TB the candidate
+    // volume IS the shuffle bill
+    val idPaths = graft.operators.Triangles.idOrderedPaths(tEdges).count()
+    val degPaths = graft.operators.Triangles.degreeOrientedPaths(tEdges).count()
+    require(degPaths * 100 < idPaths,
+      s"degree orientation must collapse hub fan-out: id=$idPaths deg=$degPaths")
+    println(s"""{"stress":"triangles_hub","triangles":$nTriId,"paths_id":$idPaths,"paths_degree":$degPaths}""")
     tEdges.unpersist()
     spark.stop()
   }

@@ -31,17 +31,24 @@ object Triangles {
     * a < b < c, closed by edge (a,c). `edges` must be persisted by the
     * caller if reuse across the three branches matters. */
   def idOrdered(edges: DataFrame): DataFrame =
-    edges.select(col("ia").as("a"), col("ib").as("b"))
-      .join(edges.select(col("ia").as("b2"), col("ib").as("c")),
-        col("b") === col("b2"))
+    idOrderedPaths(edges)
       .join(edges.select(col("ia").as("a3"), col("ib").as("c3")),
         col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
 
-  /** Two-path + closure under (degree, id) order — each triangle is
-    * charged to its lowest-ranked vertex, so hub fan-out is bounded by
-    * degeneracy instead of degree. */
-  def degreeOrdered(edges: DataFrame): DataFrame = {
+  /** The candidate two-paths of the id-ordered variant — exposed so
+    * StressBench can measure the structural fan-out the orientation
+    * pays before the closure join prunes it. */
+  private[graft] def idOrderedPaths(edges: DataFrame): DataFrame =
+    edges.select(col("ia").as("a"), col("ib").as("b"))
+      .join(edges.select(col("ia").as("b2"), col("ib").as("c")),
+        col("b") === col("b2"))
+
+  /** The candidate two-paths under (degree, id) orientation — each
+    * unordered {y, z} destination pair of a common lowest-ranked
+    * source emitted once. Shared by [[degreeOrdered]] and the
+    * StressBench fan-out measurement. */
+  private[graft] def degreeOrientedPaths(edges: DataFrame): DataFrame = {
     val deg = edges.select(explode(array(col("ia"), col("ib"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient low-rank → high-rank; carry the destination's rank so the
@@ -57,19 +64,22 @@ object Triangles {
           (col("da") === col("db") && col("ia") < col("ib")),
           col("ib")).otherwise(col("ia")).as("dst"),
         greatest(col("da"), col("db")).as("ddeg"))
-    // two-paths from the common LOWEST-ranked vertex; the (rank, id)
-    // strict order on the two destinations emits each unordered
-    // {y, z} pair once
-    val paths = oriented
+    oriented
       .select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
       .join(oriented.select(col("src").as("src2"), col("dst").as("z"),
         col("ddeg").as("dz")),
         col("src") === col("src2") &&
           (col("dy") < col("dz") ||
             (col("dy") === col("dz") && col("y") < col("z"))))
+  }
+
+  /** Two-path + closure under (degree, id) order — each triangle is
+    * charged to its lowest-ranked vertex, so hub fan-out is bounded by
+    * degeneracy instead of degree. */
+  def degreeOrdered(edges: DataFrame): DataFrame = {
     // closure against the canonical undirected list, then canonical
     // id-sorted output — identical rows to idOrdered
-    paths
+    degreeOrientedPaths(edges)
       .join(edges,
         least(col("y"), col("z")) === col("ia") &&
           greatest(col("y"), col("z")) === col("ib"))

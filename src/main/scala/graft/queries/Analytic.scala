@@ -368,8 +368,12 @@ object Analytic {
           out = out)
       val e = t(s, d, "events")
       val med = rankMedian(e, "value", "med")
+      // dev feeds TWO consumers (the MAD rank pass and the final
+      // select) — persist the joined deviations so the events scan +
+      // median join run once per action; released by SparkEntry.release
       val dev = e.join(broadcast(med), "event_type")
         .withColumn("adev", abs(col("value") - col("med")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mad = rankMedian(dev, "adev", "mad")
       dev.join(broadcast(mad), "event_type")
         .filter(col("mad") > 0)

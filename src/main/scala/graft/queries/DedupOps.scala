@@ -160,6 +160,38 @@ object DedupOps {
       graft.operators.Triangles.degreeOrdered(neardupEdges05(s, d))
     },
 
+    // CONTAINMENT near-dup — the asymmetric companion to d28's
+    // Jaccard: C(A,B) = |A∩B| / min(|A|,|B|) flags a SMALLER document
+    // embedded in a larger one (quotes, excerpts, prepended-header
+    // copies) that symmetric Jaccard structurally misses — a 30-shingle
+    // doc fully contained in a 300-shingle doc scores J ≈ 0.1 but
+    // C = 1.0. Training pipelines drop or down-weight these as partial
+    // duplicates. The plan is EXACTLY d28's candidate shape (shingle
+    // hash equi-join → pair counts → size lookups), only the final
+    // normalization differs — so the 100 TB posture is d28's, and the
+    // d33 stop-shingle cap composes the same way if boilerplate widens
+    // the join. Exact integer division, one 4-dp final round.
+    "d46_containment" -> { (s, d) =>
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"),
+        explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      ex.select(col("doc_id").as("ia"), col("sv"))
+        .join(ex.select(col("doc_id").as("ib"), col("sv").as("svb")),
+          col("sv") === col("svb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .withColumn("containment",
+          col("inter") / least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.9)
+        .select(col("ia"), col("ib"), col("inter").cast("long").as("inter"),
+          round(col("containment"), 4).as("containment"))
+    },
+
     // d28 with STOP-SHINGLE capping — the 100 TB hardening: a shingle
     // appearing in more than `maxDf` docs generates O(df²) candidate
     // pairs on its own (boilerplate headers/footers are the classic
@@ -776,6 +808,28 @@ object DedupOps {
     // the oracle is shared verbatim
     "d45_triangles_ordered" -> d40OracleSql,
     "d28_neardup_jaccard" -> d28OracleSql,
+    // d28's candidate CTEs with the containment normalization — the
+    // threshold applies to the exact integer ratio, the output rounds
+    "d46_containment" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT ia, ib, CAST(inter AS BIGINT) AS inter,
+        | round(inter / least(sa.n, sb.n), 4) AS containment
+        |FROM pairs
+        | JOIN sizes sa ON sa.doc_id = ia
+        | JOIN sizes sb ON sb.doc_id = ib
+        |WHERE inter / least(sa.n, sb.n) >= 0.9""".stripMargin,
     // wraps the d28 pair SQL verbatim; cosine is the s34 formula over
     // the pair's embeddings, one 4-dp final round
     "d43_signal_agreement" ->

@@ -580,6 +580,38 @@ object TextOps {
         .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
     },
 
+    // PATTERN SCRUB / redaction accounting — the content-policy pass a
+    // training-data pipeline runs before release: count and redact a
+    // configurable regex family per document (PII patterns in
+    // production — emails, phone numbers; here three families the
+    // synthetic corpus actually exercises, so the operator is
+    // non-vacuous and every counter fires). MAP-ONLY: three
+    // regexp_count + chained regexp_replace per row, zero shuffles —
+    // the shape survives any corpus size unchanged. Replacement order
+    // is part of the contract (the oracle chains the same three
+    // replaces in the same order); the "[X]" token contains no
+    // pattern-matchable text, so the chain is confluent anyway. Both
+    // regex dialects (Java here, RE2 in DuckDB) support the subset
+    // used: \b word bounds + alternation, no lookarounds.
+    "t44_pattern_scrub" -> { (s, d) =>
+      val fams = Seq(
+        "n_customer" -> "\\bcustomer\\b",
+        "n_value" -> "\\bvalue\\b",
+        "n_phrase" -> "fast (table|scan)")
+      val redacted = fams.foldLeft(col("text")) { case (c, (_, p)) =>
+        regexp_replace(c, p, "[X]")
+      }
+      fams.foldLeft(t(s, d, "documents")) { case (df, (name, p)) =>
+          df.withColumn(name, regexp_count(col("text"), lit(p)).cast("long"))
+        }
+        .select(col("doc_id"),
+          col("n_customer"), col("n_value"), col("n_phrase"),
+          (col("n_customer") + col("n_value") + col("n_phrase"))
+            .as("n_redactions"),
+          md5(redacted).as("redacted_md5"),
+          length(redacted).cast("long").as("redacted_len"))
+    },
+
     // Array higher-order functions over the token array: lambda filter,
     // membership, ordered head — all inside whole-stage codegen.
     "t28_array_hof" -> { (s, d) =>
@@ -618,6 +650,30 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same three regex families, counted via regexp_extract_all
+    // and replaced with the 'g' flag (DuckDB replaces only the first
+    // match by default) in the identical chain order
+    "t44_pattern_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT)
+        |   AS n_customer,
+        | CAST(len(regexp_extract_all(text, '\bvalue\b')) AS BIGINT)
+        |   AS n_value,
+        | CAST(len(regexp_extract_all(text, 'fast (table|scan)')) AS BIGINT)
+        |   AS n_phrase,
+        | CAST(len(regexp_extract_all(text, '\bcustomer\b'))
+        |  + len(regexp_extract_all(text, '\bvalue\b'))
+        |  + len(regexp_extract_all(text, 'fast (table|scan)')) AS BIGINT)
+        |   AS n_redactions,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |     '\bcustomer\b', '[X]', 'g'),
+        |    '\bvalue\b', '[X]', 'g'),
+        |   'fast (table|scan)', '[X]', 'g')) AS redacted_md5,
+        | CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |     '\bcustomer\b', '[X]', 'g'),
+        |    '\bvalue\b', '[X]', 'g'),
+        |   'fast (table|scan)', '[X]', 'g')) AS BIGINT) AS redacted_len
+        |FROM documents""".stripMargin,
     // same bigram/marker building blocks as t33/t26; the CASE rule
     // chain evaluates in the identical priority order, and a NULL
     // stop_hits (unknown lang) falls through to keep in both engines

@@ -87,6 +87,26 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t44 pattern scrub: every regex family fires and totals reconcile") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("t44_pattern_scrub")(spark, sf0001)
+    val agg = rows.agg(sum(col("n_customer")), sum(col("n_value")),
+      sum(col("n_phrase")), sum(col("n_redactions"))).head()
+    // a scrub family that never fires is dead configuration
+    assert(agg.getLong(0) > 0, "customer family must fire")
+    assert(agg.getLong(1) > 0, "value family must fire")
+    assert(agg.getLong(2) > 0, "phrase family must fire")
+    assert(agg.getLong(3) == agg.getLong(0) + agg.getLong(1) + agg.getLong(2))
+    // redaction shrinks or preserves length ("[X]" is never longer
+    // than the shortest pattern match)
+    val bad = rows.join(
+      SparkEntry.queries("t21_token_stats")(spark, sf0001)
+        .select(col("doc_id"), col("n_chars_text")),
+      "doc_id")
+      .filter(col("redacted_len") > col("n_chars_text")).count()
+    assert(bad == 0, s"$bad docs grew under redaction")
+  }
+
   test("t35 quality filter: every rule fires on the corpus and keep matches reason") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("t35_quality_filter")(spark, sf0001)

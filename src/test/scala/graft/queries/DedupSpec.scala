@@ -135,6 +135,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d46 containment: pairs are canonical, bounded, and include the full-overlap near-dups") {
+    val rows = SparkEntry.queries("d46_containment")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups; containment must fire")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical ia<ib")
+      val c = r.getDouble(3)
+      assert(c >= 0.9 && c <= 1.0, s"containment $c out of bounds")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("degree-ordered triangles (d45) emit exactly the id-ordered set (d40)") {
     def triSet(name: String) = SparkEntry.queries(name)(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -145,11 +157,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("Triangles.degreeOrdered matches idOrdered on a planted hub graph") {
-    // hub vertex 0 touches all of 1..40 (id-ordered two-paths from the
-    // hub: 40·39/2 candidates; degree-ordered: zero — all edges point
-    // INTO the hub) + a triangle strip among the spokes
+    // a mid-range hub (id 20) touches every other vertex — under id
+    // order it is the middle of in×out ≈ 20·20 two-paths, under degree
+    // order it contributes none — plus a triangle strip among the
+    // spokes; the assertion is output EQUALITY on this adversarial
+    // shape (the fan-out magnitude itself is StressBench's metric)
     import spark.implicits._
-    val hub = (1 to 40).map(v => (0L, v.toLong))
+    val hub = (0 to 40).filter(_ != 20)
+      .map(v => (math.min(v, 20).toLong, math.max(v, 20).toLong))
     val strip = (1 to 38).map(v => (v.toLong, v + 1L)) ++
       (1 to 37).map(v => (v.toLong, v + 2L))
     val edges = (hub ++ strip).distinct.toDF("ia", "ib")
