@@ -321,6 +321,56 @@ object MultimodalOps extends Serializable {
               math.log(2.0)), 4).as("entropy_bits"))
     },
 
+    // PER-TILE ENTROPY PROFILE — m34's tiling × m37's entropy, per
+    // tile: the signal that localizes WHERE an asset is corrupt or
+    // padded (a zero-entropy tile inside a high-entropy payload is
+    // truncation/padding; uniform max-entropy tiles are encrypted or
+    // compressed regions). Whole-payload entropy (m37) averages that
+    // structure away. Same map-only posture as both parents: the ≤64
+    // tile rows explode map-side and each tile's 16-symbol histogram
+    // is the m37 replace-counter trick on the tile's hex slice —
+    // ZERO shuffles, no per-nibble rows.
+    "m38_tile_entropy" -> { (s, d) =>
+      val hexPerTile = 512 // 256 bytes — m34's tile geometry
+      val nibbles = "0123456789abcdef"
+      multimodalTable(s, d)
+        .withColumn("hx", lower(hex(col("payload"))))
+        .withColumn("nt", least(
+          ceil(length(col("hx")) / lit(hexPerTile.toDouble)).cast("long"),
+          lit(64L)))
+        .filter(col("nt") > 0)
+        .withColumn("tidx", explode(sequence(lit(0L), col("nt") - 1)))
+        .withColumn("th",
+          expr(s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
+        .withColumn("tot", length(col("th")).cast("long"))
+        .withColumn("cnts", array(nibbles.map(c =>
+          (length(col("th")) -
+            length(expr(s"replace(th, '$c', '')"))).cast("long")): _*))
+        .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
+        .select(col("doc_id"), col("tidx").as("tile_idx"),
+          col("tot").as("n_nibbles"),
+          round(-aggregate(col("pres"), lit(0.0),
+            (acc, n) => acc + (n / col("tot")) * log(n / col("tot")) /
+              math.log(2.0)), 4).as("entropy_bits"))
+    },
+
+    // ASSET QUALITY REPORT — m38's payoff row: per-asset tile-entropy
+    // envelope + a suspect flag (any tile under 3.0 bits on this
+    // corpus's ~3.2-bit hex-nibble baseline marks padding/truncation/
+    // constant regions). One doc_id partial-agg over the map-only m38
+    // rows; comparisons run on the already-4-dp-rounded entropies, so
+    // the flag is engine-exact.
+    "m39_asset_quality" -> { (s, d) =>
+      queries("m38_tile_entropy")(s, d)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tiles"),
+          min(col("entropy_bits")).as("min_tile_entropy"),
+          max(col("entropy_bits")).as("max_tile_entropy"),
+          sum(when(col("entropy_bits") < 3.0, 1L).otherwise(0L))
+            .as("n_low_entropy"))
+        .withColumn("suspect", col("n_low_entropy") > 0)
+    },
+
     // ASSET-LEVEL NEAR-DUP — the multimodal counterpart of d28: pairs
     // of assets whose tile-fingerprint sets overlap at Jaccard ≥ 0.5
     // (re-encoded or truncated copies share most tiles even when the
@@ -366,6 +416,37 @@ object MultimodalOps extends Serializable {
        |FROM h, range(0, $featureDim) r(i)""".stripMargin
   }
 
+  /** m38 oracle: m34's tile CTEs + m37's per-position nibble counting
+    * scoped to the tile substring; shared verbatim by m39's rollup. */
+  private def m38OracleSql: String =
+      """WITH p AS (
+        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+        |n AS (
+        | SELECT doc_id, hx,
+        |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
+        | FROM p),
+        |tiles AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS tile_idx,
+        |  substring(hx, CAST(i*512 + 1 AS BIGINT), 512) AS th
+        | FROM n, range(0, 64) r(i)
+        | WHERE i < nt),
+        |nib AS (
+        | SELECT doc_id, tile_idx, th,
+        |  substring(th, CAST(unnest(generate_series(1, length(th)))
+        |    AS BIGINT), 1) AS nib
+        | FROM tiles),
+        |c AS (
+        | SELECT doc_id, tile_idx, nib, count(*) AS n
+        | FROM nib GROUP BY 1, 2, 3),
+        |t AS (
+        | SELECT doc_id, tile_idx, CAST(sum(n) AS BIGINT) AS tot
+        | FROM c GROUP BY 1, 2)
+        |SELECT c.doc_id, c.tile_idx, min(t.tot) AS n_nibbles,
+        | round(-sum((c.n / t.tot) * ln(c.n / t.tot) / ln(2)), 4)
+        |   AS entropy_bits
+        |FROM c JOIN t ON c.doc_id = t.doc_id AND c.tile_idx = t.tile_idx
+        |GROUP BY 1, 2""".stripMargin
+
   /** hex(text) hexes the string's UTF-8 bytes in DuckDB — the same
     * bytes Spark's hex(encode(text,'utf-8')) renders; lower() pins the
     * case on both sides. range(0,64) mirrors the explicit cap. */
@@ -385,6 +466,21 @@ object MultimodalOps extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "m34_payload_tiles" -> m34OracleSql,
+    // m34's tile CTEs + m37's per-position nibble counting, scoped to
+    // the tile substring; identical ln/ln(2) arithmetic and 4-dp round
+    "m38_tile_entropy" -> m38OracleSql,
+    // wraps the m38 SQL verbatim; the flag compares the 4-dp-rounded
+    // entropies, identical in both engines
+    "m39_asset_quality" ->
+      s"""SELECT doc_id, count(*) AS n_tiles,
+         | min(entropy_bits) AS min_tile_entropy,
+         | max(entropy_bits) AS max_tile_entropy,
+         | CAST(sum(CASE WHEN entropy_bits < 3.0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_low_entropy,
+         | sum(CASE WHEN entropy_bits < 3.0 THEN 1 ELSE 0 END) > 0
+         |   AS suspect
+         |FROM ($m38OracleSql) m38
+         |GROUP BY 1""".stripMargin,
     "m35_shared_tiles" ->
       s"""SELECT tile_md5, count(DISTINCT doc_id) AS n_docs,
          | count(*) AS n_tiles, min(doc_id) AS first_doc

@@ -302,6 +302,58 @@ object SimilarityOps {
         .unionByName(arm("s43", "s43_ivfpq_residual"))
     },
 
+    // TWO-STAGE RETRIEVAL — the standard serving funnel: a CHEAP
+    // first stage over-fetches candidates (IVF cell restriction +
+    // int8-QUANTIZED cosine, s39's compression — the fidelity a
+    // memory-resident index actually scores with), top-20 per query;
+    // the EXACT cosine then re-ranks only those 20 to a final top-5.
+    // At 100 TB the exact metric touches 20 rows per query instead of
+    // the corpus — the funnel is the whole point. Both stages rank
+    // through the native TopKPerKey heap on 6-dp-rounded scores with
+    // id tie-breaks, so the full pipeline stays DuckDB-hash-checked
+    // (quantization is round(x·127)/127 — exactly replayable).
+    "s50_two_stage_rerank" -> { (s, d) =>
+      val quant = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => round(x * 127.0, 0) / 127.0)
+      val cell = cellAssign(emb(s, d))
+      val q = cell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("qcell"))
+      val stage1 = cell.join(broadcast(q),
+          col("cid") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("qcos",
+          round(cos(quant(col("qemb")), quant(col("emb"))), 6))
+        .select(col("qid"), col("vec_id"), col("emb"), col("qemb"),
+          col("qcos"))
+      val cands = graft.operators.TopKPerKeyApi.topKPerKey(stage1,
+        Seq("qid"), Seq(("qcos", false), ("vec_id", true)), 20)
+      val rescored = cands
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .select(col("qid"), col("vec_id"), col("cosine"))
+      graft.operators.TopKPerKeyApi.topKPerKey(rescored, Seq("qid"),
+          Seq(("cosine", false), ("vec_id", true)), 5)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+    },
+
+    // IVF CELL-BALANCE diagnostics — the index-health table an ANN
+    // pipeline monitors before trusting probe counts: per-cell corpus
+    // population and fraction. A skewed quantizer (one cell holding
+    // half the corpus) silently turns an nprobe=1 search into a
+    // near-full scan; this row makes it visible. One partial-agg
+    // groupBy on the (deterministic, oracle-replayable) s37 cell
+    // assignment; the total rides as a broadcast 1-row cross join
+    // (the q84 discipline) — no collect, no single-partition window.
+    "s49_ivf_cell_stats" -> { (s, d) =>
+      val cell = cellAssign(emb(s, d))
+      val sizes = cell.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val total = cell.agg(count(lit(1)).as("n_total"))
+      sizes.crossJoin(broadcast(total))
+        .select(col("cid"), col("n_vectors"),
+          round(col("n_vectors") / col("n_total"), 4).as("frac"))
+    },
+
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
     //
     // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
@@ -919,6 +971,61 @@ object SimilarityOps {
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
     "s37_ivf_ann" -> s37OracleSql,
+    // the s49 cell CTEs + s39's quantization rendering; both ranking
+    // stages replay via row_number on the same rounded scores and id
+    // tie-breaks
+    "s50_two_stage_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |qz AS (SELECT vec_id, cid, emb,
+        |  list_transform(emb, x -> round(x * 127.0) / 127.0) AS qe FROM cell),
+        |qs AS (SELECT vec_id AS qid, qe AS qq, emb AS qemb, cid AS qcell
+        |  FROM qz WHERE vec_id < 10),
+        |s1 AS (
+        | SELECT q.qid, z.vec_id, z.emb, q.qemb,
+        |  round(list_dot_product(q.qq, z.qe) /
+        |   (sqrt(list_dot_product(q.qq, q.qq)) * sqrt(list_dot_product(z.qe, z.qe))), 6) AS qcos
+        | FROM qz z JOIN qs q ON z.cid = q.qcell AND z.vec_id <> q.qid),
+        |c20 AS (
+        | SELECT qid, vec_id, emb, qemb FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY qcos DESC, vec_id ASC) AS rn FROM s1) WHERE rn <= 20),
+        |rescored AS (
+        | SELECT qid, vec_id,
+        |  round(list_dot_product(qemb, emb) /
+        |   (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb))), 6) AS cosine
+        | FROM c20)
+        |SELECT qid, rnk, vec_id AS neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM rescored)
+        |WHERE rnk <= 5""".stripMargin,
+    // the s47 cell CTEs verbatim, reduced to per-cell counts; the
+    // total rides as a scalar subquery
+    "s49_ivf_cell_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1)
+        |SELECT cid, count(*) AS n_vectors,
+        | round(count(*) / CAST((SELECT count(*) FROM cell) AS DOUBLE), 4)
+        |   AS frac
+        |FROM cell GROUP BY 1""".stripMargin,
     // the s37 cell CTE without the query filter; row_number replays
     // the bounded heap's (cosine DESC, id ASC) total order
     "s47_knn_graph" ->

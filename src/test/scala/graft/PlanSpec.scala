@@ -293,6 +293,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"no per-nibble row expansion allowed:\n$p")
   }
 
+  test("m38 tile entropy: zero exchanges — tiles explode map-side, histograms stay in-row") {
+    val p = plan("m38_tile_entropy")
+    assert(!p.contains("Exchange"),
+      s"m38 must stay map-only (no shuffle), plan was:\n$p")
+  }
+
+  test("q90 KMV sketch: k-smallest selection through the native TopKPerKey exec, no per-group sort") {
+    val p = plan("q90_kmv_distinct")
+    assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
+    assert(!p.toLowerCase.contains("sort "), s"bounded heap needs no sort:\n$p")
+  }
+
+  test("s50 two-stage rerank: both funnel stages rank through the native TopKPerKey exec") {
+    val p = plan("s50_two_stage_rerank")
+    assert(p.split("TopKPerKey").length - 1 >= 2,
+      s"both stages must use the bounded heap:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("s49 cell stats: one cid aggregate; the 1-row total broadcasts") {
+    val p = plan("s49_ivf_cell_stats")
+    assert(p.contains("Broadcast"), s"total must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("cid", "vec_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q87 period-over-period: orders shuffle once on the week key; the lag window runs over the tiny weekly aggregate") {
     val p = plan("q87_period_over_period")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r

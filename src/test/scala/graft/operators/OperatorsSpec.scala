@@ -282,4 +282,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(rel(approx.getLong(1), exact.getLong(1)) < 0.05)
     assert(rel(approx.getLong(2), exact.getLong(2)) < 0.05)
   }
+
+  test("q90 KMV sketch estimates per-group distinct parts within 3 sigma") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q90_kmv_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.t(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((flag, (kept, kmv)) <- est) {
+      val e = exact(flag)
+      if (kept < 64) assert(kmv == e, s"$flag: below-k estimate must be exact")
+      // KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; 3σ bound, fixed hash
+      // so this is deterministic, not flaky
+      else assert(math.abs(kmv - e).toDouble / e < 0.38,
+        s"$flag: kmv=$kmv exact=$e")
+    }
+  }
 }
