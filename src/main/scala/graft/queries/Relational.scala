@@ -151,6 +151,29 @@ object Relational {
         count(lit(1)).as("n_rows"))
     },
 
+    // TABLE PROFILE — the per-column data-quality card a warehouse
+    // publishes (q09's describe generalized across columns): null and
+    // distinct counts for every profiled column plus the row total, as
+    // one long-format table. ONE aggregation pass over the scan
+    // computes all measures (11 aggregates fused in a single partial-
+    // agg); stack() reshapes the 1-row wide result map-side — the
+    // corpus is never re-scanned per column, which is the difference
+    // between 1× and 5× the 100 TB scan bill.
+    "q91_table_profile" -> { (s, d) =>
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_returnflag")
+      val measures = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      t(s, d, "lineitem")
+        .agg(measures.head, measures.tail: _*)
+        .select(
+          expr(s"stack(${cols.size}, $stackArgs) " +
+            "as (column_name, n_nulls, n_distinct)"),
+          col("n_rows"))
+    },
+
     // describe()-equivalent summary statistics (SURVEY.md A5) as a real
     // aggregate with typed output (describe() returns strings).
     "q09_summary_stats" -> { (s, d) =>
@@ -322,6 +345,20 @@ object Relational {
     "q07_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    // per-column unions re-derive the same measures; count(DISTINCT)
+    // excludes NULLs in both engines
+    "q91_table_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_returnflag")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | count(*) AS n_rows
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     "q08_distinct_counts" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,

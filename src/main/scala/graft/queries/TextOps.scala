@@ -612,6 +612,49 @@ object TextOps {
           length(redacted).cast("long").as("redacted_len"))
     },
 
+    // VOCABULARY GROWTH (Heaps-law) curve — the novelty-saturation
+    // diagnostic a pretraining pipeline tracks per source: is new data
+    // still adding new vocabulary, or has the source gone stale? A
+    // naive rendering scans prefixes quadratically; the scalable one
+    // is FIRST-OCCURRENCE algebra: vocab size at checkpoint c equals
+    // the count of tokens whose min(doc_id) lands at or before c. One
+    // (source, token) groupBy for the first-seen table, one tiny
+    // per-(source, checkpoint) count, then the cumulative sum runs
+    // over the 100×-reduced checkpoint grid with the t31 block-offset
+    // discipline (blocks of 4096 checkpoints) — never a one-task-per-
+    // source window over an unbounded grid. Checkpoints that add NO
+    // new tokens emit no row — saturation reads as gaps (compose with
+    // q67's grid-resample to forward-fill a dense curve).
+    "t45_vocab_growth" -> { (s, d) =>
+      val ckptDocs = 100
+      val firstSeen = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val perCkpt = firstSeen
+        .groupBy(col("source"),
+          expr(s"first_doc div $ckptDocs").as("ckpt"))
+        .agg(count(lit(1)).as("n_new_tokens"))
+      // cumulative vocab over the checkpoint grid: intra-block window
+      // + broadcast block offsets (t31), exact integer arithmetic
+      val wIn = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("ckpt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blocked = perCkpt.withColumn("blk", expr("ckpt div 4096"))
+      val offsets = blocked.groupBy(col("source"), col("blk"))
+        .agg(sum(col("n_new_tokens")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+        .select(col("source"), col("blk"), col("off"))
+      blocked
+        .withColumn("icum", sum(col("n_new_tokens")).over(wIn))
+        .join(broadcast(offsets), Seq("source", "blk"))
+        .select(col("source"), col("ckpt"), col("n_new_tokens"),
+          (col("off") + col("icum")).as("vocab_size"))
+    },
+
     // Array higher-order functions over the token array: lambda filter,
     // membership, ordered head — all inside whole-stage codegen.
     "t28_array_hof" -> { (s, d) =>
@@ -650,6 +693,23 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same first-occurrence algebra; the cumulative sum is a plain
+    // window here (the oracle need not scale), exact integer math
+    "t45_vocab_growth" ->
+      """WITH tok AS (
+        | SELECT source, doc_id,
+        |  unnest(list_distinct(string_split_regex(trim(text), '[ \t\n\f\r]+'))) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |fs AS (
+        | SELECT source, token, min(doc_id) AS first_doc
+        | FROM tok GROUP BY 1, 2),
+        |pc AS (
+        | SELECT source, first_doc // 100 AS ckpt, count(*) AS n_new_tokens
+        | FROM fs GROUP BY 1, 2)
+        |SELECT source, ckpt, CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+        | CAST(sum(n_new_tokens) OVER (PARTITION BY source ORDER BY ckpt ASC
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM pc""".stripMargin,
     // the same three regex families, counted via regexp_extract_all
     // and replaced with the 'g' flag (DuckDB replaces only the first
     // match by default) in the identical chain order

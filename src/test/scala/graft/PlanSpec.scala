@@ -299,6 +299,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"m38 must stay map-only (no shuffle), plan was:\n$p")
   }
 
+  test("q91 table profile: all 11 measures fuse into ONE scan of the fact table") {
+    val p = plan("q91_table_profile")
+    assert(p.split("FileScan").length - 1 == 1,
+      s"profiling must not re-scan per column:\n$p")
+  }
+
+  test("t45 vocab growth: the cumulative window is block-distributed, never one task per source") {
+    val p = plan("t45_vocab_growth")
+    assert("windowspecdefinition\\(source#\\d+, blk#\\d+L?, ckpt#\\d+L? ASC".r
+      .findFirstIn(p).isDefined, s"cumsum must block-partition:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, ckpt#\\d+L? ASC".r
+      .findFirstIn(p).isEmpty,
+      s"one-task-per-source cumsum must not appear:\n$p")
+  }
+
   test("q90 KMV sketch: k-smallest selection through the native TopKPerKey exec, no per-group sort") {
     val p = plan("q90_kmv_distinct")
     assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
