@@ -20,7 +20,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass: run every query once against the smallest corpus.
     // Generated whole-stage code depends on the plan, not the data dir,
-    // so this JIT/codegen-compiles all 50 query paths for pennies —
+    // so this JIT/codegen-compiles every registry query path for pennies —
     // the timed pass below then measures execution, not Janino/C2
     // compilation (first-run was measured 2-4× slower than steady
     // state).
