@@ -46,6 +46,10 @@ object SparkEntry {
     * on executor cleanup. Safe between queries only — a still-referenced
     * localCheckpointed RDD cannot be recomputed once its blocks drop. */
   def release(spark: SparkSession): Unit = {
+    // shared-index memo first: its entries are persisted DataFrames
+    // about to be unpersisted below — a stale handle would silently
+    // recompute unpersisted on next use instead of re-caching
+    graft.queries.SimilarityOps.clearMemo()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))

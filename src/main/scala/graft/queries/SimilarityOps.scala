@@ -72,6 +72,21 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Per-(session, dir) memo for the shared index stages: a composed
+    * query (s48's four arms, s50's funnel stages) otherwise builds and
+    * MATERIALIZES an identical persisted assignment once per arm.
+    * Entries are pure-lineage DataFrames (scan + crossJoin + window —
+    * no localCheckpoint), so a cleared-but-reused handle would merely
+    * recompute; SparkEntry.release() clears the memo anyway so the
+    * next call re-persists fresh. */
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
+  private[graft] def clearMemo(): Unit = indexMemo.clear()
+
+  private def cellAssignMemo(s: SparkSession, d: String): DataFrame =
+    indexMemo.computeIfAbsent((s, d, "cell"), _ => cellAssign(emb(s, d)))
+
   /** Trained coarse quantizer for s40: seeded k-means (k=8) fit once
     * per SF dir; centroids are rounded to 6 dp so the SAME literals
     * enter both engines' plans (Spark via typed rows, DuckDB via a
@@ -144,7 +159,10 @@ object SimilarityOps {
     * cell; rn<=nprobe are a query's probe cells). Persisted — it feeds
     * corpus and query branches in both consumers, and the CacheManager
     * dedupes the plan across them. */
-  private def trainedRanked(s: SparkSession, d: String): DataFrame = {
+  private def trainedRanked(s: SparkSession, d: String): DataFrame =
+    indexMemo.computeIfAbsent((s, d, "ranked"), _ => trainedRankedBuild(s, d))
+
+  private def trainedRankedBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     VectorFunctions.register(s)
     val cents = TrainedQuantizer.centroids(s, d)
@@ -205,7 +223,7 @@ object SimilarityOps {
     // replays. Vectors alone in their cell emit no rows (their
     // candidate set is empty), identically in both engines.
     "s47_knn_graph" -> { (s, d) =>
-      val cell = cellAssign(emb(s, d))
+      val cell = cellAssignMemo(s, d)
       val nbrs = cell.select(col("vec_id").as("nb_id"),
         col("emb").as("nemb"), col("cid").as("ncid"))
       val scored = cell
@@ -315,7 +333,7 @@ object SimilarityOps {
     "s50_two_stage_rerank" -> { (s, d) =>
       val quant = (c: org.apache.spark.sql.Column) =>
         transform(c, x => round(x * 127.0, 0) / 127.0)
-      val cell = cellAssign(emb(s, d))
+      val cell = cellAssignMemo(s, d)
       val q = cell.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"),
           col("cid").as("qcell"))
@@ -345,7 +363,7 @@ object SimilarityOps {
     // assignment; the total rides as a broadcast 1-row cross join
     // (the q84 discipline) — no collect, no single-partition window.
     "s49_ivf_cell_stats" -> { (s, d) =>
-      val cell = cellAssign(emb(s, d))
+      val cell = cellAssignMemo(s, d)
       val sizes = cell.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vectors"))
       val total = cell.agg(count(lit(1)).as("n_total"))
@@ -427,7 +445,7 @@ object SimilarityOps {
     // broadcast, assignment is a map-only pass, search shuffles once on
     // cell id.
     "s37_ivf_ann" -> { (s, d) =>
-      val cell = cellAssign(emb(s, d))
+      val cell = cellAssignMemo(s, d)
       val q = cell.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"),
           col("cid").as("qcell"))
@@ -584,7 +602,7 @@ object SimilarityOps {
     // This is the shape that survives 100×; the error statistic it
     // measures is exactly the one a quantized IVF search would incur.
     "s39_scalar_quantization" -> { (s, d) =>
-      val cell = cellAssign(emb(s, d))
+      val cell = cellAssignMemo(s, d)
       val quant = (c: org.apache.spark.sql.Column) =>
         transform(c, x => round(x * 127.0, 0) / 127.0)
       val a = cell.select(col("vec_id").as("ia"), col("emb").as("ea"),

@@ -36,7 +36,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("map-only families plan with zero exchanges (t30 chunking, m34 tiling, q73 z-order)") {
-    for (q <- Seq("t30_chunking", "m34_payload_tiles", "q73_zorder_key")) {
+    for (q <- Seq("t30_chunking", "m34_payload_tiles", "q73_zorder_key",
+        "t44_pattern_scrub")) {
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must stay map-only (no shuffle), plan was:\n$p")
