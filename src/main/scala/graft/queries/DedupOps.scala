@@ -357,6 +357,45 @@ object DedupOps {
           round((col("n_docs") - col("n_kept")) / col("n_docs"), 4))
     },
 
+    // PER-SOURCE CONTAMINATION REPORT — d38's dataset-card rollup: of
+    // each source's corpus-side documents, how many carry benchmark
+    // 5-grams and at what rate. The report a release publishes next to
+    // d42's dup rates. One doc_id left join of the (small) d38 hit
+    // list onto the corpus metadata + a source reduce; exact integers,
+    // one 4-dp final round.
+    "d47_contamination_report" -> { (s, d) =>
+      val contam = queries("d38_decontamination")(s, d)
+        .select(col("doc_id"), lit(1L).as("c"))
+      t(s, d, "documents").filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"))
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"))
+        .withColumn("contam_rate",
+          round(col("n_contaminated") / col("n_docs"), 4))
+    },
+
+    // CLUSTER-SIZE HISTOGRAM — the dup-mass distribution behind d42's
+    // per-source rates: clusters bucketed by floor(log2(size)), with
+    // cluster and document counts per bucket (bucket 0 = singletons —
+    // the unique mass; high buckets = boilerplate explosions worth
+    // inspecting before dropping). The log2 is computed EXACTLY as
+    // length(bin(n)) - 1 — integer arithmetic in both engines, where
+    // ln(n)/ln(2) floors WRONG on exact powers of two (ln(8)/ln(2) =
+    // 2.9999999999999996). One reduce over d41's per-cluster rows.
+    "d48_cluster_sizes" -> { (s, d) =>
+      queries("d41_canonical_docs")(s, d)
+        .filter(col("keep"))
+        .select((length(bin(col("cluster_size"))) - 1).cast("long")
+            .as("log2_size"),
+          col("cluster_size"))
+        .groupBy(col("log2_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+    },
+
     // Incremental near-dup: the daily-ingest shape — pairs touching the
     // "new batch" (top 10% of doc_ids) against the whole corpus. The
     // corpus side's exploded shingles are pruned by a broadcast semi-
@@ -697,6 +736,31 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     // gram identity via the string (hashing is a join-key impl detail)
     "d38_decontamination" -> d38OracleSql,
+    // wraps the d38 SQL verbatim; NOT EXISTS-free left join replays
+    // the hit-list semantics, corpus side filtered identically
+    "d47_contamination_report" ->
+      s"""WITH hits AS (SELECT doc_id FROM (
+         |${d38OracleSql}
+         |) z)
+         |SELECT d.source, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_contaminated,
+         | round(CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) / count(*), 4) AS contam_rate
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 7 <> 0
+         |GROUP BY 1""".stripMargin,
+    // wraps the d41 SQL verbatim; bin() gives the exact integer
+    // floor(log2) in both engines
+    "d48_cluster_sizes" ->
+      s"""WITH keeps AS (SELECT * FROM (
+         |${d41OracleSql}
+         |) z WHERE keep)
+         |SELECT CAST(length(bin(cluster_size)) - 1 AS BIGINT)
+         |   AS log2_size,
+         | count(*) AS n_clusters,
+         | CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM keeps GROUP BY 1""".stripMargin,
     // composes the t35, d41 and d38 oracle SQL verbatim (the s44
     // discipline) with the identical decision precedence
     "d44_clean_corpus" ->
