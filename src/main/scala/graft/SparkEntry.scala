@@ -16,7 +16,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_region_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * LIFECYCLE: some queries persist shared stages (shingle sets, ANN
+    * cell assignments) at documented reuse points. A long-lived session
+    * embedding this registry should call [[release]] when it is done
+    * with a query's result — Bench/Verify do so between queries. The
+    * similarity-index memo additionally self-evicts when the same
+    * session asks for a different sfDir, so a dir-walking caller that
+    * never releases holds at most one dir's cached index. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Analytic.queries ++

@@ -31,12 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** Null-safe inner equi-join on `keys` (broadcasting `right`),
+    * dropping the right side's copy of the keys. A plain equi-join
+    * would silently DROP any row whose group or block key is NULL
+    * (e.g. blockKey = floor(value) over a NULL value), whereas the
+    * single-window rendering ranks it — `<=>` keeps the operator a
+    * true drop-in for row_number() on nullable inputs. */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => left(k) <=> right(k)).reduce(_ && _)
+    keys.foldLeft(left.join(broadcast(right), cond))((d, k) => d.drop(right(k)))
+  }
+
   /** `df` plus `out` = `row_number() over (partition by group order by
     * order*)`, computed with #groups × #blocks parallelism.
     *
     * `blockKey` must be a monotone non-decreasing function of the
     * LEADING order column (e.g. its prefix), so that (blockKey, order*)
-    * sorts identically to (order*) alone.
+    * sorts identically to (order*) alone. A NULL order value should map
+    * to a NULL blockKey (any expression OF the value does); NULL blocks
+    * then sort first under the default ascending NULLS FIRST, matching
+    * where the single-window rendering places NULL values, and the
+    * null-safe offset join ranks them instead of dropping them.
     */
   def rowNumber(df: DataFrame, group: Seq[String], order: Seq[Column],
       blockKey: Column, out: String): DataFrame = {
@@ -51,8 +67,8 @@ object DistributedRank {
       .agg(count(lit(1)).as("__bt"))
       .withColumn("__off", coalesce(sum(col("__bt")).over(wBlk), lit(0L)))
       .select(g :+ col("__blk") :+ col("__off"): _*)
-    withBlk.withColumn("__lrn", row_number().over(wIn))
-      .join(broadcast(offsets), group :+ "__blk")
+    val ranked = withBlk.withColumn("__lrn", row_number().over(wIn))
+    joinNullSafe(ranked, offsets, group :+ "__blk")
       .withColumn(out, col("__off") + col("__lrn"))
       .drop("__blk", "__lrn", "__off")
   }
@@ -83,8 +99,8 @@ object DistributedRank {
       .withColumn("__off", coalesce(sum(col("__bt")).over(wBlk), lit(0L)))
       .withColumn("__n", sum(col("__bt")).over(wAll))
       .select(col(group), col("__blk"), col("__off"), col("__n"))
-    vc.withColumn("__icum", sum(col("__cnt")).over(wIn))
-      .join(broadcast(offsets), Seq(group, "__blk"))
+    val cum = vc.withColumn("__icum", sum(col("__cnt")).over(wIn))
+    joinNullSafe(cum, offsets, Seq(group, "__blk"))
       .withColumn("__cum", col("__off") + col("__icum"))
       .select(col(group), col(v), col("__cnt"), col("__cum"), col("__n"))
   }

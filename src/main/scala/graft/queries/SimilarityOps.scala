@@ -84,8 +84,38 @@ object SimilarityOps {
       DataFrame]()
   private[graft] def clearMemo(): Unit = indexMemo.clear()
 
+  /** Memo lookup with two lifecycle guards the bare computeIfAbsent
+    * lacked: (1) same-session entries for OTHER dirs are evicted and
+    * unpersisted first, so a caller that walks SF dirs without ever
+    * calling SparkEntry.release() holds at most one dir's worth of
+    * cached index per session; (2) the build runs OUTSIDE the map's
+    * bin lock — trainedRankedBuild triggers an eager k-means fit, and
+    * holding the lock through it would block concurrent query
+    * construction on the same bin. Losers of the build race discard
+    * their handle; the plans are identical, so the CacheManager dedupes
+    * the persist and nothing leaks. */
+  private def memoGet(s: SparkSession, d: String, kind: String)
+      (build: => DataFrame): DataFrame = {
+    val it = indexMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq s) && e.getKey._2 != d) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+    val key = (s, d, kind)
+    val hit = indexMemo.get(key)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = indexMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
   private def cellAssignMemo(s: SparkSession, d: String): DataFrame =
-    indexMemo.computeIfAbsent((s, d, "cell"), _ => cellAssign(emb(s, d)))
+    memoGet(s, d, "cell")(cellAssign(emb(s, d)))
 
   /** Trained coarse quantizer for s40: seeded k-means (k=8) fit once
     * per SF dir; centroids are rounded to 6 dp so the SAME literals
@@ -160,7 +190,7 @@ object SimilarityOps {
     * corpus and query branches in both consumers, and the CacheManager
     * dedupes the plan across them. */
   private def trainedRanked(s: SparkSession, d: String): DataFrame =
-    indexMemo.computeIfAbsent((s, d, "ranked"), _ => trainedRankedBuild(s, d))
+    memoGet(s, d, "ranked")(trainedRankedBuild(s, d))
 
   private def trainedRankedBuild(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -89,8 +89,11 @@ object EventStreams extends Serializable {
   private def tsUs(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
   private def usTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    // floorDiv/floorMod, not /%: for pre-epoch (negative) micros,
+    // truncation toward zero would hand setNanos a negative value,
+    // which java.sql.Timestamp rejects.
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 
@@ -105,9 +108,19 @@ object EventStreams extends Serializable {
     * event-time order is guaranteed within a micro-batch by an
     * explicit sort, across batches by the watermark contract (same
     * constraint as any event-time operator). Sums emit unrounded —
-    * round at the sink (the q78 oracle rounds 2 dp). */
+    * round at the sink (the q78 oracle rounds 2 dp).
+    *
+    * State growth: by default a timed-out user keeps a tiny numbering
+    * marker forever so a returning user's sessions continue 1..n like
+    * the batch rendering — state is O(distinct users ever seen).
+    * `boundedState = true` REMOVES state on timeout instead: state is
+    * O(users active within the gap horizon), the right choice for an
+    * infinite-keyspace deployment, at the price that a user returning
+    * after a timeout restarts numbering at 1 (downstream should then
+    * key sessions by (user_id, session_start), which stays unique). */
   def gapSessionize(events: Dataset[TypedEvent],
-      gapUs: Long = 4L * 3600L * 1000000L): Dataset[GapSession] = {
+      gapUs: Long = 4L * 3600L * 1000000L,
+      boundedState: Boolean = false): Dataset[GapSession] = {
     import events.sparkSession.implicits._
     def close(uid: Long, s: GapSessionState): GapSession =
       GapSession(uid, s.sessionN, usTs(s.startUs), usTs(s.lastUs),
@@ -124,9 +137,10 @@ object EventStreams extends Serializable {
             // state here would restart every timed-out user at 1. The
             // retained struct is a few dozen bytes per user ever seen;
             // pipelines that prefer bounded state over stable numbering
-            // can key sessions by session_start instead.
+            // can key sessions by session_start instead (boundedState).
             val s = state.get
-            state.update(s.copy(n = 0L, sum = 0.0))
+            if (boundedState) state.remove()
+            else state.update(s.copy(n = 0L, sum = 0.0))
             Iterator.single(close(uid, s))
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[GapSession]
