@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Cross-round bench regression diff.
+
+Compares a current full bench line (BENCH_LAST.json) against a baseline
+round's committed snapshot (tools/bench_history/rN.json) so a
+"zero regressions" sentence can never again be written against a stale
+snapshot — the gate prints the diff mechanically.
+
+Usage:
+    python3 tools/bench_diff.py [current] [baseline]
+    # defaults: BENCH_LAST.json  vs  newest tools/bench_history/r*.json
+
+Output: per-query ratio table for every row whose median exceeds
+THRESH (2x) of the baseline median, with both rounds' [min,max] spreads
+alongside; like-for-like totals over the shared query set; added and
+removed queries. Exit code 1 if any flagged row's CURRENT MIN also
+exceeds THRESH x the BASELINE MAX — spreads disjoint at 2x is a real
+regression signature, not one contended rep (the r8 postmortem: six
+rows >2x medians, but whole-run spreads shifted together = host
+contention; disjoint per-row spreads would have meant a plan change).
+"""
+import glob
+import json
+import os
+import sys
+
+THRESH = 2.0
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LAST.json"
+    if len(sys.argv) > 2:
+        base_path = sys.argv[2]
+    else:
+        hist = sorted(glob.glob(os.path.join(
+            os.path.dirname(__file__), "bench_history", "r*.json")))
+        if not hist:
+            print("no baseline found under tools/bench_history/", file=sys.stderr)
+            return 2
+        base_path = hist[-1]
+    cur, base = load(cur_path), load(base_path)
+    if cur.get("sf") != base.get("sf"):
+        print(f"WARNING: scale factors differ: current={cur.get('sf')} "
+              f"baseline={base.get('sf')} — ratios are not comparable")
+    cq, bq = cur["queries"], base["queries"]
+    cs, bs = cur.get("spread", {}), base.get("spread", {})
+    shared = sorted(set(cq) & set(bq))
+    added = sorted(set(cq) - set(bq))
+    removed = sorted(set(bq) - set(cq))
+
+    cur_tot = sum(cq[q] for q in shared)
+    base_tot = sum(bq[q] for q in shared)
+    print(f"current:  {cur_path}  total={cur['value']:.1f}s  n={len(cq)}")
+    print(f"baseline: {base_path}  total={base['value']:.1f}s  n={len(bq)}")
+    print(f"like-for-like over {len(shared)} shared queries: "
+          f"{cur_tot:.1f}s vs {base_tot:.1f}s "
+          f"({(cur_tot / base_tot - 1) * 100:+.0f}%)")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+
+    hard = []
+    flagged = [(cq[q] / bq[q], q) for q in shared
+               if bq[q] > 0 and cq[q] / bq[q] > THRESH]
+    if not flagged:
+        print(f"no shared query above {THRESH}x its baseline median")
+    for ratio, q in sorted(flagged, reverse=True):
+        c_sp = cs.get(q, [cq[q], cq[q]])
+        b_sp = bs.get(q, [bq[q], bq[q]])
+        # disjoint spreads at THRESH = regression; overlapping = noise
+        disjoint = c_sp[0] > THRESH * b_sp[1]
+        tag = "REGRESSION" if disjoint else "noisy"
+        if disjoint:
+            hard.append(q)
+        print(f"  {ratio:5.1f}x  {q:32s} {bq[q]:7.3f}s -> {cq[q]:7.3f}s  "
+              f"base[{b_sp[0]:.3f},{b_sp[1]:.3f}] cur[{c_sp[0]:.3f},{c_sp[1]:.3f}]  {tag}")
+    if hard:
+        print(f"FAIL: {len(hard)} disjoint-spread regression(s): {', '.join(hard)}")
+        return 1
+    print("OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
