@@ -78,6 +78,18 @@ object SparkEntry {
   val rowsOnly: Set[String] =
     Set("d29_simhash", "d30_minhash_lsh", "q45_approx_distinct")
 
+  /** Queries whose candidate stage is deliberately super-linear
+    * (within-block or all-pairs quadratic exactness baselines). POLICY:
+    * every member MUST refuse oversized inputs up front via the
+    * `spark.graft.exact.maxRows` guard, and every registry query with a
+    * quadratic candidate stage MUST be listed here. `QueriesSpec`
+    * enforces both directions mechanically: each member throws under
+    * maxRows=1, and the number of guard call sites in the query sources
+    * equals this set's size — so a future quadratic operator cannot
+    * land unfenced, and a guard cannot be dropped silently. */
+  val fenced: Set[String] =
+    Set("q83_fuzzy_match", "s34_embedding_neardup")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

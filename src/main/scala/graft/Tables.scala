@@ -47,8 +47,31 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
 
+  // Scoped table overrides: a composition that drives SEVERAL
+  // component queries over the same table (d44's three gates) installs
+  // one projected, persisted scan here so every component's t() call
+  // resolves to the SAME cached plan fragment instead of three
+  // independent parquet scans. Scoped strictly to plan CONSTRUCTION
+  // (the returned DataFrame keeps the shared fragment after the scope
+  // exits — lazy execution reads the persisted plan, not this map), so
+  // concurrent registry calls outside the scope are unaffected.
+  private val shared = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  /** Run `body` with `frame` substituted for every `t(spark, dir,
+    * name)` call made during it. `frame` must contain every column the
+    * body's component queries read from that table. */
+  def withShared[T](spark: SparkSession, dir: String, name: String,
+      frame: DataFrame)(body: => T): T = {
+    val key = (spark, dir, name)
+    shared.put(key, frame)
+    try body finally shared.remove(key)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
+    val o = shared.get((spark, dir, name))
+    if (o != null) return o
     name match {
       // Truncate events' raw nanos to Spark's micros TimestampType with
       // exact integral division (`div`, not FP `/` — nanos ~1.7e18

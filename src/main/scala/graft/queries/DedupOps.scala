@@ -320,22 +320,35 @@ object DedupOps {
     // d38's benchmark and cannot be flagged contaminated by
     // construction — they face the other two gates like any doc.)
     "d44_clean_corpus" -> { (s, d) =>
-      val quality = graft.queries.TextOps.queries("t35_quality_filter")(s, d)
-        .select(col("doc_id"), col("reason").as("q_reason"))
-      val dedup = queries("d41_canonical_docs")(s, d)
-        .select(col("doc_id"), col("keep").as("dd_keep"))
-      val contam = queries("d38_decontamination")(s, d)
-        .select(col("doc_id"), lit(true).as("contaminated"))
-      val decision =
-        when(col("contaminated"), "drop_contaminated")
-          .when(!col("dd_keep"), "drop_duplicate")
-          .when(col("q_reason") =!= "keep",
-            concat(lit("drop_"), col("q_reason")))
-          .otherwise("keep")
-      quality.join(dedup, "doc_id")
-        .join(contam, Seq("doc_id"), "left")
-        .select(col("doc_id"), decision.as("decision"),
-          (decision === "keep").as("keep"))
+      // The three gates each scan documents independently when run as
+      // standalone registry entries; composed here, ONE projected,
+      // persisted scan (the union of the gates' columns: t35 reads
+      // doc_id/text/lang, d41→d28 and d38 read doc_id/text) is
+      // substituted for every embedded t() call via Tables.withShared —
+      // the quality pass, the shingle build and the gram build all read
+      // the cached projection instead of tripling the parquet scan.
+      // Released by SparkEntry.release(), same as d41's labeled stage.
+      val sharedDocs = graft.Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Tables.withShared(s, d, "documents", sharedDocs) {
+        val quality = graft.queries.TextOps.queries("t35_quality_filter")(s, d)
+          .select(col("doc_id"), col("reason").as("q_reason"))
+        val dedup = queries("d41_canonical_docs")(s, d)
+          .select(col("doc_id"), col("keep").as("dd_keep"))
+        val contam = queries("d38_decontamination")(s, d)
+          .select(col("doc_id"), lit(true).as("contaminated"))
+        val decision =
+          when(col("contaminated"), "drop_contaminated")
+            .when(!col("dd_keep"), "drop_duplicate")
+            .when(col("q_reason") =!= "keep",
+              concat(lit("drop_"), col("q_reason")))
+            .otherwise("keep")
+        quality.join(dedup, "doc_id")
+          .join(contam, Seq("doc_id"), "left")
+          .select(col("doc_id"), decision.as("decision"),
+            (decision === "keep").as("keep"))
+      }
     },
 
     // DEDUP REPORT — the per-source dataset-card table a cleaning run

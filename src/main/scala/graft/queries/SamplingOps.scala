@@ -87,6 +87,48 @@ object SamplingOps {
           max(col("quota")).as("quota"),
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_id"))
+    },
+
+    // WEIGHTED RESERVOIR SAMPLE (A-ES, Efraimidis & Spirakis 2006) —
+    // k=10 docs per source drawn WITHOUT replacement with inclusion
+    // probability proportional to weight (doc length in chars — the
+    // "sample proportional to token count" curation shape). The A-ES
+    // key u^(1/w) is taken through two monotone transforms to the
+    // exponential-race form ln(-ln u) - ln w (SMALLEST wins): same
+    // sample, but the key is uniformly scaled over [-17, 1] instead of
+    // clustered at 1-epsilon, so a fixed decimal quantization preserves
+    // the order. u derives from md5(doc_id) (24-bit bucket, shifted
+    // into the OPEN interval (0,1) so ln never sees 0 — Spark's log
+    // returns NULL there while DuckDB returns -inf).
+    //
+    // Why round(key, 6): pow/ln last-ULP divergence between the JVM
+    // and libm makes raw-key rank membership knife-edged (the blocker
+    // that kept this operator out of r8). The first two steps — the
+    // 24-bit bucket and the division by 2^24+1 — are EXACT in both
+    // engines (IEEE division is correctly rounded); only the two ln
+    // calls can differ, by ~2 ulp ≈ 4e-15 absolute at this magnitude.
+    // Quantizing to 1e-6 makes a cross-engine flip need a true key
+    // within 4e-15 of a grid boundary (P ≈ 4e-9 per row); quantization
+    // ties land on the doc_id tie-break identically in both engines.
+    // The 1e-6 key perturbation is orders of magnitude below the key
+    // spacing that matters for any non-adversarial weight distribution.
+    //
+    // Plan shape: map-side key computation on the scan, then the NATIVE
+    // TopKPerKey operator — one shuffle of (source, doc_id, w, key)
+    // quads, bounded per-key heaps, no per-stratum sort. At 100 TB the
+    // reservoir never materializes a stratum; this is the same
+    // distributed shape Spark's own takeOrdered uses, generalized
+    // per-key.
+    "q92_weighted_sample" -> { (s, d) =>
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      val u = (bucket(col("doc_id")).cast("double") + 1.0d) / 16777217.0d
+      val keyed = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("w"),
+          round(log(-log(u)) - log(w), 6).as("akey"))
+      TopKPerKeyApi.topKPerKey(keyed, Seq("source"),
+          Seq(("akey", true), ("doc_id", true)), 10, rankName = "rnk")
+        .select(col("source"), col("doc_id"), col("w"), col("rnk"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -116,5 +158,18 @@ object SamplingOps {
          |FROM b JOIN q USING (source)
          |WHERE b.b * q.n_src < 16777216 * q.quota
          |GROUP BY 1""".stripMargin
-    })
+    },
+    "q92_weighted_sample" ->
+      s"""WITH k AS (
+         | SELECT source, doc_id,
+         |  CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+         |  round(ln(-ln((${bucketSql("doc_id")} + 1.0) / 16777217.0))
+         |        - ln(CAST(greatest(n_chars, 1) AS DOUBLE)), 6) AS akey
+         | FROM documents),
+         |r AS (
+         | SELECT source, doc_id, w,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |   ORDER BY akey, doc_id) AS INTEGER) AS rnk
+         | FROM k)
+         |SELECT source, doc_id, w, rnk FROM r WHERE rnk <= 10""".stripMargin)
 }

@@ -557,9 +557,16 @@ object SimilarityOps {
     "s42_ivfpq_ann" -> { (s, d) =>
       val pq = PqModel.model(s, d)
       val ranked = trainedRanked(s, d)
-      val corpus = pq.encode(ranked.filter(col("rn") === 1)
-          .select(col("vec_id"), col("emb"), col("cid")))
-        .select(col("vec_id"), col("cid"), col("pq_code"))
+      // the encoded corpus is memoized per (dir, variant) like the cell
+      // ranking above it: the encode is corpus-wide map work, and a
+      // session that composes this arm into s48 (or runs both) should
+      // pay for it ONCE per variant — the second consumer reads the
+      // cached codes (InMemoryTableScan in its plan), not a re-encode
+      val corpus = memoGet(s, d, "pqcorpus")(
+        pq.encode(ranked.filter(col("rn") === 1)
+            .select(col("vec_id"), col("emb"), col("cid")))
+          .select(col("vec_id"), col("cid"), col("pq_code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"),
           col("cid").as("pcell"))
@@ -592,8 +599,12 @@ object SimilarityOps {
         .select(col("vec_id"), col("cid"),
           resid(col("emb"), col("cemb")).as("remb"))
       val pq = PqResidualModel.model(corpus0, d)
-      val corpus = pq.encode(corpus0, embCol = "remb")
-        .select(col("vec_id"), col("cid"), col("pq_code"))
+      // residual codes encode a different domain than s42's raw codes,
+      // so they memoize under their own variant key (VERDICT r8 item 3)
+      val corpus = memoGet(s, d, "pqcorpus_resid")(
+        pq.encode(corpus0, embCol = "remb")
+          .select(col("vec_id"), col("cid"), col("pq_code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
           resid(col("emb"), col("cemb")).as("qres"),

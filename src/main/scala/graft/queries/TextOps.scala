@@ -622,9 +622,20 @@ object TextOps {
     // per-(source, checkpoint) count, then the cumulative sum runs
     // over the 100×-reduced checkpoint grid with the t31 block-offset
     // discipline (blocks of 4096 checkpoints) — never a one-task-per-
-    // source window over an unbounded grid. Checkpoints that add NO
-    // new tokens emit no row — saturation reads as gaps (compose with
-    // q67's grid-resample to forward-fill a dense curve).
+    // source window over an unbounded grid.
+    //
+    // The curve is DENSE (q67's grid-resample discipline, composed
+    // BEFORE the cumsum): every checkpoint from the source's first to
+    // its last emits a row, so saturation reads as n_new_tokens = 0
+    // with a flat vocab_size — densification is a left-join of the
+    // grid onto the sparse counts plus coalesce(·, 0), and the same
+    // blocked cumsum then carries the plateau for free (a cumulative
+    // sum forward-fills zeros by construction — no last(ignoreNulls)
+    // window needed). The grid itself is built in TWO explode levels
+    // (blocks of 4096, then positions within the block) so no row ever
+    // materializes a span-length array: at 100 TB a source spans ~1e7
+    // checkpoints, and a single sequence() array that long is an 80 MB
+    // row — the two-level form caps every array at 4096 entries.
     "t45_vocab_growth" -> { (s, d) =>
       val ckptDocs = 100
       val firstSeen = t(s, d, "documents")
@@ -636,6 +647,18 @@ object TextOps {
         .groupBy(col("source"),
           expr(s"first_doc div $ckptDocs").as("ckpt"))
         .agg(count(lit(1)).as("n_new_tokens"))
+      val grid = perCkpt.groupBy(col("source"))
+        .agg(min(col("ckpt")).as("c0"), max(col("ckpt")).as("c1"))
+        .select(col("source"), col("c0"), col("c1"),
+          explode(sequence(expr("c0 div 4096"), expr("c1 div 4096")))
+            .as("gblk"))
+        .select(col("source"),
+          explode(sequence(
+            greatest(col("gblk") * 4096, col("c0")),
+            least(col("gblk") * 4096 + 4095, col("c1")))).as("ckpt"))
+      val dense = grid
+        .join(perCkpt, Seq("source", "ckpt"), "left")
+        .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
       // cumulative vocab over the checkpoint grid: intra-block window
       // + broadcast block offsets (t31), exact integer arithmetic
       val wIn = Window.partitionBy(col("source"), col("blk"))
@@ -643,7 +666,7 @@ object TextOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val blocked = perCkpt.withColumn("blk", expr("ckpt div 4096"))
+      val blocked = dense.withColumn("blk", expr("ckpt div 4096"))
       val offsets = blocked.groupBy(col("source"), col("blk"))
         .agg(sum(col("n_new_tokens")).as("bt"))
         .withColumn("off", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
@@ -705,11 +728,18 @@ object TextOps {
         | FROM tok GROUP BY 1, 2),
         |pc AS (
         | SELECT source, first_doc // 100 AS ckpt, count(*) AS n_new_tokens
-        | FROM fs GROUP BY 1, 2)
+        | FROM fs GROUP BY 1, 2),
+        |g AS (
+        | SELECT source, unnest(generate_series(min(ckpt), max(ckpt))) AS ckpt
+        | FROM pc GROUP BY source),
+        |d AS (
+        | SELECT g.source, g.ckpt,
+        |  coalesce(pc.n_new_tokens, 0) AS n_new_tokens
+        | FROM g LEFT JOIN pc ON g.source = pc.source AND g.ckpt = pc.ckpt)
         |SELECT source, ckpt, CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
         | CAST(sum(n_new_tokens) OVER (PARTITION BY source ORDER BY ckpt ASC
         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
-        |FROM pc""".stripMargin,
+        |FROM d""".stripMargin,
     // the same three regex families, counted via regexp_extract_all
     // and replaced with the 'g' flag (DuckDB replaces only the first
     // match by default) in the identical chain order

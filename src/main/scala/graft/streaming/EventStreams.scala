@@ -204,6 +204,117 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelStage(user_id: Long, stage: String,
+      ts: java.sql.Timestamp)
+
+  /** FUNNEL under Structured Streaming — the q75 batch shape (first
+    * view, first click at-or-after it, first purchase at-or-after
+    * that) as an advance-only per-user state machine. Each stage
+    * ADVANCE emits one append-mode row (user_id, stage, ts) — the
+    * streaming form of q75's wide row is its unpivot, because the wide
+    * row keeps changing (exactly what append mode cannot re-emit) while
+    * a transition is a fact that never retracts. State is three
+    * timestamps per user, advance-only, no timeout — closure is driven
+    * by data, like [[scd2Stream]]. Within a micro-batch events sort by
+    * (ts, stage-priority view<click<purchase) so a click sharing its
+    * timestamp with the view that qualifies it lands AFTER that view —
+    * the `>=` the batch rendering uses; across batches the usual
+    * event-time-order contract applies. */
+  def funnelStream(events: Dataset[TypedEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TypedEvent],
+            state: GroupState[FunnelState]) =>
+          val U = Long.MinValue // unset marker
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
+          var st = state.getOption.getOrElse(FunnelState(U, U, U))
+          it.toSeq.sortBy(e => (tsUs(e.ts), prio.getOrElse(e.event_type, 3)))
+            .foreach { e =>
+              val us = tsUs(e.ts)
+              e.event_type match {
+                case "view" if st.tView == U =>
+                  st = st.copy(tView = us)
+                  out += FunnelStage(uid, "view", usTs(us))
+                case "click" if st.tClick == U && st.tView != U &&
+                    us >= st.tView =>
+                  st = st.copy(tClick = us)
+                  out += FunnelStage(uid, "click", usTs(us))
+                case "purchase" if st.tPurchase == U && st.tClick != U &&
+                    us >= st.tClick =>
+                  st = st.copy(tPurchase = us)
+                  out += FunnelStage(uid, "purchase", usTs(us))
+                case _ => // no advance
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class StreakState(startDay: Long, lastDay: Long, len: Long)
+  case class StreakClosed(user_id: Long, streak_start: java.sql.Date,
+      streak_end: java.sql.Date, len: Long)
+
+  /** ACTIVITY STREAKS under Structured Streaming — the q88 batch shape
+    * (runs of consecutive active days per user) emitting CLOSED streak
+    * intervals append-mode: q88's per-user rollup is an aggregation
+    * over these islands, so the streaming twin materializes the
+    * islands themselves (the rollup is a trivial downstream batch agg).
+    * State per user is ONE open streak (start day, last day, length —
+    * a fixed-size struct, never the day set). A streak closes when a
+    * later event proves the break (its day ≥ lastDay + 2) or when the
+    * event-time timeout fires: the timeout is registered at the first
+    * instant the streak is PROVABLY broken (start of day lastDay + 2),
+    * so once the watermark passes it no event could extend the run.
+    * State REMOVES on timeout — unlike [[gapSessionize]] there is no
+    * cross-streak numbering to preserve, so state is bounded by users
+    * active within the watermark horizon. Same event-time-order
+    * contract across batches as every twin here. */
+  def streakStream(events: Dataset[TypedEvent]): Dataset[StreakClosed] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    def close(uid: Long, s: StreakState): StreakClosed =
+      StreakClosed(uid,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.startDay)),
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.lastDay)),
+        s.len)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[StreakState, StreakClosed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TypedEvent],
+            state: GroupState[StreakState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[StreakClosed]
+            var st = state.getOption
+            it.toSeq.sortBy(e => tsUs(e.ts)).foreach { e =>
+              val day = Math.floorDiv(tsUs(e.ts), dayUs)
+              st = st match {
+                case None => Some(StreakState(day, day, 1L))
+                case Some(s) if day <= s.lastDay => Some(s) // same day
+                case Some(s) if day == s.lastDay + 1 =>
+                  Some(s.copy(lastDay = day, len = s.len + 1))
+                case Some(s) => // gap ≥ 2 days: the run is broken
+                  out += close(uid, s)
+                  Some(StreakState(day, day, 1L))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastDay + 2) * 86400000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -123,6 +123,38 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.getBoolean(1) == (r.getString(0) == "keep")))
   }
 
+  test("every declared-quadratic query is fenced, and every fence is declared") {
+    // Direction 1: each member of SparkEntry.fenced actually enforces
+    // the guard — under maxRows=1 the query must refuse to build.
+    SparkEntry.fenced.foreach { name =>
+      spark.conf.set("spark.graft.exact.maxRows", "1")
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          SparkEntry.queries(name)(spark, sf0001).count()
+        }
+        assert(ex.getMessage.contains("maxRows"), s"$name threw for another reason")
+      } finally spark.conf.unset("spark.graft.exact.maxRows")
+    }
+    // Direction 2: the declared set and the guard call sites in the
+    // query sources stay in sync — a new super-linear operator that
+    // adds a guard must also declare itself, and a guard cannot be
+    // removed while its query stays declared. (A quadratic stage added
+    // with NO guard at all is caught by review + the bench, but any
+    // guard that exists is provably wired and enumerated.)
+    import scala.jdk.CollectionConverters._
+    val srcDir = java.nio.file.Paths.get("src/main/scala/graft")
+    val guardSites = java.nio.file.Files.walk(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => java.nio.file.Files.readString(p))
+      .map(s => "conf\\.get\\(\"spark\\.graft\\.exact\\.maxRows\"".r
+        .findAllMatchIn(s).size)
+      .sum
+    assert(guardSites == SparkEntry.fenced.size,
+      s"$guardSites maxRows guard call sites vs ${SparkEntry.fenced.size} declared fenced queries")
+    // fenced queries are still first-class registry members with oracles
+    assert(SparkEntry.fenced.subsetOf(SparkEntry.oracleSql.keySet))
+  }
+
   test("queries are deterministic across two runs (hash-stable for the driver)") {
     val sample = Seq("q01_pricing_summary", "q14_running_total",
       "t25_fingerprint", "s33_knn_bruteforce", "d28_neardup_jaccard")

@@ -53,6 +53,40 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       "no source was downsampled — reweighting did nothing")
   }
 
+  test("q92: exactly min(10, |stratum|) docs per source, ranks contiguous from 1") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q92_weighted_sample")(spark, sf0001)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), min($"rnk").as("lo"), max($"rnk").as("hi"))
+      .collect()
+    val sizes = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(out.nonEmpty && out.length == sizes.size)
+    out.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      assert(n == math.min(10L, sizes(src)), s"$src reservoir size")
+      assert(r.getInt(2) == 1 && r.getInt(3) == n, s"$src ranks not 1..$n")
+    }
+  }
+
+  test("q92: sampling is weight-biased — sampled docs are longer than the corpus average") {
+    import spark.implicits._
+    // A-ES with w = n_chars gives inclusion probability proportional to
+    // doc length, so the sample's mean length must sit clearly above
+    // the corpus mean (deterministic on the fixed corpus — this is the
+    // statistical contract the cross-engine hash can't express). The
+    // size of the lift is bounded by the weight distribution itself:
+    // for proportional-to-weight draws E[w_sampled]/E[w] = 1 + CV²(w),
+    // ≈ 1.14 on this corpus's n_chars — so assert a 5% floor, well
+    // inside the theoretical lift but far outside unweighted noise.
+    val sampled = SparkEntry.queries("q92_weighted_sample")(spark, sf0001)
+      .agg(avg($"w")).as[Double].head()
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .agg(avg(greatest($"n_chars", lit(1L)))).as[Double].head()
+    assert(sampled > 1.05 * corpus,
+      s"sample mean w $sampled not above corpus mean $corpus — not weight-biased")
+  }
+
   test("d38: only train docs flagged, every flag has >=1 gram hit; golden sf0.001 totals") {
     import spark.implicits._
     val rows = SparkEntry.queries("d38_decontamination")(spark, sf0001)

@@ -218,6 +218,136 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("funnel (q75 twin): streamed stage transitions == batch funnel unpivoted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 6 users with distinct funnel shapes: full conversion, view-only,
+    // click-no-purchase, out-of-order purchase (before click — must not
+    // count), click before view (must not count), click at the SAME
+    // timestamp as the qualifying view (must count — the >= contract)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minute: Long, tp: String) = EventStreams.TypedEvent(
+      u, new Timestamp(base + minute * 60000L), tp, 1.0)
+    val evs = Seq(
+      ev(0, 0, "view"), ev(0, 5, "click"), ev(0, 9, "purchase"),
+      ev(1, 1, "view"), ev(1, 30, "view"),
+      ev(2, 2, "view"), ev(2, 6, "click"), ev(2, 7, "click"),
+      ev(3, 8, "purchase"), ev(3, 10, "view"), ev(3, 12, "click"),
+        ev(3, 15, "purchase"),
+      ev(4, 3, "click"), ev(4, 11, "view"), ev(4, 13, "click"),
+      ev(5, 4, "view"), ev(5, 4, "click"), ev(5, 4, "purchase"))
+    val sorted = evs.sortBy(e => (e.ts.getTime,
+      Map("view" -> 0, "click" -> 1, "purchase" -> 2)(e.event_type)))
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val query = EventStreams.funnelStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .start()
+    try {
+      input.addData(sorted.take(9))
+      query.processAllAvailable()
+      input.addData(sorted.drop(9))    // state advances across batches
+      query.processAllAvailable()
+      val streamed = spark.table("funnel_out").collect().map(_.toString).sorted
+      // the q75 batch rendering on the same events, unpivoted to
+      // (user_id, stage, ts) — exactly the transitions the stream emits
+      val e = evs.toDF()
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = e.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"ts" >= $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val p = e.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"ts" >= $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      val batch = v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", expr(
+          "stack(3, 'view', t_view, 'click', t_click, 'purchase', t_purchase) AS (stage, ts)"))
+        .filter($"ts".isNotNull)
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(batch),
+        s"streamed:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+    } finally query.stop()
+  }
+
+  test("streaks (q88 twin): streamed closed streaks == batch islands; rollup == q88") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 3 users, runs of consecutive days with 1- and 3-day breaks,
+    // multiple same-day events (must count once)
+    val activeDays = Map(
+      0L -> Seq(0, 1, 2, 5, 6, 10),
+      1L -> Seq(3, 4, 5, 6, 7),
+      2L -> Seq(1, 8, 9))
+    val base = Timestamp.valueOf("2024-05-01 09:00:00").getTime
+    val evs = for {
+      (u, days) <- activeDays.toSeq
+      d <- days
+      rep <- 0 until 2
+    } yield EventStreams.TypedEvent(u,
+      new Timestamp(base + d * 86400000L + rep * 3600000L + u * 60000L),
+      "view", 1.0)
+    val sorted = evs.sortBy(_.ts.getTime)
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val query = EventStreams.streakStream(
+        input.toDS().withWatermark("ts", "10 minutes")
+          .as[EventStreams.TypedEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("streak_out")
+      .start()
+    try {
+      input.addData(sorted.take(15))
+      query.processAllAvailable()
+      input.addData(sorted.drop(15))
+      query.processAllAvailable()
+      // sentinel far past every streak's horizon: the EventTimeTimeout
+      // closes the open runs
+      input.addData(Seq(EventStreams.TypedEvent(777L,
+        Timestamp.valueOf("2030-01-01 00:00:00"), "view", 0.0)))
+      query.processAllAvailable()
+      val streamed = spark.table("streak_out")
+        .filter($"user_id" =!= 777L)
+        .collect().map(_.toString).sorted
+      // q88's island stage on the same events (its rollup's input)
+      val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+      val islands = evs.toDF()
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .withColumn("streak_key", date_sub($"day", $"rn"))
+        .groupBy($"user_id", $"streak_key")
+        .agg(min($"day").as("streak_start"), max($"day").as("streak_end"),
+          count(lit(1)).as("len"))
+        .select($"user_id", $"streak_start", $"streak_end", $"len")
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(islands),
+        s"streamed:\n${streamed.mkString("\n")}\nislands:\n${islands.mkString("\n")}")
+      // and the q88 per-user rollup over the streamed islands matches
+      // the registry's batch aggregate shape on the same days
+      val roll = spark.table("streak_out").filter($"user_id" =!= 777L)
+        .groupBy($"user_id")
+        .agg(sum($"len").as("n_active_days"), count(lit(1)).as("n_streaks"),
+          max($"len").as("longest_streak"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (u, n, s, l) => u -> ((n, s, l)) }.toMap
+      activeDays.foreach { case (u, days) =>
+        val runs = days.foldLeft(List.empty[List[Int]]) {
+          case (acc, d) if acc.nonEmpty && acc.head.head == d - 1 =>
+            (d :: acc.head) :: acc.tail
+          case (acc, d) => List(d) :: acc
+        }
+        val (n, s, l) = roll(u)
+        assert(n == days.size && s == runs.size && l == runs.map(_.size).max,
+          s"user $u rollup ($n,$s,$l)")
+      }
+    } finally query.stop()
+  }
+
   test("stream-stream interval join: streaming attribution == batch join") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
