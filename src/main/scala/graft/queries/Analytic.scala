@@ -427,6 +427,38 @@ object Analytic {
           max(col("len")).as("longest_streak"))
     },
 
+    // LAST-TOUCH ATTRIBUTION — for every purchase, the most recent
+    // click at-or-before it (the marketing-attribution shape), with a
+    // 7-day attribution window deciding the `attributed` flag. One
+    // running last(ignoreNulls) window per user over the click/purchase
+    // projection: the log shuffles ONCE keyed by user_id, no joins, no
+    // per-purchase scan-back — at 100 TB this is a single keyed
+    // repartition of a two-event-type slice of the log. The window
+    // order is (ts, click-before-purchase, event_id): a click sharing a
+    // purchase's timestamp attributes it (the funnel's >= contract),
+    // and the explicit tie-break keeps ranks engine-deterministic.
+    "q94_last_touch_attribution" -> { (s, d) =>
+      val e = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc,
+          when(col("event_type") === "click", 0).otherwise(1).asc,
+          col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("click_ts"),
+          (col("click_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("click_ts")) <=
+              7L * 86400L * 1000000L).as("attributed"),
+          round(col("value"), 2).as("value"))
+    },
+
     // Event-time bucketing with a date function (X-family analog).
     "q15_hourly_events" -> { (s, d) =>
       t(s, d, "events")
@@ -675,6 +707,26 @@ object Analytic {
         |      ELSE 'view' END AS stage_reached
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // the identical running last_value(IGNORE NULLS) with the same
+    // three-key order; epoch_us both sides makes the 7-day window
+    // exact integer microseconds
+    "q94_last_touch_attribution" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, ts, event_type, value FROM events
+        | WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        | SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END
+        |    IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts ASC,
+        |        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END ASC,
+        |        event_id ASC ROWS UNBOUNDED PRECEDING) AS click_ts
+        | FROM e)
+        |SELECT event_id, user_id, ts AS purchase_ts, click_ts,
+        | (click_ts IS NOT NULL AND
+        |  epoch_us(ts) - epoch_us(click_ts) <= 604800000000) AS attributed,
+        | round(value, 2) AS value
+        |FROM r WHERE event_type = 'purchase'""".stripMargin,
+
     // date_trunc('week', ...) is ISO-Monday in both engines; week_n is
     // exact integer day-diff arithmetic
     "q76_cohort_retention" ->

@@ -354,6 +354,47 @@ object MultimodalOps extends Serializable {
               math.log(2.0)), 4).as("entropy_bits"))
     },
 
+    // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
+    // distribution vs the fleet-wide distribution, as an L1 distance:
+    // the lakehouse check that catches a source whose payload format
+    // silently changed (new codec, new compression, corruption) by its
+    // byte-histogram signature BEFORE any decode runs. Entirely
+    // map-side: each doc's 16 nibble counts come from the m37
+    // replace-counter trick (no explode), the per-source rollup is one
+    // partial-agg groupBy, and the fleet totals ride back as a
+    // broadcast 1-row cross join (the q84 discipline). The L1 sum is a
+    // FIXED-ORDER 16-term chain in both engines — no row-order-
+    // dependent float accumulation anywhere.
+    "m40_source_drift" -> { (s, d) =>
+      val nibbles = "0123456789abcdef"
+      val base = multimodalTable(s, d)
+        .withColumn("hx", lower(hex(col("payload"))))
+        .filter(length(col("hx")) > 0)
+        .withColumn("src", col("meta.source"))
+      val withCnts = nibbles.zipWithIndex.foldLeft(base) {
+        case (df, (c, i)) => df.withColumn(s"c$i",
+          (length(col("hx")) -
+            length(expr(s"replace(hx, '$c', '')"))).cast("long"))
+      }
+      // persisted: the #sources-row table feeds BOTH the output rows
+      // and the fleet-total rollup — without the persist each branch
+      // re-runs the corpus scan (2× the map work at 100 TB); with it
+      // the rollup reads ~20 cached rows. Released by SparkEntry.release.
+      val bySrc = withCnts.groupBy(col("src").as("source"))
+        .agg(sum(length(col("hx")).cast("long")).as("tot"),
+          (0 until 16).map(i => sum(col(s"c$i")).as(s"s$i")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val global = bySrc.groupBy()
+        .agg(sum(col("tot")).as("gtot"),
+          (0 until 16).map(i => sum(col(s"s$i")).as(s"g$i")): _*)
+      val l1 = (0 until 16)
+        .map(i => abs(col(s"s$i") / col("tot") - col(s"g$i") / col("gtot")))
+        .reduce(_ + _)
+      bySrc.crossJoin(broadcast(global))
+        .select(col("source"), col("tot").as("n_nibbles"),
+          round(l1, 6).as("l1_drift"))
+    },
+
     // ASSET QUALITY REPORT — m38's payoff row: per-asset tile-entropy
     // envelope + a suspect flag (any tile under 3.0 bits on this
     // corpus's ~3.2-bit hex-nibble baseline marks padding/truncation/
@@ -491,6 +532,28 @@ object MultimodalOps extends Serializable {
     // zero-length payloads emit no rows, matching the Spark-side
     // guard) over the identical hex rendering; ln/ln(2) with the
     // division order preserved
+    // the same 16 replace-counters, per-source sums, and the IDENTICAL
+    // fixed-order 16-term L1 chain (left-associated + in both engines)
+    "m40_source_drift" -> {
+      val sums = (0 until 16).map { i =>
+        val c = "0123456789abcdef" (i)
+        s"sum(length(hx) - length(replace(hx, '$c', ''))) AS s$i"
+      }.mkString(",\n  ")
+      val gsums = (0 until 16).map(i => s"sum(s$i) AS g$i").mkString(", ")
+      val l1 = (0 until 16)
+        .map(i => s"abs(s.s$i / s.tot - g.g$i / g.gtot)").mkString(" + ")
+      s"""WITH h AS (
+         | SELECT source, lower(hex(text)) AS hx FROM documents
+         | WHERE length(hex(text)) > 0),
+         |s AS (
+         | SELECT source, sum(length(hx)) AS tot,
+         |  $sums
+         | FROM h GROUP BY 1),
+         |g AS (SELECT sum(tot) AS gtot, $gsums FROM s)
+         |SELECT s.source, CAST(s.tot AS BIGINT) AS n_nibbles,
+         | round($l1, 6) AS l1_drift
+         |FROM s, g""".stripMargin
+    },
     "m37_payload_entropy" ->
       """WITH h AS (
         | SELECT doc_id, lower(hex(text)) AS hx FROM documents),

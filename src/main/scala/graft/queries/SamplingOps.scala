@@ -129,6 +129,33 @@ object SamplingOps {
       TopKPerKeyApi.topKPerKey(keyed, Seq("source"),
           Seq(("akey", true), ("doc_id", true)), 10, rankName = "rnk")
         .select(col("source"), col("doc_id"), col("w"), col("rnk"))
+    },
+
+    // TEMPERATURE (power-law flattening) SAMPLE — the multinomial
+    // source-reweighting LLM mixtures use: keep probability ∝
+    // n_src^(α−1) with α = 1/2, i.e. p = T/√n_src capped at 1 — big
+    // sources are flattened toward √n while small sources pass whole.
+    // EXACT cross-engine arithmetic with a transcendental-free keep
+    // rule: keep iff b·√n_src < 16^6·T, where b is the md5 bucket
+    // (integer, exact as double) and √ is IEEE-754 correctly rounded —
+    // so both engines evaluate the identical double comparison, no
+    // rounding knife-edge at all (contrast q92's ln-based key, which
+    // needs quantization). Plan: one tiny aggregate broadcast back
+    // onto the scan (map-side filter), one partial-agg groupBy — the
+    // corpus never shuffles unfiltered (q71's discipline).
+    "q93_temperature_sample" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      docs.select(col("source"), col("doc_id"),
+          bucket(col("doc_id")).as("b"))
+        .join(broadcast(counts), "source")
+        .filter(col("b").cast("double") * sqrt(col("n_src").cast("double"))
+          < lit(16777216.0d * 3.0d))
+        .groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_src"),
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +198,16 @@ object SamplingOps {
          |  CAST(row_number() OVER (PARTITION BY source
          |   ORDER BY akey, doc_id) AS INTEGER) AS rnk
          | FROM k)
-         |SELECT source, doc_id, w, rnk FROM r WHERE rnk <= 10""".stripMargin)
+         |SELECT source, doc_id, w, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "q93_temperature_sample" ->
+      s"""WITH b AS (
+         | SELECT source, doc_id, ${bucketSql("doc_id")} AS b
+         | FROM documents),
+         |c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1)
+         |SELECT b.source, CAST(max(c.n_src) AS BIGINT) AS n_src,
+         | count(*) AS n_kept, CAST(sum(b.doc_id) AS BIGINT) AS sum_id
+         |FROM b JOIN c USING (source)
+         |WHERE CAST(b.b AS DOUBLE) * sqrt(CAST(c.n_src AS DOUBLE))
+         |  < 50331648.0
+         |GROUP BY 1""".stripMargin)
 }

@@ -316,6 +316,40 @@ object SimilarityOps {
         .withColumn("recall_at_3", round(col("hits") / col("k"), 4))
     },
 
+    // TRUNCATED-DIMENSION RECALL — the Matryoshka-embedding trade
+    // measured: search on only the FIRST 16 of 64 dimensions (the MRL
+    // prefix a serving stack keeps hot — 4× less memory bandwidth and
+    // 4× more vectors per cache line) and score its recall@3 against
+    // the full-dimension exact ground truth (s33). The truncated arm
+    // is the same broadcast-query brute-force shape as s33 — at 100 TB
+    // the prefix slice is what an in-memory first stage would actually
+    // scan, and this row is the eval that decides whether 16 dims are
+    // enough to over-fetch for an s50-style exact rerank. Slice +
+    // cosine + bounded window; the oracle composes s33's SQL verbatim
+    // (the s45 discipline).
+    "s51_truncated_dim_recall" -> { (s, d) =>
+      val te = emb(s, d).select(col("vec_id"),
+        slice(col("emb"), 1, 16).as("temb"))
+      val q = te.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("temb").as("qemb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("tcos").desc, col("vec_id").asc)
+      val approx = te.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("tcos", round(cos(col("qemb"), col("temb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("aqid"), col("vec_id").as("aneib"))
+      val exact = queries("s33_knn_bruteforce")(s, d)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("neighbor_id") === col("aneib"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("aneib").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall_at_3", round(col("hits") / col("k"), 4))
+    },
+
     // ANN RECALL MATRIX — s45 widened to every deterministic index
     // variant in the registry: recall@3 of the fixed-quantizer IVF
     // (s37), trained IVF nprobe=2 (s40), IVF-PQ (s42) and residual
@@ -1008,6 +1042,32 @@ object SimilarityOps {
     },
     // composes the s33 and s37 oracle SQL VERBATIM (the s44 discipline:
     // shared text, so the arms cannot drift from their registry twins)
+    // composes s33's SQL verbatim for the ground truth; the truncated
+    // arm slices the same DOUBLE[] to its 16-dim prefix in both engines
+    "s51_truncated_dim_recall" ->
+      s"""WITH exact AS (
+         | SELECT qid, neighbor_id FROM (${s33OracleSql}) x WHERE rnk <= 3),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |te AS (SELECT vec_id, emb[1:16] AS temb FROM e),
+         |q AS (SELECT vec_id AS qid, temb AS qemb FROM te WHERE vec_id < 10),
+         |p AS (
+         | SELECT qid, vec_id,
+         |  round(list_dot_product(qemb, temb) /
+         |   (sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(temb, temb))), 6) AS tcos
+         | FROM te, q WHERE vec_id <> qid),
+         |r AS (
+         | SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY tcos DESC, vec_id ASC) AS rnk FROM p) rr
+         | WHERE rnk <= 3)
+         |SELECT e2.qid, count(*) AS k,
+         | CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS hits,
+         | round(CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   / count(*), 4) AS recall_at_3
+         |FROM exact e2 LEFT JOIN r
+         |  ON e2.qid = r.qid AND e2.neighbor_id = r.vec_id
+         |GROUP BY 1""".stripMargin,
     "s45_ann_recall" ->
       s"""WITH exact AS (
          | SELECT qid, neighbor_id FROM (${s33OracleSql}) x WHERE rnk <= 3),

@@ -678,6 +678,72 @@ object TextOps {
           (col("off") + col("icum")).as("vocab_size"))
     },
 
+    // CROSS-SOURCE OVERLAP MATRIX — pairwise 5-gram containment and
+    // Jaccard between sources: the dataset-card table that catches one
+    // source mirroring another (a crawl that re-ingested a dump, a
+    // "distinct" subcorpus that is 90% contained in an existing one)
+    // BEFORE both are deduped into a mixture. Never all-pairs on
+    // documents: grams dedupe to (source, hash) first, the self-join
+    // keys on the gram hash — per-gram fan-out is bounded by #sources²
+    // (tiny), and the output is #source-pairs rows. At 100 TB this is
+    // one shuffle of the deduped gram set; the d28/d38 hash-not-string
+    // discipline keeps the shuffle rows 16 bytes.
+    "t46_source_overlap" -> { (s, d) =>
+      val sg = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 5)
+        .select(col("source"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-5), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .as("g"))
+        .select(col("source"), xxhash64(col("g")).as("gh"))
+        .distinct()
+      val counts = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sg.select(col("source").as("source_a"), col("gh"))
+        .join(sg.select(col("source").as("source_b"), col("gh")), "gh")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(counts.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+        .join(broadcast(counts.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          round(col("n_common") / least(col("n_a"), col("n_b")), 4)
+            .as("containment"),
+          round(col("n_common") /
+            (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+    },
+
+    // BOILERPLATE DENSITY — per-document fraction of trigram INSTANCES
+    // that belong to the corpus's top-20 most frequent trigrams: the
+    // template/navigation-chrome detector a web-corpus pipeline runs
+    // (docs that are mostly corpus-wide boilerplate score near 1 and
+    // get down-weighted). The top-20 is a distributed
+    // TakeOrderedAndProject over the trigram counts (count desc, gram
+    // asc tie-break — never a global sort), broadcast back onto the
+    // exploded trigrams as a map-side left join; one (doc_id) groupBy
+    // closes it. At 100 TB: two keyed shuffles (gram count, doc
+    // rollup), both partial-aggregated.
+    "t47_boilerplate_density" -> { (s, d) =>
+      val tri = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-3), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      val top = tri.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g").asc).limit(20)
+      tri.join(broadcast(top.select(col("g"), lit(1L).as("hit"))),
+          Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_boiler"),
+          round(col("n_boiler") / col("n_trigrams"), 4).as("boiler_frac"))
+    },
+
     // Array higher-order functions over the token array: lambda filter,
     // membership, ordered head — all inside whole-stage codegen.
     "t28_array_hof" -> { (s, d) =>
@@ -716,6 +782,50 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // gram identity via the string itself (the d33 discipline — no
+    // xxhash64 in DuckDB; hashing is an impl detail of the join key)
+    "t46_source_overlap" ->
+      """WITH tok AS (
+        | SELECT source, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sg AS (
+        | SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |   range(1, len(w)-3),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
+        | FROM tok WHERE len(w) >= 5),
+        |c AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+        |p AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_common
+        | FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b,
+        | CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        | CAST(p.n_common AS BIGINT) AS n_common,
+        | round(p.n_common / least(ca.n, cb.n), 4) AS containment,
+        | round(p.n_common / (ca.n + cb.n - p.n_common), 4) AS jaccard
+        |FROM p JOIN c ca ON p.source_a = ca.source
+        | JOIN c cb ON p.source_b = cb.source""".stripMargin,
+    // identical top-20 selection (count desc, gram asc) and instance
+    // counting; integer counts divided once, rounded at 4 dp
+    "t47_boilerplate_density" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |tri AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+        | FROM tok WHERE len(w) >= 3),
+        |top AS (
+        | SELECT g FROM tri GROUP BY g
+        | ORDER BY count(*) DESC, g ASC LIMIT 20)
+        |SELECT t.doc_id, count(*) AS n_trigrams,
+        | CAST(sum(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_boiler,
+        | round(sum(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END)
+        |   / count(*), 4) AS boiler_frac
+        |FROM tri t LEFT JOIN top ON t.g = top.g
+        |GROUP BY 1""".stripMargin,
     // the same first-occurrence algebra; the cumulative sum is a plain
     // window here (the oracle need not scale), exact integer math
     "t45_vocab_growth" ->

@@ -315,6 +315,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"one-task-per-source cumsum must not appear:\n$p")
   }
 
+  test("q94 attribution: one user-keyed exchange, event-type filter pushed to the scan") {
+    val p = plan("q94_last_touch_attribution")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      s"the two-type slice must reach the scan:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size == 1,
+      s"the log must shuffle exactly once, keyed by user:\n$p")
+    assert(!p.contains("Join"), s"attribution is a window, not a join:\n$p")
+  }
+
+  test("t47 boilerplate: top-20 via distributed TakeOrdered, broadcast back — no global sort") {
+    val p = plan("t47_boilerplate_density")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a distributed TakeOrdered:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 20-row top table must broadcast:\n$p")
+    assert(!p.contains("Sort [n#"), s"no global sort of the gram counts:\n$p")
+  }
+
+  test("m40 drift: ONE corpus scan — the fleet total reads the persisted per-source table") {
+    val p = plan("m40_source_drift")
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"both branches must read the cached per-source rollup:\n$p")
+    // every parquet-scan mention sits inside an InMemoryRelation build
+    // plan (printed once per cached branch) — no UNCACHED corpus scan:
+    // a bare scan branch would make parquet mentions exceed cache blocks
+    assert(p.split("Scan parquet").length <= p.split("InMemoryRelation").length,
+      s"an uncached corpus scan slipped into a branch:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q90 KMV sketch: k-smallest selection through the native TopKPerKey exec, no per-group sort") {
     val p = plan("q90_kmv_distinct")
     assert(p.contains("TopKPerKey"), s"must plan through the custom exec:\n$p")
