@@ -583,6 +583,34 @@ object DedupOps {
     // the 100 TB corpus is never shuffled; the only exchange is the
     // per-doc hit count over the (tiny) surviving matches. Both sides
     // push their doc_id % 7 filter into the parquet scan.
+    // TRAIN/EVAL SPLIT LEAKAGE AUDIT — near-dup clusters (d41) that
+    // SPAN the deterministic q65 split boundary: exact dedup keeps one
+    // doc per cluster, but if a kept train doc's near-duplicate lands
+    // in valid/test, eval answers leak into training anyway. This is
+    // the audit a pipeline runs BEFORE publishing a split manifest
+    // (the standard fix: split by cluster_rep, not doc_id — this row
+    // quantifies why). Composes d41's labeled clusters with q65's
+    // portable md5 bucket rule; one cluster_rep partial-agg over the
+    // multi-member clusters, so the only new shuffle is keyed by
+    // cluster — the d42 discipline.
+    "d49_split_leakage" -> { (s, d) =>
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      queries("d41_canonical_docs")(s, d)
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .filter(col("cluster_size") > 1)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("n_train") > 0 &&
+          (col("n_valid") > 0 || col("n_test") > 0))
+    },
+
     "d38_decontamination" -> { (s, d) =>
       def grams(df: DataFrame): DataFrame = df
         .withColumn("w", tokens(col("text")))
@@ -860,6 +888,35 @@ object DedupOps {
     // list, min-id label) — only the Spark-side algorithm differs
     "d34_dedup_clusters_star" -> d31OracleSql,
     "d41_canonical_docs" -> d41OracleSql,
+    // wraps the d41 SQL verbatim; the split rule is q65's portable
+    // md5-nibble bucket, rebuilt with the same strpos expansion
+    "d49_split_leakage" -> {
+      val nibs = (1 to 6).map(p =>
+        s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1)")
+      val value = nibs.reduce((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH lab AS (
+         | SELECT doc_id, cluster_rep, cluster_size
+         | FROM (${d41OracleSql}) d41 WHERE cluster_size > 1),
+         |sp AS (
+         | SELECT doc_id,
+         |  CASE WHEN ($value) % 100 < 80 THEN 'train'
+         |       WHEN ($value) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+         |       FROM documents) h)
+         |SELECT l.cluster_rep, count(*) AS n_members,
+         | CAST(sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_train,
+         | CAST(sum(CASE WHEN sp.split = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_valid,
+         | CAST(sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_test
+         |FROM lab l JOIN sp ON l.doc_id = sp.doc_id
+         |GROUP BY 1
+         |HAVING sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END) > 0
+         |  AND (sum(CASE WHEN sp.split = 'valid' THEN 1 ELSE 0 END) > 0
+         |   OR sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END) > 0)""".stripMargin
+    },
     // wraps the d41 oracle verbatim as a subquery (WITH nests fine in
     // DuckDB), so the keep-list algebra cannot drift between the two
     // registry entries

@@ -156,6 +156,62 @@ object SamplingOps {
         .agg(max(col("n_src")).as("n_src"),
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_id"))
+    },
+
+    // QUALITY-WEIGHTED MIX — the curation policy real pipelines run
+    // instead of a hard quality gate: top-tier docs pass whole,
+    // mid-tier failures are RETAINED AT A REDUCED RATE (style
+    // diversity without letting noise dominate), hard failures drop.
+    // Composes t35's first-failing-reason verdict with the
+    // deterministic md5 bucket: keep iff bucket(doc_id) % 100 <
+    // tier_pct(reason). The tier table is a plan literal; the decision
+    // is pure row-local arithmetic, so the only shuffles are t35's own.
+    // Oracle wraps the t35 SQL verbatim (the d44 discipline), so the
+    // gate algebra cannot drift from its registry twin.
+    "q95_quality_weighted_mix" -> { (s, d) =>
+      val tier = when(col("reason") === "keep", 100L)
+        .when(col("reason").isin("no_stopwords", "low_diversity"), 25L)
+        .when(col("reason").isin("repetitive_top_bigram",
+          "repetitive_dup_bigram"), 10L)
+        .otherwise(0L) // too_short / too_long: hard drops
+      graft.queries.TextOps.queries("t35_quality_filter")(s, d)
+        .select(col("doc_id"), col("reason"))
+        .withColumn("pct", tier)
+        .withColumn("sampled", bucket(col("doc_id")) % 100 < col("pct"))
+        .groupBy(col("reason"))
+        .agg(max(col("pct")).as("pct"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("sampled"), col("doc_id")).otherwise(0L))
+            .as("sum_sampled_id"))
+    },
+
+    // TRAINING MANIFEST — the artifact a curation run actually ships:
+    // per (split, source), the documents that SURVIVED the full d44
+    // clean (quality ∧ dedup ∧ decontamination) with their token
+    // budget, split by the q65 deterministic bucket. This is the table
+    // a trainer's data loader reads — doc counts for shard planning,
+    // token totals for epoch math. Token counts use the text family's
+    // exact token rule (shared helper), so the budget can't drift from
+    // t21/t35's numbers. One doc_id equi-join of the keep-list onto
+    // the (doc_id, source, n_tokens) projection, one (split, source)
+    // partial-agg — no new shuffle shape beyond d44's own.
+    "q96_training_manifest" -> { (s, d) =>
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      val kept = graft.queries.DedupOps.queries("d44_clean_corpus")(s, d)
+        .filter(col("keep")).select(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(graft.queries.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .join(kept, "doc_id")
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("doc_id")).as("sum_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -209,5 +265,53 @@ object SamplingOps {
          |FROM b JOIN c USING (source)
          |WHERE CAST(b.b AS DOUBLE) * sqrt(CAST(c.n_src AS DOUBLE))
          |  < 50331648.0
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    // wraps the t35 oracle verbatim as a subquery; the identical tier
+    // CASE and md5-bucket rule replay the sampling decision exactly
+    "q95_quality_weighted_mix" -> {
+      val t35 = graft.queries.TextOps.oracle("t35_quality_filter")
+      s"""WITH q AS (
+         | SELECT doc_id, reason FROM (${t35}) t35),
+         |w AS (
+         | SELECT doc_id, reason,
+         |  CASE WHEN reason = 'keep' THEN 100
+         |       WHEN reason IN ('no_stopwords', 'low_diversity') THEN 25
+         |       WHEN reason IN ('repetitive_top_bigram',
+         |                       'repetitive_dup_bigram') THEN 10
+         |       ELSE 0 END AS pct,
+         |  ${bucketSql("doc_id")} % 100 AS b
+         | FROM q)
+         |SELECT reason, CAST(max(pct) AS BIGINT) AS pct,
+         | count(*) AS n_docs,
+         | CAST(sum(CASE WHEN b < pct THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_sampled,
+         | CAST(sum(CASE WHEN b < pct THEN doc_id ELSE 0 END) AS BIGINT)
+         |   AS sum_sampled_id
+         |FROM w GROUP BY 1""".stripMargin
+    },
+    // wraps the ENTIRE d44 oracle verbatim (which itself composes
+    // t35 + d41 + d38), plus q65's bucket rule and the t45 token rule —
+    // the full curation algebra replayed end-to-end in DuckDB
+    "q96_training_manifest" -> {
+      val d44 = graft.queries.DedupOps.oracle("d44_clean_corpus")
+      s"""WITH kept AS (
+         | SELECT doc_id FROM (${d44}) d44 WHERE keep),
+         |tk AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'))
+         |  END AS n_tokens
+         | FROM documents),
+         |sp AS (
+         | SELECT doc_id,
+         |  CASE WHEN ${bucketSql("doc_id")} % 100 < 80 THEN 'train'
+         |       WHEN ${bucketSql("doc_id")} % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM documents)
+         |SELECT sp.split, tk.source, count(*) AS n_docs,
+         | CAST(sum(tk.n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(sum(tk.doc_id) AS BIGINT) AS sum_id
+         |FROM kept JOIN tk USING (doc_id) JOIN sp ON tk.doc_id = sp.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    })
 }

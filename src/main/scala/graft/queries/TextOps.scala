@@ -24,8 +24,10 @@ object TextOps {
 
   /** Whitespace tokens of trim(text); [] for blank text. Explicit
     * class, not \s: Java's \s includes U+000B, RE2's (DuckDB) does not,
-    * so \s on both sides diverges on a vertical-tab document. */
-  private def tokens(c: Column): Column =
+    * so \s on both sides diverges on a vertical-tab document.
+    * Package-visible: q96's manifest counts tokens with the SAME rule
+    * so its budgets can't drift from the text family's. */
+  private[queries] def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "[ \\t\\n\\f\\r]+"))
 

@@ -87,6 +87,47 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       s"sample mean w $sampled not above corpus mean $corpus — not weight-biased")
   }
 
+  test("q93: every source flattens toward T/sqrt(n) and none is emptied") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q93_temperature_sample")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nSrc, nKept, _) =>
+      assert(nKept <= nSrc, s"$src kept more than it has")
+      assert(nKept > 0, s"$src emptied — T too aggressive for this corpus")
+      val p = math.min(1.0, 3.0 / math.sqrt(nSrc.toDouble))
+      assert(math.abs(nKept.toDouble / nSrc - p) < 0.25,
+        s"$src kept ${nKept}/$nSrc, expected ~$p")
+    }
+  }
+
+  test("q95: keep tier passes whole, hard drops sample nothing, mid tiers near their rate") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q95_quality_weighted_mix")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (reason, pct, n, ns, _) => reason -> ((pct, n, ns)) }.toMap
+    val (kp, kn, ks) = rows("keep")
+    assert(kp == 100L && ks == kn, "keep tier must pass whole")
+    rows.foreach { case (reason, (pct, n, ns)) =>
+      if (pct == 0L) assert(ns == 0L, s"$reason is a hard drop but sampled $ns")
+      else if (pct < 100L && n >= 20)
+        assert(math.abs(ns.toDouble / n - pct / 100.0) < 0.2,
+          s"$reason sampled $ns/$n vs rate $pct%")
+    }
+  }
+
+  test("q96: manifest doc totals equal the d44 keep count; all three splits present") {
+    import spark.implicits._
+    val m = SparkEntry.queries("q96_training_manifest")(spark, sf0001)
+      .select($"split", $"n_docs").as[(String, Long)].collect()
+    val kept = SparkEntry.queries("d44_clean_corpus")(spark, sf0001)
+      .filter($"keep").count()
+    assert(m.map(_._2).sum == kept,
+      "every kept doc must land in exactly one manifest row")
+    assert(m.map(_._1).toSet == Set("train", "valid", "test"))
+    SparkEntry.release(spark)
+  }
+
   test("d38: only train docs flagged, every flag has >=1 gram hit; golden sf0.001 totals") {
     import spark.implicits._
     val rows = SparkEntry.queries("d38_decontamination")(spark, sf0001)
