@@ -183,6 +183,36 @@ object Analytic {
           round(sum(col("value")), 2).as("sum_value"))
     },
 
+    // SESSION CONVERSION BY LENGTH — the product-analytics table built
+    // ON TOP of gap sessionization: per session-length bucket, how many
+    // sessions contained a purchase. Reuses q78's session assignment
+    // verbatim (same gap, same (ts, event_id) order), then two
+    // partial-agg groupBys: (user, session) — which REUSES the window's
+    // user_id clustering because user_id prefixes its keys — and the
+    // tiny (n_events) rollup. The event log still shuffles exactly
+    // once.
+    "q97_session_conversion" -> { (s, d) =>
+      val gapUs = 4L * 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+            .cast("long"))
+        .withColumn("session_n",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(count(lit(1)).as("n_events"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("converted"))
+      sess.groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"),
+          round(sum(col("converted")) / count(lit(1)), 4).as("conv_rate"))
+    },
+
     // MERGE/UPSERT (SCD type-1) — the warehouse `MERGE INTO` shape:
     // fold a batch of late arrivals into a latest-state-per-key target.
     // The cutoff splitting target from batch is the exact integer
@@ -878,6 +908,33 @@ object Analytic {
         |FROM c""".stripMargin,
     // identical flag/cumsum windows over the same (ts, event_id) total
     // order; gap math is exact integer microseconds in both engines
+    // q78's session CTEs verbatim (with event_type carried through),
+    // then the per-session converted flag and the length-bucket rollup
+    "q97_session_conversion" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_us
+        | FROM events),
+        |f AS (
+        | SELECT *, CASE WHEN prev_us IS NULL
+        |   OR us - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM g),
+        |sn AS (
+        | SELECT user_id, event_type,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM f),
+        |sess AS (
+        | SELECT user_id, session_n, count(*) AS n_events,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS converted
+        | FROM sn GROUP BY 1, 2)
+        |SELECT n_events, count(*) AS n_sessions,
+        | CAST(sum(converted) AS BIGINT) AS n_converted,
+        | round(sum(converted) / count(*), 4) AS conv_rate
+        |FROM sess GROUP BY 1""".stripMargin,
     "q78_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

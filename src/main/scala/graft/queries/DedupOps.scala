@@ -611,6 +611,27 @@ object DedupOps {
           (col("n_valid") > 0 || col("n_test") > 0))
     },
 
+    // CLUSTER-KEYED SPLIT — the FIX for the leak d49 quantifies: split
+    // membership derives from bucket(cluster_rep), not bucket(doc_id),
+    // so every member of a near-dup cluster lands in the SAME split by
+    // construction and train/eval leakage through near-duplicates is
+    // structurally zero (DedupSpec asserts it). Emits the per-split
+    // summary a manifest builder consumes; the only shuffle beyond
+    // d41's own is the final split partial-agg.
+    "d50_cluster_split" -> { (s, d) =>
+      val bucket = conv(
+        substring(md5(col("cluster_rep").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      queries("d41_canonical_docs")(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"),
+          sum(col("doc_id")).as("sum_id"))
+    },
+
     "d38_decontamination" -> { (s, d) =>
       def grams(df: DataFrame): DataFrame = df
         .withColumn("w", tokens(col("text")))
@@ -888,6 +909,26 @@ object DedupOps {
     // list, min-id label) — only the Spark-side algorithm differs
     "d34_dedup_clusters_star" -> d31OracleSql,
     "d41_canonical_docs" -> d41OracleSql,
+    // wraps the d41 SQL verbatim; the q65 bucket rule applied to the
+    // cluster representative instead of the doc id
+    "d50_cluster_split" -> {
+      val nibs = (1 to 6).map(p =>
+        s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1)")
+      val value = nibs.reduce((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH lab AS (
+         | SELECT doc_id, cluster_rep FROM (${d41OracleSql}) d41),
+         |sp AS (
+         | SELECT doc_id, cluster_rep,
+         |  CASE WHEN ($value) % 100 < 80 THEN 'train'
+         |       WHEN ($value) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM (SELECT doc_id, cluster_rep,
+         |        md5(CAST(cluster_rep AS VARCHAR)) AS hx FROM lab) h)
+         |SELECT split, count(*) AS n_docs,
+         | CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+         | CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM sp GROUP BY 1""".stripMargin
+    },
     // wraps the d41 SQL verbatim; the split rule is q65's portable
     // md5-nibble bucket, rebuilt with the same strpos expansion
     "d49_split_leakage" -> {

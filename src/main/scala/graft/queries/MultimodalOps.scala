@@ -288,6 +288,29 @@ object MultimodalOps extends Serializable {
         .filter(col("n_docs") > 1)
     },
 
+    // PER-ASSET TILE-DEDUP RATIO — m35 turned into the per-asset
+    // storage-planning number: what fraction of THIS asset's distinct
+    // tiles also occur in some other asset (the dedup factor a
+    // content-addressed store would realize, and the redundancy signal
+    // that flags near-copies before the pairwise m36 pass runs). The
+    // shared-tile set derives from one digest-keyed groupBy; flagging
+    // rides a digest equi-join back onto the distinct tile list — both
+    // shuffles are keyed by the 32-char digest, never tile bytes.
+    "m41_tile_dedup_ratio" -> { (s, d) =>
+      val tiles = queries("m34_payload_tiles")(s, d)
+        .select(col("doc_id"), col("tile_md5")).distinct()
+      val shared = tiles.groupBy(col("tile_md5"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("tile_md5"), lit(1L).as("shared"))
+      tiles.join(shared, Seq("tile_md5"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tiles"),
+          sum(coalesce(col("shared"), lit(0L))).as("n_shared"),
+          round(sum(coalesce(col("shared"), lit(0L))) / count(lit(1)), 4)
+            .as("shared_frac"))
+    },
+
     // PAYLOAD ENTROPY — the compressibility/quality signal a media
     // pipeline screens on (truncated/constant payloads score near 0,
     // encrypted/compressed ones near max): Shannon entropy over the
@@ -507,6 +530,21 @@ object MultimodalOps extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "m34_payload_tiles" -> m34OracleSql,
+    // wraps the m34 tile SQL verbatim; distinct tiles per asset, the
+    // shared set via the same >1-doc digest rule as m35
+    "m41_tile_dedup_ratio" ->
+      s"""WITH tiles AS (
+         | SELECT DISTINCT doc_id, tile_md5 FROM ($m34OracleSql) m34),
+         |sh AS (
+         | SELECT tile_md5 FROM tiles GROUP BY 1
+         | HAVING count(DISTINCT doc_id) > 1)
+         |SELECT t.doc_id, count(*) AS n_tiles,
+         | CAST(sum(CASE WHEN sh.tile_md5 IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_shared,
+         | round(sum(CASE WHEN sh.tile_md5 IS NOT NULL THEN 1 ELSE 0 END)
+         |   / count(*), 4) AS shared_frac
+         |FROM tiles t LEFT JOIN sh ON t.tile_md5 = sh.tile_md5
+         |GROUP BY 1""".stripMargin,
     // m34's tile CTEs + m37's per-position nibble counting, scoped to
     // the tile substring; identical ln/ln(2) arithmetic and 4-dp round
     "m38_tile_entropy" -> m38OracleSql,

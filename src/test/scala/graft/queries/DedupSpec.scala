@@ -176,6 +176,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty, "planted strip must contain triangles")
   }
 
+  test("d50: cluster-keyed split has structurally zero leakage and covers every doc") {
+    import spark.implicits._
+    // every near-dup cluster's members land in ONE split (the property
+    // d49 shows doc-keyed splitting violates)
+    val spread = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
+      .withColumn("split",
+        conv(substring(md5($"cluster_rep".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100 < 80)
+      .groupBy($"cluster_rep")
+      .agg(countDistinct($"split").as("nsplits"))
+      .filter($"nsplits" > 1).count()
+    assert(spread == 0, s"$spread clusters span a split boundary")
+    // and d49 proves the doc-keyed rule DOES leak on this corpus — the
+    // audit/fix pair is non-vacuous
+    assert(SparkEntry.queries("d49_split_leakage")(spark, sf0001).count() > 0,
+      "no doc-keyed leakage found — d49/d50 would be untestable")
+    val d50 = SparkEntry.queries("d50_cluster_split")(spark, sf0001)
+      .agg(sum($"n_docs")).as[Long].head()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(d50 == docs, "cluster split must cover every document exactly once")
+    SparkEntry.release(spark)
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to doc count") {
     val d = SparkEntry.queries("d27_dedup_exact")(spark, sf0001)
     val total = d.agg(sum(col("n_copies"))).head().getLong(0)
