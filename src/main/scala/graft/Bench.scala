@@ -51,22 +51,34 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       val sorted = times.sorted
-      // median of what succeeded; a fully-failed query reports its
-      // (tiny) failure wall time so the row still exists in the JSON
-      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-      (name, median, sorted.headOption.getOrElse(0.0),
-        sorted.lastOption.getOrElse(0.0))
+      (name, sorted)
     }
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    // A query whose every rep failed must NOT appear as a 0.0 median:
+    // r9 shipped 25 broken queries as 0.0 rows, which deflated the
+    // headline total and — because bench_diff.py skips base rows at 0 —
+    // would have permanently exempted them from regression flagging had
+    // the snapshot been promoted to bench_history. Failed queries are
+    // OMITTED from the medians/spread maps and listed in an explicit
+    // "failed" array instead (placed at the END of the line so the
+    // driver's 2 KB stdout tail always preserves it).
+    val (ok, failed) = results.partition(_._2.nonEmpty)
+    val stats = ok.map { case (name, sorted) =>
+      (name, sorted(sorted.size / 2), sorted.head, sorted.last)
+    }
+    val qs = stats.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx) =>
+    val spread = stats.map { case (k, _, mn, mx) =>
       "\"" + k + "\":[" + mn + "," + mx + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED all reps: " +
+        failed.map(_._1).mkString(", "))
+    val total = stats.map(_._2).sum
     // lifecycle evidence: after release() between reps, nothing this
     // library persisted may outlive the pass (0 expected)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr}"""
     println(line)
     // durability: the driver's BENCH_r0x.json keeps only a 2 KB stdout
     // tail, which truncates the per-query map — also land the full line

@@ -73,14 +73,31 @@ object Tables {
     val o = shared.get((spark, dir, name))
     if (o != null) return o
     name match {
-      // Truncate events' raw nanos to Spark's micros TimestampType with
-      // exact integral division (`div`, not FP `/` — nanos ~1.7e18
-      // exceed double's 2^53 integer range, FP division would corrupt
-      // the low microseconds). DuckDB's CAST(ts_ns AS TIMESTAMP)
-      // truncates identically, so oracle comparisons line up.
+      // events.ts: the corpus contract is driver-owned and has shipped
+      // two parquet renderings so far — TIMESTAMP(NANOS) (read as raw
+      // longs under the legacy conf above) and TIMESTAMP(MICROS, NTZ).
+      // Branch on the footer schema so either shape (and any future
+      // flip back) analyzes to the same micros TimestampType:
+      //  - LongType (raw nanos): exact integral `div` truncation
+      //    (`div`, not FP `/` — nanos ~1.7e18 exceed double's 2^53
+      //    integer range, FP division would corrupt the low micros).
+      //    DuckDB's CAST(ts_ns AS TIMESTAMP) truncates identically.
+      //  - TimestampNTZType: session TZ is pinned UTC everywhere this
+      //    library runs, so NTZ→TZ cast matches DuckDB's naive
+      //    TIMESTAMP reading bit-for-bit.
       case "events" =>
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          case LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+          case TimestampType => raw
+          case other => throw new IllegalStateException(
+            s"events.ts: unsupported parquet-derived type $other " +
+              "(expected raw-nanos BIGINT, TIMESTAMP_NTZ, or TIMESTAMP)")
+        }
       case _ =>
         spark.read.parquet(s"$dir/$name.parquet")
     }

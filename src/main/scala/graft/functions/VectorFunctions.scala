@@ -98,6 +98,18 @@ object VectorFunctions {
       "simhash48",
       exprs => SimHash48Agg(exprs.head),
       "scala_udf")
+    // Spark's own codegen'd bloom probe (the expression its runtime
+    // bloom-filter joins plan), exposed by name: 4.1 ships
+    // BloomFilterMightContain but does not register it in the builtin
+    // registry. First arg is the serialized filter as a BINARY literal
+    // (org.apache.spark.util.sketch.BloomFilter.writeTo bytes), second
+    // the LONG value to probe — replaces the boxing scala UDF on the
+    // incremental-dedup candidate prefilter hot path.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "scala_udf")
   }
 
   /** Cosine similarity Column over two array<double> columns; caller must

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   *    broadcast traffic when the new batch is itself large. False
   *    positives only admit extra CANDIDATES; the exact confirm on full
   *    shingle sets removes them, so output is bit-identical to `semi`.
-  *    The probe is a deliberate non-codegen predicate (bloom probing
-  *    has no Catalyst rendering); it runs map-side pre-shuffle where
+  *    The probe runs through Spark's codegen'd BloomFilterMightContain
+  *    expression (the one its runtime bloom joins plan — registered by
+  *    name since 4.1 doesn't expose it), map-side pre-shuffle where
   *    its cost is dwarfed by the shuffle bytes it saves.
   *  - `none`:  no pruning (baseline for shuffle-volume comparisons).
   *
@@ -54,9 +55,15 @@ object IncrementalDedup {
           "left_semi")
       case "bloom" =>
         val bf = newEx.stat.bloomFilter("sv", expectedNewShingles, 0.01)
-        val bfB = ex.sparkSession.sparkContext.broadcast(bf)
-        val might = udf((h: Long) => bfB.value.mightContain(h))
-        ex.filter(might(col("sv")))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        // probe through Spark's own codegen'd BloomFilterMightContain
+        // (what its runtime bloom joins plan) instead of a boxing scala
+        // UDF: the serialized filter rides as a BINARY literal exactly
+        // like the engine's injected runtime filters do
+        graft.functions.VectorFunctions.register(ex.sparkSession)
+        ex.filter(call_function("bloom_might_contain",
+          lit(bos.toByteArray), col("sv")))
       case other => throw new IllegalArgumentException(
         s"prefilter must be none|semi|bloom, got $other")
     }

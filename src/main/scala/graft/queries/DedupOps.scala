@@ -321,16 +321,27 @@ object DedupOps {
     // construction — they face the other two gates like any doc.)
     "d44_clean_corpus" -> { (s, d) =>
       // The three gates each scan documents independently when run as
-      // standalone registry entries; composed here, ONE projected,
-      // persisted scan (the union of the gates' columns: t35 reads
-      // doc_id/text/lang, d41→d28 and d38 read doc_id/text) is
-      // substituted for every embedded t() call via Tables.withShared —
-      // the quality pass, the shingle build and the gram build all read
-      // the cached projection instead of tripling the parquet scan.
+      // standalone registry entries; composed here, ONE projected scan
+      // (the union of the gates' columns: t35 reads doc_id/text/lang,
+      // d41→d28 and d38 read doc_id/text) is substituted for every
+      // embedded t() call via Tables.withShared. The projection is
+      // additionally PERSISTED only when the scan it dedupes is big
+      // enough to be worth one cache materialization — at bench scale
+      // (sub-GiB documents) three pipelined parquet scans beat
+      // filling the cache (VERDICT r9 item 4); at the 100 TB posture
+      // the persist collapses three corpus scans into one. Size comes
+      // free from the optimizer's file-length stats, no extra job.
       // Released by SparkEntry.release(), same as d41's labeled stage.
-      val sharedDocs = graft.Tables.t(s, d, "documents")
+      val projected = graft.Tables.t(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val persistMinBytes = BigInt(
+        s.conf.get("spark.graft.sharedScan.persistMinBytes",
+          (1L << 30).toString))
+      val sharedDocs =
+        if (projected.queryExecution.optimizedPlan.stats.sizeInBytes
+            >= persistMinBytes)
+          projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else projected
       graft.Tables.withShared(s, d, "documents", sharedDocs) {
         val quality = graft.queries.TextOps.queries("t35_quality_filter")(s, d)
           .select(col("doc_id"), col("reason").as("q_reason"))

@@ -93,7 +93,19 @@ object SimilarityOps {
     * holding the lock through it would block concurrent query
     * construction on the same bin. Losers of the build race discard
     * their handle; the plans are identical, so the CacheManager dedupes
-    * the persist and nothing leaks. */
+    * the persist and nothing leaks.
+    *
+    * PERSIST-ON-SECOND-RETRIEVAL (VERDICT r9 item 3): a memo entry that
+    * is only ever retrieved ONCE (a cold standalone s42 run — Bench and
+    * Verify release() after every query) must not pay cache
+    * materialization for a reuse that never comes; r9's unconditional
+    * persist on the PQ corpora regressed exactly those cold runs. A
+    * build may still persist itself when it fans into 2+ branches of
+    * the SAME query plan (cellAssign, trainedRanked — the persist is
+    * load-bearing even for one consumer); single-branch entries stay
+    * unpersisted until a SECOND memoGet proves a repeat consumer
+    * exists, and only then get tagged — lazily, the CacheManager fills
+    * on that consumer's first action. */
   private def memoGet(s: SparkSession, d: String, kind: String)
       (build: => DataFrame): DataFrame = {
     val it = indexMemo.entrySet().iterator()
@@ -106,8 +118,11 @@ object SimilarityOps {
     }
     val key = (s, d, kind)
     val hit = indexMemo.get(key)
-    if (hit != null) hit
-    else {
+    if (hit != null) {
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        hit.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hit
+    } else {
       val built = build
       val prev = indexMemo.putIfAbsent(key, built)
       if (prev != null) prev else built
@@ -593,14 +608,14 @@ object SimilarityOps {
       val ranked = trainedRanked(s, d)
       // the encoded corpus is memoized per (dir, variant) like the cell
       // ranking above it: the encode is corpus-wide map work, and a
-      // session that composes this arm into s48 (or runs both) should
-      // pay for it ONCE per variant — the second consumer reads the
-      // cached codes (InMemoryTableScan in its plan), not a re-encode
+      // session that retrieves it twice without release() reads the
+      // cached codes the second time (memoGet persists on the second
+      // retrieval — a cold standalone run stays a pure lazy plan and
+      // pays no cache materialization, VERDICT r9 item 3)
       val corpus = memoGet(s, d, "pqcorpus")(
         pq.encode(ranked.filter(col("rn") === 1)
             .select(col("vec_id"), col("emb"), col("cid")))
-          .select(col("vec_id"), col("cid"), col("pq_code"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .select(col("vec_id"), col("cid"), col("pq_code")))
       val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"),
           col("cid").as("pcell"))
@@ -634,11 +649,11 @@ object SimilarityOps {
           resid(col("emb"), col("cemb")).as("remb"))
       val pq = PqResidualModel.model(corpus0, d)
       // residual codes encode a different domain than s42's raw codes,
-      // so they memoize under their own variant key (VERDICT r8 item 3)
+      // so they memoize under their own variant key (VERDICT r8 item 3);
+      // like s42's corpus, persist attaches only on a second retrieval
       val corpus = memoGet(s, d, "pqcorpus_resid")(
         pq.encode(corpus0, embCol = "remb")
-          .select(col("vec_id"), col("cid"), col("pq_code"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .select(col("vec_id"), col("cid"), col("pq_code")))
       val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
           resid(col("emb"), col("cemb")).as("qres"),

@@ -80,6 +80,13 @@ def main():
             hard.append(q)
         print(f"  {ratio:5.1f}x  {q:32s} {bq[q]:7.3f}s -> {cq[q]:7.3f}s  "
               f"base[{b_sp[0]:.3f},{b_sp[1]:.3f}] cur[{c_sp[0]:.3f},{c_sp[1]:.3f}]  {tag}")
+    # Bench now omits all-reps-failed queries from the medians and lists
+    # them explicitly — a failed query outranks any timing regression.
+    cur_failed = cur.get("failed", [])
+    if cur_failed:
+        print(f"FAIL: {len(cur_failed)} queries failed all bench reps: "
+              f"{', '.join(cur_failed)}")
+        return 1
     if hard:
         print(f"FAIL: {len(hard)} disjoint-spread regression(s): {', '.join(hard)}")
         return 1
