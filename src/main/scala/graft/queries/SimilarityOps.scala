@@ -516,6 +516,83 @@ object SimilarityOps {
         .select(col("ia"), col("ib"), round(col("cosine"), 4).as("cosine"))
     },
 
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023) — the curation pass
+    // that removes semantically-redundant documents an n-gram dedup
+    // can't see (paraphrases, translations, templated rewrites):
+    // cluster the embedding space, then inside each cluster drop any
+    // vector with a LOWER-ID neighbor above the cosine threshold —
+    // the paper's keep-one-per-epsilon-ball rule made deterministic by
+    // id order. Pairwise work is CELL-BOUNDED (the s47 kNN-graph
+    // discipline): the self-join keys on cell id, so the shuffle
+    // partitions by cell and the comparison count is O(Σ cell²), never
+    // corpus². At 100 TB the quantizer's k grows with the corpus so
+    // cells stay bounded — exactly how SemDeDup runs on real
+    // pretraining data. Deterministic fixed quantizer (s37's), 6-dp
+    // rounded cosine → fully DuckDB-oracle-checked.
+    "d51_semdedup" -> { (s, d) =>
+      val tau = 0.35
+      val cell = cellAssignMemo(s, d)
+      val a = cell.select(col("cid"), col("vec_id").as("ia"),
+        col("emb").as("ea"))
+      val b = cell.select(col("cid").as("cidb"), col("vec_id").as("ib"),
+        col("emb").as("eb"))
+      val dropped = a.join(b,
+          col("cid") === col("cidb") && col("ia") < col("ib"))
+        .withColumn("c", round(cos(col("ea"), col("eb")), 6))
+        .filter(col("c") >= tau)
+        .select(col("ib").as("vec_id")).distinct()
+        .withColumn("hit", lit(true))
+      cell.select(col("vec_id"), col("cid"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(!col("hit"), lit(true)).as("keep"))
+    },
+
+    // GREEDY k-CENTER CORESET — farthest-point traversal over the
+    // embedding space (Gonzalez 1985; the "diverse subset" selection a
+    // curation pipeline runs to seed eval sets or active-learning
+    // batches): start from vec_id 0, then k−1 times pick the vector
+    // farthest (max min-cosine-distance) from everything selected so
+    // far. Each round is ONE distributed aggregate — the selected
+    // vectors are bounded driver-side literals (the TrainedQuantizer
+    // discipline: O(k) rows ever collected, k fixed), the min-distance
+    // scan is map-only over the corpus, and the arg-max is a
+    // TakeOrdered(1), so at 100 TB the cost is k corpus scans with no
+    // wide shuffle. 6-dp rounded cosine + id tie-break → the whole
+    // traversal replays exactly in the DuckDB oracle as k unrolled
+    // CTE steps.
+    "q98_kcenter_coreset" -> { (s, d) =>
+      val k = 4
+      val e = emb(s, d).select(col("vec_id"), col("emb"))
+        // feeds k sequential bounded-aggregate rounds — persist so the
+        // parquet scan + float→double widening runs once; released by
+        // SparkEntry.release()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = e.filter(col("vec_id") === 0L)
+        .select(col("emb")).head().getSeq[Double](0)
+      var picked = Vector((1, 0L, null.asInstanceOf[java.lang.Double],
+        first))
+      while (picked.size < k) {
+        val dists = picked.map { case (_, _, _, semb) =>
+          lit(1.0) - round(cos(col("emb"), typedlit(semb)), 6)
+        }
+        val mind = if (dists.size == 1) dists.head else least(dists: _*)
+        val ids = picked.map(_._2)
+        val win = e.filter(!col("vec_id").isInCollection(ids))
+          .withColumn("mind", mind)
+          .orderBy(col("mind").desc, col("vec_id").asc)
+          .select(col("vec_id"), col("mind"), col("emb"))
+          .head()
+        picked = picked :+ ((picked.size + 1, win.getLong(0),
+          Double.box(win.getDouble(1)), win.getSeq[Double](2)))
+      }
+      val s2 = s
+      import s2.implicits._
+      picked.map { case (step, id, mind, _) =>
+        (step, id, Option(mind).map(_.doubleValue))
+      }.toDF("step", "vec_id", "min_dist")
+    },
+
     // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
     // centroids — stands in for trained centroids), every vector
     // assigned to its nearest cell, queries search ONLY their own cell
@@ -987,6 +1064,62 @@ object SimilarityOps {
         |WHERE rnk <= 3""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // s37's fixed-quantizer cell CTEs verbatim; the drop rule replays
+    // as a within-cell pair list filtered on the 6-dp rounded cosine,
+    // keep = no lower-id neighbor at or above the threshold
+    "d51_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |p AS (
+        | SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  round(list_dot_product(a.emb, b.emb) /
+        |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS c
+        | FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |dropped AS (SELECT DISTINCT ib AS vec_id FROM p WHERE c >= 0.35)
+        |SELECT cell.vec_id, cell.cid, (d.vec_id IS NULL) AS keep
+        |FROM cell LEFT JOIN dropped d ON cell.vec_id = d.vec_id""".stripMargin,
+    // the greedy farthest-point traversal unrolled as k=4 CTE steps:
+    // each step's winner is the max min-distance row under the same
+    // (mind DESC, vec_id ASC) total order the Spark TakeOrdered uses,
+    // distances on the identical 6-dp rounded cosine
+    "q98_kcenter_coreset" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p1 AS (SELECT emb FROM e WHERE vec_id = 0),
+        |d1 AS (
+        | SELECT e.vec_id, e.emb,
+        |  1.0 - round(list_dot_product(e.emb, p1.emb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(p1.emb, p1.emb))), 6) AS mind
+        | FROM e CROSS JOIN p1 WHERE e.vec_id <> 0),
+        |s2 AS (SELECT vec_id, mind FROM d1 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |p2 AS (SELECT e.emb FROM e JOIN s2 ON e.vec_id = s2.vec_id),
+        |d2 AS (
+        | SELECT d1.vec_id, d1.emb, least(d1.mind,
+        |  1.0 - round(list_dot_product(d1.emb, p2.emb) /
+        |   (sqrt(list_dot_product(d1.emb, d1.emb)) * sqrt(list_dot_product(p2.emb, p2.emb))), 6)) AS mind
+        | FROM d1 CROSS JOIN p2
+        | WHERE d1.vec_id NOT IN (SELECT vec_id FROM s2)),
+        |s3 AS (SELECT vec_id, mind FROM d2 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |p3 AS (SELECT e.emb FROM e JOIN s3 ON e.vec_id = s3.vec_id),
+        |d3 AS (
+        | SELECT d2.vec_id, least(d2.mind,
+        |  1.0 - round(list_dot_product(d2.emb, p3.emb) /
+        |   (sqrt(list_dot_product(d2.emb, d2.emb)) * sqrt(list_dot_product(p3.emb, p3.emb))), 6)) AS mind
+        | FROM d2 CROSS JOIN p3
+        | WHERE d2.vec_id NOT IN (SELECT vec_id FROM s3)),
+        |s4 AS (SELECT vec_id, mind FROM d3 ORDER BY mind DESC, vec_id ASC LIMIT 1)
+        |SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS min_dist
+        |UNION ALL SELECT 2, vec_id, mind FROM s2
+        |UNION ALL SELECT 3, vec_id, mind FROM s3
+        |UNION ALL SELECT 4, vec_id, mind FROM s4""".stripMargin,
     // the lexical arm embeds t34's oracle verbatim (same map entry, so
     // the BM25 algebra literally cannot drift between the two queries);
     // ranks come from the identical ORDER BY ... LIMIT 50 + row_number

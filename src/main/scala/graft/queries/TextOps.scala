@@ -231,6 +231,43 @@ object TextOps {
           round(pow(lit(2.0), nll), 4).as("perplexity"))
     },
 
+    // PERPLEXITY QUARTILE BUCKETS — the CCNet head/middle/tail split:
+    // per-language LM-perplexity quartiles (bucket 1 = most fluent) with
+    // doc and token mass per bucket, the table a curation run publishes
+    // before deciding which perplexity band to keep. Composes t36
+    // verbatim. The quartile is NTILE(4) semantics — but rendered from
+    // (rank, count) through the exact integer remainder formula instead
+    // of a bare ntile window, because rank comes from the
+    // block-DISTRIBUTED row_number (DistributedRank: per-(lang, block)
+    // windows + a tiny offset aggregate) — a bare ntile over lang would
+    // be one task per language forever at 100 TB (the q85 lesson). All
+    // published aggregates are order-independent (count / min / max on
+    // 4-dp-rounded doubles / BIGINT sum).
+    "t48_perplexity_buckets" -> { (s, d) =>
+      val ppl = queries("t36_lm_perplexity")(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("perplexity"))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val scored = ppl.join(docs, "doc_id")
+      val ranked = graft.operators.DistributedRank.rowNumber(scored,
+        Seq("lang"), Seq(col("perplexity").asc, col("doc_id").asc),
+        floor(col("perplexity")), "rk")
+      val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // ntile(4) from (rk, n): q=n div 4 docs per bucket, the first
+      // n%4 buckets take one extra row — integer-exact in both engines
+      val bucket = when(
+        col("rk") <= (col("n") % 4) * (expr("n div 4") + 1),
+        expr("(rk + n div 4) div (n div 4 + 1)"))
+        .otherwise((col("n") % 4) +
+          expr("(rk - (n % 4) * (n div 4 + 1) + n div 4 - 1) div (n div 4)"))
+      ranked.join(broadcast(n), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("perplexity")).as("min_ppl"),
+          max(col("perplexity")).as("max_ppl"),
+          sum(col("n_bigrams")).as("n_bigrams"))
+    },
+
     // Cross-document DUPLICATE-SPAN fraction — the RefinedWeb/C4-style
     // corpus-level boilerplate signal: what share of a document's
     // distinct 8-token spans also occur in at least one OTHER document.
@@ -996,22 +1033,32 @@ object TextOps {
     // same bigram building blocks as t33; p = BIGINT/BIGINT (DuckDB /
     // is float division), log2 sums round to 4 dp (t32 discipline),
     // power(2, x) evaluates on the unrounded mean like the Spark pow
-    "t36_lm_perplexity" ->
-      """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
-        | FROM documents WHERE length(trim(text)) > 0),
-        |bg AS (
-        | SELECT doc_id,
-        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
-        | FROM tok WHERE len(w) >= 2),
-        |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
-        |model AS (SELECT bg, count(*) AS c_bg FROM b2 GROUP BY 1),
-        |ctx AS (SELECT w1, count(*) AS c_ctx FROM b2 GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        | round(-sum(log2(c_bg / c_ctx)) / count(*), 4) AS avg_neg_log2,
-        | round(power(2.0, -sum(log2(c_bg / c_ctx)) / count(*)), 4) AS perplexity
-        |FROM b2 JOIN model USING (bg) JOIN ctx USING (w1)
-        |GROUP BY doc_id""".stripMargin,
+    "t36_lm_perplexity" -> t36OracleSql,
+    // composes t36's oracle VERBATIM (the s44/s45 shared-text
+    // discipline); the quartile assignment replays the exact ntile
+    // remainder allocation from (rank, count) in pure integer
+    // arithmetic — earlier buckets get the n%4 extra rows — so both
+    // engines compute the same bucket from the same (perplexity ASC,
+    // doc_id ASC) total order. min/max over 4-dp-rounded doubles and a
+    // BIGINT token sum keep every aggregate order-independent.
+    "t48_perplexity_buckets" ->
+      s"""WITH base AS (
+         | SELECT p.doc_id, p.n_bigrams, p.perplexity, dd.lang
+         | FROM (${t36OracleSql}) p JOIN documents dd USING (doc_id)),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY lang
+         |   ORDER BY perplexity ASC, doc_id ASC) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM base),
+         |b AS (
+         | SELECT lang, n_bigrams, perplexity,
+         |  CASE WHEN rk <= (n % 4) * (n // 4 + 1)
+         |       THEN (rk + n // 4) // (n // 4 + 1)
+         |       ELSE (n % 4) + (rk - (n % 4) * (n // 4 + 1) + n // 4 - 1) // (n // 4)
+         |  END AS bucket FROM r)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         | min(perplexity) AS min_ppl, max(perplexity) AS max_ppl,
+         | CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+         |FROM b GROUP BY 1, 2""".stripMargin,
     // t37's span digests grouped by source; the row_number replay of
     // the native TopKPerKey heap uses the identical (n_docs DESC,
     // span_md5 ASC) total order
@@ -1258,6 +1305,23 @@ object TextOps {
         | s_en, s_es
         |FROM s""".stripMargin
   )
+
+  private def t36OracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+      | FROM documents WHERE length(trim(text)) > 0),
+      |bg AS (
+      | SELECT doc_id,
+      |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      | FROM tok WHERE len(w) >= 2),
+      |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+      |model AS (SELECT bg, count(*) AS c_bg FROM b2 GROUP BY 1),
+      |ctx AS (SELECT w1, count(*) AS c_ctx FROM b2 GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | round(-sum(log2(c_bg / c_ctx)) / count(*), 4) AS avg_neg_log2,
+      | round(power(2.0, -sum(log2(c_bg / c_ctx)) / count(*)), 4) AS perplexity
+      |FROM b2 JOIN model USING (bg) JOIN ctx USING (w1)
+      |GROUP BY doc_id""".stripMargin
 
   private def t27OracleSql: String =
       """WITH tok AS (

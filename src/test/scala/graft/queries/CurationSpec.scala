@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Semantic contracts for the r10 curation ops — the oracle proves
+  * engine parity; these prove the operators mean what they claim. */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("d51 semdedup: every dropped vector has a lower-id cell-mate at or above the threshold, every kept one does not") {
+    val out = SparkEntry.queries("d51_semdedup")(spark, sf0001)
+      .select("vec_id", "cid", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCell = out.groupBy(_._2)
+    // replay the rule driver-side from raw embeddings (small corpus)
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    var drops = 0
+    for ((_, members) <- byCell; (id, _, keep) <- members) {
+      val hasLowerNear = members.exists { case (o, _, _) =>
+        o < id && cos6(embs(o), embs(id)) >= 0.35 }
+      assert(keep === !hasLowerNear, s"vec $id keep=$keep but lower-near=$hasLowerNear")
+      if (!keep) drops += 1
+    }
+    assert(drops > 0, "threshold must actually drop something on this corpus")
+  }
+
+  test("q98 k-center: greedy min-distances are non-increasing and selections are distinct") {
+    val rows = SparkEntry.queries("q98_kcenter_coreset")(spark, sf0001)
+      .orderBy("step").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getLong(1)).distinct.length === 4)
+    val dists = rows.drop(1).map(_.getDouble(2))
+    // farthest-point traversal: each new pick covers the space, so the
+    // next pick's distance can never exceed the previous one's
+    assert(dists.sliding(2).forall(p => p(1) <= p(0) + 1e-12),
+      s"min_dist must be non-increasing, got ${dists.mkString(",")}")
+    assert(dists.forall(d => d >= 0.0 && d <= 2.0))
+  }
+
+  test("t48 perplexity buckets: per-lang quartiles are balanced and ordered by perplexity") {
+    val rows = SparkEntry.queries("t48_perplexity_buckets")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byLang = rows.groupBy(_._1)
+    for ((lang, bs) <- byLang) {
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq,
+        s"$lang buckets must be contiguous from 1")
+      // ntile balance: sizes differ by at most one, earlier >= later
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      assert(sizes.sameElements(sizes.sortBy(-_)), s"$lang extra rows must land in earlier buckets")
+      // quartile ORDER: bucket b's max perplexity <= bucket b+1's min
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4 + 1e-12,
+          s"$lang bucket ${a._2} max ${a._5} > bucket ${b._2} min ${b._4}")
+      }
+    }
+    SparkEntry.release(spark)
+  }
+}
