@@ -38,7 +38,15 @@ object Bench {
     // (SparkEntry.release), so every rep pays the query's full cost —
     // rep 2 never gets rep 1's cache for free.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for targeted re-measurement of
+    // a few queries (perf triage) without paying the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

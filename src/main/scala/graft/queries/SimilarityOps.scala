@@ -65,7 +65,9 @@ object SimilarityOps {
       .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cid"))
+      // label rides along for the filtered-search consumers (s52);
+      // every other consumer selects its columns explicitly
+      .select(col("vec_id"), col("emb"), col("label"), col("cid"))
       // both consumers feed the assignment into 2+ plan branches
       // (query side + corpus side of a self-join) — persist so the
       // 16-way crossJoin + arg-max window runs once
@@ -593,6 +595,32 @@ object SimilarityOps {
       }.toDF("step", "vec_id", "min_dist")
     },
 
+    // FILTERED ANN — the vector-DB staple s37 can't express: top-k
+    // restricted to candidates matching the query's metadata predicate
+    // (here: same label — "search only my tenant/category"). The
+    // filter is NOT post-hoc (which under-fills k when the predicate is
+    // selective): it rides IN the candidate join condition, so the
+    // equi-join keys on (cell, label) and the shuffle partitions by
+    // both — at 100 TB the scan per query is its cell∩label slice,
+    // and a label-skewed corpus just means more (cell,label) buckets,
+    // never a bigger one. Top-3 via the native bounded-heap exec on
+    // the rounded cosine; fully DuckDB-oracle-checked.
+    "s52_filtered_ann" -> { (s, d) =>
+      val cell = cellAssignMemo(s, d)
+      val q = cell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("qcell"), col("label").as("qlabel"))
+      val cand = cell.join(broadcast(q),
+          col("cid") === col("qcell") && col("label") === col("qlabel") &&
+            col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("cosine"))
+      graft.operators.TopKPerKeyApi.topKPerKey(cand, Seq("qid"),
+        Seq(("cosine", false), ("vec_id", true)), 3)
+        .select(col("qid"), col("qlabel").as("label"), col("rnk"),
+          col("vec_id").as("neighbor_id"), col("cosine"))
+    },
+
     // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
     // centroids — stands in for trained centroids), every vector
     // assigned to its nearest cell, queries search ONLY their own cell
@@ -1087,6 +1115,34 @@ object SimilarityOps {
         |dropped AS (SELECT DISTINCT ib AS vec_id FROM p WHERE c >= 0.35)
         |SELECT cell.vec_id, cell.cid, (d.vec_id IS NULL) AS keep
         |FROM cell LEFT JOIN dropped d ON cell.vec_id = d.vec_id""".stripMargin,
+    // s37's cell CTEs widened with label; the metadata predicate joins
+    // into candidate generation exactly like the Spark plan, and the
+    // top-3 replays via row_number on the same (cosine DESC, vec_id)
+    // total order
+    "s52_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.label, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, label, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, cid AS qcell, label AS qlabel
+        |  FROM cell WHERE vec_id < 10),
+        |cand AS (
+        | SELECT q.qid, q.qlabel, cell.vec_id,
+        |  round(list_dot_product(q.qemb, cell.emb) /
+        |   (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(cell.emb, cell.emb))), 6) AS cosine
+        | FROM q JOIN cell ON cell.cid = q.qcell AND cell.label = q.qlabel
+        |   AND cell.vec_id <> q.qid)
+        |SELECT qid, qlabel AS label, rnk, vec_id AS neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
+        |WHERE rnk <= 3""".stripMargin,
     // the greedy farthest-point traversal unrolled as k=4 CTE steps:
     // each step's winner is the max min-distance row under the same
     // (mind DESC, vec_id ASC) total order the Spark TakeOrdered uses,

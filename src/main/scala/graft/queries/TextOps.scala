@@ -416,6 +416,45 @@ object TextOps {
           min(col("doc_id")).as("first_doc"))
     },
 
+    // EXACT WEIGHTED MEDIAN per source — the token-mass-weighted
+    // median document length: the length L such that docs of length
+    // ≤ L hold at least half the source's tokens. The robust "how long
+    // is a typical token's document" statistic a curation run tracks
+    // (the unweighted median over-represents short docs). Exactness
+    // without a one-task-per-source window: the cumulative weight runs
+    // through t31's block-offset discipline — per-(source, block)
+    // windows (blocks = n_chars ranges, monotone in the sort key) plus
+    // a tiny per-source prefix aggregate broadcast back — and the
+    // median rule 2·cumw ≥ total is pure integer comparison, no
+    // division, so both engines pick the identical row.
+    "t49_weighted_median" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val block = 256
+      val base = t(s, d, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens"))
+        .withColumn("blk", expr(s"n_chars div $block"))
+      val wIn = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("blk"))
+        .agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+        .select(col("source"), col("blk"), col("off"))
+      val totals = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("total_tokens"))
+      base.withColumn("icum", sum(col("n_tokens")).over(wIn))
+        .join(broadcast(offsets), Seq("source", "blk"))
+        .withColumn("cumw", col("off") + col("icum"))
+        .join(broadcast(totals), "source")
+        .filter(col("cumw") * 2 >= col("total_tokens"))
+        .groupBy(col("source"), col("total_tokens"))
+        .agg(min(col("n_chars")).as("median_len"))
+        .select(col("source"), col("total_tokens"), col("median_len"))
+    },
+
     // Per-source token ENTROPY (Shannon bits) — the distribution-drift
     // metric a data-quality pipeline tracks per slice: low entropy =
     // repetitive/boilerplate slice, drops vs yesterday = collapse.
@@ -1180,6 +1219,26 @@ object TextOps {
         |      THEN round(length(replace(text, ' ', '')) / n_tokens, 4) END
         |   AS avg_token_len
         |FROM tok""".stripMargin,
+    // t21's token-count CTE; the cumulative weight replays as a plain
+    // per-source running sum (DuckDB's window is the single-node
+    // rendering of the Spark block-offset cumsum) and the 2·cumw ≥
+    // total rule is integer-exact in both engines
+    "t49_weighted_median" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END
+        |    AS BIGINT) AS n_tokens
+        | FROM documents),
+        |r AS (
+        | SELECT *,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cumw,
+        |  sum(n_tokens) OVER (PARTITION BY source) AS total FROM tok)
+        |SELECT source, CAST(total AS BIGINT) AS total_tokens,
+        | min(n_chars) AS median_len
+        |FROM r WHERE cumw * 2 >= total
+        |GROUP BY source, total""".stripMargin,
     "t22_term_frequency" ->
       """SELECT token, count(*) AS n_occurrences,
         | count(DISTINCT doc_id) AS n_docs

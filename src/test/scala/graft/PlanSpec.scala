@@ -238,6 +238,40 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t48/t49: corpus rank/cumsum windows are block-distributed, never one task per lang/source") {
+    for ((q, part, blk) <- Seq(("t48_perplexity_buckets", "lang", "__blk"),
+        ("t49_weighted_median", "source", "blk"))) {
+      val p = plan(q)
+      // the per-row window must partition by (group, block): the block
+      // col appears as a PARTITION column (followed by a comma), not
+      // merely as the tiny offset aggregate's ORDER col (followed by
+      // ASC) — a bare one-task-per-group corpus window dies at 100 TB
+      assert((s"windowspecdefinition\\($part#\\d+, $blk#\\d+L?,").r
+        .findFirstIn(p).isDefined,
+        s"$q corpus window must include the block partition key:\n$p")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("s52 filtered ANN: label rides in the candidate join key and the top-3 uses the native heap") {
+    val p = plan("s52_filtered_ann")
+    assert(p.contains("Broadcast"), s"query side must broadcast:\n$p")
+    assert(p.contains("TopKPerKey"), "top-3 must use the native bounded heap")
+    // post-hoc filtering would keep label out of the join condition
+    assert("BroadcastHashJoin \\[[^\\]]*label#\\d+".r.findFirstIn(p).isDefined,
+      s"label must be part of the equi-join keys:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("d51 semdedup: every exchange keys on cell/vec ids — pairwise work stays cell-bounded") {
+    val p = plan("d51_semdedup")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("cid", "cidb", "vec_id", "ib")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q85 sorted-neighborhood: equi-join on (brand, rank) — bounded 20x fan-out, shuffles keyed by the block key") {
     val p = plan("q85_fuzzy_neighborhood")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r

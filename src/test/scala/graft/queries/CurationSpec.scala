@@ -47,6 +47,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(dists.forall(d => d >= 0.0 && d <= 2.0))
   }
 
+  test("s52 filtered ANN: every neighbor carries the query's label, ranks contiguous") {
+    val rows = SparkEntry.queries("s52_filtered_ann")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (qid, lbl, nb) = (r.getLong(0), r.getInt(1), r.getLong(3))
+      assert(labels(qid) === lbl, s"query $qid label mismatch")
+      assert(labels(nb) === lbl, s"neighbor $nb of $qid breaks the label filter")
+      assert(nb !== qid)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val rnks = rs.map(_.getInt(2)).sorted.toSeq
+      assert(rnks === (1 to rnks.length), s"query $qid ranks $rnks not contiguous")
+    }
+  }
+
+  test("t49 weighted median: half the token mass sits at or below the reported length, strictly less below it") {
+    val med = SparkEntry.queries("t49_weighted_median")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((src, (total, medLen)) <- med) {
+      val ds = docs.filter(_._1 == src)
+      assert(ds.map(_._3).sum === total)
+      val atOrBelow = ds.filter(_._2 <= medLen).map(_._3).sum
+      val strictlyBelow = ds.filter(_._2 < medLen).map(_._3).sum
+      assert(atOrBelow * 2 >= total, s"$src: median $medLen covers too little")
+      assert(strictlyBelow * 2 < total, s"$src: $medLen is not minimal")
+    }
+  }
+
   test("t48 perplexity buckets: per-lang quartiles are balanced and ordered by perplexity") {
     val rows = SparkEntry.queries("t48_perplexity_buckets")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
