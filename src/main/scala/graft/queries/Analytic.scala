@@ -589,6 +589,35 @@ object Analytic {
         .agg(count(lit(1)).as("n_orders"))
     },
 
+    // EXACT multi-quantiles BY SELECTION — the scalable companion to
+    // q19: p25/p50/p75/p95 of event value per type, picked as the value
+    // at rank ceil(q·n) instead of through the percentile() aggregate
+    // (whose buffer holds every value of a group in executor memory —
+    // fine at sf0.1, an OOM at 100 TB). Ranks come from the
+    // block-DISTRIBUTED row_number (per-(type, value-range) windows +
+    // a tiny offset aggregate); target ranks are pure integer ceil
+    // division, so both engines select the identical rows and the
+    // quantiles are exact parquet doubles — no interpolation, no FP
+    // arithmetic, hash-exact. One corpus shuffle keyed by event_type.
+    "q99_exact_quantiles" -> { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val ranked = graft.operators.DistributedRank.rowNumber(ev,
+        Seq("event_type"), Seq(col("value").asc, col("event_id").asc),
+        floor(col("value")), "rk")
+      val totals = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      def target(q: Int) = expr(s"($q * n + 99) div 100")
+      ranked.join(broadcast(totals), "event_type")
+        .filter(col("rk") === target(25) || col("rk") === target(50) ||
+          col("rk") === target(75) || col("rk") === target(95))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rk") === target(25), col("value"))).as("p25"),
+          max(when(col("rk") === target(50), col("value"))).as("p50"),
+          max(when(col("rk") === target(75), col("value"))).as("p75"),
+          max(when(col("rk") === target(95), col("value"))).as("p95"))
+    },
+
     // Exact percentiles (linear interpolation — matches quantile_cont).
     "q19_quantiles" -> { (s, d) =>
       t(s, d, "customer")
@@ -1102,6 +1131,21 @@ object Analytic {
         | round(quantile_cont(c_acctbal, 0.9),4) AS p90_acctbal,
         | count(*) AS n
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    // selection at rank ceil(q·n) — the same integer target-rank rule
+    // as the Spark plan; the picked values are raw parquet doubles, so
+    // the comparison is bit-exact with no rounding discipline needed
+    "q99_exact_quantiles" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY value ASC, event_id ASC) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |SELECT event_type,
+        | max(CASE WHEN rk = (25*n + 99) // 100 THEN value END) AS p25,
+        | max(CASE WHEN rk = (50*n + 99) // 100 THEN value END) AS p50,
+        | max(CASE WHEN rk = (75*n + 99) // 100 THEN value END) AS p75,
+        | max(CASE WHEN rk = (95*n + 99) // 100 THEN value END) AS p95
+        |FROM r GROUP BY 1""".stripMargin,
     "q49_range_frame" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         | count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal

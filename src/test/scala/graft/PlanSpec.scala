@@ -238,9 +238,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
-  test("t48/t49: corpus rank/cumsum windows are block-distributed, never one task per lang/source") {
+  test("t48/t49/q99: corpus rank/cumsum windows are block-distributed, never one task per group") {
     for ((q, part, blk) <- Seq(("t48_perplexity_buckets", "lang", "__blk"),
-        ("t49_weighted_median", "source", "blk"))) {
+        ("t49_weighted_median", "source", "blk"),
+        ("q99_exact_quantiles", "event_type", "__blk"))) {
       val p = plan(q)
       // the per-row window must partition by (group, block): the block
       // col appears as a PARTITION column (followed by a comma), not

@@ -82,6 +82,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q99 exact quantiles: ordered, and every quantile is an actual observed value") {
+    val rows = SparkEntry.queries("q99_exact_quantiles")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.t(spark, sf0001, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val qs = (1 to 4).map(r.getDouble)
+      assert(qs.sliding(2).forall(p => p(0) <= p(1)), s"$et quantiles out of order: $qs")
+      qs.foreach(q => assert(vals(et).contains(q),
+        s"$et quantile $q is not an observed value — selection must not interpolate"))
+    }
+  }
+
   test("t48 perplexity buckets: per-lang quartiles are balanced and ordered by perplexity") {
     val rows = SparkEntry.queries("t48_perplexity_buckets")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
