@@ -518,6 +518,53 @@ object SimilarityOps {
         .select(col("ia"), col("ib"), round(col("cosine"), 4).as("cosine"))
     },
 
+    // NPROBE TUNING SWEEP — the table that answers "how many cells
+    // must this IVF index probe": recall@3 AND scanned-candidate cost
+    // of the trained index at nprobe ∈ {1, 2, 4}, one row per setting,
+    // against the s33 exact ground truth. s48 compares index FAMILIES;
+    // this sweeps the one knob a deployed IVF actually tunes, and the
+    // candidate count makes the recall/cost trade explicit (recall
+    // rises with nprobe, scan cost rises linearly — pick the knee).
+    // All three arms share the trained ranking and the persisted exact
+    // arm; every join is (cell) equi or broadcast; trained centroids
+    // are literals in both engines, so the whole sweep hash-checks.
+    "s53_nprobe_sweep" -> { (s, d) =>
+      val ranked = trainedRanked(s, d)
+      val corpus = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid"))
+      val exact = queries("s33_knn_bruteforce")(s, d)
+        .filter(col("rnk") <= 3)
+        .select(col("qid").as("eqid"), col("neighbor_id"))
+        // reused by all three arms — the s48 exact-arm discipline
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def arm(nprobe: Int): DataFrame = {
+        val probes = ranked.filter(col("rn") <= nprobe && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+            col("cid").as("pcell"))
+        val cand = corpus.join(broadcast(probes),
+            col("cid") === col("pcell") && col("vec_id") =!= col("qid"))
+          .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+          .select(col("qid"), col("vec_id"), col("cosine"))
+        val top3 = graft.operators.TopKPerKeyApi.topKPerKey(cand,
+            Seq("qid"), Seq(("cosine", false), ("vec_id", true)), 3)
+          .select(col("qid").as("aqid"), col("vec_id").as("aneib"))
+        val rec = exact.join(top3,
+            col("eqid") === col("aqid") && col("neighbor_id") === col("aneib"),
+            "left")
+          .groupBy(col("eqid"))
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("aneib").isNotNull, 1L).otherwise(0L)).as("hits"))
+        rec.agg(count(lit(1)).as("n_queries"),
+            sum(col("k")).as("total_k"), sum(col("hits")).as("total_hits"))
+          .crossJoin(cand.agg(count(lit(1)).as("total_candidates")))
+          .select(lit(nprobe.toLong).as("nprobe"), col("n_queries"),
+            col("total_hits"),
+            round(col("total_hits") / col("total_k"), 4).as("recall_at_3"),
+            col("total_candidates"))
+      }
+      arm(1).unionByName(arm(2)).unionByName(arm(4))
+    },
+
     // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023) — the curation pass
     // that removes semantically-redundant documents an n-gram dedup
     // can't see (paraphrases, translations, templated rewrites):
@@ -857,6 +904,62 @@ object SimilarityOps {
        | SELECT *, row_number() OVER (PARTITION BY qid
        |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
        |WHERE rnk <= 3""".stripMargin
+  }
+
+  /** s53's oracle: s40's trained-centroid cell CTEs (same captured
+    * literals) shared by three probe arms, each replaying candidate
+    * generation, top-3 and the recall join at its own rn bound;
+    * composes s33's exact-arm SQL verbatim (the s45/s48 discipline). */
+  private def s53Oracle: String = if (TrainedQuantizer.lastCentroids.isEmpty)
+    "SELECT 1 WHERE 1=0 -- s53 not yet run in this session"
+  else {
+    val values = TrainedQuantizer.lastCentroids.zipWithIndex.map {
+      case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    def armSql(n: Int) =
+      s"""probes$n AS (SELECT vec_id AS qid, emb AS qemb, cid AS pcell
+         |  FROM ranked WHERE rn <= $n AND vec_id < 10),
+         |cand$n AS (
+         | SELECT p.qid, corpus.vec_id,
+         |  round(list_dot_product(p.qemb, corpus.emb) /
+         |   (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(corpus.emb, corpus.emb))), 6) AS cosine
+         | FROM probes$n p JOIN corpus ON corpus.cid = p.pcell AND corpus.vec_id <> p.qid),
+         |top$n AS (
+         | SELECT qid AS aqid, vec_id AS aneib FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand$n) WHERE rnk <= 3),
+         |rec$n AS (
+         | SELECT e2.qid, count(*) AS k,
+         |  sum(CASE WHEN t.aneib IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         | FROM exact e2 LEFT JOIN top$n t
+         |   ON e2.qid = t.aqid AND e2.neighbor_id = t.aneib
+         | GROUP BY e2.qid)""".stripMargin
+    def armSelect(n: Int) =
+      s"""SELECT CAST($n AS BIGINT) AS nprobe,
+         | count(*) AS n_queries,
+         | CAST(sum(hits) AS BIGINT) AS total_hits,
+         | round(CAST(sum(hits) AS BIGINT) / CAST(sum(k) AS BIGINT), 4) AS recall_at_3,
+         | (SELECT CAST(count(*) AS BIGINT) FROM cand$n) AS total_candidates
+         |FROM rec$n""".stripMargin
+    s"""WITH exact AS (
+       | SELECT qid, neighbor_id FROM (${s33OracleSql}) x WHERE rnk <= 3),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c(cid, cemb) AS (VALUES $values),
+       |sim AS (
+       | SELECT e.vec_id, e.emb, c.cid,
+       |  round(list_dot_product(e.emb, c.cemb) /
+       |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+       | FROM e, c),
+       |ranked AS (
+       | SELECT *, row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cosc DESC, cid ASC) AS rn FROM sim),
+       |corpus AS (SELECT vec_id, emb, cid FROM ranked WHERE rn = 1),
+       |${armSql(1)},
+       |${armSql(2)},
+       |${armSql(4)}
+       |${armSelect(1)}
+       |UNION ALL ${armSelect(2)}
+       |UNION ALL ${armSelect(4)}""".stripMargin
   }
 
   /** s41's oracle replays encode + ADC with the SAME rounded codebook
@@ -1201,6 +1304,7 @@ object SimilarityOps {
     "s35_ann_lsh" -> s35Oracle,
     "s43_ivfpq_residual" -> s43Oracle,
     "s40_ivf_trained" -> s40Oracle,
+    "s53_nprobe_sweep" -> s53Oracle,
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
     "s33_knn_bruteforce" -> s33OracleSql,

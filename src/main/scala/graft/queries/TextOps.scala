@@ -836,6 +836,26 @@ object TextOps {
 
     // Language-ID heuristic: marker-stopword overlap argmax with a fixed
     // tie-break priority (en > es > de > fr > zh).
+    // LANGUAGE-ID CONFUSION MATRIX — the eval table a corpus pipeline
+    // publishes before trusting its language router: t26's n-gram
+    // classifier judged against the labeled lang column, one cell per
+    // (true, predicted) pair with the within-language fraction. The
+    // matrix diagonal is the router's per-language accuracy; off-
+    // diagonal mass shows which languages bleed into which mixture.
+    // Composes t26 verbatim; two partial-agg groupBys, the totals side
+    // broadcast — no new shuffle shape at any scale.
+    "t50_lang_confusion" -> { (s, d) =>
+      val pred = queries("t26_lang_id")(s, d)
+        .select(col("lang"), col("lang_pred"))
+      val cells = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("n_lang"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("lang_pred"), col("n_docs"),
+          round(col("n_docs") / col("n_lang"), 4).as("row_frac"))
+    },
+
     "t26_lang_id" -> { (s, d) =>
       val withScores = langMarkers.foldLeft(
         t(s, d, "documents")
@@ -1341,29 +1361,43 @@ object TextOps {
         | list_contains(w, 'spark') AS has_spark,
         | list_sort(w)[1] AS first_token_sorted
         |FROM tok""".stripMargin,
-    "t26_lang_id" ->
-      """WITH sc AS (
-        | SELECT doc_id, lang,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE list_distinct(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS wd
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id, lang,
-        |  len(list_intersect(wd, ['the','a','and','of','is'])) AS s_en,
-        |  len(list_intersect(wd, ['el','la','de','que','los'])) AS s_es,
-        |  len(list_intersect(wd, ['der','die','das','und','ist'])) AS s_de,
-        |  len(list_intersect(wd, ['le','les','des','et','est'])) AS s_fr,
-        |  len(list_intersect(wd, ['的','是','了'])) AS s_zh
-        | FROM sc)
-        |SELECT doc_id, lang,
-        | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |      WHEN s_fr >= s_zh THEN 'fr'
-        |      ELSE 'zh' END AS lang_pred,
-        | s_en, s_es
-        |FROM s""".stripMargin
+    "t26_lang_id" -> t26OracleSql,
+    // composes t26's oracle VERBATIM; the matrix is one partial-agg
+    // groupBy and row_frac is BIGINT/BIGINT divided once, rounded 4 dp
+    "t50_lang_confusion" ->
+      s"""WITH p AS (${t26OracleSql}),
+         |cells AS (
+         | SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
+         |tot AS (
+         | SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+         | FROM cells GROUP BY 1)
+         |SELECT cells.lang, lang_pred, n_docs,
+         | round(n_docs / n_lang, 4) AS row_frac
+         |FROM cells JOIN tot USING (lang)""".stripMargin
   )
+
+  private def t26OracleSql: String =
+    """WITH sc AS (
+      | SELECT doc_id, lang,
+      |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |       ELSE list_distinct(string_split_regex(trim(text), '[ \t\n\f\r]+')) END AS wd
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, lang,
+      |  len(list_intersect(wd, ['the','a','and','of','is'])) AS s_en,
+      |  len(list_intersect(wd, ['el','la','de','que','los'])) AS s_es,
+      |  len(list_intersect(wd, ['der','die','das','und','ist'])) AS s_de,
+      |  len(list_intersect(wd, ['le','les','des','et','est'])) AS s_fr,
+      |  len(list_intersect(wd, ['的','是','了'])) AS s_zh
+      | FROM sc)
+      |SELECT doc_id, lang,
+      | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |      WHEN s_fr >= s_zh THEN 'fr'
+      |      ELSE 'zh' END AS lang_pred,
+      | s_en, s_es
+      |FROM s""".stripMargin
 
   private def t36OracleSql: String =
     """WITH tok AS (

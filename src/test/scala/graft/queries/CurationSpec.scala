@@ -98,6 +98,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("s53 nprobe sweep: recall and scan cost both rise monotonically with probe count") {
+    val rows = SparkEntry.queries("s53_nprobe_sweep")(spark, sf0001)
+      .orderBy("nprobe").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    assert(rows.sliding(2).forall(p => p(1)._2 >= p(0)._2),
+      s"recall must not drop as nprobe grows: $rows")
+    assert(rows.sliding(2).forall(p => p(1)._3 >= p(0)._3),
+      s"candidate count must not drop as nprobe grows: $rows")
+    assert(rows.last._2 > 0.0, "nprobe=4 must recover some true neighbors")
+    SparkEntry.release(spark)
+  }
+
+  test("t50 lang confusion: row fractions sum to one and doc counts cover the corpus") {
+    val rows = SparkEntry.queries("t50_lang_confusion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val total = rows.map(_._2).sum
+    assert(total === graft.Tables.t(spark, sf0001, "documents").count())
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val frac = cells.map(_._3).sum
+      assert(math.abs(frac - 1.0) < 1e-3, s"$lang row fractions sum to $frac")
+    }
+  }
+
   test("t48 perplexity buckets: per-lang quartiles are balanced and ordered by perplexity") {
     val rows = SparkEntry.queries("t48_perplexity_buckets")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
