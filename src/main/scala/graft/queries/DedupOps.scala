@@ -130,6 +130,43 @@ object DedupOps {
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
     },
 
+    // THRESHOLD SENSITIVITY SWEEP — the calibration table a dedup run
+    // publishes before picking its Jaccard cutoff: pair count and
+    // docs-dropped count at τ ∈ {0.5 … 0.9} from ONE pass over the
+    // d28 candidate machinery (score every candidate pair once, then
+    // five conditional aggregates — never five scans). The knee of
+    // this curve is how τ=0.8 gets justified instead of asserted. The
+    // candidate stage is d28's shingle equi-join — linear in shared-
+    // shingle pairs, no new shuffle shape; the τ grid rides in as a
+    // 5-row broadcast.
+    "d52_threshold_sweep" -> { (s, d) =>
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sv"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val pairs = ex.select(col("doc_id").as("ia"), col("sv"))
+        .join(ex.select(col("doc_id").as("ib"), col("sv").as("svb")),
+          col("sv") === col("svb") && col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(lit(1)).as("inter"))
+      val scored = pairs
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .withColumn("jac",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+      // explicit double literals (never 0.5 + k·0.1 — FP accumulation
+      // would drift off the exact parse of "0.6"/"0.7" the oracle uses)
+      val taus = s.range(1).select(explode(array(
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("tau"))
+      scored.crossJoin(broadcast(taus))
+        .groupBy(col("tau"))
+        .agg(sum(when(col("jac") >= col("tau"), 1L).otherwise(0L))
+            .as("n_pairs"),
+          countDistinct(when(col("jac") >= col("tau"), col("ib")))
+            .as("n_docs_dropped"))
+    },
+
     // TRIANGLE enumeration on the near-dup graph — the third graph
     // primitive beside CC (d31/d34) and PageRank (d37): triangles are
     // the clustering-coefficient / community-density signal a dedup
@@ -994,6 +1031,34 @@ object DedupOps {
     // the oracle is shared verbatim
     "d45_triangles_ordered" -> d40OracleSql,
     "d28_neardup_jaccard" -> d28OracleSql,
+    // d28's candidate CTEs without the fixed cutoff; each τ row
+    // aggregates the SAME scored pair set, thresholds as exact double
+    // literals in both engines
+    "d52_threshold_sweep" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+        | FROM tok WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |scored AS (
+        | SELECT ia, ib, inter / (sa.n + sb.n - inter) AS jac
+        | FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = ia
+        |  JOIN sizes sb ON sb.doc_id = ib)
+        |SELECT tau,
+        | CAST(sum(CASE WHEN jac >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        | CAST(count(DISTINCT CASE WHEN jac >= tau THEN ib END) AS BIGINT) AS n_docs_dropped
+        |FROM scored CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+        |  (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) t(tau)
+        |GROUP BY tau""".stripMargin,
     // d28's candidate CTEs with the containment normalization — the
     // threshold applies to the exact integer ratio, the output rounds
     "d46_containment" ->

@@ -212,7 +212,45 @@ object SamplingOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
           sum(col("doc_id")).as("sum_id"))
+    },
+
+    // DETERMINISTIC POISSON BOOTSTRAP — metric uncertainty for data
+    // pipelines (the online-bootstrap trick: per (doc, replicate), a
+    // Poisson(1) pseudo-count stands in for multinomial resampling, so
+    // replicates need no shared state and the whole thing is one
+    // map-side explode + a 32-row aggregate). Each replicate reports
+    // the resampled mean document length; the spread across replicates
+    // IS the metric's confidence interval. The Poisson draw inverts the
+    // CDF against the 24-bit md5 bucket of (doc_id, replicate) using
+    // INTEGER thresholds precomputed driver-side — identical literals
+    // in both engines, so every pseudo-count replays exactly (the
+    // determinism contract; Poisson fidelity needs only ~7 decimals).
+    // At 100 TB: the shuffle carries 32 partial-agg rows, nothing else.
+    "q100_bootstrap_ci" -> { (s, d) =>
+      val b = conv(substring(md5(concat_ws(":", col("doc_id"), col("r"))),
+        1, 6), 16, 10).cast("long")
+      val w = poissonThresholds.zipWithIndex
+        .foldLeft(Option.empty[Column]) { case (acc, (t, k)) =>
+          Some(acc.fold(when(b < t, k.toLong))(_.when(b < t, k.toLong)))
+        }.get.otherwise(6L)
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("r", explode(sequence(lit(1L), lit(32L))))
+        .withColumn("w", w)
+        .groupBy(col("r"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("sum_chars"))
+        .select(col("r").as("replicate"), col("n_eff"), col("sum_chars"),
+          round(col("sum_chars") / col("n_eff"), 4).as("mean_chars"))
     })
+
+  /** Cumulative Poisson(1) CDF scaled to the 24-bit bucket space —
+    * integer cut points for pseudo-counts 0..5 (6+ beyond the last).
+    * Computed once driver-side; rendered as the SAME integer literals
+    * into both engines' plans. */
+  private val poissonThresholds: Seq[Long] = {
+    val pmf = (0 to 5).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 16777216.0))
+  }
 
   val oracle: Map[String, String] = Map(
     "q70_stratified_sample" ->
@@ -288,6 +326,23 @@ object SamplingOps {
          | CAST(sum(CASE WHEN b < pct THEN doc_id ELSE 0 END) AS BIGINT)
          |   AS sum_sampled_id
          |FROM w GROUP BY 1""".stripMargin
+    },
+    // the same 24-bit md5 bucket of (doc_id, replicate) inverted
+    // against the SAME precomputed integer CDF cut points — the
+    // pseudo-counts replay exactly, so every replicate hash-matches
+    "q100_bootstrap_ci" -> {
+      val b = bucketSql("CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+      val cases = poissonThresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN b < $t THEN $k" }.mkString(" ")
+      s"""WITH x AS (
+         | SELECT doc_id, n_chars, r, $b AS b
+         | FROM documents CROSS JOIN range(1, 33) t(r)),
+         |w AS (SELECT r, n_chars, CASE $cases ELSE 6 END AS w FROM x)
+         |SELECT r AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+         | CAST(sum(w * n_chars) AS BIGINT) AS sum_chars,
+         | round(CAST(sum(w * n_chars) AS BIGINT) / CAST(sum(w) AS BIGINT), 4)
+         |   AS mean_chars
+         |FROM w GROUP BY r""".stripMargin
     },
     // wraps the ENTIRE d44 oracle verbatim (which itself composes
     // t35 + d41 + d38), plus q65's bucket rule and the t45 token rule —

@@ -98,6 +98,39 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d52 threshold sweep: pair and drop counts fall monotonically in tau, and tau=0.8 agrees with d28") {
+    val rows = SparkEntry.queries("d52_threshold_sweep")(spark, sf0001)
+      .orderBy("tau").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 5)
+    assert(rows.sliding(2).forall(p => p(1)._2 <= p(0)._2),
+      s"n_pairs must fall as tau rises: ${rows.mkString(",")}")
+    assert(rows.sliding(2).forall(p => p(1)._3 <= p(0)._3),
+      s"n_docs_dropped must fall as tau rises: ${rows.mkString(",")}")
+    val at08 = rows.find(_._1 == 0.8).get._2
+    val d28 = SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001).count()
+    assert(at08 === d28, s"sweep at 0.8 ($at08) must equal d28's pair count ($d28)")
+    SparkEntry.release(spark)
+  }
+
+  test("q100 bootstrap: every replicate resamples ~the corpus and means stay inside the observed range") {
+    val rows = SparkEntry.queries("q100_bootstrap_ci")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.length === 32)
+    assert(rows.map(_._1).distinct.length === 32)
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    val n = docs.length.toDouble
+    rows.foreach { case (rep, nEff, mean) =>
+      // Poisson(1) pseudo-counts: E[n_eff] = n, sd = sqrt(n) — 6 sigma
+      assert(math.abs(nEff - n) < 6 * math.sqrt(n) + 1,
+        s"replicate $rep n_eff=$nEff implausible for n=$n")
+      assert(mean >= docs.min && mean <= docs.max)
+    }
+    // replicates must actually differ (resampling, not copying)
+    assert(rows.map(_._3).distinct.length > 16)
+  }
+
   test("s53 nprobe sweep: recall and scan cost both rise monotonically with probe count") {
     val rows = SparkEntry.queries("s53_nprobe_sweep")(spark, sf0001)
       .orderBy("nprobe").collect()
