@@ -183,6 +183,40 @@ object StressBench {
     }
     println(s"""{"stress":"brute_pairs","value":$bruteN}""")
 
+    // ---- d51-style SEMANTIC DEDUP at 20k vectors: the same ≥0.8
+    // near-dup confirm as the brute row above, candidates bounded to
+    // quantizer cell-mates (64 fixed centroids) with the pairwise
+    // shuffle keyed by cell id. At THIS scale fixed overhead (cell
+    // assignment + persist) masks the comparison cut in wall-clock, so
+    // the scale evidence is the EXAMINED-PAIR count: Σ cell·(cell−1)/2
+    // vs the brute row's n·(n−1)/2 = 199,990,000 — the ratio (~64×,
+    // and ∝ k as the quantizer grows with the corpus) is what survives
+    // a 1000× scale-up, where both rows are comparison-bound.
+    val (semdedupN, semCands) = tm("semdedup_cells_20k") {
+      val cents = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cosc").desc, col("cid").asc)
+      val cell = e.crossJoin(broadcast(cents))
+        .withColumn("cosc", round(cosCol(col("emb"), col("cemb")), 6))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid")).persist()
+      val cands = cell.groupBy(col("cid")).agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * (col("m") - 1) / 2)).head().getDouble(0).toLong
+      val dropped = cell.select(col("cid"), col("vec_id").as("ia"),
+          col("emb").as("ea"))
+        .join(cell.select(col("cid").as("cidb"), col("vec_id").as("ib"),
+          col("emb").as("eb")),
+          col("cid") === col("cidb") && col("ia") < col("ib"))
+        .filter(round(cosCol(col("ea"), col("eb")), 6) >= 0.8)
+        .select(col("ib")).distinct().count()
+      cell.unpersist()
+      (dropped, cands)
+    }
+    println(s"""{"stress":"semdedup_dropped","value":$semdedupN}""")
+    println(s"""{"stress":"semdedup_candidates","value":$semCands,"brute_candidates":199990000}""")
+
     // ---- d32-style portable simhash + banded Hamming near-dup at 100k
     // docs: signature aggregation is one pass over the token stream,
     // candidate generation shuffles on (band, value) keys only.
