@@ -698,6 +698,56 @@ object DedupOps {
         .join(broadcast(bench), "gh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("hits"))
+    },
+
+    // FUZZY DECONTAMINATION — the near-dup companion to d38's exact
+    // 5-gram gate: a train-split document is contaminated if it is a
+    // whole-document near-duplicate (3-gram Jaccard ≥ 0.5) of ANY
+    // test-split document, catching the lightly-edited benchmark leak
+    // that verbatim n-gram matching misses. Splits come from the q65
+    // deterministic md5 bucket (train < 80, test ≥ 90), so the gate
+    // composes with the manifest's own split rule. Candidate
+    // generation is d33's capped discipline — explode, df ≤ 50 rarity
+    // cap on the 8-byte shingle hash, train×test equi-join on the hash
+    // — then the exact Jaccard recount on full sets; at 100 TB the
+    // test side is a benchmark-sized fraction, so the candidate join
+    // broadcasts it and the corpus never self-joins. Output: each
+    // contaminated train doc with how many test docs it leaks and the
+    // worst overlap.
+    "d53_fuzzy_decontam" -> { (s, d) =>
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      val sh = shingles(s, d)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), col("split"),
+          explode(col("shingles")).as("sstr"))
+        .select(col("doc_id"), col("split"), xxhash64(col("sstr")).as("sv"))
+      val rare = ex.groupBy(col("sv"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+        .select(col("sv"))
+      val exCapped = ex.join(rare, "sv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = exCapped.filter(col("split") === "train")
+        .select(col("doc_id").as("train_id"), col("sv"))
+        .join(exCapped.filter(col("split") === "test")
+          .select(col("doc_id").as("eval_id"), col("sv")), "sv")
+        .select(col("train_id"), col("eval_id")).distinct()
+      cands
+        .join(sh.select(col("doc_id").as("train_id"),
+          col("shingles").as("sa")), "train_id")
+        .join(sh.select(col("doc_id").as("eval_id"),
+          col("shingles").as("sb")), "eval_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac", col("inter") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+          round(max(col("jac")), 4).as("max_jaccard"))
+        .withColumnRenamed("train_id", "doc_id")
     }
   )
 
@@ -846,6 +896,51 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     // gram identity via the string (hashing is a join-key impl detail)
     "d38_decontamination" -> d38OracleSql,
+    // d33's capped candidate shape restricted train×test on the q65
+    // md5-nibble split, exact Jaccard recounted on full sets (shingle
+    // identity via the string — hashing is an impl detail of the join
+    // key, as in d33), aggregated per contaminated train doc
+    "d53_fuzzy_decontam" -> {
+      val nibs = (1 to 6).map(p =>
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)")
+      val value = nibs.reduce((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
+         | FROM documents WHERE length(trim(text)) > 0),
+         |sh AS (
+         | SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+         | FROM tok WHERE len(w) >= 3),
+         |sp AS (
+         | SELECT doc_id,
+         |  CASE WHEN ($value) % 100 < 80 THEN 'train'
+         |       WHEN ($value) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM documents),
+         |ex AS (
+         | SELECT s.doc_id, p.split, unnest(s.shingles) AS s
+         | FROM sh s JOIN sp p ON s.doc_id = p.doc_id),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |exc AS (SELECT ex.doc_id, ex.split, ex.s
+         |        FROM ex JOIN rare ON ex.s = rare.s),
+         |cand AS (
+         | SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+         | FROM exc a JOIN exc b
+         |   ON a.s = b.s AND a.split = 'train' AND b.split = 'test'
+         | GROUP BY 1, 2),
+         |scored AS (
+         | SELECT c.train_id, c.eval_id,
+         |  len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |  len(sa.shingles) AS na, len(sb.shingles) AS nb
+         | FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.train_id
+         |  JOIN sh sb ON sb.doc_id = c.eval_id)
+         |SELECT train_id AS doc_id, count(*) AS n_eval_matches,
+         | round(max(inter / (na + nb - inter)), 4) AS max_jaccard
+         |FROM scored
+         |WHERE inter / (na + nb - inter) >= 0.5
+         |GROUP BY 1""".stripMargin
+    },
     // wraps the d38 SQL verbatim; NOT EXISTS-free left join replays
     // the hit-list semantics, corpus side filtered identically
     "d47_contamination_report" ->

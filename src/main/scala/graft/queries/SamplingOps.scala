@@ -214,6 +214,55 @@ object SamplingOps {
           sum(col("doc_id")).as("sum_id"))
     },
 
+    // DSIR IMPORTANCE WEIGHTS (Data Selection via Importance
+    // Resampling, Xie et al. 2023) — score every document by how much
+    // more likely its hashed-bigram bag is under a TARGET domain's
+    // unigram-over-buckets model than under the raw-pool model:
+    //   log w(x) = Σ_b n_b(x) · (ln θ_target[b] − ln θ_raw[b])
+    // with 256 md5-derived feature buckets and Laplace-smoothed bucket
+    // probabilities. Target here = the `lang = 'en'` slice (standing in
+    // for the curated target corpus a real run supplies); raw = the
+    // whole pool. High-scoring docs are the ones importance resampling
+    // keeps. Plan shape: one tokenize+explode scan feeds THREE
+    // partial-agg reductions — per-(doc,bucket) counts, per-bucket raw
+    // counts (256 rows), per-bucket target counts (≤256 rows) — then
+    // the 256-row log-ratio table broadcasts back onto the per-doc
+    // counts for one final doc_id-keyed partial agg. At 100 TB the
+    // only corpus-sized shuffle carries (doc_id, bucket) pairs already
+    // combined map-side to ≤256 rows per document; the model itself is
+    // 256 doubles. Float contract: counts are exact BIGINTs in both
+    // engines; each engine computes ln over the SAME two exact ratios
+    // (≤2 ulp drift), and the per-doc sum of ≤256 such terms stays
+    // ~1e-13 from DuckDB's — far inside the 1e-6 rounding grid (q92's
+    // quantization argument).
+    "q101_dsir_weights" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val hb = docs
+        .withColumn("w", graft.queries.TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(0, size(w)-2), " +
+            "i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+        .withColumn("b",
+          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("long"))
+      val rc = hb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tc = hb.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = hb.agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val lr = rc.join(tc, Seq("b"), "left").crossJoin(tot)
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1.0d)) /
+              (col("nt") + lit(256.0d))) -
+            log((col("cr") + lit(1.0d)) / (col("nr") + lit(256.0d))))
+            .as("lr"))
+      hb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        .join(broadcast(lr), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          round(sum(col("n") * col("lr")), 6).as("log_ratio"))
+    },
+
     // DETERMINISTIC POISSON BOOTSTRAP — metric uncertainty for data
     // pipelines (the online-bootstrap trick: per (doc, replicate), a
     // Poisson(1) pseudo-count stands in for multinomial resampling, so
@@ -327,6 +376,40 @@ object SamplingOps {
          |   AS sum_sampled_id
          |FROM w GROUP BY 1""".stripMargin
     },
+    // the identical 8-bit md5 bucket, Laplace smoothing, and log-ratio
+    // algebra; bigrams via the 1-based range/list_transform rendering
+    // of the same token rule
+    "q101_dsir_weights" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        | SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1])) AS g
+        | FROM tok WHERE len(w) >= 2),
+        |hb AS (
+        | SELECT doc_id, lang,
+        |  (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) AS b
+        | FROM bg),
+        |rc AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
+        |tc AS (SELECT b, count(*) AS ct FROM hb WHERE lang = 'en'
+        |       GROUP BY 1),
+        |tot AS (
+        | SELECT count(*) AS nr,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM hb),
+        |lr AS (
+        | SELECT rc.b,
+        |  ln((coalesce(tc.ct, 0) + 1.0) / (tot.nt + 256.0))
+        |   - ln((rc.cr + 1.0) / (tot.nr + 256.0)) AS lr
+        | FROM rc LEFT JOIN tc USING (b), tot),
+        |db AS (SELECT doc_id, b, count(*) AS n FROM hb GROUP BY 1, 2)
+        |SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_bigrams,
+        | round(sum(db.n * lr.lr), 6) AS log_ratio
+        |FROM db JOIN lr USING (b)
+        |GROUP BY 1""".stripMargin,
     // the same 24-bit md5 bucket of (doc_id, replicate) inverted
     // against the SAME precomputed integer CDF cut points — the
     // pseudo-counts replay exactly, so every replicate hash-matches

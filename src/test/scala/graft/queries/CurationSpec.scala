@@ -176,4 +176,66 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("d53 fuzzy decontam: exact driver-side replay of the capped train-vs-test near-dup rule") {
+    val out = SparkEntry.queries("d53_fuzzy_decontam")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replay: shingle sets, q65 split, df<=50 rarity cap, shared-rare
+    // candidate rule, exact Jaccard >= 0.5
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingleSet(t: String): Set[String] = {
+      val w = t.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      if (t.trim.isEmpty || w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).take(6), 16) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val sh = docs.map { case (id, t) => id -> shingleSet(t) }
+      .filter(_._2.nonEmpty).toMap
+    val df = sh.toSeq.flatMap(_._2.toSeq).groupBy(identity)
+      .map { case (s, xs) => s -> xs.size }
+    val rare = df.filter(_._2 <= 50).keySet
+    val expected = (for {
+      (ta, sa) <- sh.toSeq if split(ta) == "train"
+      (tb, sb) <- sh.toSeq if split(tb) == "test"
+      if (sa & sb & rare).nonEmpty
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.5
+    } yield (ta, jac)).groupBy(_._1)
+      .map { case (id, xs) =>
+        id -> (xs.size.toLong, math.rint(xs.map(_._2).max * 1e4) / 1e4) }
+    assert(out === expected)
+    assert(out.nonEmpty, "corpus must contain at least one fuzzy leak")
+    SparkEntry.release(spark)
+  }
+
+  test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
+    val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, w) =>
+      assert(n >= 1); assert(!w.isNaN && !w.isInfinity)
+    }
+    // the defining DSIR property: the importance weight is a likelihood
+    // ratio toward the target slice, so the target language must score
+    // strictly higher in the mean than the rest of the pool
+    val (en, rest) = out.toSeq.partition { case (id, _) => docs(id) == "en" }
+    def mean(xs: Seq[(Long, (Long, Double))]) =
+      xs.map(_._2._2).sum / xs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"mean log-ratio en=${mean(en)} !> rest=${mean(rest)}")
+    SparkEntry.release(spark)
+  }
 }
