@@ -65,6 +65,40 @@ object DedupOps {
       Array.fill(24)(rng.nextInt(1000000007).toLong))
   }
 
+  /** 24 portable minhash values per doc (shared d36/d54): explode the
+    * shingle sets, hash each shingle into the permutation field via a
+    * 48-bit md5 prefix, take the min of each seeded affine permutation.
+    * One partial-agg groupBy on doc_id — the 24 mins combine map-side. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val p = MinhashP
+    val (as, bs) = minhashPerms
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sstr"))
+      .withColumn("x",
+        conv(substring(md5(col("sstr")), 1, 12), 16, 10).cast("long") % p)
+    val mins = (0 until 24).map(i =>
+      min((lit(as(i)) * col("x") + lit(bs(i))) % p).as(s"mh$i"))
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs from re-banding a [[minhashSigs]] frame at
+    * `rowsPerBand` rows per band (24 / rowsPerBand bands): md5 band
+    * keys, banded self-equi-join on (band index, key), canonical
+    * ia < ib, distinct. */
+  private def bandedCandidates(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nBands = 24 / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("bi"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*)).as("bkey"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+    banded.select(col("doc_id").as("ia"), col("bk"))
+      .join(banded.select(col("doc_id").as("ib"), col("bk").as("bkb")),
+        col("bk") === col("bkb") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+  }
+
   /** The d28-shaped near-dup edge list at jaccard ≥ 0.5 feeding the
     * triangle queries (d40/d45): canonical (ia < ib), persisted —
     * the edge list feeds every branch of a triangle join; released by
@@ -566,27 +600,9 @@ object DedupOps {
     // j=0.8 is 1-(1-0.8⁴)⁶ ≈ 0.956, and candidates the bands miss are
     // misses in the oracle too (it replays the same bands).
     "d36_minhash_banded" -> { (s, d) =>
-      val p = MinhashP
-      val (as, bs) = minhashPerms
       val sh = shingles(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sstr"))
-        .withColumn("x",
-          conv(substring(md5(col("sstr")), 1, 12), 16, 10).cast("long") % p)
-      val mins = (0 until 24).map(i =>
-        min((lit(as(i)) * col("x") + lit(bs(i))) % p).as(s"mh$i"))
-      val sigs = ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      val bandCols = (0 until 6).map { b =>
-        struct(lit(b).as("bi"),
-          md5(concat_ws(",", (0 until 4).map(r =>
-            col(s"mh${b * 4 + r}").cast("string")): _*)).as("bkey"))
-      }
-      val banded = sigs.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      val cands = banded.select(col("doc_id").as("ia"), col("bk"))
-        .join(banded.select(col("doc_id").as("ib"), col("bk").as("bkb")),
-          col("bk") === col("bkb") && col("ia") < col("ib"))
-        .select(col("ia"), col("ib")).distinct()
+      val cands = bandedCandidates(minhashSigs(sh), rowsPerBand = 4)
       cands
         .join(sh.select(col("doc_id").as("ia"), col("shingles").as("sa")), "ia")
         .join(sh.select(col("doc_id").as("ib"), col("shingles").as("sb")), "ib")
@@ -595,6 +611,47 @@ object DedupOps {
           (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jac") >= 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 4).as("jaccard"))
+    },
+
+    // LSH BAND-CONFIGURATION SWEEP — the operating curve that justifies
+    // d36's (r=4, b=6) banding instead of asserting it: ONE 24-value
+    // signature pass, re-banded at r ∈ {2, 4, 6, 8} rows per band
+    // (b = 24/r bands), and for each config the candidate-pair count
+    // (the cost: pairs that reach the exact confirm) and the confirmed
+    // ≥ 0.8 count, with recall against the complete d28 exact pair set
+    // (complete because any pair with Jaccard > 0 shares a shingle).
+    // Smaller r → higher recall, more false candidates; larger r → the
+    // reverse. Signatures and shingle sets persist once across all four
+    // arms; each arm's only quadratic work is its banded equi-join —
+    // bounded by actual band collisions, never all-pairs. At 100 TB
+    // this is an EVAL op: run it on a bounded sample to pick (r, b),
+    // then run d36 at the chosen config on the full corpus.
+    "d54_band_sweep" -> { (s, d) =>
+      val sh = shingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = minhashSigs(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = queries("d28_neardup_jaccard")(s, d)
+        .agg(count(lit(1)).as("n_exact"))
+      val arms = Seq(2, 4, 6, 8).map { r =>
+        bandedCandidates(sigs, rowsPerBand = r)
+          .join(sh.select(col("doc_id").as("ia"), col("shingles").as("sa")),
+            "ia")
+          .join(sh.select(col("doc_id").as("ib"), col("shingles").as("sb")),
+            "ib")
+          .withColumn("jac", size(array_intersect(col("sa"), col("sb"))) /
+            (size(col("sa")) + size(col("sb")) -
+              size(array_intersect(col("sa"), col("sb")))))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("jac") >= 0.8, 1L).otherwise(0L))
+              .as("n_confirmed"))
+          .select(lit(r).as("rows_per_band"), lit(24 / r).as("n_bands"),
+            col("n_candidates"), col("n_confirmed"))
+      }
+      arms.reduce(_ unionByName _)
+        .crossJoin(broadcast(exact))
+        .withColumn("recall", round(col("n_confirmed") / col("n_exact"), 4))
+        .drop("n_exact")
     },
 
     // MinHash + LSH banding near-dup (probabilistic, seeded): shingle
@@ -788,7 +845,10 @@ object DedupOps {
     * nibble arithmetic ≡ Spark's conv(hex,16,10)), the same 24 (a, b)
     * literals, the same 6×4 banding with md5 band keys, the same exact
     * confirm. Generated, so both engines provably run one algorithm. */
-  private def d36Oracle: String = {
+  /** Shared d36/d54 oracle prefix: the CTE chain ending in `mh`
+    * (doc_id, i, mh) — the 24 portable minhash values per doc — plus
+    * the `sh` shingle-set CTE the exact confirms read. */
+  private def minhashSigCte: String = {
     val (as, bs) = minhashPerms
     val permRows = (0 until 24)
       .map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
@@ -809,7 +869,12 @@ object DedupOps {
        |perm(i, a, b) AS (VALUES $permRows),
        |mh AS (
        | SELECT doc_id, i, min((a * x + b) % $MinhashP) AS mh
-       | FROM xs, perm GROUP BY doc_id, i),
+       | FROM xs, perm GROUP BY doc_id, i)""".stripMargin
+  }
+
+  private def d36Oracle: String =
+    minhashSigCte +
+      s""",
        |bands AS (
        | SELECT doc_id, i // 4 AS bi,
        |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
@@ -829,6 +894,56 @@ object DedupOps {
        | round(inter / (na + nb - inter), 4) AS jaccard
        |FROM inter
        |WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
+
+  /** d54 oracle: the shared signature CTE re-banded per config, each
+    * arm's candidates exactly confirmed, one summary row per config;
+    * recall against the complete d28 exact pair count (computed here
+    * from the same `sh` CTE — shared-shingle candidates are complete
+    * for Jaccard > 0). */
+  private def d54Oracle: String = {
+    val arms = Seq(2, 4, 6, 8).map { r =>
+      s"""bands$r AS (
+         | SELECT doc_id, i // $r AS bi,
+         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+         | FROM mh GROUP BY doc_id, i // $r),
+         |cand$r AS (
+         | SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         | FROM bands$r a JOIN bands$r b ON a.bi = b.bi AND a.bkey = b.bkey
+         |   AND a.doc_id < b.doc_id),
+         |sc$r AS (
+         | SELECT count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN
+         |    len(list_intersect(sa.shingles, sb.shingles)) /
+         |    (len(sa.shingles) + len(sb.shingles)
+         |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
+         | FROM cand$r c
+         |  JOIN sh sa ON sa.doc_id = c.ia
+         |  JOIN sh sb ON sb.doc_id = c.ib)""".stripMargin
+    }.mkString(",\n")
+    val exact =
+      """exactp AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) a
+        |  JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) b
+        |  ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |exact AS (
+        | SELECT count(*) AS n_exact
+        | FROM exactp p
+        |  JOIN sh sa ON sa.doc_id = p.ia
+        |  JOIN sh sb ON sb.doc_id = p.ib
+        | WHERE len(list_intersect(sa.shingles, sb.shingles)) /
+        |  (len(sa.shingles) + len(sb.shingles)
+        |   - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8)""".stripMargin
+    val selects = Seq(2, 4, 6, 8).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS rows_per_band,
+         | CAST(${24 / r} AS INTEGER) AS n_bands,
+         | sc$r.n_candidates, sc$r.n_confirmed,
+         | round(sc$r.n_confirmed / exact.n_exact, 4) AS recall
+         |FROM sc$r, exact""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    minhashSigCte + ",\n" + arms + ",\n" + exact + "\n" + selects
   }
 
   /** d37 oracle: the d28 edge CTEs, then the SAME 10 fixed-point
@@ -991,6 +1106,7 @@ object DedupOps {
          | LEFT JOIN ct ON q.doc_id = ct.doc_id""".stripMargin,
     "d37_pagerank" -> d37Oracle,
     "d36_minhash_banded" -> d36Oracle,
+    "d54_band_sweep" -> d54Oracle,
     "d32_simhash_hamming" -> d32Oracle,
     // candidate generation over rare shingles only (df <= 50), exact
     // Jaccard recounted on full sets for survivors — mirrors the Spark

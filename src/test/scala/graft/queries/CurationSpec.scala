@@ -217,6 +217,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d54 band sweep: cost and recall fall as rows-per-band grows, and the r=4 arm is exactly d36") {
+    val rows = SparkEntry.queries("d54_band_sweep")(spark, sf0001)
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 6, 8))
+    rows.foreach { case (r, b, nc, nconf, rec) =>
+      assert(b === 24 / r)
+      assert(nconf <= nc, "confirmed pairs are a subset of candidates")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // operating-curve shape: fewer rows per band = more (or equal)
+    // candidates and at-least-equal recall
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 >= hi._3, s"candidates must fall: r=${lo._1} ${lo._3} vs r=${hi._1} ${hi._3}")
+      assert(lo._5 >= hi._5, s"recall must fall: r=${lo._1} ${lo._5} vs r=${hi._1} ${hi._5}")
+    }
+    val d36n = SparkEntry.queries("d36_minhash_banded")(spark, sf0001).count()
+    assert(rows.find(_._1 == 4).get._4 === d36n,
+      "the r=4 arm's confirmed count must equal d36's output")
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
