@@ -240,6 +240,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q102 skew report: exact driver-side replay of gini and top-10 share") {
+    val r = SparkEntry.queries("q102_skew_report")(spark, sf0001).collect()
+    assert(r.length === 1)
+    val (nRows, nKeys, maxC, top10, gini) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getDouble(3), r(0).getDouble(4))
+    val counts = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(nKeys === counts.length.toLong)
+    assert(nRows === counts.map(_._2).sum)
+    assert(maxC === counts.map(_._2).max)
+    val sorted = counts.sortBy(x => (x._2, x._1)).map(_._2)
+    val s = sorted.zipWithIndex.map { case (c, i) => (i + 1).toLong * c }.sum
+    val n = sorted.length.toLong
+    val giniExp = (2.0 * s) / (n * nRows) - (n + 1.0) / n
+    assert(math.abs(gini - giniExp) < 1e-6, s"gini $gini vs $giniExp")
+    assert(gini >= 0.0 && gini < 1.0)
+    val top10Exp = counts.map(_._2).sorted.reverse.take(10).sum
+      .toDouble / nRows
+    assert(math.abs(top10 - top10Exp) < 1e-6, s"top10 $top10 vs $top10Exp")
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
