@@ -311,6 +311,47 @@ object MultimodalOps extends Serializable {
             .as("shared_frac"))
     },
 
+    // BUCKETED BATCH PACKING — the multimodal loader shape (diffusion
+    // training's aspect/size bucketing): assets group into SIZE CLASSES
+    // (bit-length of the payload byte count — the d48 exact-log2
+    // trick), and within each class pack into fixed-byte-budget batches
+    // in doc_id order via next-fit: batch = floor(bytes-before / B).
+    // A batch may overrun B by less than one asset — the standard
+    // streaming-packer contract; assets are never split. The running
+    // byte total uses t31's block-offset discipline — per-(class,
+    // block) cumsum windows plus a tiny broadcast prefix aggregate —
+    // so parallelism is #classes × #blocks, never one task per class.
+    // All integer arithmetic; fill_rate is the single rounded float.
+    "m42_batch_packing" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 16384L
+      val block = 65536
+      val base = multimodalTable(s, d)
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("bytes"))
+        .withColumn("size_class",
+          (length(bin(col("bytes"))) - 1).cast("long"))
+        .withColumn("blk", expr(s"doc_id div $block"))
+      val wIn = Window.partitionBy(col("size_class"), col("blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.partitionBy(col("size_class")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("size_class"), col("blk"))
+        .agg(sum(col("bytes")).as("bt"))
+        .withColumn("off", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+        .select(col("size_class"), col("blk"), col("off"))
+      base.withColumn("icum", sum(col("bytes")).over(wIn))
+        .join(broadcast(offsets), Seq("size_class", "blk"))
+        .withColumn("batch_id", expr(s"(off + icum - bytes) div $budget"))
+        .groupBy(col("size_class"), col("batch_id"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("bytes")).as("batch_bytes"),
+          min(col("doc_id")).as("first_doc"))
+        .withColumn("fill_rate",
+          round(col("batch_bytes") / lit(budget.toDouble), 4))
+    },
+
     // PAYLOAD ENTROPY — the compressibility/quality signal a media
     // pipeline screens on (truncated/constant payloads score near 0,
     // encrypted/compressed ones near max): Shannon entropy over the
@@ -530,6 +571,27 @@ object MultimodalOps extends Serializable {
 
   val oracle: Map[String, String] = Map(
     "m34_payload_tiles" -> m34OracleSql,
+    // the same next-fit rule over a single-window cumsum rendering
+    // (the block-offset form is bitwise identical to it)
+    "m42_batch_packing" ->
+      """WITH a AS (
+        | SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, bytes,
+        |  CAST(length(bin(bytes)) - 1 AS BIGINT) AS size_class
+        | FROM a),
+        |k AS (
+        | SELECT size_class, doc_id, bytes,
+        |  sum(bytes) OVER (PARTITION BY size_class ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS icum
+        | FROM c)
+        |SELECT size_class, (icum - bytes) // 16384 AS batch_id,
+        | count(*) AS n_assets, CAST(sum(bytes) AS BIGINT) AS batch_bytes,
+        | CAST(min(doc_id) AS BIGINT) AS first_doc,
+        | round(CAST(sum(bytes) AS BIGINT) / 16384.0, 4) AS fill_rate
+        |FROM k GROUP BY 1, 2""".stripMargin,
     // wraps the m34 tile SQL verbatim; distinct tiles per asset, the
     // shared set via the same >1-doc digest rule as m35
     "m41_tile_dedup_ratio" ->

@@ -263,6 +263,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m42 batch packing: exact driver-side replay of the bucketed next-fit assignment") {
+    val out = SparkEntry.queries("m42_batch_packing")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val budget = 16384L
+    val assets = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length.toLong))
+    val expected = assets.toSeq
+      .map { case (id, b) => (id, b, (63 - java.lang.Long.numberOfLeadingZeros(math.max(b, 1L))).toLong) }
+      .groupBy(_._3).toSeq.flatMap { case (cls, xs) =>
+        var cum = 0L
+        xs.sortBy(_._1).map { case (id, b, _) =>
+          val batch = cum / budget; cum += b
+          ((cls, batch), (id, b))
+        }
+      }.groupBy(_._1).map { case (k, xs) =>
+        k -> ((xs.size.toLong, xs.map(_._2._2).sum, xs.map(_._2._1).min)) }
+    assert(out === expected)
+    // batches within a class are contiguous from 0
+    out.keys.groupBy(_._1).foreach { case (cls, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length).toSeq, s"class $cls batches $ids")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
