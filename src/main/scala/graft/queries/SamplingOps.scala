@@ -263,6 +263,36 @@ object SamplingOps {
           round(sum(col("n") * col("lr")), 6).as("log_ratio"))
     },
 
+    // EPOCH / REPEAT PLAN — the data-constrained scaling step after the
+    // manifest: given a training token budget (2× the curated train
+    // tokens — the literal standing in for the run config) split
+    // uniformly across sources, how many EPOCHS of each source fill
+    // its allocation, capped at 4 repeats (past ~4 epochs repeated
+    // data stops helping — the Muennighoff et al. 2023 heuristic), and
+    // what deficit remains for the mixture to reassign. Composes the
+    // q96 manifest (so the plan covers only documents that survived
+    // the full d44 clean); all allocation arithmetic is integer
+    // (BIGINT div/least), epochs is the single rounded float. The
+    // per-source table is mixture-config-sized — every downstream step
+    // is a broadcast.
+    "q103_epoch_plan" -> { (s, d) =>
+      val train = queries("q96_training_manifest")(s, d)
+        .filter(col("split") === "train")
+        .select(col("source"), col("n_tokens"))
+      val tot = train.agg(sum(col("n_tokens")).as("tot"),
+        count(lit(1)).as("k"))
+      train.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("(2 * tot) DIV k"))
+        .withColumn("effective_tokens",
+          least(col("n_tokens") * 4, col("target_tokens")))
+        .withColumn("epochs",
+          round(col("effective_tokens") / col("n_tokens"), 4))
+        .withColumn("deficit",
+          col("target_tokens") - col("effective_tokens"))
+        .select(col("source"), col("n_tokens"), col("target_tokens"),
+          col("epochs"), col("effective_tokens"), col("deficit"))
+    },
+
     // DETERMINISTIC POISSON BOOTSTRAP — metric uncertainty for data
     // pipelines (the online-bootstrap trick: per (doc, replicate), a
     // Poisson(1) pseudo-count stands in for multinomial resampling, so
@@ -427,10 +457,31 @@ object SamplingOps {
          |   AS mean_chars
          |FROM w GROUP BY r""".stripMargin
     },
+    // wraps the q96 oracle verbatim (hence the full d44 curation
+    // algebra) and applies the identical integer allocation rules
+    "q103_epoch_plan" -> {
+      s"""WITH m AS (${q96Oracle}),
+         |tr AS (SELECT source, n_tokens FROM m WHERE split = 'train'),
+         |tot AS (
+         | SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS k
+         | FROM tr)
+         |SELECT tr.source, tr.n_tokens,
+         | (2 * tot.tot) // tot.k AS target_tokens,
+         | round(least(tr.n_tokens * 4, (2 * tot.tot) // tot.k)
+         |   / tr.n_tokens, 4) AS epochs,
+         | least(tr.n_tokens * 4, (2 * tot.tot) // tot.k)
+         |   AS effective_tokens,
+         | (2 * tot.tot) // tot.k
+         |   - least(tr.n_tokens * 4, (2 * tot.tot) // tot.k) AS deficit
+         |FROM tr, tot""".stripMargin
+    },
     // wraps the ENTIRE d44 oracle verbatim (which itself composes
     // t35 + d41 + d38), plus q65's bucket rule and the t45 token rule —
     // the full curation algebra replayed end-to-end in DuckDB
-    "q96_training_manifest" -> {
+    "q96_training_manifest" -> q96Oracle)
+
+  /** q96 oracle body, shared with q103's wrapper. */
+  private def q96Oracle: String = {
       val d44 = graft.queries.DedupOps.oracle("d44_clean_corpus")
       s"""WITH kept AS (
          | SELECT doc_id FROM (${d44}) d44 WHERE keep),
@@ -451,5 +502,5 @@ object SamplingOps {
          | CAST(sum(tk.doc_id) AS BIGINT) AS sum_id
          |FROM kept JOIN tk USING (doc_id) JOIN sp ON tk.doc_id = sp.doc_id
          |GROUP BY 1, 2""".stripMargin
-    })
+  }
 }

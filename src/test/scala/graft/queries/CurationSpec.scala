@@ -290,6 +290,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q103 epoch plan: allocation identity holds and epochs respect the repeat cap") {
+    val rows = SparkEntry.queries("q103_epoch_plan")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val k = rows.length.toLong
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (src, n, target, epochs, eff, deficit) =>
+      assert(target === (2L * tot) / k, s"$src target")
+      assert(eff === math.min(4L * n, target), s"$src effective")
+      assert(deficit === target - eff, s"$src deficit")
+      assert(epochs > 0.0 && epochs <= 4.0, s"$src epochs $epochs")
+      // deficit only exists when the cap binds
+      if (deficit > 0) assert(math.abs(epochs - 4.0) < 1e-9)
+    }
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
