@@ -522,4 +522,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("hashpartitioning(blk"),
       s"corpus window must partition by block in:\n$p")
   }
+
+  test("m42 batch packing: per-asset cumsum windows partition by (size_class, blk); offsets broadcast") {
+    val p = plan("m42_batch_packing")
+    assert(p.contains("hashpartitioning(size_class"),
+      s"asset-side window must partition by (class, block) in:\n$p")
+    assert(p.contains("Broadcast"), s"offsets must broadcast in:\n$p")
+  }
+
+  test("q102 skew report: top-10 through TakeOrdered; per-key rank windows partition by block") {
+    val p = plan("q102_skew_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must use the bounded heap in:\n$p")
+    assert(p.contains("hashpartitioning(__blk"),
+      s"per-key rank must partition by block in:\n$p")
+  }
+
+  test("q101 DSIR: the bucket model broadcasts back onto per-doc counts — the corpus never joins shuffled") {
+    val p = plan("q101_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"log-ratio table must broadcast in:\n$p")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"per-doc counts must shuffle on doc_id in:\n$p")
+  }
 }
