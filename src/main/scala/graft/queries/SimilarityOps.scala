@@ -143,6 +143,28 @@ object SimilarityOps {
     * for a fixed input order, and the per-SF table is small — at real
     * scale the quantizer trains on a bounded sample exactly like this,
     * never on the full corpus. */
+  /** s54's per-k trainers: the TrainedQuantizer fit repeated at each
+    * candidate k, memoized per (dir, k) with the same last-fit capture
+    * so the oracle's VALUES literals match the plan's. */
+  private object ElbowQuantizer {
+    private val fitted = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Array[Array[Double]]]
+    @volatile private var lastDir: Option[String] = None
+    def centroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] = {
+      lastDir = Some(d)
+      fitted.getOrElseUpdate((d, k), {
+        val v = graft.ml.EmbeddingModels.vectors(
+          t(s, d, "embeddings").coalesce(1))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(42L).setFeaturesCol("vec")
+          .fit(v).clusterCenters
+          .map(_.toArray.map(x => math.rint(x * 1e6) / 1e6))
+      })
+    }
+    def lastCentroids(k: Int): Array[Array[Double]] =
+      lastDir.flatMap(dd => fitted.get((dd, k))).getOrElse(Array.empty)
+  }
+
   private object TrainedQuantizer {
     private val fitted =
       scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
@@ -719,6 +741,43 @@ object SimilarityOps {
           col("cosine"))
     },
 
+    // K-MEANS ELBOW / QUANTIZER-CAPACITY SWEEP — the tuning curve run
+    // BEFORE committing to a coarse quantizer size: seeded k-means at
+    // k ∈ {4, 8, 16}, and per k the L2 inertia (the k-means objective)
+    // plus the heaviest cell and cells actually used — inertia says
+    // when more cells stop paying, the balance columns say whether the
+    // cells are usable (a 90%-share cell makes nprobe=1 a full scan;
+    // s49's diagnostic, here across capacities). Each arm is MAP-ONLY
+    // to the final 16-row aggregate: centroids are driver literals, the
+    // per-vector argmin folds over a transform() array via array_min on
+    // (rounded d2, cid) structs — no per-centroid explode, no window,
+    // no shuffle before the per-cell partial agg. Rounding discipline:
+    // d2 rounds to 6 dp before the argmin (the s40 cosine contract) so
+    // both engines pick identical cells; per-cell sums round once at 4.
+    "s54_kmeans_elbow" -> { (s, d) =>
+      val e = emb(s, d)
+      Seq(4, 8, 16).map { k =>
+        val cents = ElbowQuantizer.centroids(s, d, k)
+        val cArr = array(cents.zipWithIndex.map { case (c, i) =>
+          struct(array(c.map(lit(_)): _*).as("cemb"), lit(i).as("cid"))
+        }: _*)
+        e.select(col("vec_id"), col("emb"))
+          .withColumn("cs", cArr)
+          .withColumn("best", array_min(expr(
+            "transform(cs, c -> struct(" +
+              "round(aggregate(zip_with(emb, c.cemb, " +
+              "(x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x), 6) AS d2, " +
+              "c.cid AS cid))")))
+          .groupBy(col("best.cid").as("cid"))
+          .agg(count(lit(1)).as("n"), sum(col("best.d2")).as("sd2"))
+          .agg(round(sum(col("sd2")), 4).as("inertia"),
+            max(col("n")).as("max_cell_n"),
+            count(lit(1)).as("n_cells_used"))
+          .select(lit(k).as("k"), col("inertia"), col("max_cell_n"),
+            col("n_cells_used"))
+      }.reduce(_ unionByName _)
+    },
+
     // Product-quantized ANN search: corpus stored as 16 4-bit codes per
     // vector (32× smaller than the raw floats — at 100 TB the scan
     // itself shrinks 32×), queries stay uncompressed and rank by
@@ -876,6 +935,47 @@ object SimilarityOps {
     * identical literals to the ones the Spark plan used, captured from
     * the most recent fit (Verify dumps oracle SQL after running the
     * queries, so the capture is always populated in the driver flow). */
+  /** s54 oracle: per-k centroid VALUES literals (captured post-run like
+    * s40), the same rounded-d2 argmin replayed as a (d2, cid) ordered
+    * row_number, the same two-level aggregate. */
+  private def s54Oracle: String =
+    if (ElbowQuantizer.lastCentroids(4).isEmpty)
+      "SELECT 1 WHERE 1=0 -- s54 not yet run in this session"
+    else {
+      val arms = Seq(4, 8, 16).map { k =>
+        val values = elbowCentroidValues(k)
+        s"""c$k(cid, cemb) AS (VALUES $values),
+           |sim$k AS (
+           | SELECT e.vec_id, c.cid,
+           |  round(list_sum(list_transform(range(1, len(e.emb) + 1),
+           |   i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))), 6)
+           |   AS d2
+           | FROM e, c$k c),
+           |b$k AS (
+           | SELECT vec_id, d2, cid, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sim$k),
+           |g$k AS (
+           | SELECT cid, count(*) AS n, sum(d2) AS sd2
+           | FROM b$k WHERE rn = 1 GROUP BY 1),
+           |r$k AS (
+           | SELECT CAST($k AS INTEGER) AS k, round(sum(sd2), 4) AS inertia,
+           |  CAST(max(n) AS BIGINT) AS max_cell_n, count(*) AS n_cells_used
+           | FROM g$k)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(4, 8, 16).map(k => s"SELECT * FROM r$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         | FROM embeddings),
+         |$arms
+         |$unions""".stripMargin
+    }
+
+  private def elbowCentroidValues(k: Int): String =
+    ElbowQuantizer.lastCentroids(k).zipWithIndex.map {
+      case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
   private def s40Oracle: String = if (TrainedQuantizer.lastCentroids.isEmpty)
     "SELECT 1 WHERE 1=0 -- s40 not yet run in this session"
   else {
@@ -1305,6 +1405,7 @@ object SimilarityOps {
     "s43_ivfpq_residual" -> s43Oracle,
     "s40_ivf_trained" -> s40Oracle,
     "s53_nprobe_sweep" -> s53Oracle,
+    "s54_kmeans_elbow" -> s54Oracle,
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
     "s33_knn_bruteforce" -> s33OracleSql,

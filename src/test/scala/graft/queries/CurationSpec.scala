@@ -308,6 +308,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s54 elbow: inertia falls with k, cells stay within capacity, counts cover the corpus") {
+    val rows = SparkEntry.queries("s54_kmeans_elbow")(spark, sf0001)
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(4, 8, 16))
+    val n = graft.Tables.t(spark, sf0001, "embeddings").count()
+    rows.foreach { case (k, inertia, maxN, used) =>
+      assert(inertia > 0.0)
+      assert(used <= k && used >= 1)
+      assert(maxN <= n && maxN >= n / k,
+        s"k=$k max cell $maxN outside [${n / k}, $n]")
+    }
+    // the elbow property: more capacity never fits worse (separate
+    // seeded fits, but monotone on any non-degenerate corpus)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 < lo._2, s"inertia must fall: k=${lo._1} ${lo._2} -> k=${hi._1} ${hi._2}")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
