@@ -268,6 +268,44 @@ object TextOps {
           sum(col("n_bigrams")).as("n_bigrams"))
     },
 
+    // SIGNAL CALIBRATION — do the two independent quality signals
+    // agree? The t36 LM-perplexity score is bucketed into global
+    // quartiles (t48's exact integer ntile over the DistributedRank
+    // row_number) and crossed with the t35 keep/drop verdict: per
+    // bucket, the keep rate. A monotone falling keep-rate says the
+    // perplexity signal and the rule-based gate rank documents the
+    // same way (each validates the other); a flat curve says one of
+    // them is noise. The audit run before trusting either signal as a
+    // sampling weight (q95) — d43's agreement idea, applied to the
+    // quality axis. Only shuffles: the two parents' own plus one
+    // doc_id equi-join and a 4-row partial agg.
+    "t51_signal_calibration" -> { (s, d) =>
+      val ppl = queries("t36_lm_perplexity")(s, d)
+        .select(col("doc_id"), col("perplexity"))
+      val verdict = queries("t35_quality_filter")(s, d)
+        .select(col("doc_id"), col("reason"))
+      val scored = ppl.join(verdict, "doc_id")
+      val ranked = graft.operators.DistributedRank.rowNumber(scored,
+        Seq.empty, Seq(col("perplexity").asc, col("doc_id").asc),
+        floor(col("perplexity")), "rk")
+      val n = scored.agg(count(lit(1)).as("n"))
+      val bucket = when(
+        col("rk") <= (col("n") % 4) * (expr("n div 4") + 1),
+        expr("(rk + n div 4) div (n div 4 + 1)"))
+        .otherwise((col("n") % 4) +
+          expr("(rk - (n % 4) * (n div 4 + 1) + n div 4 - 1) div (n div 4)"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("reason") === "keep", 1L).otherwise(0L))
+            .as("n_keep"),
+          min(col("perplexity")).as("min_ppl"),
+          max(col("perplexity")).as("max_ppl"))
+        .withColumn("keep_rate",
+          round(col("n_keep") / col("n_docs"), 4))
+    },
+
     // Cross-document DUPLICATE-SPAN fraction — the RefinedWeb/C4-style
     // corpus-level boilerplate signal: what share of a document's
     // distinct 8-token spans also occur in at least one OTHER document.
@@ -975,54 +1013,34 @@ object TextOps {
     // same bigram/marker building blocks as t33/t26; the CASE rule
     // chain evaluates in the identical priority order, and a NULL
     // stop_hits (unknown lang) falls through to keep in both engines
-    "t35_quality_filter" ->
-      """WITH tok AS (
-        | SELECT doc_id, lang,
-        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
-        | FROM documents),
-        |base AS (
-        | SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
-        |  CAST(CASE lang
-        |   WHEN 'en' THEN len(list_intersect(list_distinct(w), ['the','a','and','of','is']))
-        |   WHEN 'es' THEN len(list_intersect(list_distinct(w), ['el','la','de','que','los']))
-        |   WHEN 'de' THEN len(list_intersect(list_distinct(w), ['der','die','das','und','ist']))
-        |   WHEN 'fr' THEN len(list_intersect(list_distinct(w), ['le','les','des','et','est']))
-        |   WHEN 'zh' THEN len(list_intersect(list_distinct(w), ['的','是','了']))
-        |   END AS BIGINT) AS stop_hits,
-        |  w
-        | FROM tok),
-        |bg AS (
-        | SELECT doc_id,
-        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
-        | FROM base WHERE n_tokens >= 2),
-        |counts AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
-        |stats AS (
-        | SELECT doc_id,
-        |  CAST(max(n) AS BIGINT) / CAST(sum(n) AS BIGINT) AS tbf,
-        |  (CAST(sum(n) AS BIGINT) - count(*)) / CAST(sum(n) AS BIGINT) AS dbf
-        | FROM counts GROUP BY 1),
-        |j AS (
-        | SELECT b.doc_id, b.lang, b.n_tokens, b.n_unique, b.stop_hits,
-        |  coalesce(s.tbf, 0.0) AS top_bigram_frac,
-        |  coalesce(s.dbf, 0.0) AS dup_bigram_frac
-        | FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id),
-        |r AS (
-        | SELECT *,
-        |  CASE WHEN n_tokens < 16 THEN 'too_short'
-        |       WHEN n_tokens > 4096 THEN 'too_long'
-        |       WHEN n_unique / n_tokens < 0.375 THEN 'low_diversity'
-        |       WHEN top_bigram_frac > 0.0625 THEN 'repetitive_top_bigram'
-        |       WHEN dup_bigram_frac > 0.0625 THEN 'repetitive_dup_bigram'
-        |       WHEN stop_hits = 0 THEN 'no_stopwords'
-        |       ELSE 'keep' END AS reason
-        | FROM j)
-        |SELECT doc_id, lang, n_tokens,
-        | CASE WHEN n_tokens > 0 THEN n_unique / n_tokens END AS uniq_ratio,
-        | top_bigram_frac, dup_bigram_frac, stop_hits,
-        | reason, reason = 'keep' AS keep
-        |FROM r""".stripMargin,
+    "t35_quality_filter" -> t35OracleSql,
+    // wraps t36's and t35's SQL verbatim; the identical global ntile
+    // formula over the same (perplexity, doc_id) total order
+    "t51_signal_calibration" ->
+      s"""WITH p AS (
+         | SELECT doc_id, perplexity FROM (${t36OracleSql}) t36),
+         |v AS (
+         | SELECT doc_id, reason FROM (${t35OracleSql}) t35),
+         |base AS (
+         | SELECT p.doc_id, p.perplexity, v.reason
+         | FROM p JOIN v USING (doc_id)),
+         |r AS (
+         | SELECT *, row_number() OVER (
+         |   ORDER BY perplexity ASC, doc_id ASC) AS rk,
+         |  count(*) OVER () AS n FROM base),
+         |b AS (
+         | SELECT reason, perplexity,
+         |  CASE WHEN rk <= (n % 4) * (n // 4 + 1)
+         |       THEN (rk + n // 4) // (n // 4 + 1)
+         |       ELSE (n % 4) + (rk - (n % 4) * (n // 4 + 1) + n // 4 - 1) // (n // 4)
+         |  END AS bucket FROM r)
+         |SELECT bucket, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_keep,
+         | round(CAST(sum(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END)
+         |   AS BIGINT) / count(*), 4) AS keep_rate,
+         | min(perplexity) AS min_ppl, max(perplexity) AS max_ppl
+         |FROM b GROUP BY 1""".stripMargin,
     // bigrams replayed with 1-based list indexing (range(1, len) +
     // w[i]||' '||w[i+1] ≡ Spark's 0-based sequence/transform); the
     // row_number argmax uses the same total order (n DESC, bg ASC —
@@ -1375,6 +1393,56 @@ object TextOps {
          | round(n_docs / n_lang, 4) AS row_frac
          |FROM cells JOIN tot USING (lang)""".stripMargin
   )
+
+  /** t35 oracle body, shared with t51's wrapper. */
+  private def t35OracleSql: String =
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+        |  CAST(CASE lang
+        |   WHEN 'en' THEN len(list_intersect(list_distinct(w), ['the','a','and','of','is']))
+        |   WHEN 'es' THEN len(list_intersect(list_distinct(w), ['el','la','de','que','los']))
+        |   WHEN 'de' THEN len(list_intersect(list_distinct(w), ['der','die','das','und','ist']))
+        |   WHEN 'fr' THEN len(list_intersect(list_distinct(w), ['le','les','des','et','est']))
+        |   WHEN 'zh' THEN len(list_intersect(list_distinct(w), ['的','是','了']))
+        |   END AS BIGINT) AS stop_hits,
+        |  w
+        | FROM tok),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        | FROM base WHERE n_tokens >= 2),
+        |counts AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+        |stats AS (
+        | SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) / CAST(sum(n) AS BIGINT) AS tbf,
+        |  (CAST(sum(n) AS BIGINT) - count(*)) / CAST(sum(n) AS BIGINT) AS dbf
+        | FROM counts GROUP BY 1),
+        |j AS (
+        | SELECT b.doc_id, b.lang, b.n_tokens, b.n_unique, b.stop_hits,
+        |  coalesce(s.tbf, 0.0) AS top_bigram_frac,
+        |  coalesce(s.dbf, 0.0) AS dup_bigram_frac
+        | FROM base b LEFT JOIN stats s ON b.doc_id = s.doc_id),
+        |r AS (
+        | SELECT *,
+        |  CASE WHEN n_tokens < 16 THEN 'too_short'
+        |       WHEN n_tokens > 4096 THEN 'too_long'
+        |       WHEN n_unique / n_tokens < 0.375 THEN 'low_diversity'
+        |       WHEN top_bigram_frac > 0.0625 THEN 'repetitive_top_bigram'
+        |       WHEN dup_bigram_frac > 0.0625 THEN 'repetitive_dup_bigram'
+        |       WHEN stop_hits = 0 THEN 'no_stopwords'
+        |       ELSE 'keep' END AS reason
+        | FROM j)
+        |SELECT doc_id, lang, n_tokens,
+        | CASE WHEN n_tokens > 0 THEN n_unique / n_tokens END AS uniq_ratio,
+        | top_bigram_frac, dup_bigram_frac, stop_hits,
+        | reason, reason = 'keep' AS keep
+        |FROM r""".stripMargin
 
   private def t26OracleSql: String =
     """WITH sc AS (

@@ -328,6 +328,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t51 calibration: quartiles partition the scored corpus with ordered perplexity ranges") {
+    val rows = SparkEntry.queries("t51_signal_calibration")(spark, sf0001)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"ntile balance: ${sizes.toSeq}")
+    // buckets cover exactly the t36-scored (>=2 token) documents
+    val scored = SparkEntry.queries("t36_lm_perplexity")(spark, sf0001).count()
+    assert(sizes.sum === scored)
+    rows.foreach { case (_, n, keep, _, _, rate) =>
+      assert(keep <= n)
+      assert(math.abs(rate - keep.toDouble / n) < 1e-4)
+    }
+    // quartile ranges are ordered and disjoint
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4, s"bucket ${a._1} max ${a._5} > bucket ${b._1} min ${b._4}")
+    }
+    // the keep totals agree with t35 restricted to the scored domain
+    val keepTotal = rows.map(_._3).sum
+    val t35 = SparkEntry.queries("t35_quality_filter")(spark, sf0001)
+      .select(col("doc_id"), col("keep"))
+    val t36d = SparkEntry.queries("t36_lm_perplexity")(spark, sf0001)
+      .select(col("doc_id"))
+    val expectedKeep = t35.join(t36d, "doc_id")
+      .filter(col("keep")).count()
+    assert(keepTotal === expectedKeep)
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
