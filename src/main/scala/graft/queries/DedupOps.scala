@@ -757,6 +757,34 @@ object DedupOps {
         .agg(count(lit(1)).as("hits"))
     },
 
+    // QUALITY-CANONICAL ELECTION — production dedup keeps the BEST
+    // member of each dup cluster, not the first: for every multi-member
+    // d41 cluster, elect the member with the highest t24 quality score
+    // (doc_id tie-break — near-identical dups often tie at 4 dp), and
+    // flag clusters where the election disagrees with the min-id
+    // convention. One doc_id equi-join onto the keep-list, then ONE
+    // partial-agg max over a (quality, -doc_id) struct per cluster —
+    // the argmax never sorts a cluster, so a pathological million-dup
+    // cluster costs its size in comparisons, not a sort. NULL quality
+    // (empty docs) keys at -1 so a real score always wins.
+    "d55_quality_canonical" -> { (s, d) =>
+      val clusters = queries("d41_canonical_docs")(s, d)
+        .filter(col("cluster_size") > 1)
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+      val q = graft.queries.TextOps.queries("t24_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      clusters.join(q, "doc_id")
+        .withColumn("qkey", coalesce(col("quality"), lit(-1.0d)))
+        .groupBy(col("cluster_rep"))
+        .agg(max(col("cluster_size")).as("cluster_size"),
+          max(struct(col("qkey"), (-col("doc_id")).as("negid")))
+            .as("best"))
+        .select(col("cluster_rep"), col("cluster_size"),
+          (-col("best.negid")).as("best_id"),
+          col("best.qkey").as("best_quality"),
+          (col("best.negid") =!= -col("cluster_rep")).as("upgraded"))
+    },
+
     // FUZZY DECONTAMINATION — the near-dup companion to d38's exact
     // 5-gram gate: a train-split document is contaminated if it is a
     // whole-document near-duplicate (3-gram Jaccard ≥ 0.5) of ANY
@@ -1011,6 +1039,26 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     // gram identity via the string (hashing is a join-key impl detail)
     "d38_decontamination" -> d38OracleSql,
+    // wraps d41's SQL + t24's registry oracle verbatim; the election
+    // replayed as a (qkey DESC, doc_id ASC) row_number
+    "d55_quality_canonical" -> {
+      val t24 = graft.queries.TextOps.oracle("t24_quality_score")
+      s"""WITH lab AS (
+         | SELECT doc_id, cluster_rep, cluster_size
+         | FROM (${d41OracleSql}) d41 WHERE cluster_size > 1),
+         |q AS (SELECT doc_id, quality FROM (${t24}) t24),
+         |j AS (
+         | SELECT l.cluster_rep, l.cluster_size, l.doc_id,
+         |  coalesce(q.quality, -1.0) AS qkey
+         | FROM lab l JOIN q USING (doc_id)),
+         |r AS (
+         | SELECT *, row_number() OVER (PARTITION BY cluster_rep
+         |   ORDER BY qkey DESC, doc_id ASC) AS rn FROM j)
+         |SELECT cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+         | doc_id AS best_id, qkey AS best_quality,
+         | doc_id <> cluster_rep AS upgraded
+         |FROM r WHERE rn = 1""".stripMargin
+    },
     // d33's capped candidate shape restricted train×test on the q65
     // md5-nibble split, exact Jaccard recounted on full sets (shingle
     // identity via the string — hashing is an impl detail of the join

@@ -359,6 +359,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d55 quality canonical: the elected survivor is the max-quality member, upgrades happen") {
+    val out = SparkEntry.queries("d55_quality_canonical")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val members = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = SparkEntry.queries("t24_quality_score")(spark, sf0001)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(out.keySet === members.map(_._2).toSet)
+    members.groupBy(_._2).foreach { case (rep, ms) =>
+      val best = ms.map(_._1).minBy(id => (-quality(id), id))
+      val (size, bestId, bestQ, upgraded) = out(rep)
+      assert(size === ms.length.toLong, s"cluster $rep size")
+      assert(bestId === best, s"cluster $rep best")
+      assert(bestQ === quality(best), s"cluster $rep quality")
+      assert(upgraded === (best != rep), s"cluster $rep upgraded")
+    }
+    assert(out.values.exists(_._4),
+      "at least one cluster must elect a non-min-id survivor on this corpus")
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
