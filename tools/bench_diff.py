@@ -22,6 +22,7 @@ contention; disjoint per-row spreads would have meant a plan change).
 import glob
 import json
 import os
+import re
 import sys
 
 THRESH = 2.0
@@ -37,12 +38,18 @@ def main():
     if len(sys.argv) > 2:
         base_path = sys.argv[2]
     else:
-        hist = sorted(glob.glob(os.path.join(
-            os.path.dirname(__file__), "bench_history", "r*.json")))
+        hist = glob.glob(os.path.join(
+            os.path.dirname(__file__), "bench_history", "r*.json"))
         if not hist:
             print("no baseline found under tools/bench_history/", file=sys.stderr)
             return 2
-        base_path = hist[-1]
+        # numeric round order: r10 is newer than r8 (lexicographic glob
+        # order would pick r8_clean over r10); name tie-break keeps
+        # rN_clean after rN so a clean re-baseline wins within a round
+        def round_key(p):
+            m = re.search(r"r(\d+)", os.path.basename(p))
+            return (int(m.group(1)) if m else -1, os.path.basename(p))
+        base_path = max(hist, key=round_key)
     cur, base = load(cur_path), load(base_path)
     if cur.get("sf") != base.get("sf"):
         print(f"WARNING: scale factors differ: current={cur.get('sf')} "
