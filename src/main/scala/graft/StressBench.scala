@@ -166,6 +166,23 @@ object StressBench {
     }
     SparkEntry.release(spark)
 
+    // ---- fuzzy decontamination (registry d53) at 100k docs: the
+    // candidate join is train(~80%) × test(~10%) on shared rare
+    // shingles instead of the full corpus self-join — the scenario
+    // pins that the cross-split restriction plus the split
+    // classification and per-train-doc rollup stay at PARITY with the
+    // bare d28 self-join above (neardup_jaccard_100k): the corpus-wide
+    // shingle/df pass dominates both, so decontamination rides along
+    // at no extra cost class. The planted dups (id ≡ 1 mod 50) land in
+    // splits by md5, so a fraction of planted pairs cross train×test
+    // and must be found (measured: 329 contaminated train docs at the
+    // looser 0.5 threshold).
+    val decontamN = tm("fuzzy_decontam_100k") {
+      SparkEntry.queries("d53_fuzzy_decontam")(spark, base).count()
+    }
+    println(s"""{"stress":"fuzzy_decontam_contaminated_docs","value":$decontamN}""")
+    SparkEntry.release(spark)
+
     // ---- synthesize embeddings: 20k × 64 dims from hashes
     val emb = spark.range(20000).toDF("vec_id")
       .withColumn("emb", transform(sequence(lit(1), lit(64)),
