@@ -296,4 +296,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("dedup is idempotent: the kept corpus contains no >=0.8 near-dup pair") {
+    // transitively-closed clusters keep exactly one member each, so a
+    // second dedup pass over the survivors must find NOTHING — if two
+    // survivors were near-dups they would have shared a cluster. Run
+    // d28 over the kept corpus via the shared-table override.
+    val kept = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
+      .filter(col("keep")).select(col("doc_id"))
+    val survivors = graft.Tables.t(spark, sf0001, "documents")
+      .join(kept, "doc_id")
+    assert(survivors.count() <
+      graft.Tables.t(spark, sf0001, "documents").count(),
+      "the first pass must actually drop something")
+    val second = graft.Tables.withShared(spark, sf0001, "documents",
+      survivors) {
+      SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001)
+    }
+    assert(second.count() === 0L, "second dedup pass must be empty")
+    SparkEntry.release(spark)
+  }
 }
