@@ -293,6 +293,32 @@ object SamplingOps {
           col("epochs"), col("effective_tokens"), col("deficit"))
     },
 
+    // CURATION FUNNEL — the dataset-card accounting every release
+    // publishes: per d44 decision (keep / drop_contaminated /
+    // drop_duplicate / drop_<quality-reason>), how many documents and
+    // how many tokens left the corpus, and each bucket's share. The
+    // numbers people actually ask of a cleaning run ("what did each
+    // gate cost?"), derived from the SAME verdict the manifest ships —
+    // not a re-implementation of the gates. One doc_id equi-join of
+    // the verdict onto the token projection, one decision-keyed
+    // partial agg; shares divide by a broadcast 1-row total.
+    "q104_curation_funnel" -> { (s, d) =>
+      val verdict = graft.queries.DedupOps.queries("d44_clean_corpus")(s, d)
+        .select(col("doc_id"), col("decision"))
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(graft.queries.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+      val tot = toks.agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+      verdict.join(toks, "doc_id")
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("decision"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs") / col("nd"), 4).as("doc_share"),
+          round(col("n_tokens") / col("nt"), 4).as("token_share"))
+    },
+
     // DETERMINISTIC POISSON BOOTSTRAP — metric uncertainty for data
     // pipelines (the online-bootstrap trick: per (doc, replicate), a
     // Poisson(1) pseudo-count stands in for multinomial resampling, so
@@ -405,6 +431,27 @@ object SamplingOps {
          | CAST(sum(CASE WHEN b < pct THEN doc_id ELSE 0 END) AS BIGINT)
          |   AS sum_sampled_id
          |FROM w GROUP BY 1""".stripMargin
+    },
+    // wraps the d44 oracle verbatim; the same token rule and share math
+    "q104_curation_funnel" -> {
+      val d44 = graft.queries.DedupOps.oracle("d44_clean_corpus")
+      s"""WITH v AS (SELECT doc_id, decision FROM (${d44}) d44),
+         |tk AS (
+         | SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'))
+         |  END AS n_tokens
+         | FROM documents),
+         |tot AS (
+         | SELECT count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS nt
+         | FROM tk)
+         |SELECT v.decision, count(*) AS n_docs,
+         | CAST(sum(tk.n_tokens) AS BIGINT) AS n_tokens,
+         | round(count(*) / max(tot.nd), 4) AS doc_share,
+         | round(CAST(sum(tk.n_tokens) AS BIGINT) / max(tot.nt), 4)
+         |   AS token_share
+         |FROM v JOIN tk USING (doc_id), tot
+         |GROUP BY 1""".stripMargin
     },
     // the identical 8-bit md5 bucket, Laplace smoothing, and log-ratio
     // algebra; bigrams via the 1-based range/list_transform rendering

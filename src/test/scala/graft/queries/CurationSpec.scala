@@ -385,6 +385,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q104 funnel: buckets partition the corpus and shares sum to one") {
+    val rows = SparkEntry.queries("q104_curation_funnel")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val docs = graft.Tables.t(spark, sf0001, "documents").count()
+    assert(rows.map(_._2).sum === docs, "decisions must cover every doc")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 0.01)
+    assert(rows.exists(_._1 == "keep"))
+    assert(rows.count(_._1 == "keep") === 1)
+    // keep counts agree with the verdict this wraps
+    val kept = SparkEntry.queries("d44_clean_corpus")(spark, sf0001)
+      .filter(col("keep")).count()
+    assert(rows.find(_._1 == "keep").get._2 === kept)
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
