@@ -741,6 +741,38 @@ object SimilarityOps {
           col("cosine"))
     },
 
+    // EMBEDDING-TABLE QA SCREEN — the validation a vector pipeline
+    // runs BEFORE building any index: per label, the vector count,
+    // how many vectors are degenerate (zero norm — cosine is undefined
+    // for them and they poison centroid training) or mis-dimensioned
+    // (ragged arrays from an upstream writer bug), and the norm
+    // envelope (min/avg/max). A shifted norm envelope is the cheapest
+    // embedding-model-drift alarm there is. MAP-ONLY per row (one
+    // aggregate() fold for the norm, a size() for the dim) into a
+    // per-label partial agg — no joins, no windows; at 100 TB this is
+    // one scan. The expected dim is the corpus-wide max — a constant
+    // broadcast from a 1-row aggregate, not a literal, so the screen
+    // adapts to any corpus.
+    "s55_embedding_qa" -> { (s, d) =>
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("dim", size(col("emb")))
+        .withColumn("norm", round(sqrt(expr(
+          "aggregate(emb, 0D, (a, x) -> a + x * x)")), 6))
+      val expected = base.agg(max(col("dim")).as("exp_dim"))
+      base.crossJoin(broadcast(expected))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("norm") === 0.0d, 1L).otherwise(0L))
+            .as("n_zero_norm"),
+          sum(when(col("dim") =!= col("exp_dim"), 1L).otherwise(0L))
+            .as("n_bad_dim"),
+          min(col("norm")).as("min_norm"),
+          round(avg(col("norm")), 4).as("avg_norm"),
+          max(col("norm")).as("max_norm"))
+    },
+
     // K-MEANS ELBOW / QUANTIZER-CAPACITY SWEEP — the tuning curve run
     // BEFORE committing to a coarse quantizer size: seeded k-means at
     // k ∈ {4, 8, 16}, and per k the L2 inertia (the k-means objective)
@@ -1406,6 +1438,26 @@ object SimilarityOps {
     "s40_ivf_trained" -> s40Oracle,
     "s53_nprobe_sweep" -> s53Oracle,
     "s54_kmeans_elbow" -> s54Oracle,
+    // the same per-row norm/dim fold and per-label reduction; the
+    // expected dim is the corpus max in both engines
+    "s55_embedding_qa" ->
+      """WITH e AS (
+        | SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        | FROM embeddings),
+        |b AS (
+        | SELECT label, len(emb) AS dim,
+        |  round(sqrt(list_sum(list_transform(emb, x -> x * x))), 6)
+        |   AS norm
+        | FROM e),
+        |x AS (SELECT max(dim) AS exp_dim FROM b)
+        |SELECT label, count(*) AS n_vectors,
+        | CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_zero_norm,
+        | CAST(sum(CASE WHEN dim <> x.exp_dim THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bad_dim,
+        | min(norm) AS min_norm, round(avg(norm), 4) AS avg_norm,
+        | max(norm) AS max_norm
+        |FROM b, x GROUP BY 1""".stripMargin,
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
     "s33_knn_bruteforce" -> s33OracleSql,

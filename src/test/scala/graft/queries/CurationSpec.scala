@@ -402,6 +402,38 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s55 embedding QA: counts cover the table, envelope ordered, clean corpus reports clean") {
+    val rows = SparkEntry.queries("s55_embedding_qa")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val n = graft.Tables.t(spark, sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum === n)
+    rows.foreach { case (label, nv, zero, bad, mn, avg, mx) =>
+      assert(nv > 0)
+      assert(zero === 0L && bad === 0L,
+        s"label $label: the synthetic corpus has no degenerate vectors")
+      assert(mn <= avg + 1e-9 && avg <= mx + 1e-9, s"label $label envelope")
+      assert(mn > 0.0)
+    }
+    // a planted degenerate table is flagged: zero vector + short vector
+    import spark.implicits._
+    val dim = graft.Tables.t(spark, sf0001, "embeddings")
+      .selectExpr("size(embedding)").head().getInt(0)
+    val planted = Seq(
+      (1L, Array.fill(dim)(0.0f), 0),
+      (2L, Array.fill(dim - 3)(1.0f), 0),
+      (3L, Array.fill(dim)(1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val flagged = graft.Tables.withShared(spark, sf0001, "embeddings",
+      planted) {
+      SparkEntry.queries("s55_embedding_qa")(spark, sf0001).collect()
+    }
+    assert(flagged.length === 1)
+    assert(flagged(0).getLong(2) === 1L, "zero-norm vector must be counted")
+    assert(flagged(0).getLong(3) === 1L, "short vector must be counted")
+    SparkEntry.release(spark)
+  }
+
   test("q101 DSIR: target-language docs score higher on average, and weights replay from a driver-side model") {
     val out = SparkEntry.queries("q101_dsir_weights")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
