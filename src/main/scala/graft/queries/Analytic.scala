@@ -726,10 +726,43 @@ object Analytic {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
           min(col("c_custkey")).as("min_custkey"))
+    },
+
+    // RETENTION COHORT MATRIX — the product-analytics staple over the
+    // event log: users cohorted by the ISO week of their FIRST event,
+    // then for every (cohort, week-offset) cell the count of distinct
+    // users active that week. Two shuffles keyed by user_id (the
+    // first-event partial agg and the cohort join — co-partitioned, so
+    // AQE plans one exchange pair) plus the tiny (cohort, offset)
+    // distinct-count reduce. Both engines truncate to Monday-start
+    // weeks, and the offset is an exact integer day difference div 7 —
+    // no timestamp arithmetic leaves the integer domain.
+    "q105_retention_cohorts" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("user_id"), col("ts"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .withColumn("cw", date_trunc("week", col("first_ts")))
+      e.join(first, "user_id")
+        .withColumn("week_offset",
+          expr("datediff(date_trunc('week', ts), cw) div 7"))
+        .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // both engines truncate to Monday-start weeks; the offset is an
+    // exact integer day difference floor-divided by 7
+    "q105_retention_cohorts" ->
+      """WITH f AS (
+        | SELECT user_id, date_trunc('week', min(ts)) AS cw
+        | FROM events GROUP BY 1)
+        |SELECT f.cw AS cohort_week,
+        | CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+        |   AS BIGINT) AS week_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // avg/stddev_samp replayed per user; round-then-compare keeps the
     // kept-set identical across engines
     "q77_zscore_outliers" ->

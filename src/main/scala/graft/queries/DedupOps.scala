@@ -654,6 +654,37 @@ object DedupOps {
         .drop("n_exact")
     },
 
+    // MINHASH ESTIMATOR CALIBRATION — d54's companion: where d54 tunes
+    // the BANDING, this audits the ESTIMATOR itself. For every
+    // confirmed near-dup pair (d28, exact Jaccard ≥ 0.8), the fraction
+    // of the 24 shared minhash slots that agree — the signature's own
+    // Jaccard estimate — beside the exact value. With 24 hashes the
+    // estimator's σ ≈ √(J(1−J)/24) ≈ 0.08 at J = 0.8; a pair whose
+    // estimate sits far outside that envelope means the signature (not
+    // the banding) is miscalibrated for that document shape. Signatures
+    // join ONLY onto the already-bounded confirmed pair set, keyed by
+    // doc id — the corpus-wide work is d28's own plus one signature
+    // pass. n_agree/24 is an exact-operand IEEE quotient in both
+    // engines, so est and err ship unrounded.
+    "d56_minhash_calibration" -> { (s, d) =>
+      val pairs = queries("d28_neardup_jaccard")(s, d)
+      val sigs = minhashSigs(shingles(s, d))
+      val aCols = col("doc_id").as("ia") +:
+        (0 until 24).map(i => col(s"mh$i").as(s"a$i"))
+      val bCols = col("doc_id").as("ib") +:
+        (0 until 24).map(i => col(s"mh$i").as(s"b$i"))
+      val agree = (0 until 24)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      pairs
+        .join(sigs.select(aCols: _*), "ia")
+        .join(sigs.select(bCols: _*), "ib")
+        .withColumn("n_agree", agree)
+        .select(col("ia"), col("ib"), col("jaccard"), col("n_agree"),
+          (col("n_agree") / lit(24)).as("sig_est"),
+          abs(col("n_agree") / lit(24) - col("jaccard")).as("abs_err"))
+    },
+
     // MinHash + LSH banding near-dup (probabilistic, seeded): shingle
     // sets → HashingTF index space → MinHashLSH approxSimilarityJoin.
     // distCol is the exact Jaccard distance on the hashed sets; LSH only
@@ -974,6 +1005,37 @@ object DedupOps {
     minhashSigCte + ",\n" + arms + ",\n" + exact + "\n" + selects
   }
 
+  /** d56 oracle: the shared signature CTE, the d28 exact confirm from
+    * the same sh/ex CTEs, then per confirmed pair the count of agreeing
+    * signature slots; n_agree/24 and the abs err are exact-operand IEEE
+    * doubles in both engines. */
+  private def d56Oracle: String =
+    minhashSigCte +
+      """,
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |conf AS (
+        | SELECT ia, ib, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        | FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = ia
+        |  JOIN sizes sb ON sb.doc_id = ib
+        | WHERE inter / (sa.n + sb.n - inter) >= 0.8),
+        |agree AS (
+        | SELECT c.ia, c.ib, c.jaccard,
+        |  CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree
+        | FROM conf c
+        |  JOIN mh ma ON ma.doc_id = c.ia
+        |  JOIN mh mb ON mb.doc_id = c.ib AND ma.i = mb.i
+        | GROUP BY 1, 2, 3)
+        |SELECT ia, ib, jaccard, n_agree,
+        | n_agree / 24 AS sig_est,
+        | abs(n_agree / 24 - jaccard) AS abs_err
+        |FROM agree""".stripMargin
+
   /** d37 oracle: the d28 edge CTEs, then the SAME 10 fixed-point
     * iterations unrolled as chained CTEs (recursive CTEs disallow
     * aggregation in the recursive term, and the iteration count is
@@ -1155,6 +1217,7 @@ object DedupOps {
     "d37_pagerank" -> d37Oracle,
     "d36_minhash_banded" -> d36Oracle,
     "d54_band_sweep" -> d54Oracle,
+    "d56_minhash_calibration" -> d56Oracle,
     "d32_simhash_hamming" -> d32Oracle,
     // candidate generation over rare shingles only (df <= 50), exact
     // Jaccard recounted on full sets for survivors — mirrors the Spark

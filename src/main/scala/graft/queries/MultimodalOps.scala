@@ -505,6 +505,37 @@ object MultimodalOps extends Serializable {
         .filter(col("jac") >= 0.5)
         .select(col("ia"), col("ib"), col("inter"),
           round(col("jac"), 4).as("tile_jaccard"))
+    },
+
+    // ASSET NEAR-DUP CLUSTERS — the d41 keep-list contract applied to
+    // the MULTIMODAL axis: m36's tile-Jaccard ≥ 0.5 pairs become the
+    // edge list, connected components run through the scale-safe
+    // large-star/small-star operator (O(log n) rounds — the same
+    // DedupClustering the text path trusts), and every asset outside
+    // any edge stays its own singleton via the left join. The component
+    // label IS the min member id, so keep ≡ (doc_id = cluster_rep) with
+    // no extra argmin pass. A re-encoded copy family collapses to one
+    // canonical asset here even though every whole-file digest (d27/
+    // m31) differs. Beyond m36's own candidate work, exchanges are
+    // keyed by doc_id (component join) and cluster_rep (size agg).
+    "m43_asset_clusters" -> { (s, d) =>
+      val edges = queries("m36_asset_similarity")(s, d)
+        .select(col("ia"), col("ib"))
+      val comps = graft.operators.DedupClustering
+        .connectedComponentsStar(edges)
+        .withColumnRenamed("cluster_id", "cid")
+      // feeds the size aggregate and the final join — persist so the
+      // component pass runs once; released by SparkEntry.release()
+      val labeled = multimodalTable(s, d).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("cid"), col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = labeled.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"),
+          (col("doc_id") === col("cluster_rep")).as("keep"),
+          col("cluster_size"))
     }
   )
 
@@ -687,6 +718,42 @@ object MultimodalOps extends Serializable {
          | JOIN sz sa ON sa.doc_id = ia
          | JOIN sz sb ON sb.doc_id = ib
          |WHERE inter / (sa.nt + sb.nt - inter) >= 0.5""".stripMargin,
+    // m36's edge CTEs + the d31-family recursive transitive closure +
+    // the d41 singleton/keep/size finishing, all integer/boolean
+    "m43_asset_clusters" ->
+      s"""WITH tiles AS (
+         | SELECT DISTINCT doc_id, tile_md5 FROM ($m34OracleSql)),
+         |sz AS (SELECT doc_id, count(*) AS nt FROM tiles GROUP BY 1),
+         |pr AS (
+         | SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         | FROM tiles a JOIN tiles b
+         |   ON a.tile_md5 = b.tile_md5 AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |edges0 AS (
+         | SELECT ia, ib FROM pr
+         |  JOIN sz sa ON sa.doc_id = ia
+         |  JOIN sz sb ON sb.doc_id = ib
+         | WHERE inter / (sa.nt + sb.nt - inter) >= 0.5),
+         |edges AS (SELECT ia AS src, ib AS dst FROM edges0
+         |          UNION SELECT ib, ia FROM edges0),
+         |rec AS (
+         | WITH RECURSIVE reach(src, dst) AS (
+         |   SELECT src, dst FROM edges
+         |   UNION
+         |   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         | ) SELECT * FROM reach),
+         |comp AS (
+         | SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         | FROM rec GROUP BY src),
+         |labeled AS (
+         | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_rep
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |szc AS (
+         | SELECT cluster_rep, count(*) AS cluster_size
+         | FROM labeled GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_rep,
+         | l.doc_id = l.cluster_rep AS keep, szc.cluster_size
+         |FROM labeled l JOIN szc ON l.cluster_rep = szc.cluster_rep""".stripMargin,
     // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
     "m31_payload_meta" ->
       """SELECT doc_id,

@@ -263,6 +263,42 @@ object SamplingOps {
           round(sum(col("n") * col("lr")), 6).as("log_ratio"))
     },
 
+    // SIGNAL RANK CORRELATION — the single-number companion to t51's
+    // calibration matrix: exact Spearman ρ (Pearson over average-tie
+    // ranks) between the two independent quality signals a mixture
+    // weight could use — t24's rule-based quality score and t36's LM
+    // perplexity — plus the raw Pearson r for contrast. |ρ| near 0
+    // says the signals rank documents independently (combining them
+    // adds information); |ρ| near 1 says one is redundant. Ranks run
+    // through DistributedRank.valueRanks (per-(block) windows + a tiny
+    // offset aggregate — never a one-task global sort), and the
+    // average-tie rank (lo+hi)/2 is an exact half-integer in both
+    // engines, so only the final corr needs the 4-dp round (the q61
+    // discipline).
+    "q106_signal_rankcorr" -> { (s, d) =>
+      val ppl = graft.queries.TextOps.queries("t36_lm_perplexity")(s, d)
+        .select(col("doc_id"), col("perplexity"))
+      val qual = graft.queries.TextOps.queries("t24_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+        .filter(col("quality").isNotNull)
+      // feeds two rank passes + the final corr — persist so the two
+      // parent signal jobs run once; released by SparkEntry.release()
+      val j = ppl.join(qual, "doc_id").withColumn("g", lit(0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def avgRanks(v: String, blk: Column, out: String): DataFrame =
+        graft.operators.DistributedRank.valueRanks(j, "g", v, blk)
+          .select(col(v),
+            ((col("__cum") * 2 - col("__cnt") + 1) / lit(2.0)).as(out))
+      val rp = avgRanks("perplexity", floor(col("perplexity")), "r_ppl")
+      val rq = avgRanks("quality", floor(col("quality") * 100), "r_qual")
+      j.join(rp, "perplexity").join(rq, "quality")
+        .agg(count(lit(1)).as("n_docs"),
+          (round(corr(col("r_ppl"), col("r_qual")), 4) + 0.0)
+            .as("spearman_rho"),
+          (round(corr(col("perplexity"), col("quality")), 4) + 0.0)
+            .as("pearson_r"))
+    },
+
     // EPOCH / REPEAT PLAN — the data-constrained scaling step after the
     // manifest: given a training token budget (2× the curated train
     // tokens — the literal standing in for the run config) split
@@ -431,6 +467,35 @@ object SamplingOps {
          | CAST(sum(CASE WHEN b < pct THEN doc_id ELSE 0 END) AS BIGINT)
          |   AS sum_sampled_id
          |FROM w GROUP BY 1""".stripMargin
+    },
+    // wraps the t36 + t24 oracles verbatim; average-tie ranks replay
+    // as avg(row_number) over each value's tie group — exactly the
+    // (lo+hi)/2 half-integer the Spark side derives from valueRanks —
+    // and only the final corr rounds (the q61 discipline)
+    "q106_signal_rankcorr" -> {
+      val t36 = graft.queries.TextOps.oracle("t36_lm_perplexity")
+      val t24 = graft.queries.TextOps.oracle("t24_quality_score")
+      s"""WITH ppl AS (SELECT doc_id, perplexity FROM (${t36}) t36),
+         |qual AS (
+         | SELECT doc_id, quality FROM (${t24}) t24
+         | WHERE quality IS NOT NULL),
+         |j AS (
+         | SELECT p.doc_id, p.perplexity, q.quality
+         | FROM ppl p JOIN qual q USING (doc_id)),
+         |r AS (
+         | SELECT *,
+         |  row_number() OVER (ORDER BY perplexity) AS rn1,
+         |  row_number() OVER (ORDER BY quality) AS rn2
+         | FROM j),
+         |a AS (
+         | SELECT *,
+         |  avg(rn1) OVER (PARTITION BY perplexity) AS r_ppl,
+         |  avg(rn2) OVER (PARTITION BY quality) AS r_qual
+         | FROM r)
+         |SELECT count(*) AS n_docs,
+         | round(corr(r_ppl, r_qual), 4) + 0.0 AS spearman_rho,
+         | round(corr(perplexity, quality), 4) + 0.0 AS pearson_r
+         |FROM a""".stripMargin
     },
     // wraps the d44 oracle verbatim; the same token rule and share math
     "q104_curation_funnel" -> {

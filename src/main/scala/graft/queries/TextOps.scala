@@ -493,6 +493,76 @@ object TextOps {
         .select(col("source"), col("total_tokens"), col("median_len"))
     },
 
+    // TOKENIZER FERTILITY per language — the tokenizer-evaluation
+    // metric an LLM team tracks per language before committing a vocab:
+    // BPE-style pieces per whitespace word (fertility — high values
+    // mean the tokenizer fragments that language and wastes context
+    // window) and chars per BPE piece (compression). Composes the t21
+    // whitespace rule and the t29 pre-tokenizer regex verbatim, so this
+    // row can't drift from either count. Map-only per doc into a
+    // per-lang partial agg — no shuffle beyond the ~5-row reduce.
+    // Ratios are BIGINT-sum quotients shipped unrounded (exact
+    // operands, the t33 discipline).
+    "t52_tokenizer_fertility" -> { (s, d) =>
+      val pat =
+        "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("nw"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("nb"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("ws_tokens"),
+          sum(col("nb")).as("bpe_tokens"),
+          sum(col("nc")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("n_chars"),
+          when(col("ws_tokens") > 0, col("bpe_tokens") / col("ws_tokens"))
+            .as("fertility"),
+          when(col("bpe_tokens") > 0, col("n_chars") / col("bpe_tokens"))
+            .as("chars_per_bpe"))
+    },
+
+    // LENGTH-DISTRIBUTION DRIFT per source — the exact two-sample
+    // Kolmogorov-Smirnov statistic of each source's n_chars
+    // distribution against the whole corpus: D = max over the length
+    // grid of |F_src − F_corpus|. The slice-drift alarm beside t39's
+    // vocabulary KL — a source whose length ECDF walks away from the
+    // corpus (truncation bug, boilerplate injection) trips this before
+    // eyeballing histograms would. Scale shape: both ECDFs evaluate on
+    // the DISTINCT-length grid (bounded by the corpus length cap, i.e.
+    // thousands of rows regardless of corpus size), so the only
+    // unpartitioned window runs over that tiny aggregate — the corpus
+    // itself is touched by two partial-agg groupBys only. Each ECDF
+    // value is a BIGINT/BIGINT quotient (exact deterministic double in
+    // both engines) and max is order-independent, so D ships unrounded.
+    "t53_length_ks" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+      val grid = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cc"))
+      // single-partition window, but over the distinct-length grid only
+      val wG = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gcum = grid.withColumn("cum_c", sum(col("cc")).over(wG))
+        .select(col("n_chars"), col("cum_c"))
+      val total = docs.agg(count(lit(1)).as("n_all"))
+      val srcN = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val srcLen = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cs"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gcum.crossJoin(broadcast(srcN))
+        .join(srcLen, Seq("source", "n_chars"), "left")
+        .withColumn("cum_s",
+          sum(coalesce(col("cs"), lit(0L))).over(wS))
+        .crossJoin(broadcast(total))
+        .groupBy(col("source"), col("n_docs"))
+        .agg(max(abs(col("cum_s") / col("n_docs")
+          - col("cum_c") / col("n_all"))).as("ks_d"))
+        .select(col("source"), col("n_docs"), col("ks_d"))
+    },
+
     // Per-source token ENTROPY (Shannon bits) — the distribution-drift
     // metric a data-quality pipeline tracks per slice: low entropy =
     // repetitive/boilerplate slice, drops vs yesterday = collapse.
@@ -1277,6 +1347,49 @@ object TextOps {
         | min(n_chars) AS median_len
         |FROM r WHERE cumw * 2 >= total
         |GROUP BY source, total""".stripMargin,
+    // the t21 whitespace rule + the t29 regex verbatim; BIGINT-sum
+    // quotients are exact-operand doubles in both engines
+    "t52_tokenizer_fertility" ->
+      """WITH c AS (
+        | SELECT lang,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '[ \t\n\f\r]+')) END
+        |    AS BIGINT) AS nw,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+')) AS BIGINT) AS nb,
+        |  CAST(length(text) AS BIGINT) AS nc
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(nw) AS BIGINT) AS ws_tokens,
+        | CAST(sum(nb) AS BIGINT) AS bpe_tokens,
+        | CAST(sum(nc) AS BIGINT) AS n_chars,
+        | CASE WHEN sum(nw) > 0
+        |      THEN CAST(sum(nb) AS BIGINT) / CAST(sum(nw) AS BIGINT) END
+        |   AS fertility,
+        | CASE WHEN sum(nb) > 0
+        |      THEN CAST(sum(nc) AS BIGINT) / CAST(sum(nb) AS BIGINT) END
+        |   AS chars_per_bpe
+        |FROM c GROUP BY lang""".stripMargin,
+    // both ECDFs evaluated on the shared distinct-length grid; the same
+    // BIGINT/BIGINT divisions and an order-independent max
+    "t53_length_ks" ->
+      """WITH g AS (SELECT n_chars, count(*) AS cc FROM documents GROUP BY 1),
+        |gc AS (
+        | SELECT n_chars, CAST(sum(cc) OVER (ORDER BY n_chars
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        | FROM g),
+        |tot AS (SELECT count(*) AS n_all FROM documents),
+        |sn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |sl AS (SELECT source, n_chars, count(*) AS cs
+        |       FROM documents GROUP BY 1, 2),
+        |f AS (
+        | SELECT sn.source, sn.n_docs, gc.n_chars, gc.cum_c,
+        |  CAST(sum(coalesce(sl.cs, 0)) OVER (PARTITION BY sn.source
+        |    ORDER BY gc.n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+        | FROM sn CROSS JOIN gc
+        |  LEFT JOIN sl ON sl.source = sn.source AND sl.n_chars = gc.n_chars)
+        |SELECT source, n_docs,
+        | max(abs(cum_s / n_docs - cum_c / n_all)) AS ks_d
+        |FROM f, tot GROUP BY 1, 2""".stripMargin,
     "t22_term_frequency" ->
       """SELECT token, count(*) AS n_occurrences,
         | count(DISTINCT doc_id) AS n_docs

@@ -545,4 +545,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"),
       s"per-doc counts must shuffle on doc_id in:\n$p")
   }
+
+  test("q105 retention cohorts: the event log shuffles only on user_id and the final cohort cell") {
+    val p = plan("q105_retention_cohorts")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    // `cw` is the cohort week pre-alias (the distinct-count rewrite
+    // keys its two aggregate exchanges by the cell + user)
+    assert(exchanges.subsetOf(Set("user_id", "cw")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("t52 fertility: map-only per doc into the single per-lang reduce") {
+    val p = plan("t52_tokenizer_fertility")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges === Set("lang"),
+      s"expected only the lang partial-agg exchange, got $exchanges in:\n$p")
+  }
+
+  test("t53 KS drift: the corpus shuffles only on its natural grid keys; the source-count side broadcasts") {
+    val p = plan("t53_length_ks")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("source", "n_chars")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the per-source count table must broadcast in:\n$p")
+  }
 }

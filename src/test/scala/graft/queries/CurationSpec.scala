@@ -455,4 +455,126 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"mean log-ratio en=${mean(en)} !> rest=${mean(rest)}")
     SparkEntry.release(spark)
   }
+
+  test("t52 fertility: per-lang sums replay exactly from the t21/t29 per-doc counts, ratios at least 1") {
+    val out = SparkEntry.queries("t52_tokenizer_fertility")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ws = SparkEntry.queries("t21_token_stats")(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bpe = SparkEntry.queries("t29_bpe_tokens")(spark, sf0001)
+      .select(col("doc_id"), col("n_bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for ((lang, (nDocs, wsSum, bpeSum, chSum)) <- out) {
+      val ds = docs.filter(_._2 == lang)
+      assert(ds.length.toLong === nDocs)
+      assert(ds.map(d => ws(d._1)).sum === wsSum, s"$lang ws_tokens")
+      assert(ds.map(d => bpe(d._1)).sum === bpeSum, s"$lang bpe_tokens")
+      assert(ds.map(_._3).sum === chSum, s"$lang n_chars")
+      // every whitespace token yields >=1 BPE piece; every piece >=1 char
+      assert(bpeSum >= wsSum, s"$lang fertility below 1")
+      assert(chSum >= bpeSum, s"$lang chars_per_bpe below 1")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("t53 KS drift: the statistic replays exactly from the raw length distributions") {
+    val out = SparkEntry.queries("t53_length_ks")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val lens = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nAll = lens.length.toLong
+    val grid = lens.map(_._2).distinct.sorted
+    for ((src, (nDocs, ksD)) <- out) {
+      val mine = lens.filter(_._1 == src)
+      assert(mine.length.toLong === nDocs)
+      val d = grid.map { x =>
+        val cumS = mine.count(_._2 <= x).toLong
+        val cumC = lens.count(_._2 <= x).toLong
+        math.abs(cumS.toDouble / nDocs - cumC.toDouble / nAll)
+      }.max
+      assert(math.abs(d - ksD) < 1e-12, s"$src: replay $d vs $ksD")
+      assert(ksD >= 0.0 && ksD <= 1.0)
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q105 retention cohorts: offset-0 cells cover every user exactly once, offsets non-negative") {
+    val rows = SparkEntry.queries("q105_retention_cohorts")(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L), "week_offset must be non-negative")
+    val nUsers = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    // every user is active in their own first week, in exactly one cohort
+    val offset0 = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(offset0 === nUsers, s"offset-0 coverage $offset0 != $nUsers")
+    // no later cell can exceed its cohort's size
+    val size0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cw, off, n) =>
+      assert(n <= size0(cw), s"cohort $cw offset $off: $n > ${size0(cw)}")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q106 rank correlation: Spearman replays from driver-side average ranks") {
+    val row = SparkEntry.queries("q106_signal_rankcorr")(spark, sf0001)
+      .collect().head
+    val (n, rho, r) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(r >= -1.0 && r <= 1.0)
+    val ppl = SparkEntry.queries("t36_lm_perplexity")(spark, sf0001)
+      .select(col("doc_id"), col("perplexity")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val qual = SparkEntry.queries("t24_quality_score")(spark, sf0001)
+      .select(col("doc_id"), col("quality")).filter(col("quality").isNotNull)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val ids = ppl.keySet.intersect(qual.keySet).toSeq.sorted
+    assert(ids.length.toLong === n)
+    def avgRanks(v: Map[Long, Double]): Map[Long, Double] = {
+      val sorted = ids.sortBy(v)
+      val byVal = sorted.zipWithIndex.groupBy(x => v(x._1))
+      byVal.flatMap { case (_, grp) =>
+        val ar = grp.map(_._2 + 1).sum.toDouble / grp.length
+        grp.map(g => g._1 -> ar)
+      }
+    }
+    val (ra, rb) = (avgRanks(ppl), avgRanks(qual))
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(y => (y - mb) * (y - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val replay = pearson(ids.map(ra), ids.map(rb))
+    assert(math.abs(replay - rho) < 1e-3, s"spearman replay $replay vs $rho")
+    SparkEntry.release(spark)
+  }
+
+  test("m43 asset clusters: a valid partition where every m36 edge is intra-cluster and reps are min members") {
+    val rows = SparkEntry.queries("m43_asset_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2),
+        r.getLong(3)))
+    val cluster = rows.map(r => r._2 -> r._1).toMap
+    val edges = SparkEntry.queries("m36_asset_similarity")(spark, sf0001)
+      .select(col("ia"), col("ib")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"edge ($a,$b) split across clusters")
+    }
+    rows.groupBy(_._1).foreach { case (rep, members) =>
+      assert(rep === members.map(_._2).min, s"rep $rep is not the min member")
+      assert(members.count(_._3) === 1, s"cluster $rep: exactly one keep")
+      assert(members.forall(_._4 === members.length.toLong))
+    }
+    assert(rows.exists(_._4 > 1), "corpus must contain at least one real cluster")
+    SparkEntry.release(spark)
+  }
 }

@@ -316,4 +316,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(second.count() === 0L, "second dedup pass must be empty")
     SparkEntry.release(spark)
   }
+
+  test("d56 calibration: covers exactly the d28 pairs and the 24-hash estimator tracks exact Jaccard") {
+    val cal = SparkEntry.queries("d56_minhash_calibration")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val pairs = SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cal.map(c => (c._1, c._2)).toSet === pairs,
+      "calibration rows must be exactly the confirmed pair set")
+    cal.foreach { case (ia, ib, jac, agree, est, err) =>
+      assert(agree >= 0L && agree <= 24L)
+      assert(est === agree.toDouble / 24.0)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-12)
+    }
+    // estimator quality: at J >= 0.8 with 24 hashes sigma ~ 0.08; the
+    // mean error across confirmed pairs must sit well inside 3 sigma
+    val meanErr = cal.map(_._6).sum / cal.length
+    assert(meanErr < 0.25, s"mean |est - exact| = $meanErr: miscalibrated")
+    SparkEntry.release(spark)
+  }
 }
