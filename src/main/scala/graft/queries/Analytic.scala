@@ -747,6 +747,34 @@ object Analytic {
           expr("datediff(date_trunc('week', ts), cw) div 7"))
         .groupBy(col("cw").as("cohort_week"), col("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // WAU/MAU STICKINESS — the engagement ratio beside q105's cohort
+    // matrix: per ISO week, distinct weekly actives over distinct
+    // actives in the trailing 4 weeks (the 28-day window ending that
+    // week). Computed without any sliding window over raw events: the
+    // log first dedupes to (user, week) — the only corpus-wide shuffle,
+    // keyed by exactly that pair — then each survivor fans out to the 4
+    // cover weeks it keeps a user "monthly active" for (a bounded ×4
+    // explode of the already-deduped frame, not the log), and two
+    // per-week partial aggs finish. Weeks where the corpus has no
+    // events contribute no row (inner join on observed weeks). The
+    // ratio is a BIGINT/BIGINT quotient rounded 4 dp.
+    "q107_stickiness" -> { (s, d) =>
+      val uw = t(s, d, "events")
+        .select(to_date(date_trunc("week", col("ts"))).as("wkd"),
+          col("user_id"))
+        .distinct()
+      val wau = uw.groupBy(col("wkd")).agg(count(lit(1)).as("wau"))
+      val cover = uw
+        .withColumn("i", explode(sequence(lit(0), lit(3))))
+        .select(expr("date_add(wkd, i * 7)").as("cwk"), col("user_id"))
+        .distinct()
+      val mau = cover.groupBy(col("cwk")).agg(count(lit(1)).as("mau"))
+      wau.join(mau, col("wkd") === col("cwk"))
+        .select(col("wkd").cast("timestamp").as("week"),
+          col("wau"), col("mau"),
+          round(col("wau") / col("mau"), 4).as("stickiness"))
     }
   )
 
@@ -763,6 +791,21 @@ object Analytic {
         | count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // the same (user, week) dedup + bounded 4-week fan-out; DATE + INT
+    // day arithmetic is exact in both engines
+    "q107_stickiness" ->
+      """WITH uw AS (
+        | SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wkd,
+        |  user_id
+        | FROM events),
+        |wau AS (SELECT wkd, count(*) AS wau FROM uw GROUP BY 1),
+        |cover AS (
+        | SELECT DISTINCT wkd + CAST(i * 7 AS INT) AS cwk, user_id
+        | FROM uw, range(0, 4) r(i)),
+        |mau AS (SELECT cwk, count(*) AS mau FROM cover GROUP BY 1)
+        |SELECT CAST(w.wkd AS TIMESTAMP) AS week, w.wau, m.mau,
+        | round(w.wau / m.mau, 4) AS stickiness
+        |FROM wau w JOIN mau m ON w.wkd = m.cwk""".stripMargin,
     // avg/stddev_samp replayed per user; round-then-compare keeps the
     // kept-set identical across engines
     "q77_zscore_outliers" ->

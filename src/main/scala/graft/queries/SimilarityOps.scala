@@ -475,6 +475,41 @@ object SimilarityOps {
           round(col("n_vectors") / col("n_total"), 4).as("frac"))
     },
 
+    // CELL SEPARATION AUDIT — the geometric companion to s49's
+    // population balance: per cell of the deterministic s37 quantizer,
+    // the members' mean cosine to their OWN centroid (cohesion), to the
+    // runner-up centroid (contest), and the mean margin between them.
+    // A cell whose margin collapses is one where nprobe=1 misroutes
+    // queries and SemDeDup's cell-local pass (d51) misses cross-cell
+    // near-dups — this table says WHICH cells, where s53's recall sweep
+    // only says how much overall. One 16-centroid broadcast crossJoin
+    // scored map-side, the per-vector top-2 via the vec_id-partitioned
+    // window (same rounded-cosine + cid tie-break order as cellAssign,
+    // so the assignment here ≡ s37/s49's), then one cid partial agg.
+    // Means of rounded-6 cosines are order-dependent in the last ulps →
+    // round 4 with the +0.0 sign guard (the s55 discipline).
+    "s56_cell_separation" -> { (s, d) =>
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosc").desc, col("cid").asc)
+      val per = e.crossJoin(broadcast(cents))
+        .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+          max(when(col("rn") === 1, col("cosc"))).as("best"),
+          max(when(col("rn") === 2, col("cosc"))).as("second"))
+      per.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (round(avg(col("best")), 4) + 0.0).as("avg_cohesion"),
+          (round(avg(col("second")), 4) + 0.0).as("avg_contest"),
+          (round(avg(col("best") - col("second")), 4) + 0.0)
+            .as("avg_margin"))
+    },
+
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
     //
     // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
@@ -1461,6 +1496,35 @@ object SimilarityOps {
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
     "s33_knn_bruteforce" -> s33OracleSql,
+    // the same rounded-cosine scoring, (cosc DESC, cid ASC) top-2
+    // order, and 4-dp rounded means with the +0.0 sign guard
+    "s56_cell_separation" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        | FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM e
+        |          WHERE vec_id < 16),
+        |sc AS (
+        | SELECT e.vec_id, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) *
+        |    sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e CROSS JOIN cents c),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cosc DESC, cid ASC) AS rn
+        | FROM sc),
+        |per AS (
+        | SELECT vec_id,
+        |  max(CASE WHEN rn = 1 THEN cid END) AS cid,
+        |  max(CASE WHEN rn = 1 THEN cosc END) AS best,
+        |  max(CASE WHEN rn = 2 THEN cosc END) AS second
+        | FROM r WHERE rn <= 2 GROUP BY 1)
+        |SELECT cid, count(*) AS n_vectors,
+        | round(avg(best), 4) + 0.0 AS avg_cohesion,
+        | round(avg(second), 4) + 0.0 AS avg_contest,
+        | round(avg(best - second), 4) + 0.0 AS avg_margin
+        |FROM per GROUP BY 1""".stripMargin,
     // the filter applies to the ROUNDED cosine in both engines, so the
     // boundary rows agree exactly
     "s46_radius_search" ->

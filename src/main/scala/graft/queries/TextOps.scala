@@ -563,6 +563,47 @@ object TextOps {
         .select(col("source"), col("n_docs"), col("ks_d"))
     },
 
+    // PMI COLLOCATIONS — corpus-level top-20 bigram collocations by
+    // pointwise mutual information: the phrase-mining pass (tokenizer
+    // merge candidates, multi-word entities) a corpus study runs beside
+    // t22's raw frequencies — raw counts surface "of the", PMI surfaces
+    // genuinely associated pairs. p(w1 w2) from the bigram-slot
+    // distribution over p(w1)p(w2) from the unigram distribution,
+    // support-filtered at count ≥ 5. All shuffles keyed by token/bigram
+    // (partial-agg counts + two unigram equi-joins onto the ≥5-support
+    // survivors); totals are two broadcast 1-row aggregates, and the
+    // top-20 runs through distributed TakeOrderedAndProject on the
+    // 6-dp-rounded pmi with bigram tie-break (the t43 discipline) — no
+    // global sort. ln over exact-operand quotients drifts ≤ 2 ulp
+    // across engines, far inside the 1e-6 grid (the t39 argument).
+    "t54_pmi_collocations" -> { (s, d) =>
+      val toks = t(s, d, "documents").withColumn("w", tokens(col("text")))
+      val uni = toks.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      // feeds the total and the support filter — persist so the bigram
+      // count pass runs once; released by SparkEntry.release()
+      val bgCounts = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nu = uni.agg(sum(col("cu")).as("n_u"))
+      val nb = bgCounts.agg(sum(col("c_bg")).as("n_bg"))
+      bgCounts.filter(col("c_bg") >= 5)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("pmi", round(log((col("c_bg") / col("n_bg")) /
+          ((col("c1") / col("n_u")) * (col("c2") / col("n_u")))), 6))
+        .orderBy(col("pmi").desc, col("bg").asc)
+        .limit(20)
+        .select(col("bg").as("bigram"), col("c_bg"), col("c1"),
+          col("c2"), col("pmi"))
+    },
+
     // Per-source token ENTROPY (Shannon bits) — the distribution-drift
     // metric a data-quality pipeline tracks per slice: low entropy =
     // repetitive/boilerplate slice, drops vs yesterday = collapse.
@@ -1390,6 +1431,33 @@ object TextOps {
         |SELECT source, n_docs,
         | max(abs(cum_s / n_docs - cum_c / n_all)) AS ks_d
         |FROM f, tot GROUP BY 1, 2""".stripMargin,
+    // the same bigram/unigram count algebra, ln over exact quotients,
+    // 6-dp round, and the identical (pmi DESC, bigram ASC) top-20 order
+    "t54_pmi_collocations" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (
+        | SELECT unnest(w) AS tok FROM tok),
+        |uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
+        |bgx AS (
+        | SELECT unnest(list_transform(range(1, len(w)),
+        |   i -> concat_ws(' ', w[i], w[i+1]))) AS bg
+        | FROM tok WHERE len(w) >= 2),
+        |bc AS (SELECT bg, count(*) AS c_bg FROM bgx GROUP BY 1),
+        |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS n_u FROM uc),
+        |nb AS (SELECT CAST(sum(c_bg) AS BIGINT) AS n_bg FROM bc),
+        |sc AS (
+        | SELECT b.bg AS bigram, b.c_bg, u1.cu AS c1, u2.cu AS c2,
+        |  round(ln((b.c_bg / nb.n_bg) /
+        |    ((u1.cu / nu.n_u) * (u2.cu / nu.n_u))), 6) AS pmi
+        | FROM bc b
+        |  JOIN uc u1 ON u1.tok = string_split(b.bg, ' ')[1]
+        |  JOIN uc u2 ON u2.tok = string_split(b.bg, ' ')[2]
+        |  , nu, nb
+        | WHERE b.c_bg >= 5)
+        |SELECT bigram, c_bg, c1, c2, pmi
+        |FROM sc ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
     "t22_term_frequency" ->
       """SELECT token, count(*) AS n_occurrences,
         | count(DISTINCT doc_id) AS n_docs

@@ -558,6 +558,72 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q107 stickiness: WAU/MAU replays exactly from the raw event log") {
+    val rows = SparkEntry.queries("q107_stickiness")(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val uw = graft.Tables.t(spark, sf0001, "events")
+      .select(to_date(date_trunc("week", col("ts"))).as("wkd"),
+        col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    for ((wkTs, wau, mau) <- rows) {
+      val wk = wkTs.toLocalDateTime.toLocalDate
+      assert(uw.filter(_._1 == wk).map(_._2).distinct.length.toLong === wau)
+      val trailing = uw.filter { case (w, _) =>
+        !w.isAfter(wk) && w.isAfter(wk.minusDays(28)) }
+      assert(trailing.map(_._2).distinct.length.toLong === mau,
+        s"week $wk mau")
+      assert(mau >= wau, s"week $wk: trailing actives below weekly actives")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("t54 PMI collocations: the top-20 replays exactly from driver-side counts") {
+    val rows = SparkEntry.queries("t54_pmi_collocations")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.length === 20)
+    assert(rows.forall(_._2 >= 5L), "support filter must hold")
+    val texts = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    def toks(t: String): Array[String] =
+      if (t.trim.isEmpty) Array.empty
+      else t.trim.split("[ \t\n\f\r]+")
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    texts.foreach { t =>
+      val w = toks(t)
+      w.foreach(x => uni(x) += 1)
+      w.sliding(2).filter(_.length == 2).foreach(p => bg(p.mkString(" ")) += 1)
+    }
+    val nU = uni.values.sum.toDouble
+    val nB = bg.values.sum.toDouble
+    val expect = bg.toSeq.filter(_._2 >= 5).map { case (b, c) =>
+      val Array(w1, w2) = b.split(" ", 2)
+      val pmi = math.rint(math.log((c / nB) /
+        ((uni(w1) / nU) * (uni(w2) / nU))) * 1e6) / 1e6
+      (b, pmi)
+    }.sortBy { case (b, p) => (-p, b) }.take(20)
+    assert(rows.map(r => (r._1, r._3)).toSeq === expect,
+      "top-20 must replay exactly")
+    SparkEntry.release(spark)
+  }
+
+  test("s56 cell separation: per-cell counts agree with s49 and margins are non-negative") {
+    val sep = SparkEntry.queries("s56_cell_separation")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val stats = SparkEntry.queries("s49_ivf_cell_stats")(spark, sf0001)
+      .select(col("cid"), col("n_vectors")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sep.map(s => s._1 -> s._2).toMap === stats,
+      "s56 must agree with s49 on the cell assignment")
+    sep.foreach { case (cid, _, coh, con, margin) =>
+      assert(coh >= con - 1e-9, s"cell $cid: cohesion below contest")
+      assert(margin >= -1e-9, s"cell $cid: negative margin")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("m43 asset clusters: a valid partition where every m36 edge is intra-cluster and reps are min members") {
     val rows = SparkEntry.queries("m43_asset_clusters")(spark, sf0001)
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2),
