@@ -25,6 +25,12 @@ import graft.Tables.t
   */
 object Analytic {
 
+  /** q112's decay rate: ln2/7 — a 7-day half-life in days⁻¹. Computed
+    * once driver-side and rendered as the SAME double literal into both
+    * engines' plans (Scala's Double toString round-trips exactly), so
+    * neither engine's own ln(2) enters the comparison. */
+  private val DecayPerDay: Double = math.log(2.0) / 7.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Ranking window: top-3 customers by balance per nation.
     "q13_window_rank" -> { (s, d) =>
@@ -495,6 +501,133 @@ object Analytic {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
+    },
+
+    // HOURLY ANOMALY SCREEN — the pipeline-monitoring shape: which
+    // hours carry an event-rate spike (|z| > 2) against that type's own
+    // hourly distribution? The z² threshold is algebraically cleared of
+    // division — (c·n − Σc)²·(n−1) > 4·n·(n·Σc² − (Σc)²) — so the whole
+    // screen is EXACT 64-bit integer arithmetic on the hourly-count
+    // aggregate: no FP variance, no engine drift, bit-identical flags.
+    // Plan shape: one partial-agg hourly rollup (the only corpus
+    // shuffle), a per-type moment aggregate over it (≤ |types| rows)
+    // broadcast back onto the hourly rows, then a |types|-row report.
+    "q111_hourly_anomalies" -> { (s, d) =>
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+      val dev = col("c") * col("n") - col("sc")
+      val anom = dev * dev * (col("n") - 1L) >
+        lit(4L) * col("n") * (col("n") * col("scc") - col("sc") * col("sc"))
+      hourly.join(broadcast(stats), "event_type")
+        .filter(col("n") > 1)
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_hours"), max(col("sc")).as("n_events"),
+          sum(when(anom, 1L).otherwise(0L)).as("n_anomalies"),
+          sum(when(anom, col("c")).otherwise(0L)).as("anomalous_events"))
+    },
+
+    // TIME-DECAYED ENGAGEMENT — the feature-store shape: per user, a
+    // recency-weighted activity score Σ value·2^(−age/7d) anchored at
+    // the corpus watermark (max ts), the half-life feature a ranking
+    // model consumes. The decay constant enters BOTH engines' plans as
+    // the SAME driver-rendered double literal, and the exponent's
+    // operands are exact integer micros — so the only cross-engine
+    // drift is exp()'s ≤1 ulp, buried by the 4-dp round (the t54 ulp
+    // argument). Watermark rides in as a broadcast 1-row aggregate; the
+    // corpus shuffles once, keyed by user, partial-agg combined.
+    "q112_decay_engagement" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+      ev.select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+        .crossJoin(broadcast(mx))
+        .withColumn("decay", exp(lit(-DecayPerDay) *
+          ((col("mx") - col("us")) / lit(86400000000.0))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") * col("decay")), 4).as("score"))
+    },
+
+    // EVENT-TYPE LIFT — market-basket association over (user, day)
+    // baskets: which event types co-occur beyond chance? lift(a,b) =
+    // P(a,b)/(P(a)P(b)) over basket incidence, the classic
+    // co-occurrence screen. The within-basket pair join is quadratic in
+    // BASKET size, which is bounded by the event-type vocabulary (5
+    // here), not by corpus size — the t54 argument, so no fence needed.
+    // All counts are exact integers; lift divides two exact longs once,
+    // then rounds — bit-identical engines. Shuffles: one distinct on
+    // (user, day, type), the pair join keyed by (user, day), a pair
+    // partial agg; the type totals and basket count broadcast.
+    "q113_event_lift" -> { (s, d) =>
+      val b = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type")).distinct()
+      val tot = b.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val cnt = b.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      b.as("a").join(b.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(broadcast(cnt.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(cnt.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          round((col("n_ab") * col("n_baskets")) /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+    },
+
+    // A/B Z-TEST — experimentation readout: users split into two arms
+    // by the deterministic md5 bucket (q65 discipline — assignment
+    // replays bit-for-bit in both engines and never moves when data is
+    // added), conversion = "ever purchased", compared with the
+    // two-proportion z-test. z² reduces to ONE division of two exact
+    // integer products — (x₁n₂−x₂n₁)²·N over n₁n₂·X·(N−X) — so both
+    // engines compute the identical double before the round; the
+    // significance flag compares the ROUNDED z² against 3.84 (χ²₁ at
+    // α=0.05). Per-user conversion is one partial-agg max; everything
+    // after runs on a 2-row aggregate.
+    "q114_ab_ztest" -> { (s, d) =>
+      val arm = when(SamplingOps.bucket(col("user_id")) % 2 === 0, "A")
+        .otherwise("B")
+      val g = t(s, d, "events")
+        .groupBy(col("user_id"))
+        // "ever purchased" saturates at 100% on this corpus (every user
+        // buys something); a high-value purchase (> 150) splits users
+        // ~46/54 at every SF — a metric the test can actually move on
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("converted"))
+        .withColumn("arm", arm)
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+      val one = g.agg(
+        max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "A", col("x"))).as("x_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"),
+        max(when(col("arm") === "B", col("x"))).as("x_b"))
+      val num = (col("x_a") * col("n_b") - col("x_b") * col("n_a")) *
+        (col("x_a") * col("n_b") - col("x_b") * col("n_a")) *
+        (col("n_a") + col("n_b"))
+      val den = col("n_a") * col("n_b") * (col("x_a") + col("x_b")) *
+        (col("n_a") + col("n_b") - col("x_a") - col("x_b"))
+      // den = 0 ⇔ zero or universal conversion — z undefined (NULL),
+      // never significant; the guard also keeps ANSI mode from raising
+      val z2 = when(den > 0, round(num / den, 6))
+      one.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(col("x_a") / col("n_a"), 4).as("rate_a"),
+        round(col("x_b") / col("n_b"), 4).as("rate_b"),
+        z2.as("z2"),
+        coalesce(z2 > 3.8416, lit(false)).as("significant"))
     },
 
     // JSON scalar extraction (events.props is a JSON string).
@@ -1145,6 +1278,89 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the SAME driver-rendered decay literal; epoch_us supplies the
+    // identical exact integer micros the Spark side reads
+    "q112_decay_engagement" ->
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         | round(sum(value * exp(${-DecayPerDay} *
+         |   ((mx.mx - epoch_us(ts)) / 86400000000.0))), 4) AS score
+         |FROM events, mx
+         |GROUP BY user_id""".stripMargin,
+    // identical basket construction and exact-integer lift operands
+    "q113_event_lift" ->
+      """WITH b AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        | FROM events),
+        |tot AS (
+        | SELECT count(*) AS n_baskets
+        | FROM (SELECT DISTINCT user_id, day FROM b)),
+        |c AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY 1),
+        |p AS (
+        | SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |  count(*) AS n_ab
+        | FROM b a JOIN b b2 ON a.user_id = b2.user_id
+        |  AND a.day = b2.day AND a.event_type < b2.event_type
+        | GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        | CAST(ca.n_t AS BIGINT) AS n_a, CAST(cb.n_t AS BIGINT) AS n_b,
+        | round((p.n_ab * tot.n_baskets) / (ca.n_t * cb.n_t), 4) AS lift
+        |FROM p JOIN c ca ON p.type_a = ca.event_type
+        | JOIN c cb ON p.type_b = cb.event_type, tot
+        |WHERE p.n_ab >= 5""".stripMargin,
+    // the identical md5-bucket arm assignment and the single
+    // exact-integer-operand division before the round
+    "q114_ab_ztest" -> {
+      val b = SamplingOps.bucketSql("user_id")
+      s"""WITH u AS (
+         | SELECT user_id,
+         |  max(CASE WHEN event_type = 'purchase' AND value > 150
+         |      THEN 1 ELSE 0 END) AS converted,
+         |  CASE WHEN ${b} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         | FROM events GROUP BY user_id),
+         |g AS (
+         | SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+         | FROM u GROUP BY 1),
+         |one AS (
+         | SELECT
+         |  max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         |  max(CASE WHEN arm = 'A' THEN x END) AS x_a,
+         |  max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         |  max(CASE WHEN arm = 'B' THEN x END) AS x_b
+         | FROM g),
+         |z AS (
+         | SELECT *,
+         |  CASE WHEN n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b) > 0
+         |   THEN round((x_a*n_b - x_b*n_a) * (x_a*n_b - x_b*n_a)
+         |     * (n_a + n_b)
+         |     / (n_a * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b)), 6)
+         |  END AS z2
+         | FROM one)
+         |SELECT n_a, x_a, n_b, x_b,
+         | round(x_a / n_a, 4) AS rate_a, round(x_b / n_b, 4) AS rate_b,
+         | z2, coalesce(z2 > 3.8416, false) AS significant
+         |FROM z""".stripMargin
+    },
+    // the identical division-free z² inequality on exact integer moments
+    "q111_hourly_anomalies" ->
+      """WITH h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |st AS (
+        | SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+        |  CAST(sum(c * c) AS BIGINT) AS scc
+        | FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(max(st.n) AS BIGINT) AS n_hours,
+        | max(st.sc) AS n_events,
+        | CAST(sum(CASE WHEN (h.c * st.n - st.sc) * (h.c * st.n - st.sc)
+        |     * (st.n - 1) > 4 * st.n * (st.n * st.scc - st.sc * st.sc)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        | CAST(sum(CASE WHEN (h.c * st.n - st.sc) * (h.c * st.n - st.sc)
+        |     * (st.n - 1) > 4 * st.n * (st.n * st.scc - st.sc * st.sc)
+        |   THEN h.c ELSE 0 END) AS BIGINT) AS anomalous_events
+        |FROM h JOIN st USING (event_type)
+        |WHERE st.n > 1
+        |GROUP BY 1""".stripMargin,
     "q16_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(props->>'$.k' AS BIGINT)),4) AS avg_k,

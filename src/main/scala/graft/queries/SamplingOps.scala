@@ -24,12 +24,12 @@ object SamplingOps {
 
   /** md5-derived integer in [0, 16^6): first 6 hex nibbles. Portable —
     * Spark conv(hex,16,10) ≡ the DuckDB strpos-nibble expansion below. */
-  private def bucket(c: Column): Column =
+  private[queries] def bucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long")
 
   /** DuckDB rendering of [[bucket]] over column expression `col`
     * (DuckDB has no conv()): nibble-by-nibble hex→int. */
-  private def bucketSql(col: String): String = {
+  private[queries] def bucketSql(col: String): String = {
     val nibs = (1 to 6).map(p =>
       s"(strpos('0123456789abcdef', substring(md5(CAST($col AS VARCHAR)), $p, 1)) - 1)")
     nibs.reduce((acc, n) => s"($acc * 16 + $n)")
@@ -355,6 +355,84 @@ object SamplingOps {
           round(col("n_tokens") / col("nt"), 4).as("token_share"))
     },
 
+    // TOKEN-BUDGET CURVE — "what quality cutoff fits my token budget":
+    // docs bucketed by t24-quality decile, then cumulative docs/tokens
+    // from the best decile down. The corpus pass is one partial-agg
+    // groupBy on a derived integer (≤10 groups survive the shuffle);
+    // the cumulative window runs over the 10-row AGGREGATE, never the
+    // corpus, and the share denominator rides in as a broadcast 1-row
+    // total (q104 discipline) — so the plan is one corpus scan + two
+    // tiny aggregates at any SF.
+    "q108_token_budget_curve" -> { (s, d) =>
+      val q = graft.queries.TextOps.queries("t24_quality_score")(s, d)
+        .filter(col("quality").isNotNull)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val byDec = q
+        .withColumn("decile", least(lit(9L), floor(col("quality") * 10)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val tot = q.agg(sum(col("n_tokens")).as("nt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile").desc)
+      byDec.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_docs"), col("n_tokens"),
+          sum(col("n_docs")).over(wCum).as("cum_docs"),
+          sum(col("n_tokens")).over(wCum).as("cum_tokens"),
+          round(sum(col("n_tokens")).over(wCum) / col("nt"), 4)
+            .as("cum_token_share"))
+    },
+
+    // K-ANONYMITY AUDIT — privacy gate for tabular training data: how
+    // re-identifiable are rows under the (nation, market-segment)
+    // quasi-identifier, at k ∈ {2,5,10,20}? One partial-agg groupBy
+    // collapses the table to |QI| group sizes (~125 rows here; bounded
+    // by the QI domain, not the row count, at any SF); the k-sweep then
+    // explodes ONLY the aggregate. A row is "at risk" if its QI group
+    // has fewer than k members — the standard k-anonymity failure set.
+    "q109_kanonymity" -> { (s, d) =>
+      val g = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("gsz"))
+      g.select(col("gsz"),
+          explode(array(lit(2L), lit(5L), lit(10L), lit(20L))).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("gsz")).as("min_group"),
+          sum(when(col("gsz") < col("k"), 1L).otherwise(0L))
+            .as("groups_below"),
+          sum(when(col("gsz") < col("k"), col("gsz")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("gsz")).as("n_rows"))
+        .select(col("k"), col("n_groups"), col("min_group"),
+          col("groups_below"), col("rows_at_risk"),
+          round(col("rows_at_risk") / col("n_rows"), 4).as("risk_pct"))
+    },
+
+    // SHARD MANIFEST — deterministic training-shard assignment: shard =
+    // md5-bucket(doc_id) mod 16, the write-layout decision a training
+    // run makes before materializing tfrecord/parquet shards. Pure
+    // row-local hash (q65 discipline): adding documents never moves an
+    // existing doc's shard, and both engines replay the assignment
+    // bit-for-bit. The balance column audits the thing shard layouts
+    // get wrong — token skew across shards (a shard 2× over token
+    // budget starves data-parallel ranks). Map-only assignment + one
+    // 16-row partial agg; the share denominator broadcasts.
+    "q110_shard_manifest" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(graft.queries.TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("shard", bucket(col("doc_id")) % 16)
+      val tot = docs.agg(sum(col("n_tokens")).as("nt"))
+      docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("doc_id")).as("sum_id"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("sum_id"),
+          round(col("n_tokens") / col("nt"), 6).as("token_share"),
+          round(col("n_tokens") * 16 / col("nt"), 4).as("balance"))
+    },
+
     // DETERMINISTIC POISSON BOOTSTRAP — metric uncertainty for data
     // pipelines (the online-bootstrap trick: per (doc, replicate), a
     // Poisson(1) pseudo-count stands in for multinomial resampling, so
@@ -518,6 +596,59 @@ object SamplingOps {
          |FROM v JOIN tk USING (doc_id), tot
          |GROUP BY 1""".stripMargin
     },
+    // wraps the t24 oracle verbatim; the cumulative window replays over
+    // the same ≤10-row decile aggregate with the identical DESC order
+    "q108_token_budget_curve" -> {
+      val t24 = graft.queries.TextOps.oracle("t24_quality_score")
+      s"""WITH q AS (
+         | SELECT doc_id, n_tokens, quality FROM (${t24}) t24
+         | WHERE quality IS NOT NULL),
+         |b AS (
+         | SELECT CAST(least(9, floor(quality * 10)) AS BIGINT) AS decile,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         | FROM q GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM q)
+         |SELECT decile, n_docs, n_tokens,
+         | CAST(sum(n_docs) OVER (ORDER BY decile DESC) AS BIGINT)
+         |   AS cum_docs,
+         | CAST(sum(n_tokens) OVER (ORDER BY decile DESC) AS BIGINT)
+         |   AS cum_tokens,
+         | round(CAST(sum(n_tokens) OVER (ORDER BY decile DESC) AS BIGINT)
+         |   / tot.nt, 4) AS cum_token_share
+         |FROM b, tot""".stripMargin
+    },
+    "q109_kanonymity" ->
+      """WITH g AS (
+        | SELECT c_nationkey, c_mktsegment, count(*) AS gsz
+        | FROM customer GROUP BY 1, 2),
+        |x AS (
+        | SELECT gsz, k FROM g
+        | CROSS JOIN (VALUES (2), (5), (10), (20)) t(k))
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_groups,
+        | CAST(min(gsz) AS BIGINT) AS min_group,
+        | CAST(sum(CASE WHEN gsz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS groups_below,
+        | CAST(sum(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT)
+        |   AS rows_at_risk,
+        | round(CAST(sum(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT)
+        |   / CAST(sum(gsz) AS BIGINT), 4) AS risk_pct
+        |FROM x GROUP BY 1""".stripMargin,
+    "q110_shard_manifest" ->
+      s"""WITH tk AS (
+         | SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'))
+         |  END AS n_tokens,
+         |  ${bucketSql("doc_id")} % 16 AS shard
+         | FROM documents),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM tk)
+         |SELECT shard, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         | round(CAST(sum(n_tokens) AS BIGINT) / tot.nt, 6) AS token_share,
+         | round(CAST(sum(n_tokens) AS BIGINT) * 16 / tot.nt, 4) AS balance
+         |FROM tk, tot
+         |GROUP BY shard, tot.nt""".stripMargin,
     // the identical 8-bit md5 bucket, Laplace smoothing, and log-ratio
     // algebra; bigrams via the 1-based range/list_transform rendering
     // of the same token rule

@@ -510,6 +510,49 @@ object SimilarityOps {
             .as("avg_margin"))
     },
 
+    // INCREMENTAL INDEX UPDATE — the index-maintenance audit: a new
+    // vector batch (vec_id ≡ 0 mod 10 stands in for "arrived after the
+    // index was built") is assigned to the FROZEN coarse quantizer —
+    // the production move for streaming ingest, since retraining
+    // centroids per batch would re-cluster the whole corpus. The table
+    // reports, per cell, base vs delta occupancy and cohesion (mean
+    // cosine to the home centroid): a cell whose delta cohesion drops
+    // below its base cohesion is absorbing vectors the frozen quantizer
+    // no longer represents well — the retraining trigger, detected
+    // BEFORE recall degrades. Same plan shape as s56: one 16-centroid
+    // broadcast crossJoin scored map-side, the per-vector arg-max
+    // window, one cid partial agg; the delta flag is a pure row-local
+    // predicate, so "update" costs the same single pass the base
+    // assignment does. Means of rounded-6 cosines → round 4 + sign
+    // guard (the s55/s56 discipline); drift subtracts the two
+    // ALREADY-ROUNDED means, so it is grid-exact in both engines.
+    "s57_index_update" -> { (s, d) =>
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosc").desc, col("cid").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cosc", round(cos(col("emb"), col("cemb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("is_delta", col("vec_id") % 10 === 0)
+      assigned.groupBy(col("cid"))
+        .agg(
+          sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+          (round(avg(when(!col("is_delta"), col("cosc"))), 4) + 0.0)
+            .as("base_cohesion"),
+          (round(avg(when(col("is_delta"), col("cosc"))), 4) + 0.0)
+            .as("delta_cohesion"))
+        .select(col("cid"), col("n_base"), col("n_delta"),
+          round(col("n_delta") / greatest(col("n_base"), lit(1L)), 4)
+            .as("growth"),
+          col("base_cohesion"), col("delta_cohesion"),
+          round(col("delta_cohesion") - col("base_cohesion"), 4)
+            .as("drift"))
+    },
+
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
     //
     // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
@@ -1615,6 +1658,37 @@ object SimilarityOps {
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
     "s37_ivf_ann" -> s37OracleSql,
+    // s37's fixed-quantizer cell CTEs verbatim (incl. the cosc the
+    // Spark side rounds to 6 before averaging); the delta flag is the
+    // same row-local mod-10 predicate, the means replay as avg(CASE)
+    "s57_index_update" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, cid, cosc, (vec_id % 10 = 0) AS is_delta FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |g AS (
+        | SELECT cid,
+        |  CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_base,
+        |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_delta,
+        |  round(avg(CASE WHEN NOT is_delta THEN cosc END), 4) + 0.0
+        |    AS base_cohesion,
+        |  round(avg(CASE WHEN is_delta THEN cosc END), 4) + 0.0
+        |    AS delta_cohesion
+        | FROM cell GROUP BY 1)
+        |SELECT cid, n_base, n_delta,
+        | round(n_delta / greatest(n_base, 1), 4) AS growth,
+        | base_cohesion, delta_cohesion,
+        | round(delta_cohesion - base_cohesion, 4) AS drift
+        |FROM g""".stripMargin,
     // the s49 cell CTEs + s39's quantization rendering; both ranking
     // stages replay via row_number on the same rounded scores and id
     // tie-breaks

@@ -563,6 +563,87 @@ object TextOps {
         .select(col("source"), col("n_docs"), col("ks_d"))
     },
 
+    // FLESCH READING EASE — the classic readability screen, rebuilt
+    // from portable primitives so both engines score identically:
+    // words by the shared token rule, sentences as maximal [.!?]+ runs,
+    // syllables estimated as maximal vowel-group runs ([aeiouy]+) —
+    // the standard letter-class approximation. Run counts come from a
+    // length delta (collapse each run to '#' vs delete it), so no
+    // regexp_extract_all/array materialization — three codegen'd
+    // regexp_replace calls per doc, zero shuffles (pure map). The
+    // 206.835 − 1.015·(w/s) − 84.6·(syl/w) formula evaluates
+    // left-associated on exact integer-ratio operands in both engines.
+    "t55_readability" -> { (s, d) =>
+      def runs(c: Column, cls: String): Column =
+        (length(regexp_replace(c, cls, "#"))
+          - length(regexp_replace(c, cls, ""))).cast("long")
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) > 0)
+        .withColumn("lt", lower(col("text")))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          greatest(lit(1L), runs(col("lt"), "[.!?]+")).as("n_sentences"),
+          greatest(lit(1L), runs(col("lt"), "[aeiouy]+")).as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables") / col("n_words")), 4)
+            .as("flesch"))
+    },
+
+    // GOPHER QUALITY RULES — the published rule-based pretraining
+    // filter (Rae et al. 2021, Gopher §A1.1): word-count bounds, mean
+    // word length in [3,10], symbol-to-word ratio (# and ellipsis),
+    // ≥80% words with an alphabetic char, and line-shape screens
+    // (bullet-start, ellipsis-end). Complements t35 (our heuristic
+    // gate) with the literature-standard rule set — a user can A/B the
+    // two keep-sets directly. Everything is per-doc map-side string
+    // arithmetic (no shuffle at all): counts via length-delta and
+    // higher-order array functions, all codegen-friendly; the verdict
+    // CASE evaluates on the ROUNDED ratios so both engines land on the
+    // same side of every threshold by construction. First-failing-rule
+    // reporting (CASE order) mirrors t35's reason column.
+    "t56_gopher_rules" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) > 0)
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("mwl", round(
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))") /
+            col("n_words"), 4))
+        .withColumn("n_sym",
+          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            .cast("long") +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+        .withColumn("symbol_ratio", round(col("n_sym") / col("n_words"), 4))
+        .withColumn("alpha_frac", round(
+          expr("size(filter(w, x -> x rlike '[a-zA-Z]'))").cast("long") /
+            col("n_words"), 4))
+        .withColumn("lines", split(col("text"), "\n"))
+        .withColumn("bullet_frac", round(
+          expr("size(filter(lines, x -> startswith(trim(x), '-') " +
+            "OR startswith(trim(x), '*')))").cast("long") /
+            size(col("lines")).cast("long"), 4))
+        .withColumn("ellipsis_frac", round(
+          expr("size(filter(lines, x -> endswith(trim(x), '...')))")
+            .cast("long") / size(col("lines")).cast("long"), 4))
+        .withColumn("reason",
+          when(col("n_words") < 50, "too_short")
+            .when(col("n_words") > 100000, "too_long")
+            .when(col("mwl") < 3.0 || col("mwl") > 10.0, "word_length")
+            .when(col("symbol_ratio") > 0.1, "symbol_ratio")
+            .when(col("alpha_frac") < 0.8, "low_alpha")
+            .when(col("bullet_frac") > 0.9, "bullet_lines")
+            .when(col("ellipsis_frac") > 0.3, "ellipsis_lines")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("n_words"), col("mwl"),
+          col("symbol_ratio"), col("alpha_frac"), col("bullet_frac"),
+          col("ellipsis_frac"), col("reason"),
+          (col("reason") === "keep").as("keep"))
+    },
+
     // PMI COLLOCATIONS — corpus-level top-20 bigram collocations by
     // pointwise mutual information: the phrase-mining pass (tokenizer
     // merge candidates, multi-word entities) a corpus study runs beside
@@ -1029,6 +1110,66 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same run-counting length deltas (DuckDB regexp_replace needs
+    // the explicit 'g' flag for the global semantics Spark defaults to)
+    "t55_readability" ->
+      """WITH tok AS (
+        | SELECT doc_id, lower(text) AS lt,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, length(regexp_replace(lt, '[.!?]+', '#', 'g'))
+        |    - length(regexp_replace(lt, '[.!?]+', '', 'g'))) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(greatest(1, length(regexp_replace(lt, '[aeiouy]+', '#', 'g'))
+        |    - length(regexp_replace(lt, '[aeiouy]+', '', 'g'))) AS BIGINT)
+        |    AS n_syllables
+        | FROM tok WHERE len(w) > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | round(206.835 - 1.015 * (n_words / n_sentences)
+        |   - 84.6 * (n_syllables / n_words), 4) AS flesch
+        |FROM m""".stripMargin,
+    // the identical length-delta counts, lambda screens, and rounded
+    // thresholds; chr(10) is the \n the Spark side splits on
+    "t56_gopher_rules" ->
+      """WITH tok AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END AS w,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  round(list_sum(list_transform(w, x -> length(x)))
+        |    / len(w), 4) AS mwl,
+        |  round((CAST(length(text) - length(replace(text, '#', ''))
+        |      AS BIGINT)
+        |    + (length(text) - length(replace(text, '...', ''))) // 3)
+        |    / len(w), 4) AS symbol_ratio,
+        |  round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+        |    / len(w), 4) AS alpha_frac,
+        |  round(len(list_filter(lines, x ->
+        |      starts_with(trim(x), '-') OR starts_with(trim(x), '*')))
+        |    / len(lines), 4) AS bullet_frac,
+        |  round(len(list_filter(lines, x -> ends_with(trim(x), '...')))
+        |    / len(lines), 4) AS ellipsis_frac
+        | FROM tok WHERE len(w) > 0),
+        |v AS (
+        | SELECT *,
+        |  CASE WHEN n_words < 50 THEN 'too_short'
+        |       WHEN n_words > 100000 THEN 'too_long'
+        |       WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |       WHEN alpha_frac < 0.8 THEN 'low_alpha'
+        |       WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+        |       WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+        |       ELSE 'keep' END AS reason
+        | FROM m)
+        |SELECT doc_id, n_words, mwl, symbol_ratio, alpha_frac,
+        | bullet_frac, ellipsis_frac, reason, (reason = 'keep') AS keep
+        |FROM v""".stripMargin,
     // gram identity via the string itself (the d33 discipline — no
     // xxhash64 in DuckDB; hashing is an impl detail of the join key)
     "t46_source_overlap" ->

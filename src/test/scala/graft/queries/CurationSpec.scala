@@ -643,4 +643,225 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._4 > 1), "corpus must contain at least one real cluster")
     SparkEntry.release(spark)
   }
+
+  test("q108 token budget curve: cumulative columns replay from the per-decile rows and end at the full corpus") {
+    val rows = SparkEntry.queries("q108_token_budget_curve")(spark, sf0001)
+      .orderBy(col("decile").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    var cd = 0L; var ct = 0L
+    rows.foreach { case (_, nd, nt, cumD, cumT, share) =>
+      cd += nd; ct += nt
+      assert(cumD === cd && cumT === ct, "cumulative mismatch")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(math.abs(rows.last._6 - 1.0) < 1e-9,
+      "the worst decile's cumulative share must cover the whole corpus")
+  }
+
+  test("q109 k-anonymity: risk counts replay from the raw QI group sizes and grow with k") {
+    val gsz = graft.Tables.t(spark, sf0001, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(_.getLong(2))
+    val rows = SparkEntry.queries("q109_kanonymity")(spark, sf0001)
+      .orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 5L, 10L, 20L))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) === gsz.length.toLong)
+      assert(r.getLong(2) === gsz.min)
+      assert(r.getLong(3) === gsz.count(_ < k).toLong)
+      assert(r.getLong(4) === gsz.filter(_ < k).sum)
+    }
+    val risks = rows.map(_.getLong(4))
+    assert(risks.sliding(2).forall(p => p(0) <= p(1)),
+      "rows-at-risk must be monotone in k")
+  }
+
+  test("q110 shard manifest: assignment is the md5 bucket mod 16 and every doc lands in exactly one shard") {
+    val rows = SparkEntry.queries("q110_shard_manifest")(spark, sf0001).collect()
+    val nDocs = graft.Tables.t(spark, sf0001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "shards must partition the corpus")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    val shares = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, "token shares must sum to ~1")
+    // replay one shard's membership driver-side
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected0 = docs.count { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 16 == 0
+    }
+    assert(rows.find(_.getLong(0) == 0L).map(_.getLong(1)).getOrElse(0L)
+      === expected0.toLong, "shard 0 membership must replay from md5")
+  }
+
+  test("q111 hourly anomalies: flags replay exactly from the hourly counts via the integer z² rule") {
+    val hourly = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val byType = hourly.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = SparkEntry.queries("q111_hourly_anomalies")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      val cs = byType(r.getString(0))
+      val n = cs.length.toLong; val sc = cs.sum; val scc = cs.map(c => c * c).sum
+      assert(n > 1)
+      val anomalous = cs.filter { c =>
+        val dev = c * n - sc
+        dev * dev * (n - 1) > 4 * n * (n * scc - sc * sc)
+      }
+      assert(r.getLong(1) === n && r.getLong(2) === sc)
+      assert(r.getLong(3) === anomalous.length.toLong,
+        s"${r.getString(0)}: anomaly count mismatch")
+      assert(r.getLong(4) === anomalous.sum)
+    }
+    assert(rows.map(_.getString(0)).toSet ===
+      byType.filter(_._2.length > 1).keySet)
+  }
+
+  test("t55 readability: counts replay driver-side and the formula is the Flesch identity") {
+    val rows = SparkEntry.queries("t55_readability")(spark, sf0001)
+      .limit(200).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def runsOf(s: String, cls: scala.util.matching.Regex): Long =
+      cls.findAllIn(s).length.toLong
+    rows.foreach { r =>
+      val (id, w, sen, syl, fl) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      val lt = texts(id).toLowerCase
+      assert(sen === math.max(1L, runsOf(lt, "[.!?]+".r)), s"doc $id sentences")
+      assert(syl === math.max(1L, runsOf(lt, "[aeiouy]+".r)), s"doc $id syllables")
+      val expected = math.rint((206.835 - 1.015 * (w.toDouble / sen)
+        - 84.6 * (syl.toDouble / w)) * 1e4) / 1e4
+      assert(math.abs(fl - expected) < 1e-9, s"doc $id flesch")
+    }
+  }
+
+  test("t56 gopher rules: reasons replay driver-side in rule order") {
+    val rows = SparkEntry.queries("t56_gopher_rules")(spark, sf0001)
+      .limit(300).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = texts(id).trim.split("[ \t\n\f\r]+").toSeq
+      val lines = texts(id).split("\n", -1).toSeq
+      val nw = w.length.toLong
+      assert(r.getLong(1) === nw)
+      val mwl = r4(w.map(_.length).sum.toDouble / nw)
+      val nSym = texts(id).count(_ == '#') +
+        "\\.\\.\\.".r.findAllIn(texts(id)).length
+      val alpha = r4(w.count(_.exists(_.isLetter)).toDouble / nw)
+      val bullet = r4(lines.count(l => l.trim.startsWith("-") ||
+        l.trim.startsWith("*")).toDouble / lines.length)
+      val ell = r4(lines.count(_.trim.endsWith("...")).toDouble / lines.length)
+      val expected =
+        if (nw < 50) "too_short"
+        else if (nw > 100000) "too_long"
+        else if (mwl < 3.0 || mwl > 10.0) "word_length"
+        else if (r4(nSym.toDouble / nw) > 0.1) "symbol_ratio"
+        else if (alpha < 0.8) "low_alpha"
+        else if (bullet > 0.9) "bullet_lines"
+        else if (ell > 0.3) "ellipsis_lines"
+        else "keep"
+      assert(r.getString(7) === expected, s"doc $id reason")
+      assert(r.getBoolean(8) === (expected == "keep"))
+    }
+  }
+
+  test("q112 decay engagement: scores replay driver-side within the round grid") {
+    val rows = SparkEntry.queries("q112_decay_engagement")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val mx = ev.map(_._3).max
+    val k = math.log(2.0) / 7.0
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { case (u, n, score) =>
+      val evs = byUser(u)
+      assert(n === evs.length.toLong)
+      val exp0 = evs.map { case (_, v, us) =>
+        v * math.exp(-k * ((mx - us) / 86400000000.0)) }.sum
+      assert(math.abs(score - exp0) < 1e-3, s"user $u score")
+    }
+    assert(rows.map(_._1).toSet === byUser.keySet)
+  }
+
+  test("q113 event lift: counts replay from driver-side baskets; lift is the exact ratio") {
+    val baskets = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), to_date(col("ts")), col("event_type"))
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toString), r.getString(2)))
+    val byBasket = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val nB = byBasket.size.toLong
+    val typeCount = baskets.groupBy(_._2).view.mapValues(_.length.toLong)
+    val rows = SparkEntry.queries("q113_event_lift")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val nab = byBasket.values.count(s => s(a) && s(b)).toLong
+      assert(r.getLong(2) === nab, s"($a,$b) n_ab")
+      assert(r.getLong(3) === typeCount(a) && r.getLong(4) === typeCount(b))
+      val lift = math.rint(nab * nB * 1e4 / (typeCount(a) * typeCount(b))) / 1e4
+      assert(math.abs(r.getDouble(5) - lift) < 1e-9)
+    }
+  }
+
+  test("q114 ab z-test: arms partition the users and z² replays from the four integers") {
+    val row = SparkEntry.queries("q114_ab_ztest")(spark, sf0001).collect()
+    assert(row.length === 1)
+    val r = row.head
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val nUsers = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(na + nb === nUsers)
+    assert(xa <= na && xb <= nb && xa >= 0 && xb >= 0)
+    // replay conversion per user from the raw events
+    val conv = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+        1L).otherwise(0L)).as("c"))
+      .agg(sum(col("c"))).collect().head.getLong(0)
+    assert(xa + xb === conv)
+    assert(conv > 0 && conv < nUsers,
+      "conversion must be non-degenerate on this corpus")
+    val num = (xa * nb - xb * na).toDouble * (xa * nb - xb * na) * (na + nb)
+    val den = na.toDouble * nb * (xa + xb) * (na + nb - xa - xb)
+    assert(math.abs(r.getDouble(6) - math.rint(num / den * 1e6) / 1e6) < 1e-9)
+    assert(r.getBoolean(7) === (r.getDouble(6) > 3.8416))
+  }
+
+  test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
+    val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
+    val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nVec,
+      "base + delta occupancy must partition the corpus")
+    val nDelta = graft.Tables.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getLong(2)).sum === nDelta)
+    rows.foreach { r =>
+      Seq(4, 5).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9, s"cohesion out of range")
+      }
+      if (!r.isNullAt(4) && !r.isNullAt(5))
+        assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4)))
+          < 1e-9, "drift must be the difference of the rounded means")
+    }
+    SparkEntry.release(spark)
+  }
 }
