@@ -573,4 +573,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Broadcast"),
       s"the per-source count table must broadcast in:\n$p")
   }
+
+  test("q111 anomalies: per-type moments broadcast back onto hourly rows — the rollup never re-shuffles for the join") {
+    val p = plan("q111_hourly_anomalies")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row moment table must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("event_type")),
+      s"only event_type-keyed shuffles expected, got $exchanges in:\n$p")
+  }
+
+  test("t56 gopher rules: pure map — zero exchanges, one documents scan") {
+    val p = plan("t56_gopher_rules")
+    assert(!p.contains("Exchange"), s"rule screen must not shuffle:\n$p")
+  }
+
+  test("q110 shard manifest: map-side assignment into a 16-row partial agg; the token total broadcasts") {
+    val p = plan("q110_shard_manifest")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("shard")),
+      s"only the shard partial-agg shuffle expected, got $exchanges in:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the 1-row token total must broadcast in:\n$p")
+  }
+
+  test("q114 ab z-test: one user-keyed shuffle, then 2-row and 1-row aggregates") {
+    val p = plan("q114_ab_ztest")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("user_id", "arm")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
 }
