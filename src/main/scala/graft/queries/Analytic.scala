@@ -530,6 +530,39 @@ object Analytic {
           sum(when(anom, col("c")).otherwise(0L)).as("anomalous_events"))
     },
 
+    // SNAPSHOT DIFF — the CDC/table-versioning shape: given two
+    // snapshots of the orders table, classify every key as inserted /
+    // deleted / modified / unchanged and emit per-class counts and key
+    // checksums — the audit a lakehouse runs between commits. The two
+    // snapshots derive deterministically from the one corpus table
+    // (md5-bucket %97 keys absent from the old snapshot, %89 absent
+    // from the new, %13 carrying a price edit), so both engines replay
+    // the same diff. Plan shape: ONE full-outer sort-merge join keyed
+    // by o_orderkey — the CDC plan at any scale — then a 4-row partial
+    // agg; the modified-row test compares exact doubles (the edit adds
+    // the same literal in both engines).
+    "q115_snapshot_diff" -> { (s, d) =>
+      val b = SamplingOps.bucket(col("o_orderkey"))
+      val base = t(s, d, "orders")
+      val old = base.filter(b % 97 =!= 0).select(col("o_orderkey"),
+        when(b % 13 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("price_a"),
+        col("o_orderstatus").as("status_a"))
+      val cur = base.filter(b % 89 =!= 0).select(col("o_orderkey"),
+        col("o_totalprice").as("price_b"),
+        col("o_orderstatus").as("status_b"))
+      old.join(cur, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("status_a").isNull, "inserted")
+            .when(col("status_b").isNull, "deleted")
+            .when(col("price_a") =!= col("price_b") ||
+              col("status_a") =!= col("status_b"), "modified")
+            .otherwise("unchanged"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_checksum"))
+    },
+
     // TIME-DECAYED ENGAGEMENT — the feature-store shape: per user, a
     // recency-weighted activity score Σ value·2^(−age/7d) anchored at
     // the corpus watermark (max ts), the half-life feature a ranking
@@ -1278,6 +1311,36 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical bucket-derived snapshots, diff replayed with the same
+    // literal edit and null-signature classification
+    "q115_snapshot_diff" -> {
+      val b = SamplingOps.bucketSql("o_orderkey")
+      s"""WITH bkt AS (
+         | SELECT o_orderkey, o_orderstatus, o_totalprice, ${b} AS b
+         | FROM orders),
+         |old AS (
+         | SELECT o_orderkey,
+         |  CASE WHEN b % 13 = 0 THEN o_totalprice + 10.0
+         |       ELSE o_totalprice END AS price_a,
+         |  o_orderstatus AS status_a
+         | FROM bkt WHERE b % 97 <> 0),
+         |cur AS (
+         | SELECT o_orderkey, o_totalprice AS price_b,
+         |  o_orderstatus AS status_b
+         | FROM bkt WHERE b % 89 <> 0),
+         |j AS (
+         | SELECT coalesce(old.o_orderkey, cur.o_orderkey) AS k,
+         |  price_a, status_a, price_b, status_b
+         | FROM old FULL OUTER JOIN cur
+         |  ON old.o_orderkey = cur.o_orderkey)
+         |SELECT CASE WHEN status_a IS NULL THEN 'inserted'
+         |            WHEN status_b IS NULL THEN 'deleted'
+         |            WHEN price_a <> price_b OR status_a <> status_b
+         |              THEN 'modified'
+         |            ELSE 'unchanged' END AS change_type,
+         | count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_checksum
+         |FROM j GROUP BY 1""".stripMargin
+    },
     // the SAME driver-rendered decay literal; epoch_us supplies the
     // identical exact integer micros the Spark side reads
     "q112_decay_engagement" ->

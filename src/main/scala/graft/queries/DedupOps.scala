@@ -768,6 +768,35 @@ object DedupOps {
           sum(col("doc_id")).as("sum_id"))
     },
 
+    // SOFT DEDUP — the downweighting alternative to dropping: keep
+    // every duplicate but weight it 1/cluster_size, so each dup
+    // cluster contributes exactly one document's worth of probability
+    // mass to the training mix (the repetition-penalty framing of
+    // dedup). The table compares, per source, the three budgets a
+    // curator chooses between: raw, hard (d41 keep-list), and soft
+    // (weighted) — showing how much of the hard-dedup loss soft dedup
+    // returns. One doc_id equi-join of the d41 labels onto the token
+    // projection, then a per-source partial agg; the per-row weight is
+    // an exact-operand division, summed then rounded (4 dp absorbs FP
+    // summation order).
+    "d57_soft_dedup" -> { (s, d) =>
+      val lab = queries("d41_canonical_docs")(s, d)
+        .select(col("doc_id"), col("keep"), col("cluster_size"))
+      val toks = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(graft.queries.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      lab.join(toks, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("hard_docs"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+            .as("hard_tokens"),
+          round(sum(lit(1.0) / col("cluster_size")), 4).as("soft_docs"),
+          round(sum(col("n_tokens") / col("cluster_size")), 4)
+            .as("soft_tokens"))
+    },
+
     "d38_decontamination" -> { (s, d) =>
       def grams(df: DataFrame): DataFrame = df
         .withColumn("w", tokens(col("text")))
@@ -1101,6 +1130,28 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     // gram identity via the string (hashing is a join-key impl detail)
     "d38_decontamination" -> d38OracleSql,
+    // wraps the d41 oracle verbatim; weights divide as DOUBLE (DuckDB's
+    // bare 1.0 is DECIMAL, whose division rounds differently)
+    "d57_soft_dedup" -> {
+      s"""WITH lab AS (
+         | SELECT doc_id, keep, cluster_size FROM (${d41OracleSql}) d41),
+         |tk AS (
+         | SELECT doc_id, source,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'))
+         |  END AS n_tokens
+         | FROM documents)
+         |SELECT tk.source, count(*) AS n_docs,
+         | CAST(sum(tk.n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN lab.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS hard_docs,
+         | CAST(sum(CASE WHEN lab.keep THEN tk.n_tokens ELSE 0 END)
+         |   AS BIGINT) AS hard_tokens,
+         | round(sum(CAST(1 AS DOUBLE) / lab.cluster_size), 4) AS soft_docs,
+         | round(sum(tk.n_tokens / lab.cluster_size), 4) AS soft_tokens
+         |FROM lab JOIN tk USING (doc_id)
+         |GROUP BY 1""".stripMargin
+    },
     // wraps d41's SQL + t24's registry oracle verbatim; the election
     // replayed as a (qkey DESC, doc_id ASC) row_number
     "d55_quality_canonical" -> {

@@ -845,6 +845,65 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getBoolean(7) === (r.getDouble(6) > 3.8416))
   }
 
+  test("d57 soft dedup: weighted budgets replay from the d41 labels and sit between hard and raw") {
+    val lab = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
+      .select(col("doc_id"), col("keep"), col("cluster_size")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    SparkEntry.release(spark)
+    val toks = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.queries.TextOps.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = SparkEntry.queries("d57_soft_dedup")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val docs = toks.filter(_._2 == src)
+      assert(r.getLong(1) === docs.length.toLong)
+      assert(r.getLong(3) === docs.count(d => lab(d._1)._1).toLong)
+      val softDocs = docs.map(d => 1.0 / lab(d._1)._2).sum
+      val softToks = docs.map(d => d._3.toDouble / lab(d._1)._2).sum
+      assert(math.abs(r.getDouble(5) - softDocs) < 1e-3, s"$src soft_docs")
+      assert(math.abs(r.getDouble(6) - softToks) < 1e-3, s"$src soft_tokens")
+      // soft never exceeds the raw budget (per source); the soft ≥ hard
+      // ordering holds only globally — clusters span sources
+      assert(r.getDouble(5) <= r.getLong(1).toDouble + 1e-9)
+    }
+    // globally, soft mass ≡ one doc per cluster ≡ the hard keep count
+    assert(math.abs(rows.map(_.getDouble(5)).sum
+      - rows.map(_.getLong(3)).sum.toDouble) < 1e-2,
+      "global soft mass must equal the hard keep count")
+    SparkEntry.release(spark)
+  }
+
+  test("q115 snapshot diff: every class count replays from the bucket rules and classes partition the key union") {
+    val rows = SparkEntry.queries("q115_snapshot_diff")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    def bucket(k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16)
+    }
+    val expected = keys.groupBy { k =>
+      val b = bucket(k)
+      val inOld = b % 97 != 0; val inCur = b % 89 != 0
+      if (inOld && !inCur) "deleted"
+      else if (!inOld && inCur) "inserted"
+      else if (inOld && inCur && b % 13 == 0) "modified"
+      else if (inOld && inCur) "unchanged"
+      else "absent" // in neither snapshot — must not appear in the diff
+    }
+    expected.filter(_._1 != "absent").foreach { case (cls, ks) =>
+      assert(rows.get(cls).map(_._1).getOrElse(0L) === ks.length.toLong,
+        s"$cls count")
+      assert(rows.get(cls).map(_._2).getOrElse(0L) === ks.sum, s"$cls checksum")
+    }
+    assert(rows.keySet.subsetOf(
+      Set("inserted", "deleted", "modified", "unchanged")))
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
