@@ -530,6 +530,52 @@ object Analytic {
           sum(when(anom, col("c")).otherwise(0L)).as("anomalous_events"))
     },
 
+    // WATERMARK AUDIT — how late would a watermark of W drop events?
+    // The corpus stores events in timestamp order, so arrival is
+    // simulated with a bounded deterministic jitter (md5(event_id) mod
+    // 2 h); the watermark at each arrival is the running max event time
+    // over arrival order, and an event is dropped at watermark W iff
+    // watermark − event_time > W — exactly Structured Streaming's rule,
+    // so this table is how EventStreams' withWatermark values get
+    // chosen from data instead of folklore. The running max uses the
+    // t31 block decomposition (hourly blocks: per-block window + a
+    // prefix-max over the ≤ #hours block table broadcast back) — never
+    // a global single-partition window over the corpus. All-integer
+    // micros; the share divides two exact longs.
+    "q116_watermark_audit" -> { (s, d) =>
+      val us = unix_micros(col("ts"))
+      val arrival = (us + (SamplingOps.bucket(col("event_id")) % 7200L)
+        * 1000000L).as("arr")
+      val ev = t(s, d, "events")
+        .select(col("event_id"), us.as("us"), arrival)
+        .withColumn("__blk", expr("arr div 3600000000"))
+      val wIn = Window.partitionBy(col("__blk"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blkMax = ev.groupBy(col("__blk")).agg(max(col("us")).as("bmax"))
+      val wPrefix = Window.orderBy(col("__blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixes = blkMax
+        .withColumn("prior", max(col("bmax")).over(wPrefix))
+        .select(col("__blk"), col("prior"))
+      val late = ev.join(broadcast(prefixes), "__blk")
+        .withColumn("wm",
+          greatest(max(col("us")).over(wIn),
+            coalesce(col("prior"), col("us"))))
+        .withColumn("late_us", col("wm") - col("us"))
+      late.select(col("late_us"),
+          explode(array(lit(600L), lit(1800L), lit(3600L), lit(7200L)))
+            .as("threshold_s"))
+        .groupBy(col("threshold_s"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("threshold_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_dropped"),
+          (max(col("late_us")).cast("long")).as("max_late_us"))
+        .select(col("threshold_s"), col("n_events"), col("n_dropped"),
+          round(col("n_dropped") / col("n_events"), 6).as("drop_share"),
+          col("max_late_us"))
+    },
+
     // SNAPSHOT DIFF — the CDC/table-versioning shape: given two
     // snapshots of the orders table, classify every key as inserted /
     // deleted / modified / unchanged and emit per-class counts and key
@@ -1311,6 +1357,30 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the block decomposition is a Spark-side scale tactic only — the
+    // oracle replays the running max as ONE window over arrival order
+    "q116_watermark_audit" -> {
+      val b = SamplingOps.bucketSql("event_id")
+      s"""WITH x AS (
+         | SELECT event_id, epoch_us(ts) AS us,
+         |  epoch_us(ts) + (${b} % 7200) * 1000000 AS arr
+         | FROM events),
+         |l AS (
+         | SELECT us, max(us) OVER (ORDER BY arr, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+         |   AS late_us
+         | FROM x),
+         |t AS (
+         | SELECT late_us, CAST(k AS BIGINT) AS k FROM l
+         | CROSS JOIN (VALUES (600), (1800), (3600), (7200)) v(k))
+         |SELECT k AS threshold_s, count(*) AS n_events,
+         | CAST(sum(CASE WHEN late_us > k * 1000000 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_dropped,
+         | round(CAST(sum(CASE WHEN late_us > k * 1000000 THEN 1 ELSE 0 END)
+         |   AS BIGINT) / count(*), 6) AS drop_share,
+         | CAST(max(late_us) AS BIGINT) AS max_late_us
+         |FROM t GROUP BY 1""".stripMargin
+    },
     // identical bucket-derived snapshots, diff replayed with the same
     // literal edit and null-signature classification
     "q115_snapshot_diff" -> {

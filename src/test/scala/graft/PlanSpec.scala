@@ -599,6 +599,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the 1-row token total must broadcast in:\n$p")
   }
 
+  test("q116 watermark audit: running max partitions by block; the prefix table broadcasts") {
+    val p = plan("q116_watermark_audit")
+    assert(p.contains("hashpartitioning(__blk"),
+      s"corpus running-max window must partition by block in:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the #blocks prefix table must broadcast in:\n$p")
+  }
+
   test("q114 ab z-test: one user-keyed shuffle, then 2-row and 1-row aggregates") {
     val p = plan("q114_ab_ztest")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r

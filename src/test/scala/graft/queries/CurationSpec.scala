@@ -904,6 +904,39 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Set("inserted", "deleted", "modified", "unchanged")))
   }
 
+  test("q116 watermark audit: drop counts replay from a driver-side single-pass watermark simulation") {
+    val rows = SparkEntry.queries("q116_watermark_audit")(spark, sf0001)
+      .orderBy("threshold_s").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(600L, 1800L, 3600L, 7200L))
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("event_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def bucket(k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16)
+    }
+    val byArrival = ev.map { case (id, us) =>
+      (us + (bucket(id) % 7200L) * 1000000L, id, us)
+    }.sortBy(t => (t._1, t._2))
+    var wm = Long.MinValue
+    val lates = byArrival.map { case (_, _, us) =>
+      wm = math.max(wm, us); wm - us
+    }
+    rows.foreach { r =>
+      val w = r.getLong(0) * 1000000L
+      assert(r.getLong(1) === ev.length.toLong)
+      assert(r.getLong(2) === lates.count(_ > w).toLong,
+        s"threshold ${r.getLong(0)}s drop count")
+      assert(r.getLong(4) === lates.max)
+    }
+    val drops = rows.map(_.getLong(2))
+    assert(drops.sliding(2).forall(p => p(0) >= p(1)),
+      "drops must be monotone non-increasing in the watermark")
+    assert(drops.head > 0, "the 10-minute watermark must drop something")
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
