@@ -518,6 +518,36 @@ object MultimodalOps extends Serializable {
     // canonical asset here even though every whole-file digest (d27/
     // m31) differs. Beyond m36's own candidate work, exchanges are
     // keyed by doc_id (component join) and cluster_rep (size agg).
+    // CLEAN-ASSET VERDICT — the d44 analog for the multimodal table:
+    // one per-asset decision composing the dup clusters (m43), the
+    // entropy screen (m39), and a min-size gate off the typed metadata,
+    // in fixed priority order (duplicate ≻ undecodable ≻ low_entropy ≻
+    // tiny ≻ keep). "undecodable" is the asset whose payload produced
+    // no tiles at all — the decode-failure branch a real media pipeline
+    // must route to quarantine, not silently keep. Joins are all
+    // doc_id-keyed; the decision CASE evaluates on already-aggregated
+    // per-asset rows, so the verdict costs its component gates plus two
+    // keyed joins — the same composition algebra d44 uses for text.
+    "m44_clean_assets" -> { (s, d) =>
+      val clusters = queries("m43_asset_clusters")(s, d)
+        .select(col("doc_id"), col("cluster_rep"),
+          col("keep").as("dup_keep"), col("cluster_size"))
+      val quality = queries("m39_asset_quality")(s, d)
+        .select(col("doc_id"), col("suspect"))
+      val meta = multimodalTable(s, d)
+        .select(col("doc_id"), col("meta.n_chars").as("n_chars"))
+      val decision =
+        when(!col("dup_keep"), "duplicate")
+          .when(col("suspect").isNull, "undecodable")
+          .when(col("suspect"), "low_entropy")
+          .when(col("n_chars") < 64, "tiny")
+          .otherwise("keep")
+      clusters.join(quality, Seq("doc_id"), "left")
+        .join(meta, "doc_id")
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+          decision.as("decision"), (decision === "keep").as("keep"))
+    },
+
     "m43_asset_clusters" -> { (s, d) =>
       val edges = queries("m36_asset_similarity")(s, d)
         .select(col("ia"), col("ib"))
@@ -643,16 +673,7 @@ object MultimodalOps extends Serializable {
     "m38_tile_entropy" -> m38OracleSql,
     // wraps the m38 SQL verbatim; the flag compares the 4-dp-rounded
     // entropies, identical in both engines
-    "m39_asset_quality" ->
-      s"""SELECT doc_id, count(*) AS n_tiles,
-         | min(entropy_bits) AS min_tile_entropy,
-         | max(entropy_bits) AS max_tile_entropy,
-         | CAST(sum(CASE WHEN entropy_bits < 3.0 THEN 1 ELSE 0 END)
-         |   AS BIGINT) AS n_low_entropy,
-         | sum(CASE WHEN entropy_bits < 3.0 THEN 1 ELSE 0 END) > 0
-         |   AS suspect
-         |FROM ($m38OracleSql) m38
-         |GROUP BY 1""".stripMargin,
+    "m39_asset_quality" -> m39OracleSql,
     "m35_shared_tiles" ->
       s"""SELECT tile_md5, count(DISTINCT doc_id) AS n_docs,
          | count(*) AS n_tiles, min(doc_id) AS first_doc
@@ -718,9 +739,50 @@ object MultimodalOps extends Serializable {
          | JOIN sz sa ON sa.doc_id = ia
          | JOIN sz sb ON sb.doc_id = ib
          |WHERE inter / (sa.nt + sb.nt - inter) >= 0.5""".stripMargin,
+    // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
+    "m31_payload_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        | md5(text) AS payload_md5, source
+        |FROM documents""".stripMargin,
+    "m32_payload_features" -> m32Oracle,
+    // range(0, 64) mirrors the Spark side's explicit 64-frame cap
+    // (least(nf, 64)) — both engines share the bounded-sampling
+    // semantic, so the compare stays exact for any document length.
+    "m33_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  least(CAST(floor(length(text) / 32) AS BIGINT), 64) AS nf
+        | FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        | md5(substring(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
+        |FROM f, range(0, 64) r(i)
+        |WHERE i < nf AND i % 4 = 0""".stripMargin,
     // m36's edge CTEs + the d31-family recursive transitive closure +
     // the d41 singleton/keep/size finishing, all integer/boolean
-    "m43_asset_clusters" ->
+    "m43_asset_clusters" -> m43OracleSql,
+    // wraps the m43 + m39 oracles verbatim with the identical decision
+    // CASE; meta.n_chars reads straight off the documents view
+    "m44_clean_assets" ->
+      s"""WITH cl AS (
+         | SELECT doc_id, cluster_rep, keep AS dup_keep, cluster_size
+         | FROM ($m43OracleSql) m43),
+         |q AS (SELECT doc_id, suspect FROM ($m39OracleSql) m39),
+         |meta AS (SELECT doc_id, n_chars FROM documents)
+         |SELECT cl.doc_id, cl.cluster_rep, cl.cluster_size,
+         | CASE WHEN NOT cl.dup_keep THEN 'duplicate'
+         |      WHEN q.suspect IS NULL THEN 'undecodable'
+         |      WHEN q.suspect THEN 'low_entropy'
+         |      WHEN meta.n_chars < 64 THEN 'tiny'
+         |      ELSE 'keep' END AS decision,
+         | (CASE WHEN NOT cl.dup_keep THEN 'duplicate'
+         |      WHEN q.suspect IS NULL THEN 'undecodable'
+         |      WHEN q.suspect THEN 'low_entropy'
+         |      WHEN meta.n_chars < 64 THEN 'tiny'
+         |      ELSE 'keep' END) = 'keep' AS keep
+         |FROM cl LEFT JOIN q ON cl.doc_id = q.doc_id
+         | JOIN meta ON cl.doc_id = meta.doc_id""".stripMargin)
+
+  private def m43OracleSql: String =
       s"""WITH tiles AS (
          | SELECT DISTINCT doc_id, tile_md5 FROM ($m34OracleSql)),
          |sz AS (SELECT doc_id, count(*) AS nt FROM tiles GROUP BY 1),
@@ -753,24 +815,16 @@ object MultimodalOps extends Serializable {
          | FROM labeled GROUP BY 1)
          |SELECT l.doc_id, l.cluster_rep,
          | l.doc_id = l.cluster_rep AS keep, szc.cluster_size
-         |FROM labeled l JOIN szc ON l.cluster_rep = szc.cluster_rep""".stripMargin,
-    // md5(string) in DuckDB == md5(utf-8 bytes) in Spark: same digest.
-    "m31_payload_meta" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-        | md5(text) AS payload_md5, source
-        |FROM documents""".stripMargin,
-    "m32_payload_features" -> m32Oracle,
-    // range(0, 64) mirrors the Spark side's explicit 64-frame cap
-    // (least(nf, 64)) — both engines share the bounded-sampling
-    // semantic, so the compare stays exact for any document length.
-    "m33_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-        |  least(CAST(floor(length(text) / 32) AS BIGINT), 64) AS nf
-        | FROM documents)
-        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        | md5(substring(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
-        |FROM f, range(0, 64) r(i)
-        |WHERE i < nf AND i % 4 = 0""".stripMargin
-  )
+         |FROM labeled l JOIN szc ON l.cluster_rep = szc.cluster_rep""".stripMargin
+
+  private def m39OracleSql: String =
+      s"""SELECT doc_id, count(*) AS n_tiles,
+         | min(entropy_bits) AS min_tile_entropy,
+         | max(entropy_bits) AS max_tile_entropy,
+         | CAST(sum(CASE WHEN entropy_bits < 3.0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_low_entropy,
+         | sum(CASE WHEN entropy_bits < 3.0 THEN 1 ELSE 0 END) > 0
+         |   AS suspect
+         |FROM ($m38OracleSql) m38
+         |GROUP BY 1""".stripMargin
 }

@@ -553,6 +553,37 @@ object SimilarityOps {
             .as("drift"))
     },
 
+    // CENTROID SHIFT — the retraining decision s57 motivates, made
+    // quantitative: one Lloyd step per cell (the mean of the vectors
+    // the frozen centroid currently owns) and the per-dimension drift
+    // between that mean and the centroid. A cell whose members' mean
+    // has moved far from its centroid is a cell the quantizer no
+    // longer represents — l1_shift is the retraining trigger metric,
+    // per cell, with max_dim_shift localizing WHICH dimension drifted.
+    // Plan: the shared cell assignment posexploded into (cid, dim)
+    // partial-agg means (the s36 shape — never a per-vector window),
+    // joined to the exploded centroid components keyed by (cid, dim),
+    // then one 16-row agg. Means round at 6 before the exact-operand
+    // subtraction; the 64-term L1 sum rounds at 4 (FP order).
+    "s58_centroid_shift" -> { (s, d) =>
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      val means = cellAssignMemo(s, d)
+        .select(col("cid"), posexplode(col("emb")))
+        .toDF("cid", "pos", "v")
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("mean_v"))
+      val cdim = cents
+        .select(col("cid"), posexplode(col("cemb")))
+        .toDF("cid", "pos", "cv")
+      means.join(cdim, Seq("cid", "pos"))
+        .groupBy(col("cid"))
+        .agg(max(col("n")).as("n_members"),
+          round(sum(abs(col("mean_v") - col("cv"))), 4).as("l1_shift"),
+          round(max(abs(col("mean_v") - col("cv"))), 6).as("max_dim_shift"))
+    },
+
     // All pairs with cosine ≥ 0.4 — embedding-space near-duplicates.
     //
     // SCALE FENCE — this is the deliberate O(n²) EXACTNESS BASELINE,
@@ -1658,6 +1689,29 @@ object SimilarityOps {
         |WHERE list_dot_product(a.emb, b.emb) /
         |  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4""".stripMargin,
     "s37_ivf_ann" -> s37OracleSql,
+    // s37's cell CTEs + the s36 range-explode mean, joined back onto
+    // the exploded centroid components with identical rounding
+    "s58_centroid_shift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |mean AS (
+        | SELECT cid, i, count(*) AS n, round(avg(emb[i]), 6) AS mean_v
+        | FROM cell, range(1, 65) r(i) GROUP BY 1, 2),
+        |cd AS (SELECT cid, i, cemb[i] AS cv FROM c, range(1, 65) r(i))
+        |SELECT mean.cid, CAST(max(mean.n) AS BIGINT) AS n_members,
+        | round(sum(abs(mean.mean_v - cd.cv)), 4) AS l1_shift,
+        | round(max(abs(mean.mean_v - cd.cv)), 6) AS max_dim_shift
+        |FROM mean JOIN cd ON mean.cid = cd.cid AND mean.i = cd.i
+        |GROUP BY 1""".stripMargin,
     // s37's fixed-quantizer cell CTEs verbatim (incl. the cosc the
     // Spark side rounds to 6 before averaging); the delta flag is the
     // same row-local mod-10 predicate, the means replay as avg(CASE)

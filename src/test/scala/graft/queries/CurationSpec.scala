@@ -937,6 +937,65 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(drops.head > 0, "the 10-minute watermark must drop something")
   }
 
+  test("m44 clean assets: the verdict replays from its component gates in priority order") {
+    val clusters = SparkEntry.queries("m43_asset_clusters")(spark, sf0001)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    SparkEntry.release(spark)
+    val suspect = SparkEntry.queries("m39_asset_quality")(spark, sf0001)
+      .select(col("doc_id"), col("suspect")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    SparkEntry.release(spark)
+    val chars = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("m44_clean_assets")(spark, sf0001).collect()
+    assert(rows.length === chars.size, "one verdict per asset")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected =
+        if (!clusters(id)) "duplicate"
+        else if (!suspect.contains(id)) "undecodable"
+        else if (suspect(id)) "low_entropy"
+        else if (chars(id) < 64) "tiny"
+        else "keep"
+      assert(r.getString(3) === expected, s"asset $id decision")
+      assert(r.getBoolean(4) === (expected == "keep"))
+    }
+    assert(rows.map(_.getString(3)).distinct.length > 1,
+      "the verdict must actually partition this corpus")
+    SparkEntry.release(spark)
+  }
+
+  test("s58 centroid shift: per-cell L1 drift replays from the assignment means") {
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val cents = (0L until 16L).map(c => c -> embs(c)).toMap
+    val assignment = embs.keys.map { id =>
+      id -> cents.keys.minBy(c => (-cos6(embs(id), cents(c)), c))
+    }.toMap
+    val rows = SparkEntry.queries("s58_centroid_shift")(spark, sf0001).collect()
+    assert(rows.length === assignment.values.toSet.size)
+    rows.foreach { r =>
+      val cid = r.getLong(0)
+      val members = assignment.filter(_._2 == cid).keys.toSeq
+      assert(r.getLong(1) === members.size.toLong, s"cell $cid occupancy")
+      val dims = embs.head._2.length
+      val l1 = (0 until dims).map { i =>
+        val m = math.rint(members.map(embs(_)(i)).sum / members.size * 1e6) / 1e6
+        math.abs(m - cents(cid)(i))
+      }.sum
+      assert(math.abs(r.getDouble(2) - l1) < 1e-3, s"cell $cid l1_shift")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
