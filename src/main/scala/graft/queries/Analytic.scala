@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -528,6 +528,62 @@ object Analytic {
         .agg(max(col("n")).as("n_hours"), max(col("sc")).as("n_events"),
           sum(when(anom, 1L).otherwise(0L)).as("n_anomalies"),
           sum(when(anom, col("c")).otherwise(0L)).as("anomalous_events"))
+    },
+
+    // RFM SEGMENTATION — the classic customer-value partition
+    // (recency / frequency / monetary), each axis cut into EXACT
+    // quintiles with the t48 integer-ntile formula over the
+    // block-distributed row_number — at 10⁹ users a global ntile()
+    // window is exactly what you cannot run, and DistributedRank is
+    // the machinery built for it. Monetary ranks on the 2-dp-rounded
+    // sum (the q15 discipline), with user_id tie-breaks everywhere, so
+    // both engines produce identical quintile cuts. Segments follow
+    // the standard RFM playbook grid (champion / at_risk / lost /
+    // recent / regular) on the three scores.
+    "q117_rfm_segments" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("mxus"))
+      val base = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("value")), 2).as("monetary"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency_days", expr("(mxus - last_us) div 86400000000"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"))
+      def quint(df: DataFrame, order: Column, blk: Column,
+          out: String): DataFrame = {
+        val ranked = graft.operators.DistributedRank.rowNumber(
+          df, Seq.empty, Seq(order, col("user_id").asc), blk, "__rk")
+        val n = df.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn(out, when(
+            col("__rk") <= (col("__n") % 5) * (expr("__n div 5") + 1),
+            expr("(__rk + __n div 5) div (__n div 5 + 1)"))
+            .otherwise((col("__n") % 5) +
+              expr("(__rk - (__n % 5) * (__n div 5 + 1) + __n div 5 - 1) " +
+                "div (__n div 5)")))
+          .drop("__rk", "__n")
+      }
+      val scored = quint(
+        quint(
+          quint(base, col("recency_days").asc,
+            expr("recency_days div 7"), "rq0"),
+          col("frequency").asc, expr("frequency div 4"), "f_q"),
+        col("monetary").asc, floor(col("monetary") / 100.0), "m_q")
+      scored
+        .withColumn("r_q", lit(6L) - col("rq0"))
+        .withColumn("segment",
+          when(col("r_q") >= 4 && col("f_q") >= 4 && col("m_q") >= 4,
+            "champion")
+            .when(col("r_q") <= 2 && col("f_q") >= 4, "at_risk")
+            .when(col("r_q") <= 2 && col("f_q") <= 2, "lost")
+            .when(col("r_q") >= 4 && col("f_q") <= 2, "recent")
+            .otherwise("regular"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+          col("segment"))
     },
 
     // WATERMARK AUDIT — how late would a watermark of W drop events?
@@ -1357,6 +1413,46 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // three row_number windows with the identical tie-breaks + the
+    // t48 integer-ntile CASE at k=5 and the same segment grid
+    "q117_rfm_segments" -> {
+      def q5(rk: String) =
+        s"""CASE WHEN $rk <= (n % 5) * (n // 5 + 1)
+           | THEN ($rk + n // 5) // (n // 5 + 1)
+           | ELSE (n % 5) + ($rk - (n % 5) * (n // 5 + 1) + n // 5 - 1)
+           |   // (n // 5) END""".stripMargin
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events),
+         |pu AS (
+         | SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |  count(*) AS frequency, round(sum(value), 2) AS monetary
+         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |base AS (
+         | SELECT user_id, (mx.mxus - last_us) // 86400000000
+         |   AS recency_days, frequency, monetary
+         | FROM pu, mx),
+         |r AS (
+         | SELECT *,
+         |  row_number() OVER (ORDER BY recency_days ASC, user_id ASC)
+         |    AS kr,
+         |  row_number() OVER (ORDER BY frequency ASC, user_id ASC) AS kf,
+         |  row_number() OVER (ORDER BY monetary ASC, user_id ASC) AS km,
+         |  count(*) OVER () AS n
+         | FROM base),
+         |b AS (
+         | SELECT user_id, recency_days, frequency, monetary,
+         |  6 - (${q5("kr")}) AS r_q, ${q5("kf")} AS f_q,
+         |  ${q5("km")} AS m_q
+         | FROM r)
+         |SELECT user_id, recency_days, frequency, monetary,
+         | CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+         | CAST(m_q AS BIGINT) AS m_q,
+         | CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+         |      WHEN r_q <= 2 AND f_q >= 4 THEN 'at_risk'
+         |      WHEN r_q <= 2 AND f_q <= 2 THEN 'lost'
+         |      WHEN r_q >= 4 AND f_q <= 2 THEN 'recent'
+         |      ELSE 'regular' END AS segment
+         |FROM b""".stripMargin
+    },
     // the block decomposition is a Spark-side scale tactic only — the
     // oracle replays the running max as ONE window over arrival order
     "q116_watermark_audit" -> {

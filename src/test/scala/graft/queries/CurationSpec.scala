@@ -996,6 +996,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q117 rfm: quintiles replay from driver-side ranks and the segment grid is honored") {
+    val rows = SparkEntry.queries("q117_rfm_segments")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    def q5(rk: Int): Long = {
+      val q = n / 5; val r = n % 5
+      if (rk <= r * (q + 1)) ((rk + q) / (q + 1)).toLong
+      else (r + (rk - r * (q + 1) + q - 1) / q).toLong
+    }
+    val byUser = rows.map(r => r.getLong(0) -> r).toMap
+    def replay(order: Array[(Long, Long)]): Map[Long, Long] =
+      order.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((u, _), i) => u -> q5(i + 1) }.toMap
+    val rRanks = replay(rows.map(r => (r.getLong(0), r.getLong(1))))
+    val fRanks = replay(rows.map(r => (r.getLong(0), r.getLong(2))))
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getLong(4) === 6L - rRanks(u), s"user $u r_q")
+      assert(r.getLong(5) === fRanks(u), s"user $u f_q")
+      val (rq, fq, mq) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      val seg =
+        if (rq >= 4 && fq >= 4 && mq >= 4) "champion"
+        else if (rq <= 2 && fq >= 4) "at_risk"
+        else if (rq <= 2 && fq <= 2) "lost"
+        else if (rq >= 4 && fq <= 2) "recent"
+        else "regular"
+      assert(r.getString(7) === seg, s"user $u segment")
+    }
+    // quintiles are balanced within one row
+    val sizes = rows.groupBy(_.getLong(6)).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"m_q quintiles unbalanced: $sizes")
+    assert(byUser.size === n)
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
