@@ -74,9 +74,13 @@ object SparkEntry {
     *  - d30_minhash_lsh: MLlib MinHashLSH's private hash coefficients;
     *    recall floor asserted in DedupOpsSpec (portable twin: d36).
     *  - q45_approx_distinct: HLL sketch estimate; 5%-of-exact contract
-    *    in ExtendedSpec (exact twin: q08). */
+    *    in ExtendedSpec (exact twin: q08).
+    *  - t57_quality_classifier: MLlib LBFGS training — treeAggregate FP
+    *    reduction order makes low-margin predictions run-varying;
+    *    held-out agreement floor asserted in CurationSpec. */
   val rowsOnly: Set[String] =
-    Set("d29_simhash", "d30_minhash_lsh", "q45_approx_distinct")
+    Set("d29_simhash", "d30_minhash_lsh", "q45_approx_distinct",
+      "t57_quality_classifier")
 
   /** Queries whose candidate stage is deliberately super-linear
     * (within-block or all-pairs quadratic exactness baselines). POLICY:

@@ -530,6 +530,36 @@ object Analytic {
           sum(when(anom, col("c")).otherwise(0L)).as("anomalous_events"))
     },
 
+    // SEASONALITY PROFILE — each event type's weekly traffic shape:
+    // the (day-of-week × hour) cell distribution summarized as entropy
+    // (uniform ≈ log2(168) bits; a batch-job signature concentrates
+    // near 0) plus the peak cell. The profile is what capacity
+    // planning and anomaly baselining (q111) consume. One partial-agg
+    // rollup to ≤ |types|·168 cells — the only corpus shuffle — then
+    // per-type totals broadcast back; the peak cell is a struct-max
+    // partial agg (no per-type sort), ties broken (dow, hour)-high
+    // identically in both engines.
+    "q118_seasonality" -> { (s, d) =>
+      val cells = t(s, d, "events")
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_cells"))
+      cells.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("tot")).as("n_events"),
+          max(col("n_cells")).as("n_cells"),
+          (round(-sum((col("c") / col("tot")) *
+            log2(col("c") / col("tot"))), 4) + 0.0).as("entropy_bits"),
+          max(struct(col("c"), col("dow"), col("hod"))).as("peak"))
+        .select(col("event_type"), col("n_events"), col("n_cells"),
+          col("entropy_bits"),
+          col("peak.dow").cast("long").as("peak_dow"),
+          col("peak.hod").cast("long").as("peak_hour"),
+          col("peak.c").as("peak_events"))
+    },
+
     // RFM SEGMENTATION — the classic customer-value partition
     // (recency / frequency / monetary), each axis cut into EXACT
     // quintiles with the t48 integer-ntile formula over the
@@ -1413,6 +1443,32 @@ object Analytic {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Spark dayofweek is 1=Sunday..7; DuckDB dow is 0..6 → +1. The
+    // peak struct-max replays as the (c, dow, hod) DESC row_number.
+    "q118_seasonality" ->
+      """WITH cells AS (
+        | SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hod, count(*) AS c
+        | FROM events GROUP BY 1, 2, 3),
+        |tot AS (
+        | SELECT event_type, CAST(sum(c) AS BIGINT) AS tot,
+        |  count(*) AS n_cells
+        | FROM cells GROUP BY 1),
+        |ent AS (
+        | SELECT c.event_type, max(t.tot) AS n_events,
+        |  CAST(max(t.n_cells) AS BIGINT) AS n_cells,
+        |  round(-sum((c.c / t.tot) * log2(c.c / t.tot)), 4) + 0.0
+        |    AS entropy_bits
+        | FROM cells c JOIN tot t USING (event_type) GROUP BY 1),
+        |peak AS (
+        | SELECT event_type, dow, hod, c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY c DESC, dow DESC, hod DESC) AS rn FROM cells)
+        | WHERE rn = 1)
+        |SELECT e.event_type, e.n_events, e.n_cells, e.entropy_bits,
+        | CAST(p.dow AS BIGINT) AS peak_dow, CAST(p.hod AS BIGINT)
+        |   AS peak_hour, p.c AS peak_events
+        |FROM ent e JOIN peak p USING (event_type)""".stripMargin,
     // three row_number windows with the identical tie-breaks + the
     // t48 integer-ntile CASE at k=5 and the same segment grid
     "q117_rfm_segments" -> {

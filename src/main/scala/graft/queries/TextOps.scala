@@ -593,6 +593,53 @@ object TextOps {
             .as("flesch"))
     },
 
+    // MODEL-BASED QUALITY CLASSIFIER — the distillation a production
+    // curation stack runs (RefinedWeb/FineWeb pattern): train a linear
+    // model to imitate the rule gate (t35's keep/drop), then deploy
+    // the MODEL where evaluating the full rule cascade is too slow or
+    // the rules too brittle. MLlib Pipeline end-to-end (the M6
+    // machinery on the curation surface): VectorAssembler over the
+    // SAME five signals the rules threshold (token count, uniqueness,
+    // bigram repetition ×2, stopword hits) → standardized
+    // LogisticRegression, fit on the q65 train split, scored on all
+    // three splits. Training is MLlib's distributed treeAggregate
+    // LBFGS; scoring is a broadcast-coefficient map — both the right
+    // 100 TB shapes. FP reduction order makes low-margin predictions
+    // run-varying → rows-only (the d29/d30 class); the held-out
+    // agreement floor vs the rule gate lives in CurationSpec.
+    "t57_quality_classifier" -> { (s, d) =>
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.VectorAssembler
+      val signals = queries("t35_quality_filter")(s, d)
+        .select(col("doc_id"),
+          col("n_tokens").cast("double").as("f_len"),
+          coalesce(col("uniq_ratio"), lit(0.0)).as("f_uniq"),
+          col("top_bigram_frac").as("f_top"),
+          col("dup_bigram_frac").as("f_dup"),
+          col("stop_hits").cast("double").as("f_stop"),
+          when(col("reason") === "keep", 1.0).otherwise(0.0).as("label"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      val docs = signals.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test"))
+      val pipe = new Pipeline().setStages(Array(
+        new VectorAssembler()
+          .setInputCols(Array("f_len", "f_uniq", "f_top", "f_dup", "f_stop"))
+          .setOutputCol("features"),
+        new LogisticRegression().setMaxIter(50).setRegParam(0.001)
+          .setStandardization(true)))
+      val model = pipe.fit(docs.filter(col("split") === "train"))
+      model.transform(docs)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label").cast("long")).as("n_keep"),
+          sum(when(col("prediction") === col("label"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("agreement", round(col("n_agree") / col("n_docs"), 4))
+    },
+
     // GOPHER QUALITY RULES — the published rule-based pretraining
     // filter (Rae et al. 2021, Gopher §A1.1): word-count bounds, mean
     // word length in [3,10], symbol-to-word ratio (# and ellipsis),

@@ -1030,6 +1030,42 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(byUser.size === n)
   }
 
+  test("q118 seasonality: entropy is within the cell-count bound and peaks replay") {
+    val rows = SparkEntry.queries("q118_seasonality")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cells = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")), hour(col("ts")))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val mine = cells.filter(_._1 == et)
+      assert(r.getLong(1) === mine.map(_._4).sum)
+      assert(r.getLong(2) === mine.length.toLong)
+      assert(r.getDouble(3) >= 0.0 &&
+        r.getDouble(3) <= math.log(mine.length.toDouble) / math.log(2.0) + 1e-9,
+        s"$et entropy outside [0, log2(n_cells)]")
+      val peak = mine.maxBy(c => (c._4, c._2, c._3))
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) ===
+        ((peak._2.toLong, peak._3.toLong, peak._4)), s"$et peak cell")
+    }
+  }
+
+  test("t57 quality classifier: held-out agreement with the rule gate clears the floor") {
+    val rows = SparkEntry.queries("t57_quality_classifier")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set("train", "valid", "test"))
+    val (nTest, keepTest, agreeTest, accTest) = rows("test")
+    assert(nTest > 0 && agreeTest <= nTest)
+    // the model must beat the majority-class baseline on held-out data
+    val majority = math.max(keepTest, nTest - keepTest).toDouble / nTest
+    assert(accTest >= majority - 0.05,
+      s"held-out agreement $accTest far below majority baseline $majority")
+    assert(accTest >= 0.7, s"held-out agreement $accTest below floor")
+    SparkEntry.release(spark)
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
