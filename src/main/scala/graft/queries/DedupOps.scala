@@ -747,6 +747,28 @@ object DedupOps {
           (col("n_valid") > 0 || col("n_test") > 0))
     },
 
+    // SHARD LEAKAGE — d49's audit applied to the q110 write layout:
+    // near-dup clusters split across training shards defeat
+    // shard-local dedup and make per-shard loss statistics lie (the
+    // same copy counted as "seen" in two ranks' streams). One row per
+    // multi-member cluster that spans >1 shard, carrying the shard
+    // fan-out — the input to a cluster-keyed shard assignment (the
+    // d50 fix pattern, applied to shards instead of splits). Only
+    // shuffle beyond d41's own: the cluster_rep partial agg.
+    "d58_shard_leakage" -> { (s, d) =>
+      queries("d41_canonical_docs")(s, d)
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+        .filter(col("cluster_size") > 1)
+        .withColumn("shard",
+          graft.queries.SamplingOps.bucket(col("doc_id")) % 16)
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("shard")).as("n_shards"),
+          min(col("shard")).as("min_shard"),
+          max(col("shard")).as("max_shard"))
+        .filter(col("n_shards") > 1)
+    },
+
     // CLUSTER-KEYED SPLIT — the FIX for the leak d49 quantifies: split
     // membership derives from bucket(cluster_rep), not bucket(doc_id),
     // so every member of a near-dup cluster lands in the SAME split by
@@ -1378,6 +1400,21 @@ object DedupOps {
          |HAVING sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END) > 0
          |  AND (sum(CASE WHEN sp.split = 'valid' THEN 1 ELSE 0 END) > 0
          |   OR sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END) > 0)""".stripMargin
+    },
+    // wraps the d41 oracle + the q110 bucket rule; the fan-out filter
+    // replays as a HAVING on the distinct-shard count
+    "d58_shard_leakage" -> {
+      val b = graft.queries.SamplingOps.bucketSql("l.doc_id")
+      s"""WITH lab AS (
+         | SELECT doc_id, cluster_rep, cluster_size
+         | FROM (${d41OracleSql}) d41 WHERE cluster_size > 1)
+         |SELECT l.cluster_rep, count(*) AS n_members,
+         | CAST(count(DISTINCT ${b} % 16) AS BIGINT) AS n_shards,
+         | CAST(min(${b} % 16) AS BIGINT) AS min_shard,
+         | CAST(max(${b} % 16) AS BIGINT) AS max_shard
+         |FROM lab l
+         |GROUP BY 1
+         |HAVING count(DISTINCT ${b} % 16) > 1""".stripMargin
     },
     // wraps the d41 oracle verbatim as a subquery (WITH nests fine in
     // DuckDB), so the keep-list algebra cannot drift between the two

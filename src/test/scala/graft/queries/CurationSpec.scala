@@ -1066,6 +1066,35 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d58 shard leakage: spanning clusters replay from the d41 labels and the q110 shard rule") {
+    val lab = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("cluster_rep")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    SparkEntry.release(spark)
+    def shard(k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 16
+    }
+    val expected = lab.groupBy(_._2).view
+      .mapValues(ms => (ms.length, ms.map(m => shard(m._1)).distinct.sorted))
+      .filter(_._2._2.length > 1).toMap
+    val rows = SparkEntry.queries("d58_shard_leakage")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, shards) = expected(r.getLong(0))
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === shards.length.toLong)
+      assert(r.getLong(3) === shards.min && r.getLong(4) === shards.max)
+    }
+    assert(rows.nonEmpty,
+      "doc-id sharding must split at least one cluster on this corpus")
+    SparkEntry.release(spark)
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
