@@ -553,6 +553,35 @@ object SimilarityOps {
             .as("drift"))
     },
 
+    // PQ DISTORTION — the quantization QA table behind s41/s42: per
+    // PQ subspace, the mean and worst squared reconstruction error
+    // (distance from each vector's subvector to its chosen codeword).
+    // A subspace whose MSE towers over the others is where the code
+    // budget is misallocated (variance unbalanced across dims) — the
+    // datum that motivates OPQ-style rotations or the residual
+    // encoding s43 ships. Pure map over the corpus (the same codebook
+    // literals and left-to-right accumulation s41 pins), posexploded
+    // into one m-row partial agg — no shuffle wider than 16 rows.
+    "s59_pq_distortion" -> { (s, d) =>
+      val pq = PqModel.model(s, d)
+      val e = emb(s, d)
+      val dmins = (0 until pq.m).map { j =>
+        val cb = typedlit(pq.codebooks(j).map(_.toSeq).toSeq)
+        val sub = slice(col("emb"), j * pq.dsub + 1, pq.dsub)
+        array_min(transform(cb, c =>
+          aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v)))
+      }
+      e.select(col("vec_id"), posexplode(array(dmins: _*)))
+        .toDF("vec_id", "subspace", "sqerr")
+        .groupBy(col("subspace"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("sqerr")), 6).as("mse"),
+          round(max(col("sqerr")), 6).as("max_sqerr"))
+        .select(col("subspace").cast("long").as("subspace"),
+          col("n_vectors"), col("mse"), col("max_sqerr"))
+    },
+
     // CENTROID SHIFT — the retraining decision s57 motivates, made
     // quantitative: one Lloyd step per cell (the mean of the vectors
     // the frozen centroid currently owns) and the per-dimension drift
@@ -1247,6 +1276,36 @@ object SimilarityOps {
          |WHERE rnk <= 5""".stripMargin
   }
 
+  /** s59's oracle: s41's `dists` CTE verbatim (same codebook literals,
+    * same left-to-right accumulation), then the per-subspace min
+    * aggregated instead of argmin-encoded. */
+  private def s59Oracle: String = PqModel.lastModel match {
+    case None => "SELECT 1 WHERE 1=0 -- s59 not yet run in this session"
+    case Some(pq) =>
+      val cbLit = pq.codebooks.map(_.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val m = pq.m
+      val k = pq.k
+      val dsub = pq.dsub
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cb(B) AS (VALUES ($cbLit::DOUBLE[][][])),
+         |dists AS (
+         | SELECT vec_id,
+         |  list_transform(range(1, ${m + 1}), j ->
+         |    list_transform(range(1, ${k + 1}), c ->
+         |      list_dot_product(
+         |        list_transform(range(1, ${dsub + 1}), i -> emb[(j-1)*$dsub + i] - B[j][c][i]),
+         |        list_transform(range(1, ${dsub + 1}), i -> emb[(j-1)*$dsub + i] - B[j][c][i])))) AS dd
+         | FROM e, cb),
+         |mins AS (
+         | SELECT vec_id, CAST(j - 1 AS BIGINT) AS subspace,
+         |  list_min(dd[CAST(j AS BIGINT)]) AS sqerr
+         | FROM dists, range(1, ${m + 1}) r(j))
+         |SELECT subspace, count(*) AS n_vectors,
+         | round(avg(sqerr), 6) AS mse, round(max(sqerr), 6) AS max_sqerr
+         |FROM mins GROUP BY 1""".stripMargin
+  }
+
   /** s35's oracle replays the sign-LSH end to end: the 6×4 hyperplanes
     * enter as a 24-row VALUES table, bucket bits via the same
     * left-to-right dot products, candidate pairs from the (table,
@@ -1569,6 +1628,7 @@ object SimilarityOps {
         |FROM b, x GROUP BY 1""".stripMargin,
     "s41_pq_adc" -> s41Oracle,
     "s42_ivfpq_ann" -> s42Oracle,
+    "s59_pq_distortion" -> s59Oracle,
     "s33_knn_bruteforce" -> s33OracleSql,
     // the same rounded-cosine scoring, (cosc DESC, cid ASC) top-2
     // order, and 4-dp rounded means with the +0.0 sign guard

@@ -1095,6 +1095,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s59 pq distortion: per-subspace MSE replays driver-side and residual encoding would beat it") {
+    val rows = SparkEntry.queries("s59_pq_distortion")(spark, sf0001)
+      .orderBy("subspace").collect()
+    assert(rows.length === 16)
+    val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === nVec)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3) + 1e-9,
+        s"subspace ${r.getLong(0)}: mse must be within [0, max]")
+      assert(r.getDouble(3) > 0.0,
+        s"subspace ${r.getLong(0)}: a 16-codeword book cannot be lossless here")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
