@@ -263,6 +263,49 @@ object SamplingOps {
           round(sum(col("n") * col("lr")), 6).as("log_ratio"))
     },
 
+    // DOMAIN CROSS-ENTROPY MATRIX — how well does each source's bigram
+    // model predict every other source (the DoReMi-adjacent domain-
+    // affinity table a mixture tuner reads: low cross-entropy = similar
+    // domains, a hot row = a source whose model transfers broadly)?
+    // Same hashed-bigram 256-bucket compression as q101, so the whole
+    // matrix computes from one (source, bucket) partial agg: model =
+    // Laplace-smoothed bucket distribution per source, eval = MLE
+    // bucket distribution, xent(e, m) = −Σ_b p_e(b)·ln p_m(b) over the
+    // ≤ |src|·256-row join. The corpus is scanned once; everything
+    // after is |src|²-sized. ln over exact-operand quotients ≤2 ulp →
+    // round 4 (the t39 argument).
+    "q119_domain_xent" -> { (s, d) =>
+      val hb = t(s, d, "documents")
+        .withColumn("w", graft.queries.TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"),
+          explode(expr("transform(sequence(0, size(w)-2), " +
+            "i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+        .withColumn("b",
+          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("long"))
+      val cnt = hb.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val evalSide = cnt.join(tot, "source")
+        .select(col("source").as("eval_source"), col("b"),
+          col("c").as("ce"), col("n").as("ne"))
+      // cross the eval rows with EVERY model source, then left-join the
+      // model's bucket counts — a bucket the model never saw must still
+      // pay its smoothed log-penalty (a b-keyed join would silently
+      // drop those rows and deflate the cross-entropy)
+      val models = tot.select(col("source").as("model_source"),
+        col("n").as("nm"))
+      val modelCounts = cnt.select(col("source").as("model_source"),
+        col("b"), col("c").as("cm"))
+      evalSide.crossJoin(broadcast(models))
+        .join(modelCounts, Seq("model_source", "b"), "left")
+        .groupBy(col("eval_source"), col("model_source"))
+        .agg(max(col("ne")).as("n_bigrams_eval"),
+          round(-sum((col("ce") / col("ne")) *
+            log((coalesce(col("cm"), lit(0L)) + lit(1.0d)) /
+              (col("nm") + lit(256.0d)))), 4).as("xent_nats"))
+    },
+
     // SIGNAL RANK CORRELATION — the single-number companion to t51's
     // calibration matrix: exact Spearman ρ (Pearson over average-tie
     // ranks) between the two independent quality signals a mixture
@@ -649,6 +692,43 @@ object SamplingOps {
          | round(CAST(sum(n_tokens) AS BIGINT) * 16 / tot.nt, 4) AS balance
          |FROM tk, tot
          |GROUP BY shard, tot.nt""".stripMargin,
+    // q101's hashed-bigram bucket CTEs; the model grid crosses every
+    // (eval-bucket-row, model source) so unseen buckets pay the same
+    // smoothed penalty, exactly like the Spark plan
+    "q119_domain_xent" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        | SELECT source,
+        |  unnest(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1])) AS g
+        | FROM tok WHERE len(w) >= 2),
+        |hb AS (
+        | SELECT source,
+        |  (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) AS b
+        | FROM bg),
+        |cnt AS (SELECT source, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt
+        |        GROUP BY 1),
+        |ev AS (
+        | SELECT cnt.source AS eval_source, cnt.b, cnt.c AS ce,
+        |  tot.n AS ne
+        | FROM cnt JOIN tot USING (source)),
+        |grid AS (
+        | SELECT ev.*, m.source AS model_source, m.n AS nm
+        | FROM ev CROSS JOIN tot m),
+        |j AS (
+        | SELECT g.*, mc.c AS cm
+        | FROM grid g LEFT JOIN cnt mc
+        |  ON mc.source = g.model_source AND mc.b = g.b)
+        |SELECT eval_source, model_source,
+        | CAST(max(ne) AS BIGINT) AS n_bigrams_eval,
+        | round(-sum((ce / ne) * ln((coalesce(cm, 0) + 1.0)
+        |   / (nm + 256.0))), 4) AS xent_nats
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // the identical 8-bit md5 bucket, Laplace smoothing, and log-ratio
     // algebra; bigrams via the 1-based range/list_transform rendering
     // of the same token rule

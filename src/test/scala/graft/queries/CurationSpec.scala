@@ -1110,6 +1110,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q119 domain xent: the matrix is square and self-entropy is the row minimum on average") {
+    val rows = SparkEntry.queries("q119_domain_xent")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val sources = rows.map(_._1).distinct
+    assert(rows.length === sources.length * sources.length,
+      "matrix must be |src| x |src|")
+    rows.foreach { case (_, _, x) => assert(x > 0.0 && x.isFinite) }
+    // a source's own model should usually predict it best: self-xent
+    // beats the row mean for a clear majority of sources
+    val better = sources.count { s =>
+      val row = rows.filter(_._1 == s)
+      val self = row.find(_._2 == s).get._3
+      self < row.map(_._3).sum / row.length
+    }
+    assert(better * 2 > sources.length,
+      s"self-model should beat the row mean for most sources ($better/${sources.length})")
+  }
+
   test("s57 index update: per-cell occupancy splits the corpus and cohesion means replay from the assignment") {
     val rows = SparkEntry.queries("s57_index_update")(spark, sf0001).collect()
     val nVec = graft.Tables.t(spark, sf0001, "embeddings").count()
