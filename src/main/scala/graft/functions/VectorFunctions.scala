@@ -82,6 +82,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the raw inner product over two
+  * `array<double>` columns — the MIPS (maximum-inner-product search)
+  * scoring primitive, where cosine's normalization is exactly what a
+  * recommender must NOT apply (popular items earn their larger norms).
+  *
+  * Same design rationale as [[CosineSimilarity]]: one fused
+  * left-to-right loop with a single scalar accumulator, codegen'd via
+  * `doGenCode` so the corpus×queries scoring join stays inside
+  * whole-stage codegen; the accumulation order matches DuckDB's
+  * `list_dot_product`, so oracle comparisons survive round(…, 6).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register the engine's named functions in the session registry
@@ -93,6 +153,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash48",
@@ -115,4 +179,8 @@ object VectorFunctions {
   /** Cosine similarity Column over two array<double> columns; caller must
     * have invoked [[register]] on the session first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Raw inner product Column over two array<double> columns; caller
+    * must have invoked [[register]] on the session first. */
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 }

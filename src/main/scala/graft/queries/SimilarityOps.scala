@@ -1098,6 +1098,106 @@ object SimilarityOps {
         .groupBy(col("label"), col("dim").cast("long").as("dim"))
         .agg(round(avg(col("value")), 6).as("centroid"),
           count(lit(1)).as("n"))
+    },
+
+    // MIPS — maximum-INNER-PRODUCT top-k, the recommender/retrieval
+    // scoring the cosine family deliberately cannot express (cosine
+    // normalizes away exactly the norm signal a trained factorization
+    // puts into popular items). Scoring runs through the native
+    // codegen'd DotProduct expression (one fused loop, no intermediate
+    // array), queries broadcast against one corpus scan — map-only —
+    // and top-5 lands in the native bounded-heap exec. The output also
+    // carries the norm-augmentation reduction (Bachrach et al. 2014:
+    // x → [x, √(M²−‖x‖²)] turns MIP order into cosine order): aug_cos
+    // = ip / (‖q‖·M) re-ranked within the top-k, with a rank_match
+    // column PROVING the reduction is order-preserving — the audit
+    // that licenses serving MIPS through any cosine-only ANN index
+    // (s35/s37) after the augmentation. M is a 1-row global agg,
+    // broadcast; at 100 TB nothing here shuffles except the top-k's
+    // per-query heap merge.
+    "s60_mips_topk" -> { (s, d) =>
+      val dot = VectorFunctions.dotProduct _
+      val e = emb(s, d)
+      val mx = e.agg(sqrt(max(dot(col("emb"), col("emb")))).as("mnorm"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          sqrt(dot(col("emb"), col("emb"))).as("qnorm"))
+      val cand = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .crossJoin(broadcast(mx))
+        .withColumn("ipr", dot(col("qemb"), col("emb")))
+        .select(col("qid"), col("vec_id"),
+          round(col("ipr"), 6).as("ip"),
+          round(col("ipr") / (col("qnorm") * col("mnorm")), 6).as("aug_cos"))
+      val top = graft.operators.TopKPerKeyApi.topKPerKey(cand, Seq("qid"),
+        Seq(("ip", false), ("vec_id", true)), 5)
+      val wAug = Window.partitionBy(col("qid"))
+        .orderBy(col("aug_cos").desc, col("vec_id").asc)
+      top.withColumn("aug_rnk", row_number().over(wAug))
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor_id"),
+          col("ip"), col("aug_cos"),
+          (col("rnk") === col("aug_rnk")).as("rank_match"))
+    },
+
+    // MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein 1998) — the
+    // post-retrieval stage every RAG/search stack runs: from each
+    // query's top-8 relevance candidates, greedily pick 3 maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7), so
+    // near-duplicate neighbors don't crowd the slate. The greedy
+    // recurrence is unrolled into 3 deterministic dataflow steps (the
+    // q98 discipline — no driver loop): each step is a qid-equi-join
+    // of the ≤8-row-per-query candidate slate against the previous
+    // picks plus one arg-max window. Score arithmetic is INTEGER-exact:
+    // the 6-dp-rounded cosines become int64 micro-units and the MMR
+    // score is 7·rel_u − 3·sim_u (λ=0.7 scaled by 10), divided by 1e7
+    // only at display — a double-rounding of the float combination sat
+    // exactly on a round-half boundary in early testing, and integer
+    // scores make the argmax (and the oracle replay) bit-exact by
+    // construction. At 100 TB the candidate slate is the BOUNDED output
+    // of the ANN stage (k per query), so every step is linear in
+    // #queries — the pairwise MMR work is k² per query by construction,
+    // never corpus-quadratic.
+    "s61_mmr_diversify" -> { (s, d) =>
+      val e = emb(s, d)
+      def u(c: org.apache.spark.sql.Column) = round(c * 1e6d).cast("long")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rel", round(cos(col("qemb"), col("emb")), 6))
+        .select(col("qid"), col("vec_id"), col("rel"), col("emb"))
+      val cand = graft.operators.TopKPerKeyApi.topKPerKey(scored, Seq("qid"),
+        Seq(("rel", false), ("vec_id", true)), 8)
+      val s1 = cand.filter(col("rnk") === 1)
+        .select(col("qid"), col("vec_id").as("v1"), col("rel").as("rel1"),
+          col("emb").as("e1"))
+      val c2 = cand.filter(col("rnk") > 1)
+        .join(broadcast(s1), "qid")
+        .withColumn("score_u", lit(7L) * u(col("rel")) -
+          lit(3L) * u(round(cos(col("emb"), col("e1")), 6)))
+      val wPick = Window.partitionBy(col("qid"))
+        .orderBy(col("score_u").desc, col("vec_id").asc)
+      val s2 = c2.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("v2"),
+          col("rel").as("rel2"), col("score_u").as("score2_u"),
+          col("emb").as("e2"))
+      val c3 = cand.join(broadcast(s1), "qid")
+        .join(broadcast(s2.select(col("qid"), col("v2"), col("e2"))), "qid")
+        .filter(col("vec_id") =!= col("v1") && col("vec_id") =!= col("v2"))
+        .withColumn("score_u", lit(7L) * u(col("rel")) - lit(3L) * greatest(
+          u(round(cos(col("emb"), col("e1")), 6)),
+          u(round(cos(col("emb"), col("e2")), 6))))
+      val s3 = c3.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("v3"),
+          col("rel").as("rel3"), col("score_u").as("score3_u"))
+      s1.select(col("qid"), lit(1L).as("step"), col("v1").as("picked_id"),
+          col("rel1").as("rel"), col("rel1").as("mmr_score"))
+        .unionAll(s2.select(col("qid"), lit(2L).as("step"),
+          col("v2").as("picked_id"), col("rel2").as("rel"),
+          (col("score2_u") / 1e7d).as("mmr_score")))
+        .unionAll(s3.select(col("qid"), lit(3L).as("step"),
+          col("v3").as("picked_id"), col("rel3").as("rel"),
+          (col("score3_u") / 1e7d).as("mmr_score")))
     }
   )
 
@@ -1495,6 +1595,92 @@ object SimilarityOps {
         |WHERE rnk <= 3""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // raw list_dot_product top-5 with the identical (ip DESC, vec_id
+    // ASC) heap order; the norm-augmentation re-rank replays as a
+    // second row_number within the kept 5, M/‖q‖ computed with the
+    // same sqrt/multiply shapes so the 6-dp rounds agree
+    "s60_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |mx AS (SELECT sqrt(max(list_dot_product(emb, emb))) AS mnorm FROM e),
+        |q AS (SELECT vec_id AS qid, emb AS qemb,
+        |        sqrt(list_dot_product(emb, emb)) AS qnorm
+        |      FROM e WHERE vec_id < 10),
+        |p AS (
+        | SELECT qid, e.vec_id, qnorm,
+        |  list_dot_product(qemb, e.emb) AS ipr
+        | FROM e, q WHERE e.vec_id <> qid),
+        |r AS (
+        | SELECT qid, vec_id, round(ipr, 6) AS ip,
+        |  round(ipr / (qnorm * (SELECT mnorm FROM mx)), 6) AS aug_cos
+        | FROM p),
+        |t AS (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY ip DESC, vec_id ASC) AS rnk FROM r),
+        |k AS (SELECT * FROM t WHERE rnk <= 5),
+        |a AS (
+        | SELECT *, row_number() OVER (PARTITION BY qid
+        |   ORDER BY aug_cos DESC, vec_id ASC) AS aug_rnk FROM k)
+        |SELECT qid, rnk, vec_id AS neighbor_id, ip, aug_cos,
+        | (rnk = aug_rnk) AS rank_match
+        |FROM a""".stripMargin,
+    // the greedy MMR recurrence unrolled into the same 3 steps (the
+    // q98 discipline): top-8 slate on the 6-dp rounded cosine, then
+    // two arg-max CTEs over the INTEGER micro-unit score
+    // 7·rel_u − 3·max-sim_u (λ=0.7 ×10) with vec_id tie-breaks —
+    // bit-exact in both engines, /1e7 only at display
+    "s61_mmr_diversify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |sc AS (
+        | SELECT qid, e.vec_id, e.emb,
+        |  round(list_dot_product(qemb, e.emb) /
+        |   (sqrt(list_dot_product(qemb, qemb)) *
+        |    sqrt(list_dot_product(e.emb, e.emb))), 6) AS rel
+        | FROM e, q WHERE e.vec_id <> qid),
+        |cand AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rel DESC, vec_id ASC) AS rnk FROM sc)
+        | WHERE rnk <= 8),
+        |s1 AS (SELECT qid, vec_id AS v1, rel AS rel1, emb AS e1
+        |       FROM cand WHERE rnk = 1),
+        |c2 AS (
+        | SELECT c.qid, c.vec_id, c.rel, c.emb,
+        |  7 * CAST(round(c.rel * 1e6) AS BIGINT) - 3 *
+        |   CAST(round(round(list_dot_product(c.emb, s1.e1) /
+        |    (sqrt(list_dot_product(c.emb, c.emb)) *
+        |     sqrt(list_dot_product(s1.e1, s1.e1))), 6) * 1e6) AS BIGINT)
+        |   AS score_u
+        | FROM cand c JOIN s1 USING (qid) WHERE c.rnk > 1),
+        |s2 AS (
+        | SELECT qid, vec_id AS v2, rel AS rel2, score_u AS score2_u,
+        |  emb AS e2
+        | FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score_u DESC, vec_id ASC) AS rn FROM c2)
+        | WHERE rn = 1),
+        |c3 AS (
+        | SELECT c.qid, c.vec_id, c.rel,
+        |  7 * CAST(round(c.rel * 1e6) AS BIGINT) - 3 * greatest(
+        |   CAST(round(round(list_dot_product(c.emb, s1.e1) /
+        |    (sqrt(list_dot_product(c.emb, c.emb)) *
+        |     sqrt(list_dot_product(s1.e1, s1.e1))), 6) * 1e6) AS BIGINT),
+        |   CAST(round(round(list_dot_product(c.emb, s2.e2) /
+        |    (sqrt(list_dot_product(c.emb, c.emb)) *
+        |     sqrt(list_dot_product(s2.e2, s2.e2))), 6) * 1e6) AS BIGINT))
+        |   AS score_u
+        | FROM cand c JOIN s1 USING (qid) JOIN s2 USING (qid)
+        | WHERE c.vec_id <> s1.v1 AND c.vec_id <> s2.v2),
+        |s3 AS (
+        | SELECT qid, vec_id AS v3, rel AS rel3, score_u AS score3_u
+        | FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score_u DESC, vec_id ASC) AS rn FROM c3)
+        | WHERE rn = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS step, v1 AS picked_id,
+        | rel1 AS rel, rel1 AS mmr_score FROM s1
+        |UNION ALL
+        |SELECT qid, CAST(2 AS BIGINT), v2, rel2, score2_u / 1e7 FROM s2
+        |UNION ALL
+        |SELECT qid, CAST(3 AS BIGINT), v3, rel3, score3_u / 1e7 FROM s3""".stripMargin,
     // s37's fixed-quantizer cell CTEs verbatim; the drop rule replays
     // as a within-cell pair list filtered on the 6-dp rounded cosine,
     // keep = no lower-id neighbor at or above the threshold

@@ -22,6 +22,19 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(cosOf(Seq(0, 0), Seq(1, 1)) === 0.0)
   }
 
+  test("DotProduct matches the left-to-right scalar fold exactly") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val a = Seq(0.1, -2.5, 3.75, 1e-7)
+    val b = Seq(4.0, 0.5, -1.25, 2e7)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    var expect = 0.0
+    a.indices.foreach(i => expect += a(i) * b(i))
+    assert(got === expect, "same accumulation order → bit-identical")
+  }
+
   test("SimHash48Agg matches the expression-composed vote rendering, any partitioning") {
     import spark.implicits._
     val docs = Seq(

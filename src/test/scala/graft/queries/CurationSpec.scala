@@ -1147,4 +1147,75 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("s60 mips: top-5 replays from driver-side inner products and the norm augmentation preserves order") {
+    val out = SparkEntry.queries("s60_mips_topk")(spark, sf0001)
+      .orderBy("qid", "rnk").collect()
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // replay: per query, exact top-5 by (round6(ip) desc, id asc)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === embs.keySet.filter(_ < 10), "one slate per query")
+    for ((qid, rows) <- byQ) {
+      val expect = embs.toSeq.filter(_._1 != qid)
+        .map { case (id, e) => (id, r6(dot(embs(qid), e))) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5)
+      assert(rows.sortBy(_.getInt(1)).map(r =>
+        (r.getLong(2), r.getDouble(3))).toSeq === expect,
+        s"qid=$qid top-5 must match the driver replay")
+      // augmentation is a per-query monotone rescale of the raw ip, so
+      // aug_cos can only break the ip order by rounding at 6 dp —
+      // bounded by one ulp of the rounded grid across rnk steps
+      val aug = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      aug.sliding(2).foreach(p =>
+        assert(p(1) <= p(0) + 1.1e-6, s"qid=$qid aug_cos order broken"))
+      // and where the rounded ips are strictly decreasing, ranks agree
+      val ips = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      if (ips.distinct.length == ips.length)
+        assert(rows.forall(_.getBoolean(5)),
+          s"qid=$qid rank_match must hold without rounded-ip ties")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("s61 mmr: the greedy integer-score traversal replays driver-side and slates are diverse") {
+    val out = SparkEntry.queries("s61_mmr_diversify")(spark, sf0001)
+      .orderBy("qid", "step").collect()
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos6u(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6)).toLong
+    }
+    val byQ = out.groupBy(_.getLong(0))
+    for ((qid, rows) <- byQ) {
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // driver replay of the unrolled greedy recurrence
+      val cand = embs.toSeq.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos6u(embs(qid), e)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(8)
+      var picked = Vector(cand.head._1)
+      while (picked.size < 3) {
+        val next = cand.filter(c => !picked.contains(c._1))
+          .map { case (id, rel) =>
+            val maxSim = picked.map(p => cos6u(embs(p), embs(id))).max
+            (id, 7L * rel - 3L * maxSim)
+          }.sortBy { case (id, s) => (-s, id) }.head._1
+        picked = picked :+ next
+      }
+      assert(rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq === picked,
+        s"qid=$qid greedy picks must match the driver replay")
+      assert(picked.distinct.size === 3, "slate must not repeat a doc")
+    }
+    SparkEntry.release(spark)
+  }
 }
