@@ -1073,6 +1073,84 @@ object Analytic {
         .select(col("wkd").cast("timestamp").as("week"),
           col("wau"), col("mau"),
           round(col("wau") / col("mau"), 4).as("stickiness"))
+    },
+
+    // SEASONAL BACKTEST — does q118's (dow × hour) traffic profile
+    // actually PREDICT? Temporal holdout: the last 7 days before the
+    // corpus watermark are held out, the profile is fitted on the rest,
+    // and per type the two profiles are compared as distributions —
+    // total-variation distance plus a peak-cell hit. This is the
+    // seasonal-naive forecast eval run before anyone schedules capacity
+    // (or a training-data refresh cadence) off the profile. The TV
+    // numerator is PURE INTEGER — 0.5·Σ|train_c·n_test − test_c·n_train|
+    // over the full-outer cell set — so the only FP op is one final
+    // division; no accumulation-order drift anywhere (at petabyte row
+    // counts the products approach int64 range — there the q118
+    // round-4 float-share discipline takes over). Shuffles: two
+    // (type, dow, hod) partial aggs + one ≤336-row-per-type join;
+    // totals broadcast.
+    "q120_seasonal_backtest" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("mxus"))
+      val cells = ev.crossJoin(broadcast(mx))
+        .withColumn("is_test",
+          unix_micros(col("ts")) >= col("mxus") - lit(7L * 86400L * 1000000L))
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("hod"))
+        .agg(sum(when(col("is_test"), 0L).otherwise(1L)).as("train_c"),
+          sum(when(col("is_test"), 1L).otherwise(0L)).as("test_c"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("train_c")).as("n_train"), sum(col("test_c")).as("n_test"),
+          count(lit(1)).as("n_cells"))
+      val peak = (c: String) => max(struct(col(c), col("dow"), col("hod")))
+      cells.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_train")).as("n_train"), max(col("n_test")).as("n_test"),
+          max(col("n_cells")).as("n_cells"),
+          sum(abs(col("train_c") * col("n_test") -
+            col("test_c") * col("n_train"))).as("tvnum"),
+          peak("train_c").as("pk_train"), peak("test_c").as("pk_test"))
+        .select(col("event_type"), col("n_train"), col("n_test"),
+          col("n_cells"),
+          round(col("tvnum") / (lit(2.0) * col("n_train") * col("n_test")), 6)
+            .as("tv_dist"),
+          (col("pk_train.dow") === col("pk_test.dow") &&
+            col("pk_train.hod") === col("pk_test.hod")).as("peak_match"))
+    },
+
+    // FUNNEL LATENCY — how long conversion takes, not just whether it
+    // happens: per funnel edge (view→click, click→purchase over q75's
+    // first-touch timestamps), the exact p50/p90 of the conversion lag
+    // BY SELECTION at rank ceil(q·n) over the block-distributed
+    // row_number (the q99 discipline — no percentile buffer, no global
+    // window; bit-length blocks bound each rank partition). Lags are
+    // integer micros end to end, so the quantiles are hash-exact; the
+    // mean is one BIGINT-sum division rounded 4 dp. At 100 TB the only
+    // corpus-scale work is q75's own per-user min-aggs; everything
+    // after runs on one row per converted user.
+    "q121_funnel_latency" -> { (s, d) =>
+      val f = queries("q75_funnel_stages")(s, d)
+      val edges = f.filter(col("t_click").isNotNull)
+        .select(lit("view_to_click").as("stage"), col("user_id"),
+          (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+            .as("lag_us"))
+        .unionAll(f.filter(col("t_purchase").isNotNull)
+          .select(lit("click_to_purchase").as("stage"), col("user_id"),
+            (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+              .as("lag_us")))
+      val ranked = graft.operators.DistributedRank.rowNumber(edges,
+        Seq("stage"), Seq(col("lag_us").asc, col("user_id").asc),
+        length(bin(col("lag_us"))) - 1, "rk")
+      val tot = edges.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"), sum(col("lag_us")).as("sum_us"))
+      def target(q: Int) = expr(s"($q * n_users + 99) div 100")
+      ranked.join(broadcast(tot), "stage")
+        .groupBy(col("stage"))
+        .agg(max(col("n_users")).as("n_users"),
+          max(when(col("rk") === target(50), col("lag_us"))).as("p50_us"),
+          max(when(col("rk") === target(90), col("lag_us"))).as("p90_us"),
+          max(round(col("sum_us") / (col("n_users") * lit(1000000.0)), 4))
+            .as("mean_s"))
     }
   )
 
@@ -1754,6 +1832,76 @@ object Analytic {
         |FROM (SELECT c_acctbal,
         |  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
         | FROM customer)
-        |GROUP BY quartile""".stripMargin
+        |GROUP BY quartile""".stripMargin,
+    // q118's dow+1 alignment; the TV numerator is the same pure-integer
+    // Σ|train_c·n_test − test_c·n_train| and the peak replays the
+    // struct-max as (c DESC, dow DESC, hod DESC) row_number picks
+    "q120_seasonal_backtest" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events),
+        |cells AS (
+        | SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(hour(ts) AS INTEGER) AS hod,
+        |  sum(CASE WHEN epoch_us(ts) >= (SELECT mxus FROM mx) - 604800000000
+        |      THEN 0 ELSE 1 END) AS train_c,
+        |  sum(CASE WHEN epoch_us(ts) >= (SELECT mxus FROM mx) - 604800000000
+        |      THEN 1 ELSE 0 END) AS test_c
+        | FROM events GROUP BY 1, 2, 3),
+        |tot AS (
+        | SELECT event_type, CAST(sum(train_c) AS BIGINT) AS n_train,
+        |  CAST(sum(test_c) AS BIGINT) AS n_test, count(*) AS n_cells
+        | FROM cells GROUP BY 1),
+        |pk AS (
+        | SELECT event_type,
+        |  max(CASE WHEN rnt = 1 THEN dow END) AS tr_dow,
+        |  max(CASE WHEN rnt = 1 THEN hod END) AS tr_hod,
+        |  max(CASE WHEN rns = 1 THEN dow END) AS te_dow,
+        |  max(CASE WHEN rns = 1 THEN hod END) AS te_hod
+        | FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY train_c DESC, dow DESC, hod DESC) AS rnt,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY test_c DESC, dow DESC, hod DESC) AS rns
+        |  FROM cells) GROUP BY 1)
+        |SELECT t.event_type, t.n_train, t.n_test,
+        | CAST(t.n_cells AS BIGINT) AS n_cells,
+        | round(sum(abs(c.train_c * t.n_test - c.test_c * t.n_train)) /
+        |   (2.0 * t.n_train * t.n_test), 6) AS tv_dist,
+        | (max(p.tr_dow) = max(p.te_dow) AND max(p.tr_hod) = max(p.te_hod))
+        |   AS peak_match
+        |FROM cells c JOIN tot t USING (event_type) JOIN pk p USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // q75's funnel CTEs verbatim; lags in integer micros, selection at
+    // the identical ceil(q·n) ranks, one rounded mean division
+    "q121_funnel_latency" ->
+      """WITH v AS (
+        | SELECT user_id, min(ts) AS t_view FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        | SELECT e.user_id, min(e.ts) AS t_click
+        | FROM events e JOIN v USING (user_id)
+        | WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (
+        | SELECT e.user_id, min(e.ts) AS t_purchase
+        | FROM events e JOIN c USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
+        |edges AS (
+        | SELECT 'view_to_click' AS stage, v.user_id,
+        |  epoch_us(c.t_click) - epoch_us(v.t_view) AS lag_us
+        | FROM v JOIN c USING (user_id)
+        | UNION ALL
+        | SELECT 'click_to_purchase', c.user_id,
+        |  epoch_us(p.t_purchase) - epoch_us(c.t_click)
+        | FROM c JOIN p USING (user_id)),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY stage
+        |   ORDER BY lag_us ASC, user_id ASC) AS rk,
+        |  count(*) OVER (PARTITION BY stage) AS n,
+        |  sum(lag_us) OVER (PARTITION BY stage) AS sum_us
+        | FROM edges)
+        |SELECT stage, max(n) AS n_users,
+        | max(CASE WHEN rk = (50*n + 99) // 100 THEN lag_us END) AS p50_us,
+        | max(CASE WHEN rk = (90*n + 99) // 100 THEN lag_us END) AS p90_us,
+        | max(round(sum_us / (n * 1000000.0), 4)) AS mean_s
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

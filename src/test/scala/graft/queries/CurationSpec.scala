@@ -1218,4 +1218,48 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("q120 seasonal backtest: splits partition each type's events and tv distance is a valid metric value") {
+    val rows = SparkEntry.queries("q120_seasonal_backtest")(spark, sf0001)
+      .collect()
+    val totals = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === totals.keySet)
+    rows.foreach { r =>
+      val (tpe, nTrain, nTest) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nTrain + nTest === totals(tpe),
+        s"$tpe train+test must partition the log")
+      assert(nTrain > 0 && nTest > 0, s"$tpe both windows must be non-empty")
+      assert(r.getLong(3) <= 7L * 24L, s"$tpe at most one cell per dow-hour")
+      val tv = r.getDouble(4)
+      assert(tv >= 0.0 && tv <= 1.0, s"$tpe tv_dist out of [0,1]: $tv")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q121 funnel latency: quantiles replay from driver-side lag sorts") {
+    val rows = SparkEntry.queries("q121_funnel_latency")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set("view_to_click", "click_to_purchase"))
+    // driver replay straight off q75's per-user first-touch timestamps
+    val f = SparkEntry.queries("q75_funnel_stages")(spark, sf0001).collect()
+    def epochUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def lags(from: Int, to: Int) = f.filter(r => !r.isNullAt(to))
+      .map(r => epochUs(r.getTimestamp(to)) - epochUs(r.getTimestamp(from)))
+    for ((stage, (from, to)) <- Seq("view_to_click" -> (1, 2),
+        "click_to_purchase" -> (2, 3))) {
+      val ls = lags(from, to).sorted
+      val (n, p50, p90, meanS) = rows(stage)
+      assert(n === ls.length, s"$stage n_users")
+      assert(p50 === ls((50 * n.toInt + 99) / 100 - 1), s"$stage p50")
+      assert(p90 === ls((90 * n.toInt + 99) / 100 - 1), s"$stage p90")
+      assert(ls.forall(_ >= 0L), s"$stage lags must be non-negative")
+      assert(math.abs(meanS - math.rint(
+        ls.sum / (n * 1e6) * 1e4) / 1e4) < 1e-12, s"$stage mean")
+    }
+    SparkEntry.release(spark)
+  }
 }
