@@ -566,6 +566,44 @@ object MultimodalOps extends Serializable {
         .select(col("doc_id"), col("cluster_rep"),
           (col("doc_id") === col("cluster_rep")).as("keep"),
           col("cluster_size"))
+    },
+
+    // CROSS-MODAL ALIGNMENT SCREEN — the CLIP-score filter shape
+    // (LAION's curation step): per paired (asset, caption-embedding)
+    // row, the cosine between the asset's encoder features (the m32
+    // stub — a real CLIP image tower swaps in behind the same 8-dim
+    // contract) and the text embedding's leading 8 dims, with the
+    // bottom decile flagged for quarantine. The flag is RANK-based
+    // (global row_number over the 6-dp rounded score via the
+    // block-distributed rank, cut at ceil(n/10)) — never a float
+    // threshold compare, so the boundary rows are integer-exact in
+    // both engines. The stub features are n/65536 with n < 2^16 —
+    // exactly representable in FLOAT32 — so the float cast in the
+    // feature contract costs zero precision and the oracle can replay
+    // in doubles. Join is doc_id = vec_id equi (the pairing contract);
+    // everything else is map-side + one rank shuffle.
+    "m45_crossmodal_align" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val assets = multimodalTable(s, d)
+        .select(col("doc_id"), col("meta.source").as("source"),
+          stubFeatures(col("payload")).cast("array<double>").as("afeat"))
+      val txt = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, featureDim)
+            .as("tfeat"))
+      val scoredRaw = assets.join(txt, col("doc_id") === col("vec_id"))
+        .withColumn("align_cos", round(
+          graft.functions.VectorFunctions
+            .cosineSim(col("afeat"), col("tfeat")), 6))
+        .select(col("doc_id"), col("source"), col("align_cos"))
+      val ranked = graft.operators.DistributedRank.rowNumber(scoredRaw,
+        Seq.empty, Seq(col("align_cos").asc, col("doc_id").asc),
+        floor(col("align_cos") * 10), "align_rank")
+      val n = scoredRaw.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("source"), col("align_cos"),
+          col("align_rank"),
+          (col("align_rank") <= expr("(n + 9) div 10")).as("low_align"))
     }
   )
 
@@ -631,6 +669,37 @@ object MultimodalOps extends Serializable {
       |WHERE i < nt""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the m32 nibble arithmetic rebuilt as an inline 8-element list
+    // (values n/65536 are exact in FLOAT32, so doubles replay the
+    // Spark float contract bit-for-bit); rank-based decile cut
+    "m45_crossmodal_align" -> {
+      def nib(pos: String) =
+        s"(strpos('0123456789abcdef', substring(hx, $pos, 1)) - 1)"
+      val feat = (0 until featureDim).map { i =>
+        s"(${nib(s"${i * 4} + 1")} * 4096 + ${nib(s"${i * 4} + 2")} * 256 + " +
+          s"${nib(s"${i * 4} + 3")} * 16 + ${nib(s"${i * 4} + 4")}) / 65536.0"
+      }.mkString("[", ", ", "]")
+      s"""WITH a AS (
+         | SELECT doc_id, source, md5(text) AS hx FROM documents),
+         |af AS (
+         | SELECT doc_id, source, $feat AS afeat FROM a),
+         |tf AS (
+         | SELECT vec_id, CAST(embedding[1:$featureDim] AS DOUBLE[]) AS tfeat
+         | FROM embeddings),
+         |sc AS (
+         | SELECT doc_id, source,
+         |  round(list_dot_product(afeat, tfeat) /
+         |   (sqrt(list_dot_product(afeat, afeat)) *
+         |    sqrt(list_dot_product(tfeat, tfeat))), 6) AS align_cos
+         | FROM af JOIN tf ON doc_id = vec_id),
+         |r AS (
+         | SELECT *, row_number() OVER (ORDER BY align_cos ASC, doc_id ASC)
+         |    AS align_rank,
+         |  count(*) OVER () AS n FROM sc)
+         |SELECT doc_id, source, align_cos, align_rank,
+         | (align_rank <= (n + 9) // 10) AS low_align
+         |FROM r""".stripMargin
+    },
     "m34_payload_tiles" -> m34OracleSql,
     // the same next-fit rule over a single-window cumsum rendering
     // (the block-offset form is bitwise identical to it)

@@ -1153,6 +1153,41 @@ object TextOps {
       withScores.select(col("doc_id"), col("lang"),
         pred.as("lang_pred"), col("s_en").cast("long").as("s_en"),
         col("s_es").cast("long").as("s_es"))
+    },
+
+    // LEXICAL DIVERSITY — the per-source vocabulary-health panel a
+    // corpus card reports next to t45's growth curve: mean per-doc
+    // type-token ratio (high = varied wording, low = template spam),
+    // source-level vocabulary size, and the hapax fraction (share of
+    // the vocabulary seen exactly once — synthetic/templated text runs
+    // far below natural text's ~50%). Two partial-agg passes over the
+    // tokenized corpus — one per-doc (TTR), one per-(source, token)
+    // (hapax) — both keyed shuffles that scale linearly; the final
+    // rollups join on source. Ratios are BIGINT/BIGINT single
+    // divisions; the TTR mean follows the q118 round-4 discipline.
+    "t58_lexical_diversity" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) > 0)
+      val perDoc = tok.select(col("source"), col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_types"))
+        .withColumn("ttr", round(col("n_types") / col("n_tokens"), 6))
+      val docRoll = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_total"),
+          (round(avg(col("ttr")), 4) + 0.0).as("mean_ttr"))
+      val vocab = tok
+        .select(col("source"), explode(col("w")).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      docRoll.join(vocab, "source")
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+          col("vocab"), col("hapax"), col("mean_ttr"),
+          round(col("hapax") / col("vocab"), 4).as("hapax_frac"))
     }
   )
 
@@ -1760,7 +1795,34 @@ object TextOps {
          | FROM cells GROUP BY 1)
          |SELECT cells.lang, lang_pred, n_docs,
          | round(n_docs / n_lang, 4) AS row_frac
-         |FROM cells JOIN tot USING (lang)""".stripMargin
+         |FROM cells JOIN tot USING (lang)""".stripMargin,
+    // the same whitespace tokenizer; per-doc TTR via list_distinct,
+    // hapax off the (source, token) counts, round-4 single divisions
+    "t58_lexical_diversity" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |perdoc AS (
+        | SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(w)) AS BIGINT) /
+        |        CAST(len(w) AS BIGINT), 6) AS ttr
+        | FROM tok),
+        |docroll AS (
+        | SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  round(avg(ttr), 4) + 0.0 AS mean_ttr
+        | FROM perdoc GROUP BY 1),
+        |tc AS (
+        | SELECT source, unnest(w) AS token FROM tok),
+        |vocab AS (
+        | SELECT source, count(*) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        | FROM (SELECT source, token, count(*) AS c FROM tc GROUP BY 1, 2)
+        | GROUP BY 1)
+        |SELECT source, n_docs, tokens_total, vocab, hapax, mean_ttr,
+        | round(hapax / vocab, 4) AS hapax_frac
+        |FROM docroll JOIN vocab USING (source)""".stripMargin
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

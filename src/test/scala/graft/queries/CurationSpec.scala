@@ -1262,4 +1262,70 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("t58 lexical diversity: every source row replays exactly from the raw corpus") {
+    val out = SparkEntry.queries("t58_lexical_diversity")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+    val bySource = docs.groupBy(_._1)
+    assert(out.keySet === bySource.keySet)
+    for ((src, ds) <- bySource) {
+      val toks = ds.map(_._2.trim.split("[ \t\n\f\r]+").toSeq)
+      val r = out(src)
+      assert(r.getLong(1) === toks.length, s"$src n_docs")
+      assert(r.getLong(2) === toks.map(_.length.toLong).sum, s"$src tokens")
+      val counts = toks.flatten.groupBy(identity).view.mapValues(_.size)
+      assert(r.getLong(3) === counts.size, s"$src vocab")
+      assert(r.getLong(4) === counts.count(_._2 == 1), s"$src hapax")
+      val ttrs = toks.map(w =>
+        math.rint(w.distinct.length.toDouble / w.length * 1e6) / 1e6)
+      assert(math.abs(r.getDouble(5) -
+        math.rint(ttrs.sum / ttrs.length * 1e4) / 1e4) < 1e-9, s"$src ttr")
+      assert(math.abs(r.getDouble(6) - math.rint(
+        counts.count(_._2 == 1).toDouble / counts.size * 1e4) / 1e4) < 1e-9,
+        s"$src hapax_frac")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("m45 crossmodal align: scores replay from the stub feature contract and the decile cut is exact") {
+    val out = SparkEntry.queries("m45_crossmodal_align")(spark, sf0001)
+      .collect()
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def stub(text: String): Array[Double] = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Array.tabulate(8)(i =>
+        Integer.parseInt(hx.substring(i * 4, i * 4 + 4), 16) / 65536.0)
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 8) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val n = out.length
+    assert(out.map(_.getLong(3)).sorted.toSeq === (1L to n).toSeq,
+      "ranks must be a permutation")
+    assert(out.count(_.getBoolean(4)) === (n + 9) / 10,
+      "flagged set must be exactly the bottom decile by rank")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expect = cos6(stub(docs(id)), embs(id).take(8))
+      assert(math.abs(r.getDouble(2) - expect) < 1.5e-6,
+        s"doc $id align_cos ${r.getDouble(2)} != $expect")
+    }
+    // flags must agree with the (align_cos, doc_id) sort order
+    val sorted = out.sortBy(r => (r.getDouble(2), r.getLong(0)))
+    assert(sorted.take((n + 9) / 10).forall(_.getBoolean(4)))
+    assert(sorted.drop((n + 9) / 10).forall(!_.getBoolean(4)))
+    SparkEntry.release(spark)
+  }
 }
