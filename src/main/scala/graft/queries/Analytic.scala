@@ -1151,6 +1151,75 @@ object Analytic {
           max(when(col("rk") === target(90), col("lag_us"))).as("p90_us"),
           max(round(col("sum_us") / (col("n_users") * lit(1000000.0)), 4))
             .as("mean_s"))
+    },
+
+    // POSITION-BASED (U-SHAPED) ATTRIBUTION — the multi-touch
+    // companion to q94's last-touch rule: each converting user's
+    // pre-first-purchase touches (view/click) split the conversion
+    // credit 40% first / 40% last / 20% across the middles. Credit is
+    // INTEGER parts-per-million (middles get 200000 div (k−2) each,
+    // division remainder deliberately dropped and visible in the
+    // totals), so every aggregation downstream is hash-exact under any
+    // partitioning — the q111 integer discipline applied to marketing
+    // math. Per-user journey windows partition on user_id (corpus-
+    // cardinality key — the safe kind); the channel rollup is one
+    // 2-row partial agg, and the share division happens once against a
+    // broadcast global.
+    "q122_position_attribution" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .join(firstPurchase, "user_id")
+        .filter(col("ts") < col("conv_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val credited = touches
+        .withColumn("pos", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("credit_ppm",
+          when(col("k") === 1, 1000000L)
+            .when(col("k") === 2, 500000L)
+            .when(col("pos") === 1 || col("pos") === col("k"), 400000L)
+            .otherwise(expr("200000 div (k - 2)")))
+      val perChannel = credited.groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_ppm")).as("credit_ppm"))
+      val tot = perChannel.agg(sum(col("credit_ppm")).as("t"))
+      perChannel.crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_touches"), col("credit_ppm"),
+          round(col("credit_ppm") / col("t"), 6).as("credit_share"))
+    },
+
+    // MANN-KENDALL TREND TEST — is traffic actually trending, or just
+    // noisy? The nonparametric S statistic per event type over daily
+    // counts: Σ sign(c_j − c_i) across all day pairs i<j, plus
+    // Kendall's tau-a. The pair join is deliberately quadratic — over
+    // the DAILY AGGREGATE, whose size is bounded by the calendar (30
+    // rows here, 36.5k for a century), never the corpus; at 100 TB the
+    // only full-scan work is the (type, day) partial agg feeding it.
+    // Everything through S is pure integer; tau is one division.
+    "q123_trend_test" -> { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("event_type"), col("day").as("da"),
+        col("c").as("ca"))
+      val b = daily.select(col("event_type").as("tb"), col("day").as("db"),
+        col("c").as("cb"))
+      a.join(b, col("event_type") === col("tb") && col("da") < col("db"))
+        .groupBy(col("event_type"))
+        .agg(sum(signum(col("cb") - col("ca")).cast("long")).as("s_stat"),
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("n_concordant"),
+          sum(when(col("cb") < col("ca"), 1L).otherwise(0L)).as("n_discordant"))
+        .select(col("event_type"), col("s_stat"), col("n_pairs"),
+          col("n_concordant"), col("n_discordant"),
+          round(col("s_stat") / col("n_pairs"), 4).as("tau_a"),
+          when(col("s_stat") > 0, "increasing")
+            .when(col("s_stat") < 0, "decreasing")
+            .otherwise("flat").as("trend"))
     }
   )
 
@@ -1902,6 +1971,56 @@ object Analytic {
         | max(CASE WHEN rk = (50*n + 99) // 100 THEN lag_us END) AS p50_us,
         | max(CASE WHEN rk = (90*n + 99) // 100 THEN lag_us END) AS p90_us,
         | max(round(sum_us / (n * 1000000.0), 4)) AS mean_s
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+    // the same integer ppm credit CASE over the identical
+    // (ts, event_id) journey order; one share division at the end
+    "q122_position_attribution" ->
+      """WITH fp AS (
+        | SELECT user_id, min(ts) AS conv_ts FROM events
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |touch AS (
+        | SELECT e.user_id, e.event_type, e.ts, e.event_id
+        | FROM events e JOIN fp USING (user_id)
+        | WHERE e.event_type IN ('view', 'click') AND e.ts < fp.conv_ts),
+        |pos AS (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC) AS pos,
+        |  count(*) OVER (PARTITION BY user_id) AS k
+        | FROM touch),
+        |cr AS (
+        | SELECT event_type AS channel,
+        |  CASE WHEN k = 1 THEN 1000000
+        |       WHEN k = 2 THEN 500000
+        |       WHEN pos = 1 OR pos = k THEN 400000
+        |       ELSE 200000 // (k - 2) END AS credit_ppm
+        | FROM pos),
+        |per AS (
+        | SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+        | FROM cr GROUP BY 1)
+        |SELECT channel, n_touches, credit_ppm,
+        | round(credit_ppm / (SELECT sum(credit_ppm) FROM per), 6)
+        |   AS credit_share
+        |FROM per""".stripMargin,
+    // the pair join replays over the same bounded daily aggregate;
+    // S and the concordant/discordant counts are pure integer
+    "q123_trend_test" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        | FROM events GROUP BY 1, 2)
+        |SELECT a.event_type,
+        | CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat,
+        | count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_concordant,
+        | CAST(sum(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_discordant,
+        | round(CAST(sum(sign(b.c - a.c)) AS BIGINT) / count(*), 4) AS tau_a,
+        | CASE WHEN sum(sign(b.c - a.c)) > 0 THEN 'increasing'
+        |      WHEN sum(sign(b.c - a.c)) < 0 THEN 'decreasing'
+        |      ELSE 'flat' END AS trend
+        |FROM daily a JOIN daily b
+        | ON a.event_type = b.event_type AND a.day < b.day
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1328,4 +1328,63 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(sorted.drop((n + 9) / 10).forall(!_.getBoolean(4)))
     SparkEntry.release(spark)
   }
+
+  test("q122 position attribution: per-journey ppm credits replay and shares sum to one") {
+    val out = SparkEntry.queries("q122_position_attribution")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // driver replay of the journey credit rule
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getLong(3)))
+    val convTs = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3.getTime).min).toMap
+    val credits = scala.collection.mutable.Map[String, Long]()
+    val nTouch = scala.collection.mutable.Map[String, Long]()
+    for ((uid, conv) <- convTs) {
+      val touches = ev.filter(e => e._1 == uid &&
+          (e._2 == "view" || e._2 == "click") && e._3.getTime < conv)
+        .sortBy(e => (e._3.getTime, e._4))
+      val k = touches.length
+      touches.zipWithIndex.foreach { case (e, i) =>
+        val ppm =
+          if (k == 1) 1000000L
+          else if (k == 2) 500000L
+          else if (i == 0 || i == k - 1) 400000L
+          else 200000L / (k - 2)
+        credits(e._2) = credits.getOrElse(e._2, 0L) + ppm
+        nTouch(e._2) = nTouch.getOrElse(e._2, 0L) + 1L
+      }
+    }
+    assert(out.keySet === credits.keySet)
+    val total = credits.values.sum
+    for ((ch, (n, ppm, share)) <- out) {
+      assert(n === nTouch(ch), s"$ch touches")
+      assert(ppm === credits(ch), s"$ch ppm")
+      assert(math.abs(share -
+        math.rint(ppm.toDouble / total * 1e6) / 1e6) < 1e-12, s"$ch share")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q123 trend test: S decomposes into concordant minus discordant over calendar pairs") {
+    val rows = SparkEntry.queries("q123_trend_test")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, nPairs, nc, nd) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(s === nc - nd, "S must be concordant - discordant")
+      assert(nc + nd <= nPairs, "ties cannot exceed the pair count")
+      // n_pairs must be C(n_days, 2) for that type's observed days
+      val days = (1 + math.sqrt(1 + 8.0 * nPairs)) / 2
+      assert(math.abs(days - math.rint(days)) < 1e-9,
+        s"n_pairs=$nPairs must be triangular")
+      val trend = r.getString(6)
+      assert(trend === (if (s > 0) "increasing"
+        else if (s < 0) "decreasing" else "flat"))
+      assert(math.abs(r.getDouble(5)) <= 1.0)
+    }
+    SparkEntry.release(spark)
+  }
 }
