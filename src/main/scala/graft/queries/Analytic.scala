@@ -1220,6 +1220,40 @@ object Analytic {
           when(col("s_stat") > 0, "increasing")
             .when(col("s_stat") < 0, "decreasing")
             .otherwise("flat").as("trend"))
+    },
+
+    // SESSION SEQUENCES — the events→training-data bridge: each q78
+    // gap session rendered as an ordered event-type token sequence
+    // (the input a behavioral sequence model trains on), capped at 16
+    // tokens with the overflow flagged — the bounded-sample contract
+    // (m33's discipline) that keeps a pathological million-event
+    // session from exploding a training row. Ordering never trusts
+    // arrival: events collect into an array that is array_sort'ed on
+    // the (micros, event_id) struct prefix, so the rendered sequence
+    // is a pure function of the data under any partitioning. Shuffles:
+    // q78's own user-keyed window, then one (user, session) agg that
+    // REUSES the window's clustering.
+    "q124_session_sequences" -> { (s, d) =>
+      val gapUs = 4L * 3600L * 1000000L
+      val cap = 16
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+            .cast("long"))
+        .withColumn("session_n",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(count(lit(1)).as("seq_len"),
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))).as("evs"))
+        .select(col("user_id"), col("session_n"), col("seq_len"),
+          concat_ws(">", expr(s"transform(slice(evs, 1, $cap), " +
+            "x -> x.event_type)")).as("seq_text"),
+          (col("seq_len") > cap).as("truncated"))
     }
   )
 
@@ -2021,6 +2055,34 @@ object Analytic {
         |      ELSE 'flat' END AS trend
         |FROM daily a JOIN daily b
         | ON a.event_type = b.event_type AND a.day < b.day
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // q78's session CTEs verbatim; the ordered list agg mirrors the
+    // array_sort'ed (us, event_id) struct collect, sliced at the same
+    // 16-token cap
+    "q124_session_sequences" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_us
+        | FROM events),
+        |f AS (
+        | SELECT *, CASE WHEN prev_us IS NULL
+        |   OR us - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM g),
+        |sn AS (
+        | SELECT user_id, event_id, event_type, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM f),
+        |seq AS (
+        | SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+        |  count(*) AS seq_len,
+        |  list(event_type ORDER BY us ASC, event_id ASC) AS evs
+        | FROM sn GROUP BY 1, 2)
+        |SELECT user_id, session_n, seq_len,
+        | array_to_string(evs[1:16], '>') AS seq_text,
+        | (seq_len > 16) AS truncated
+        |FROM seq""".stripMargin
   )
 }

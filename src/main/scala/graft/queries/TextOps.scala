@@ -1188,6 +1188,53 @@ object TextOps {
         .select(col("source"), col("n_docs"), col("tokens_total"),
           col("vocab"), col("hapax"), col("mean_ttr"),
           round(col("hapax") / col("vocab"), 4).as("hapax_frac"))
+    },
+
+    // SPAN-SCRUB ACCOUNTING — what t37 *measures*, this one *budgets*:
+    // if every 8-token span shared by ≥2 documents were excised (the
+    // RefinedWeb line-removal policy at span granularity), how many
+    // tokens does each source lose? Position-aware: span occurrences
+    // keep their offsets (posexplode — no array_distinct here, unlike
+    // t37's per-doc digest stream), flagged occurrences fan out to the
+    // ≤8 token positions they cover, and coverage dedups on
+    // (doc, position) so overlapping spans never double-bill. Shuffle
+    // ledger at 100 TB: one digest-keyed agg (countDistinct doc), one
+    // digest equi-join back, one bounded ×8 explode of FLAGGED
+    // occurrences only, one (doc, pos) dedup — all linear, keyed, and
+    // skew-bounded by the df≥2 flag set. Docs under 8 tokens carry no
+    // spans; they count in the corpus totals with zero scrub.
+    "t59_span_scrub" -> { (s, d) =>
+      val span = 8
+      val tok = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_tokens"), col("w"))
+      val occ = tok.filter(col("n_tokens") >= span)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(w)-$span), " +
+            s"i -> md5(concat_ws(' ', slice(w, i+1, $span))))"))
+          .as(Seq("i", "span_md5")))
+        // feeds the df aggregate AND the coverage join — persist the
+        // positioned digest stream; released by SparkEntry.release()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flagged = occ.groupBy(col("span_md5"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("span_md5"))
+      val covered = occ.join(flagged, "span_md5")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + lit(span - 1))).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      tok.join(covered, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(coalesce(col("covered"), lit(0L))).as("tokens_scrubbed"),
+          sum(when(col("covered").isNotNull, 1L).otherwise(0L))
+            .as("docs_affected"))
+        .withColumn("scrub_frac",
+          round(col("tokens_scrubbed") / col("tokens_total"), 4))
     }
   )
 
@@ -1822,7 +1869,44 @@ object TextOps {
         | GROUP BY 1)
         |SELECT source, n_docs, tokens_total, vocab, hapax, mean_ttr,
         | round(hapax / vocab, 4) AS hapax_frac
-        |FROM docroll JOIN vocab USING (source)""".stripMargin
+        |FROM docroll JOIN vocab USING (source)""".stripMargin,
+    // positioned spans via range(0, len-7) + 1-based slices (t38's
+    // alignment), df>=2 flag on DISTINCT docs, coverage deduped on
+    // (doc, position) before counting — identical scrub ledger
+    "t59_span_scrub" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |base AS (
+        | SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens, w
+        | FROM tok),
+        |occ0 AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(0, CAST(n_tokens - 7 AS INTEGER)),
+        |   i -> struct_pack(i := i,
+        |     sm := md5(array_to_string(w[i + 1 : i + 8], ' '))))) AS o
+        | FROM base WHERE n_tokens >= 8),
+        |occ AS (
+        | SELECT doc_id, CAST(o.i AS BIGINT) AS i, o.sm AS span_md5
+        | FROM occ0),
+        |bp AS (
+        | SELECT span_md5 FROM (
+        |  SELECT span_md5, count(DISTINCT doc_id) AS nd
+        |  FROM occ GROUP BY 1) WHERE nd >= 2),
+        |cov AS (
+        | SELECT DISTINCT doc_id, i + u AS p
+        | FROM occ JOIN bp USING (span_md5), range(0, 8) r2(u)),
+        |perdoc AS (
+        | SELECT doc_id, count(*) AS covered FROM cov GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        | CAST(sum(coalesce(covered, 0)) AS BIGINT) AS tokens_scrubbed,
+        | CAST(sum(CASE WHEN covered IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS docs_affected,
+        | round(sum(coalesce(covered, 0)) / sum(n_tokens), 4) AS scrub_frac
+        |FROM base LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY 1""".stripMargin
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

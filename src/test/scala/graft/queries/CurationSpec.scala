@@ -1387,4 +1387,72 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("t59 span scrub: the coverage ledger replays exactly from positioned spans") {
+    val out = SparkEntry.queries("t59_span_scrub")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.trim.nonEmpty)
+      .map { case (id, src, text) =>
+        (id, src, text.trim.split("[ \t\n\f\r]+").toSeq) }
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val occs = for {
+      (id, _, w) <- docs if w.length >= 8
+      i <- 0 to w.length - 8
+    } yield (id, i, md5(w.slice(i, i + 8).mkString(" ")))
+    val flagged = occs.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .keySet
+    val covered = occs.filter(o => flagged(o._3))
+      .flatMap(o => (o._2 until o._2 + 8).map(p => (o._1, p)))
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bySource = docs.groupBy(_._2)
+    assert(out.keySet === bySource.keySet)
+    for ((src, ds) <- bySource) {
+      val (nDocs, tokTotal, scrubbed, affected) = out(src)
+      assert(nDocs === ds.length, s"$src n_docs")
+      assert(tokTotal === ds.map(_._3.length.toLong).sum, s"$src tokens")
+      assert(scrubbed === ds.map(d => covered.getOrElse(d._1, 0L)).sum,
+        s"$src scrubbed")
+      assert(affected === ds.count(d => covered.contains(d._1)),
+        s"$src affected")
+    }
+    assert(out.values.map(_._3).sum > 0, "corpus must have shared spans")
+    SparkEntry.release(spark)
+  }
+
+  test("q124 session sequences: rows align with q78 sessions and sequences respect order and cap") {
+    val seqs = SparkEntry.queries("q124_session_sequences")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    val sess = SparkEntry.queries("q78_sessionize")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(seqs.keySet === sess.keySet, "one sequence per q78 session")
+    // driver replay of the ordered, capped rendering
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gap = 4L * 3600L * 1000000L
+    for ((uid, evs) <- ev.groupBy(_._1)) {
+      val ordered = evs.sortBy(e => (e._4, e._2))
+      var sn = 0L; var prev = Long.MinValue
+      val assigned = ordered.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > gap) sn += 1
+        prev = e._4
+        (sn, e._3)
+      }
+      for ((s, grp) <- assigned.groupBy(_._1)) {
+        val (len, text, trunc) = seqs((uid, s))
+        assert(len === grp.length, s"user $uid session $s len")
+        assert(text === grp.map(_._2).take(16).mkString(">"),
+          s"user $uid session $s text")
+        assert(trunc === (grp.length > 16), s"user $uid session $s trunc")
+      }
+    }
+    SparkEntry.release(spark)
+  }
 }
