@@ -203,6 +203,27 @@ object SimilarityOps {
       lastDir.flatMap(fitted.get)
   }
 
+  /** s62's code-budget sweep models: one fit per subspace count m,
+    * same bounded-sample seeded recipe as [[PqModel]] (which pins
+    * m=16) — memoized per (dir, m) so the sweep costs three driver
+    * fits once per session. */
+  private object PqSweepModels {
+    val ms: Seq[Int] = Seq(2, 4, 8)
+    private val fitted = scala.collection.concurrent.TrieMap
+      .empty[(String, Int), graft.ml.ProductQuantizerModel]
+    @volatile private var lastDir: Option[String] = None
+    def model(s: SparkSession, d: String, m: Int): graft.ml.ProductQuantizerModel = {
+      lastDir = Some(d)
+      fitted.getOrElseUpdate((d, m),
+        graft.ml.ProductQuantizer.fit(emb(s, d), m = m, k = 16))
+    }
+    def lastModels: Option[Seq[(Int, graft.ml.ProductQuantizerModel)]] =
+      lastDir.flatMap { d =>
+        val got = ms.flatMap(m => fitted.get((d, m)).map(m -> _))
+        if (got.size == ms.size) Some(got) else None
+      }
+  }
+
   /** s43's RESIDUAL product quantizer: same driver-side seeded fit as
     * [[PqModel]], but trained on cell residuals (emb − home-cell
     * centroid) — the quantity PQ actually has to encode in a residual
@@ -1198,6 +1219,38 @@ object SimilarityOps {
         .unionAll(s3.select(col("qid"), lit(3L).as("step"),
           col("v3").as("picked_id"), col("rel3").as("rel"),
           (col("score3_u") / 1e7d).as("mmr_score")))
+    },
+
+    // PQ CODE-BUDGET SWEEP — the sizing sheet behind s41/s59's fixed
+    // m=16 choice: the same bounded-sample PQ recipe fitted at
+    // m ∈ {2, 4, 8} subspaces (1/2/4 bytes per vector at k=16), each
+    // arm scoring its full-vector reconstruction error over the
+    // corpus. Per-vector error is the FIXED left-to-right sum of the
+    // per-subspace min-distances, so the oracle replays it as the same
+    // parenthesized addition chain over codebook VALUES literals (the
+    // s59 discipline, swept). Each arm is one map-only pass (codebooks
+    // are broadcast literals) + a 1-row agg; the three arms union.
+    // This is the table a platform team reads before committing a
+    // 100 TB index to a byte budget.
+    "s62_pq_budget_sweep" -> { (s, d) =>
+      val e = emb(s, d)
+      PqSweepModels.ms.map { m =>
+        val pq = PqSweepModels.model(s, d, m)
+        val dmins = (0 until pq.m).map { j =>
+          val cb = typedlit(pq.codebooks(j).map(_.toSeq).toSeq)
+          val sub = slice(col("emb"), j * pq.dsub + 1, pq.dsub)
+          array_min(transform(cb, c =>
+            aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, v) => a + v)))
+        }
+        e.select(dmins.reduce(_ + _).as("sqerr"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg(col("sqerr")), 6).as("mse"),
+            round(max(col("sqerr")), 6).as("max_sqerr"))
+          .select(lit(m.toLong).as("m"), lit(pq.dsub.toLong).as("dsub"),
+            lit(pq.bytesPerVector).as("bytes_per_vector"),
+            col("n_vectors"), col("mse"), col("max_sqerr"))
+      }.reduce(_.unionAll(_))
     }
   )
 
@@ -1406,6 +1459,36 @@ object SimilarityOps {
          |FROM mins GROUP BY 1""".stripMargin
   }
 
+  /** s62 oracle: one arm per fitted m, each replaying the per-vector
+    * reconstruction error as the SAME left-to-right addition chain of
+    * per-subspace min-distances over that arm's codebook literal (the
+    * s59 rendering, swept), unioned. Generated after the query runs —
+    * the Verify main dumps oracle SQL last. */
+  private def s62Oracle: String = PqSweepModels.lastModels match {
+    case None => "SELECT 1 WHERE 1=0 -- s62 not yet run in this session"
+    case Some(models) =>
+      models.map { case (m, pq) =>
+        val cbLit = pq.codebooks.map(_.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        val dsub = pq.dsub
+        val terms = (1 to m).map { j =>
+          s"""list_min(list_transform(range(1, ${pq.k + 1}), c ->
+             |   list_dot_product(
+             |    list_transform(range(1, ${dsub + 1}), i -> emb[${(j - 1) * dsub} + i] - B[$j][c][i]),
+             |    list_transform(range(1, ${dsub + 1}), i -> emb[${(j - 1) * dsub} + i] - B[$j][c][i]))))"""
+            .stripMargin
+        }.mkString(" + ")
+        s"""SELECT CAST($m AS BIGINT) AS m, CAST($dsub AS BIGINT) AS dsub,
+           | ${pq.bytesPerVector} AS bytes_per_vector,
+           | count(*) AS n_vectors, round(avg(sqerr), 6) AS mse,
+           | round(max(sqerr), 6) AS max_sqerr
+           |FROM (
+           | SELECT $terms AS sqerr
+           | FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |      (VALUES ($cbLit::DOUBLE[][][])) cb(B))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+  }
+
   /** s35's oracle replays the sign-LSH end to end: the 6×4 hyperplanes
     * enter as a 24-row VALUES table, bucket bits via the same
     * left-to-right dot products, candidate pairs from the (table,
@@ -1595,6 +1678,7 @@ object SimilarityOps {
         |WHERE rnk <= 3""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "s62_pq_budget_sweep" -> s62Oracle,
     // raw list_dot_product top-5 with the identical (ip DESC, vec_id
     // ASC) heap order; the norm-augmentation re-rank replays as a
     // second row_number within the kept 5, M/‖q‖ computed with the

@@ -1455,4 +1455,20 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("s62 pq budget sweep: more subspaces buy monotonically lower distortion at higher byte cost") {
+    val rows = SparkEntry.queries("s62_pq_budget_sweep")(spark, sf0001)
+      .orderBy("m").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) === 64L, "subspaces must tile the 64 dims")
+      assert(r.getDouble(2) === r.getLong(0) * 0.5, "k=16 -> half a byte per subspace")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(5) >= r.getDouble(4))
+    }
+    // the whole point of the sweep: distortion falls as the budget grows
+    val mses = rows.map(_.getDouble(4))
+    assert(mses.sliding(2).forall(p => p(1) < p(0)),
+      s"mse must fall with m, got ${mses.mkString(",")}")
+    SparkEntry.release(spark)
+  }
 }
