@@ -614,4 +614,40 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges.subsetOf(Set("user_id", "arm")),
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
+
+  test("s60 mips: queries and the norm bound broadcast; scoring joins are never shuffled; top-k is the native heap") {
+    val p = plan("s60_mips_topk")
+    assert(p.contains("TopKPerKey"), s"must plan the bounded-heap exec in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side scoring must not sort-merge:\n$p")
+    assert(p.split("BroadcastNestedLoopJoin|BroadcastHashJoin").length - 1 >= 2,
+      s"query set + norm bound must broadcast in:\n$p")
+  }
+
+  test("t59 span scrub: every shuffle is digest-, doc- or source-keyed — no unkeyed repartition of the span stream") {
+    val p = plan("t59_span_scrub")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("span_md5", "doc_id", "p", "source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("q123 trend test: the pair join runs over the daily aggregate, keyed by event type — never the corpus") {
+    val p = plan("q123_trend_test")
+    // both join inputs must be aggregates: the HashAggregate pair
+    // below the join proves the corpus reduced to (type, day) first
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0 || p.contains("BroadcastHashJoin"),
+      s"pair join missing in:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      s"daily aggregation must precede the pair join in:\n$p")
+  }
+
+  test("s62 pq sweep: codebooks are literals — three map-only arms, no shuffle except the 1-row aggs") {
+    val p = plan("s62_pq_budget_sweep")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle expected (1-row aggs go through single partition):\n$p")
+    SparkEntry.release(spark)
+  }
 }
