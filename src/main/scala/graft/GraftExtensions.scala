@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * Catalyst expressions at session build, so a deployment enables them
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
   }

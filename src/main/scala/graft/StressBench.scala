@@ -200,6 +200,34 @@ object StressBench {
     }
     println(s"""{"stress":"brute_pairs","value":$bruteN}""")
 
+    // ---- MIPS scoring: the native codegen'd DotProduct vs the
+    // higher-order-function rendering (aggregate ∘ zip_with) on the
+    // IDENTICAL 100-query × 20k-corpus top-10 job (2M score
+    // evaluations). Same plan shape — broadcast queries, bounded-heap
+    // top-k — so the wall-clock delta isolates the expression cost:
+    // the HOF route materializes an intermediate array per scored
+    // pair, the native expression is one fused loop inside
+    // whole-stage codegen. The ratio is the argument for s60 keeping
+    // a custom Expression on its hot path.
+    val mipsQ = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def mipsTop10(score: org.apache.spark.sql.Column): Long =
+      graft.operators.TopKPerKeyApi.topKPerKey(
+        e.join(broadcast(mipsQ), col("vec_id") =!= col("qid"))
+          .withColumn("nip", -score)
+          .select(col("qid"), col("vec_id"), col("nip")),
+        Seq("qid"), Seq(("nip", true), ("vec_id", true)), 10).count()
+    val dotNative = graft.functions.VectorFunctions.dotProduct _
+    val mipsNativeN = tm("mips_native_dot_100x20k") {
+      mipsTop10(dotNative(col("qemb"), col("emb")))
+    }
+    val mipsHofN = tm("mips_hof_dot_100x20k") {
+      mipsTop10(aggregate(zip_with(col("qemb"), col("emb"),
+        (x, y) => x * y), lit(0.0), (s, v) => s + v))
+    }
+    require(mipsNativeN == mipsHofN,
+      s"native vs HOF MIPS row counts diverged: $mipsNativeN vs $mipsHofN")
+
     // ---- d51-style SEMANTIC DEDUP at 20k vectors: the same ≥0.8
     // near-dup confirm as the brute row above, candidates bounded to
     // quantizer cell-mates (64 fixed centroids) with the pairwise

@@ -1254,6 +1254,46 @@ object Analytic {
           concat_ws(">", expr(s"transform(slice(evs, 1, $cap), " +
             "x -> x.event_type)")).as("seq_text"),
           (col("seq_len") > cap).as("truncated"))
+    },
+
+    // REVENUE CONCENTRATION — the Lorenz-decile panel ("does the top
+    // decile carry 40% of revenue?") beside q102's Gini: customers cut
+    // into EXACT revenue deciles with the t48 integer-ntile formula
+    // over the block-distributed row_number, per-decile revenue summed
+    // in INTEGER CENTS (the per-customer total is scaled ×100 BEFORE
+    // its one round — rounding then scaling leaves a float product
+    // that truncates differently per engine; caught in testing —
+    // everything after is exact under any partitioning), cumulative
+    // share from the richest decile down via
+    // a window over the 10-row aggregate. Decile 10 = richest. One
+    // custkey-keyed shuffle + the rank machinery; totals broadcast.
+    "q125_revenue_concentration" -> { (s, d) =>
+      val perCust = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")) * 100).cast("long")
+          .as("cents"))
+      val ranked = graft.operators.DistributedRank.rowNumber(perCust,
+        Seq.empty, Seq(col("cents").asc, col("o_custkey").asc),
+        length(bin(col("cents"))) - 1, "rk")
+      val n = perCust.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"))
+      val decile = when(
+        col("rk") <= (col("n") % 10) * (expr("n div 10") + 1),
+        expr("(rk + n div 10) div (n div 10 + 1)"))
+        .otherwise((col("n") % 10) +
+          expr("(rk - (n % 10) * (n div 10 + 1) + n div 10 - 1) div (n div 10)"))
+      val per = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", decile)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("revenue_cents"),
+          max(col("total_cents")).as("total_cents"))
+      val wCum = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      per.withColumn("cum_cents", sum(col("revenue_cents")).over(wCum))
+        .select(col("decile"), col("n_customers"), col("revenue_cents"),
+          col("cum_cents"),
+          round(col("cum_cents") / col("total_cents"), 4).as("cum_share"))
     }
   )
 
@@ -2083,6 +2123,38 @@ object Analytic {
         |SELECT user_id, session_n, seq_len,
         | array_to_string(evs[1:16], '>') AS seq_text,
         | (seq_len > 16) AS truncated
-        |FROM seq""".stripMargin
+        |FROM seq""".stripMargin,
+    // identical integer-cents conversion, t48 ntile CASE at k=10, and
+    // a 10-row descending cumulative window
+    "q125_revenue_concentration" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |r AS (
+        | SELECT *, row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+        |   AS rk,
+        |  count(*) OVER () AS n, sum(cents) OVER () AS total_cents
+        | FROM pc),
+        |dec AS (
+        | SELECT CASE WHEN rk <= (n % 10) * (n // 10 + 1)
+        |        THEN (rk + n // 10) // (n // 10 + 1)
+        |        ELSE (n % 10) + (rk - (n % 10) * (n // 10 + 1) + n // 10 - 1)
+        |          // (n // 10) END AS decile,
+        |  cents, total_cents
+        | FROM r),
+        |per AS (
+        | SELECT decile, count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(max(total_cents) AS BIGINT) AS total_cents
+        | FROM dec GROUP BY 1)
+        |SELECT decile, n_customers, revenue_cents,
+        | CAST(sum(revenue_cents) OVER (ORDER BY decile DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_cents,
+        | round(sum(revenue_cents) OVER (ORDER BY decile DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   / total_cents, 4) AS cum_share
+        |FROM per""".stripMargin
   )
 }

@@ -1471,4 +1471,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       s"mse must fall with m, got ${mses.mkString(",")}")
     SparkEntry.release(spark)
   }
+
+  test("q125 revenue concentration: deciles partition customers and the Lorenz curve is sane") {
+    val rows = SparkEntry.queries("q125_revenue_concentration")(spark, sf0001)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val nCust = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nCust,
+      "deciles must partition the customer set")
+    assert(rows.map(_.getLong(1)).max - rows.map(_.getLong(1)).min <= 1,
+      "exact ntile: decile sizes differ by at most one")
+    // richer deciles carry more revenue; the top decile dominates
+    val rev = rows.map(_.getLong(2))
+    assert(rev.sliding(2).forall(p => p(0) <= p(1)),
+      s"revenue must be non-decreasing in decile, got ${rev.mkString(",")}")
+    val total = rev.sum
+    assert(rows.last.getLong(3) === rows.last.getLong(2),
+      "cum at decile 10 is its own revenue")
+    assert(rows.head.getLong(3) === total,
+      "cum at decile 1 must equal the corpus total")
+    assert(math.abs(rows.head.getDouble(4) - 1.0) < 1e-9)
+    SparkEntry.release(spark)
+  }
 }
