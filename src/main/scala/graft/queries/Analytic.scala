@@ -795,6 +795,33 @@ object Analytic {
         coalesce(z2 > 3.8416, lit(false)).as("significant"))
     },
 
+    // SAMPLE-RATIO-MISMATCH CHECK — the gate an experimenter runs
+    // BEFORE reading q114's z-test: are the md5-bucket arms actually
+    // 50/50? Chi-square against the even split, χ² = (n_a−n_b)² /
+    // (n_a+n_b) — integer numerator and denominator, one division. An
+    // SRM trip here means the assignment (or the event pipeline
+    // feeding it) is broken and the experiment read is void; on a
+    // healthy hash split it doubles as a bucket-uniformity audit of
+    // the q65/q110/q114 md5 machinery. One user-keyed dedup shuffle +
+    // a 2-row agg.
+    "q126_srm_check" -> { (s, d) =>
+      val arm = when(SamplingOps.bucket(col("user_id")) % 2 === 0, "A")
+        .otherwise("B")
+      val g = t(s, d, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("arm", arm)
+        .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      val one = g.agg(
+        max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"))
+      val diff = col("n_a") - col("n_b")
+      one.select(col("n_a"), col("n_b"),
+        round(col("n_a") / (col("n_a") + col("n_b")), 4).as("share_a"),
+        round(diff * diff / (col("n_a") + col("n_b")), 6).as("chi2"),
+        (diff * diff / (col("n_a") + col("n_b")) > lit(3.8416))
+          .as("srm_detected"))
+    },
+
     // JSON scalar extraction (events.props is a JSON string).
     "q16_json_extract" -> { (s, d) =>
       t(s, d, "events")
@@ -1816,6 +1843,26 @@ object Analytic {
         |WHERE p.n_ab >= 5""".stripMargin,
     // the identical md5-bucket arm assignment and the single
     // exact-integer-operand division before the round
+    // same md5-bucket arm rule; χ² on the exact integer counts, the
+    // trip compares the UNROUNDED quotient in both engines
+    "q126_srm_check" -> {
+      val b = SamplingOps.bucketSql("user_id")
+      s"""WITH u AS (
+         | SELECT DISTINCT user_id FROM events),
+         |a AS (
+         | SELECT CASE WHEN ${b} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         | FROM u),
+         |g AS (SELECT arm, count(*) AS n FROM a GROUP BY 1),
+         |one AS (
+         | SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         |  max(CASE WHEN arm = 'B' THEN n END) AS n_b FROM g)
+         |SELECT n_a, n_b,
+         | round(n_a / (n_a + n_b), 4) AS share_a,
+         | round((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
+         | ((n_a - n_b) * (n_a - n_b) / (n_a + n_b) > 3.8416)
+         |   AS srm_detected
+         |FROM one""".stripMargin
+    },
     "q114_ab_ztest" -> {
       val b = SamplingOps.bucketSql("user_id")
       s"""WITH u AS (

@@ -1494,4 +1494,18 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rows.head.getDouble(4) - 1.0) < 1e-9)
     SparkEntry.release(spark)
   }
+
+  test("q126 srm check: arms partition the distinct users and the healthy hash split passes") {
+    val r = SparkEntry.queries("q126_srm_check")(spark, sf0001).head()
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val users = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(nA + nB === users, "arms must partition the user set")
+    val chi2 = (nA - nB).toDouble * (nA - nB) / (nA + nB)
+    assert(math.abs(r.getDouble(3) - math.rint(chi2 * 1e6) / 1e6) < 1e-12)
+    assert(r.getBoolean(4) === (chi2 > 3.8416))
+    assert(!r.getBoolean(4),
+      "a healthy md5 split must not trip SRM — if this fires, the bucket rule broke")
+    SparkEntry.release(spark)
+  }
 }
