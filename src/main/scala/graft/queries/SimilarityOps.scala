@@ -1221,6 +1221,65 @@ object SimilarityOps {
           (col("score3_u") / 1e7d).as("mmr_score")))
     },
 
+    // MULTI-PROBE LSH — the recall lever that does NOT cost more hash
+    // tables (Lv et al. 2007): the probe side of s35's sign-LSH
+    // self-join additionally visits the 4 single-bit-flip neighbor
+    // buckets per table, so near-miss pairs separated by one
+    // hyperplane are recovered. Two arms — probe_bits 0 (s35's exact
+    // buckets) and 1 (plus Hamming-1 probes) — each reporting
+    // candidate volume, confirmed ≥0.4 pairs, and the confirm yield:
+    // the operating table that says what the extra probes buy and
+    // what they cost. The probe expansion is a bounded ×5 explode of
+    // the KEYED stream (never the corpus²); the join stays a (table,
+    // bucket) equi-join, so the shuffle partitions by bucket exactly
+    // as s35's does and the arm never materializes a cross product.
+    "s63_multiprobe_lsh" -> { (s, d) =>
+      val nTables = 6
+      val planesPerTable = 4
+      val planes = s35Planes
+      val e = emb(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tableBuckets = (0 until nTables).map { tb =>
+        val bucket = (0 until planesPerTable).map { p =>
+          val proj = aggregate(
+            zip_with(col("emb"), typedlit(planes(tb)(p).toSeq), (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ bitwiseOR _)
+        struct(lit(tb).as("tbl"), bucket.as("bucket"))
+      }
+      // feeds both arms' probe and corpus sides — persist the keyed
+      // stream once; released by SparkEntry.release()
+      val keyed = e.withColumn("tb", explode(array(tableBuckets: _*)))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val va = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+      val vb = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+      Seq(0, 1).map { probeBits =>
+        val masks = if (probeBits == 0) Seq(0) else Seq(0, 1, 2, 4, 8)
+        val probe = keyed.withColumn("pbucket",
+            explode(array(masks.map(m =>
+              col("bucket").bitwiseXOR(lit(m))): _*)))
+          .select(col("vec_id").as("ia"), col("tbl").as("ptbl"),
+            col("pbucket"))
+        val cands = probe.join(
+            keyed.select(col("vec_id").as("ib"), col("tbl"), col("bucket")),
+            col("ptbl") === col("tbl") && col("pbucket") === col("bucket") &&
+              col("ia") < col("ib"))
+          .select(col("ia"), col("ib")).distinct()
+        cands.join(va, "ia").join(vb, "ib")
+          .withColumn("conf",
+            when(cos(col("ea"), col("eb")) >= 0.4, 1L).otherwise(0L))
+          .agg(count(lit(1)).as("n_candidate_pairs"),
+            sum(col("conf")).as("n_confirmed"))
+          .select(lit(probeBits.toLong).as("probe_bits"),
+            col("n_candidate_pairs"), col("n_confirmed"),
+            round(col("n_confirmed") / col("n_candidate_pairs"), 4)
+              .as("confirm_yield"))
+      }.reduce(_.unionAll(_))
+    },
+
     // PQ CODE-BUDGET SWEEP — the sizing sheet behind s41/s59's fixed
     // m=16 choice: the same bounded-sample PQ recipe fitted at
     // m ∈ {2, 4, 8} subspaces (1/2/4 bytes per vector at k=16), each
@@ -1518,6 +1577,56 @@ object SimilarityOps {
        |FROM confirmed WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** s63 oracle: s35's plane/keyed CTEs verbatim, then one candidate
+    * set per probe arm — the Hamming-1 arm joins through an xor mask
+    * VALUES table — with the same distinct-pair and ≥0.4 confirm
+    * accounting. */
+  private def s63Oracle: String = {
+    val planeRows = (for {
+      tb <- s35Planes.indices
+      p <- s35Planes(tb).indices
+    } yield s"($tb, ${1 << p}, [${s35Planes(tb)(p).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pl(tb, bit, v) AS (VALUES $planeRows),
+       |keyed AS (
+       | SELECT e.vec_id, pl.tb,
+       |  sum(CASE WHEN list_dot_product(e.emb, pl.v) >= 0 THEN pl.bit ELSE 0 END) AS bucket
+       | FROM e, pl GROUP BY 1, 2),
+       |m1(mask) AS (VALUES (0), (1), (2), (4), (8)),
+       |cand0 AS (
+       | SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       | FROM keyed a JOIN keyed b
+       |   ON a.tb = b.tb AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |cand1 AS (
+       | SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       | FROM keyed a, m1, keyed b
+       | WHERE a.tb = b.tb AND xor(a.bucket, m1.mask) = b.bucket
+       |   AND a.vec_id < b.vec_id),
+       |sc0 AS (
+       | SELECT CASE WHEN list_dot_product(ea.emb, eb.emb) /
+       |   (sqrt(list_dot_product(ea.emb, ea.emb)) *
+       |    sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.4
+       |  THEN 1 ELSE 0 END AS conf
+       | FROM cand0 c JOIN e ea ON ea.vec_id = c.ia
+       |   JOIN e eb ON eb.vec_id = c.ib),
+       |sc1 AS (
+       | SELECT CASE WHEN list_dot_product(ea.emb, eb.emb) /
+       |   (sqrt(list_dot_product(ea.emb, ea.emb)) *
+       |    sqrt(list_dot_product(eb.emb, eb.emb))) >= 0.4
+       |  THEN 1 ELSE 0 END AS conf
+       | FROM cand1 c JOIN e ea ON ea.vec_id = c.ia
+       |   JOIN e eb ON eb.vec_id = c.ib)
+       |SELECT CAST(0 AS BIGINT) AS probe_bits, count(*) AS n_candidate_pairs,
+       | CAST(sum(conf) AS BIGINT) AS n_confirmed,
+       | round(sum(conf) / count(*), 4) AS confirm_yield
+       |FROM sc0
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(conf) AS BIGINT),
+       | round(sum(conf) / count(*), 4)
+       |FROM sc1""".stripMargin
+  }
+
   /** s42's oracle composes s40's cell CTEs with s41's code/ADC CTEs —
     * both trained models as literals, captured from the fits the s42
     * query itself triggered. */
@@ -1679,6 +1788,7 @@ object SimilarityOps {
 
   def oracle: Map[String, String] = Map(
     "s62_pq_budget_sweep" -> s62Oracle,
+    "s63_multiprobe_lsh" -> s63Oracle,
     // raw list_dot_product top-5 with the identical (ip DESC, vec_id
     // ASC) heap order; the norm-augmentation re-rank replays as a
     // second row_number within the kept 5, M/‖q‖ computed with the

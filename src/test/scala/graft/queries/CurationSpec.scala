@@ -1508,4 +1508,19 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "a healthy md5 split must not trip SRM — if this fires, the bucket rule broke")
     SparkEntry.release(spark)
   }
+
+  test("s63 multi-probe lsh: Hamming-1 probes strictly widen the candidate set and confirms subsume s35") {
+    val rows = SparkEntry.queries("s63_multiprobe_lsh")(spark, sf0001)
+      .orderBy("probe_bits").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val (c0, f0) = (rows(0).getLong(1), rows(0).getLong(2))
+    val (c1, f1) = (rows(1).getLong(1), rows(1).getLong(2))
+    assert(c1 > c0, "flip probes must add candidates on this corpus")
+    assert(f1 >= f0, "a superset of candidates cannot confirm fewer pairs")
+    // probe_bits=0 must be exactly s35's candidate semantics: its
+    // confirmed count equals s35's output rows (same >=0.4 confirm)
+    val s35n = SparkEntry.queries("s35_ann_lsh")(spark, sf0001).count()
+    assert(f0 === s35n, "arm 0 must reproduce s35's confirmed pair count")
+    SparkEntry.release(spark)
+  }
 }
