@@ -915,6 +915,30 @@ object DedupOps {
         .agg(count(lit(1)).as("n_eval_matches"),
           round(max(col("jac")), 4).as("max_jaccard"))
         .withColumnRenamed("train_id", "doc_id")
+    },
+
+    // CLUSTER PURITY AUDIT — do the near-dup clusters respect
+    // language boundaries? A multi-doc cluster spanning languages is
+    // either a translation pair (real, rare) or a broken shingle
+    // pipeline (common — e.g. a tokenizer that strips non-ASCII turns
+    // unrelated zh/en docs into "duplicates"). One row per multi-doc
+    // cluster: member count, distinct languages, the sorted language
+    // list, and the purity flag — the d42-style QA read a curation
+    // team does before trusting d44's drop column. Composes d41's
+    // labels with one lang equi-join and a cluster-keyed agg; nothing
+    // here exceeds the cluster pass that produced the labels.
+    "d59_cluster_purity" -> { (s, d) =>
+      val labeled = queries("d41_canonical_docs")(s, d)
+        .filter(col("cluster_size") > 1)
+        .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+      val langs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      labeled.join(langs, "doc_id")
+        .groupBy(col("cluster_rep"))
+        .agg(max(col("cluster_size")).as("cluster_size"),
+          countDistinct(col("lang")).as("n_langs"),
+          concat_ws(",", array_sort(collect_set(col("lang"))))
+            .as("langs"))
+        .withColumn("pure", col("n_langs") === 1)
     }
   )
 
@@ -1352,6 +1376,18 @@ object DedupOps {
     // list, min-id label) — only the Spark-side algorithm differs
     "d34_dedup_clusters_star" -> d31OracleSql,
     "d41_canonical_docs" -> d41OracleSql,
+    // d41's closure CTEs verbatim + one lang join; list_sort(list(
+    // DISTINCT lang)) matches array_sort(collect_set) exactly
+    "d59_cluster_purity" ->
+      s"""WITH base AS (
+         | SELECT doc_id, cluster_rep, cluster_size FROM ($d41OracleSql)
+         | WHERE cluster_size > 1)
+         |SELECT b.cluster_rep, max(b.cluster_size) AS cluster_size,
+         | CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         | array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS langs,
+         | (count(DISTINCT d.lang) = 1) AS pure
+         |FROM base b JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     // wraps the d41 SQL verbatim; the q65 bucket rule applied to the
     // cluster representative instead of the doc id
     "d50_cluster_split" -> {

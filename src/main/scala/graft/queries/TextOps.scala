@@ -1235,6 +1235,48 @@ object TextOps {
             .as("docs_affected"))
         .withColumn("scrub_frac",
           round(col("tokens_scrubbed") / col("tokens_total"), 4))
+    },
+
+    // CONTENT-DEFINED CHUNKING — the storage-dedup primitive (FastCDC
+    // at token granularity): a chunk boundary falls AFTER any token
+    // whose hash bucket ≡ 0 (mod 8), so boundaries are content-anchored
+    // and an insertion early in a document cannot shift every later
+    // chunk the way fixed-width windows do. Per source: chunk count,
+    // within-source distinct chunks, the dedup ratio chunk-level
+    // storage would achieve, and the realized mean chunk length. The
+    // chunk assignment is a per-doc prefix count of boundary flags
+    // (doc_id is a corpus-cardinality window key — the safe kind);
+    // chunk digests render through the q124 array_sort discipline so
+    // the grouping never trusts arrival order.
+    "t60_cdc_chunks" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("source"),
+          posexplode(col("w")).as(Seq("pos", "token")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunked = tok
+        .withColumn("bnd",
+          when(SamplingOps.bucket(col("token")) % 8 === 0, 1L)
+            .otherwise(0L))
+        .withColumn("chunk_idx", coalesce(sum(col("bnd")).over(w), lit(0L)))
+      val chunks = chunked
+        .groupBy(col("doc_id"), col("source"), col("chunk_idx"))
+        .agg(count(lit(1)).as("ctokens"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, token))), " +
+              "x -> x.token)"))).as("chunk_md5"))
+      chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_md5")).as("n_distinct_chunks"),
+          sum(col("ctokens")).as("tokens_total"))
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          round((col("n_chunks") - col("n_distinct_chunks")) /
+            col("n_chunks"), 4).as("dedup_ratio"),
+          round(col("tokens_total") / col("n_chunks"), 2)
+            .as("mean_chunk_tokens"))
     }
   )
 
@@ -1906,7 +1948,44 @@ object TextOps {
         |   AS BIGINT) AS docs_affected,
         | round(sum(coalesce(covered, 0)) / sum(n_tokens), 4) AS scrub_frac
         |FROM base LEFT JOIN perdoc USING (doc_id)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // the same 24-bit md5 bucket boundary rule (SamplingOps.bucketSql
+    // nibble rendering), prefix-count chunk ids, and ordered chunk
+    // digests via list(token ORDER BY pos)
+    "t60_cdc_chunks" -> {
+      val b = SamplingOps.bucketSql("o.token")
+      s"""WITH tok AS (
+         | SELECT doc_id, source,
+         |  string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
+         | FROM documents WHERE length(trim(text)) > 0),
+         |pt AS (
+         | SELECT doc_id, source,
+         |  unnest(list_transform(range(1, CAST(len(w) + 1 AS INTEGER)),
+         |    i -> struct_pack(pos := i - 1, token := w[i]))) AS o
+         | FROM tok),
+         |flags AS (
+         | SELECT doc_id, source, o.token AS token,
+         |  CAST(o.pos AS BIGINT) AS pos,
+         |  CASE WHEN ($b) % 8 = 0 THEN 1 ELSE 0 END AS bnd
+         | FROM pt),
+         |assigned AS (
+         | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
+         |   ORDER BY pos ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS chunk_idx
+         | FROM flags),
+         |chunks AS (
+         | SELECT doc_id, source, chunk_idx, count(*) AS ctokens,
+         |  md5(array_to_string(list(token ORDER BY pos ASC), ' '))
+         |    AS chunk_md5
+         | FROM assigned GROUP BY 1, 2, 3)
+         |SELECT source, count(*) AS n_chunks,
+         | CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+         | round((count(*) - count(DISTINCT chunk_md5)) / count(*), 4)
+         |   AS dedup_ratio,
+         | round(sum(ctokens) / count(*), 2) AS mean_chunk_tokens
+         |FROM chunks GROUP BY 1""".stripMargin
+    }
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

@@ -1523,4 +1523,74 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(f0 === s35n, "arm 0 must reproduce s35's confirmed pair count")
     SparkEntry.release(spark)
   }
+
+  test("d59 cluster purity: rows replay from d41 labels joined with document languages") {
+    val out = SparkEntry.queries("d59_cluster_purity")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    val labels = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
+      .filter(col("cluster_size") > 1)
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val langOf = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+    assert(out.keySet === byCluster.keySet)
+    for ((rep, members) <- byCluster) {
+      val (size, nLangs, langs, pure) = out(rep)
+      assert(size === members.head._3, s"cluster $rep size")
+      val expectLangs = members.map(m => langOf(m._1)).distinct.sorted
+      assert(nLangs === expectLangs.length, s"cluster $rep n_langs")
+      assert(langs === expectLangs.mkString(","), s"cluster $rep langs")
+      assert(pure === (expectLangs.length == 1))
+    }
+    assert(out.nonEmpty, "corpus must have multi-doc clusters")
+    SparkEntry.release(spark)
+  }
+
+  test("t60 cdc chunks: the chunking replays driver-side and boundaries are content-anchored") {
+    val out = SparkEntry.queries("t60_cdc_chunks")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+    def bucket(tok: String): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hx.substring(0, 6), 16)
+    }
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val w = text.trim.split("[ \t\n\f\r]+").toSeq
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      w.foreach { tok =>
+        cur += tok
+        if (bucket(tok) % 8 == 0) { out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val chunks = ds.flatMap(d => chunksOf(d._2))
+      val (nChunks, nDistinct, meanTok) = out(src)
+      assert(nChunks === chunks.length, s"$src n_chunks")
+      assert(nDistinct === chunks.map(_.mkString(" ")).distinct.length,
+        s"$src distinct")
+      assert(math.abs(meanTok - math.rint(
+        chunks.map(_.length).sum.toDouble / chunks.length * 100) / 100) < 1e-9,
+        s"$src mean")
+    }
+    // content anchoring: an insertion at the head must not change any
+    // chunk after the first boundary
+    val sample = docs.head._2
+    val shifted = "zzz " + sample
+    val a = chunksOf(sample).map(_.mkString(" "))
+    val b = chunksOf(shifted).map(_.mkString(" "))
+    assert(a.drop(1).toSet.subsetOf(b.toSet),
+      "CDC must keep all chunks after the first boundary stable under a head insertion")
+    SparkEntry.release(spark)
+  }
 }
