@@ -1321,6 +1321,30 @@ object Analytic {
         .select(col("decile"), col("n_customers"), col("revenue_cents"),
           col("cum_cents"),
           round(col("cum_cents") / col("total_cents"), 4).as("cum_share"))
+    },
+
+    // NEW vs RETURNING — the daily acquisition/retention split every
+    // growth dashboard leads with: per day, actives whose FIRST-ever
+    // event falls that day vs actives seen before. Two passes over the
+    // deduped (user, day) frame: a per-user min-day aggregate (the
+    // only corpus-keyed shuffle — the (user, day) dedup reuses its
+    // clustering) and a per-day rollup with the first-day comparison
+    // inside the aggregate — no self-join of the activity log against
+    // itself. Share is one BIGINT/BIGINT division rounded 4 dp.
+    "q127_new_vs_returning" -> { (s, d) =>
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val firstDay = ud.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      ud.join(firstDay, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("day").cast("timestamp").as("day"), col("n_active"),
+          col("n_new"), (col("n_active") - col("n_new")).as("n_returning"),
+          round(col("n_new") / col("n_active"), 4).as("new_share"))
     }
   )
 
@@ -2202,6 +2226,22 @@ object Analytic {
         | round(sum(revenue_cents) OVER (ORDER BY decile DESC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   / total_cents, 4) AS cum_share
+        |FROM per""".stripMargin,
+    // the same dedup -> per-user min-day -> per-day rollup; DuckDB
+    // CAST(ts AS DATE) matches to_date under the pinned UTC session
+    "q127_new_vs_returning" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (
+        | SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |per AS (
+        | SELECT day, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new
+        | FROM ud JOIN fd USING (user_id) GROUP BY 1)
+        |SELECT CAST(day AS TIMESTAMP) AS day, n_active, n_new,
+        | (n_active - n_new) AS n_returning,
+        | round(n_new / n_active, 4) AS new_share
         |FROM per""".stripMargin
   )
 }

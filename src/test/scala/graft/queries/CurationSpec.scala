@@ -1593,4 +1593,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "CDC must keep all chunks after the first boundary stable under a head insertion")
     SparkEntry.release(spark)
   }
+
+  test("q127 new vs returning: day one is all-new, splits partition actives, and news sum to the user count") {
+    val rows = SparkEntry.queries("q127_new_vs_returning")(spark, sf0001)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getLong(2) === first.getLong(1),
+      "every active on the first corpus day is new")
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        "new + returning must partition the day's actives")
+    }
+    val users = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === users,
+      "each user is new on exactly one day")
+    SparkEntry.release(spark)
+  }
 }
