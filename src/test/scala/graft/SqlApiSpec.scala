@@ -58,6 +58,19 @@ class SqlApiSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql.nonEmpty && viaSql === viaDf)
   }
 
+  test("custom dot_product is callable from SQL and agrees with cosine on normalized inputs") {
+    Tables.registerViews(spark, sf0001)
+    graft.functions.VectorFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT dot_product(e, e) AS ip, cosine_sim(e, e) AS c
+        |FROM (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS e
+        |      FROM embeddings LIMIT 5)""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0.0, "self inner product must be positive")
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    }
+  }
+
   test("events view exposes micros timestamps through SQL (ns parquet handled)") {
     Tables.registerViews(spark, sf0001)
     val n = spark.sql(
