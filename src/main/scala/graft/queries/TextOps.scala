@@ -1277,6 +1277,42 @@ object TextOps {
             col("n_chunks"), 4).as("dedup_ratio"),
           round(col("tokens_total") / col("n_chunks"), 2)
             .as("mean_chunk_tokens"))
+    },
+
+    // OOV RATE — the vocabulary-coverage audit run before committing a
+    // tokenizer: the corpus's top-K tokens by frequency (ties by token
+    // text — a fully deterministic cut) stand in for a trained vocab,
+    // and each source reports what fraction of its token stream falls
+    // outside it. K is the vocab budget knob — 16 here because this
+    // synthetic corpus has only 31 distinct tokens (a K that covered
+    // them all would make the op degenerate); a natural corpus runs
+    // the same plan at K=50000. Two passes: a (token)-keyed frequency
+    // agg whose global top-K rides TakeOrderedAndProject (distributed
+    // partial take, the q102 discipline), then the vocab BROADCAST
+    // back against the per-(source, token) counts — the membership
+    // test is a broadcast left join, never a second corpus shuffle. A source with high OOV under the global vocab is
+    // exactly the source a shared tokenizer will fragment (t52's
+    // fertility measures the same failure after the fact).
+    "t61_oov_rate" -> { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val vocab = freq.orderBy(col("c").desc, col("token").asc).limit(16)
+        .select(col("token"), lit(1).as("in_vocab"))
+      val st = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      st.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("tokens_total"),
+          sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+            .as("oov_tokens"),
+          countDistinct(col("token")).as("n_types"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("oov_types"))
+        .select(col("source"), col("tokens_total"), col("oov_tokens"),
+          round(col("oov_tokens") / col("tokens_total"), 4).as("oov_rate"),
+          col("n_types"), col("oov_types"),
+          round(col("oov_types") / col("n_types"), 4).as("oov_type_rate"))
     }
   )
 
@@ -1985,7 +2021,35 @@ object TextOps {
          |   AS dedup_ratio,
          | round(sum(ctokens) / count(*), 2) AS mean_chunk_tokens
          |FROM chunks GROUP BY 1""".stripMargin
-    }
+    },
+    // the same (c DESC, token ASC) top-K cut and broadcast-join
+    // membership accounting
+    "t61_oov_rate" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS token
+        | FROM documents WHERE length(trim(text)) > 0),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (
+        | SELECT token, 1 AS in_vocab FROM (
+        |  SELECT token, row_number() OVER (ORDER BY c DESC, token ASC)
+        |    AS rn FROM freq)
+        | WHERE rn <= 16),
+        |st AS (
+        | SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT source,
+        | CAST(sum(n) AS BIGINT) AS tokens_total,
+        | CAST(sum(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END) AS BIGINT)
+        |   AS oov_tokens,
+        | round(sum(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END) / sum(n), 4)
+        |   AS oov_rate,
+        | count(*) AS n_types,
+        | CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS oov_types,
+        | round(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) /
+        |   count(*), 4) AS oov_type_rate
+        |FROM st LEFT JOIN vocab USING (token)
+        |GROUP BY 1""".stripMargin
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

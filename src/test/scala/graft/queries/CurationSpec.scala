@@ -1611,4 +1611,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "each user is new on exactly one day")
     SparkEntry.release(spark)
   }
+
+  test("t61 oov rate: the top-16 vocab cut replays driver-side and rates are non-degenerate") {
+    val out = SparkEntry.queries("t61_oov_rate")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val toks = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.trim.nonEmpty)
+      .flatMap { case (src, t) =>
+        t.trim.split("[ \t\n\f\r]+").map(src -> _) }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    for ((src, grp) <- toks.groupBy(_._1)) {
+      val (total, oov, types, oovTypes) = out(src)
+      assert(total === grp.length, s"$src total")
+      assert(oov === grp.count(g => !vocab(g._2)), s"$src oov")
+      val distinct = grp.map(_._2).distinct
+      assert(types === distinct.length, s"$src types")
+      assert(oovTypes === distinct.count(!vocab(_)), s"$src oov types")
+    }
+    assert(out.values.exists(_._2 > 0),
+      "the 16-token budget must leave real OOV mass on this corpus")
+    SparkEntry.release(spark)
+  }
 }
