@@ -1345,6 +1345,63 @@ object Analytic {
         .select(col("day").cast("timestamp").as("day"), col("n_active"),
           col("n_new"), (col("n_active") - col("n_new")).as("n_returning"),
           round(col("n_new") / col("n_active"), 4).as("new_share"))
+    },
+
+    // INTER-ARRIVAL GAPS — exact p50/p90/max of the gap between
+    // consecutive events per type: the traffic-model table behind
+    // q111's anomaly bands. A naive lag() partitions the window by
+    // event_type — 5 partitions, one task each, the whole corpus
+    // sorted in 5 stragglers at scale — so the lag is DECOMPOSED the
+    // t31/q116 way: within-hour-block lags (parallelism = types ×
+    // hours) plus boundary gaps stitched between consecutive OBSERVED
+    // blocks via one lag over the tiny per-block aggregate; the union
+    // is provably the global lag's delta multiset (CurationSpec
+    // replays it). Quantiles then select at rank ceil(q·n) over the
+    // block-distributed row_number on integer-micros deltas — the q99
+    // discipline — with (end_us, end_id) tie-breaks keeping every
+    // intermediate deterministic.
+    "q128_interarrival" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("blk", expr(s"us div $hourUs"))
+      val wIn = Window.partitionBy(col("event_type"), col("blk"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val within = ev.withColumn("prev_us", lag(col("us"), 1).over(wIn))
+        .filter(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          (col("us") - col("prev_us")).as("delta_us"),
+          col("us").as("end_us"), col("event_id").as("end_id"))
+      val perBlk = ev.groupBy(col("event_type"), col("blk"))
+        .agg(min(struct(col("us"), col("event_id"))).as("first_ev"),
+          max(col("us")).as("last_us"))
+      val wBlk = Window.partitionBy(col("event_type"))
+        .orderBy(col("blk").asc)
+      val boundary = perBlk
+        .withColumn("prev_last", lag(col("last_us"), 1).over(wBlk))
+        .filter(col("prev_last").isNotNull)
+        .select(col("event_type"),
+          (col("first_ev.us") - col("prev_last")).as("delta_us"),
+          col("first_ev.us").as("end_us"),
+          col("first_ev.event_id").as("end_id"))
+      val deltas = within.unionAll(boundary)
+      val ranked = graft.operators.DistributedRank.rowNumber(deltas,
+        Seq("event_type"),
+        Seq(col("delta_us").asc, col("end_us").asc, col("end_id").asc),
+        length(bin(col("delta_us"))) - 1, "rk")
+      val tot = deltas.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("delta_us")).as("sum_us"),
+          max(col("delta_us")).as("max_us"))
+      def target(q: Int) = expr(s"($q * n_gaps + 99) div 100")
+      ranked.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_gaps")).as("n_gaps"),
+          max(when(col("rk") === target(50), col("delta_us"))).as("p50_us"),
+          max(when(col("rk") === target(90), col("delta_us"))).as("p90_us"),
+          max(col("max_us")).as("max_us"),
+          max(round(col("sum_us") / (col("n_gaps") * lit(1000000.0)), 4))
+            .as("mean_s"))
     }
   )
 
@@ -2242,6 +2299,32 @@ object Analytic {
         |SELECT CAST(day AS TIMESTAMP) AS day, n_active, n_new,
         | (n_active - n_new) AS n_returning,
         | round(n_new / n_active, 4) AS new_share
-        |FROM per""".stripMargin
+        |FROM per""".stripMargin,
+    // the oracle computes the SAME delta multiset with one global lag
+    // per type — the block decomposition is the Spark side's scale
+    // rendering, not a semantic difference; identical selection ranks
+    "q128_interarrival" ->
+      """WITH e AS (
+        | SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+        |lagged AS (
+        | SELECT event_type,
+        |  us - lag(us) OVER (PARTITION BY event_type
+        |    ORDER BY us ASC, event_id ASC) AS delta_us,
+        |  us AS end_us, event_id AS end_id
+        | FROM e),
+        |deltas AS (SELECT * FROM lagged WHERE delta_us IS NOT NULL),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY delta_us ASC, end_us ASC, end_id ASC) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n,
+        |  sum(delta_us) OVER (PARTITION BY event_type) AS sum_us,
+        |  max(delta_us) OVER (PARTITION BY event_type) AS max_us
+        | FROM deltas)
+        |SELECT event_type, max(n) AS n_gaps,
+        | max(CASE WHEN rk = (50*n + 99) // 100 THEN delta_us END) AS p50_us,
+        | max(CASE WHEN rk = (90*n + 99) // 100 THEN delta_us END) AS p90_us,
+        | max(max_us) AS max_us,
+        | max(round(sum_us / (n * 1000000.0), 4)) AS mean_s
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

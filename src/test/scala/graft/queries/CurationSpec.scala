@@ -1636,4 +1636,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "the 16-token budget must leave real OOV mass on this corpus")
     SparkEntry.release(spark)
   }
+
+  test("q128 interarrival: the block-decomposed lag reproduces the global delta multiset and its quantiles") {
+    val rows = SparkEntry.queries("q128_interarrival")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((tpe, es) <- ev.groupBy(_._1)) {
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val deltas = ordered.sliding(2).map(p => p(1)._2 - p(0)._2).toSeq.sorted
+      val (n, p50, p90, mx) = rows(tpe)
+      assert(n === deltas.length, s"$tpe must have n_events - 1 gaps")
+      assert(p50 === deltas((50 * n.toInt + 99) / 100 - 1), s"$tpe p50")
+      assert(p90 === deltas((90 * n.toInt + 99) / 100 - 1), s"$tpe p90")
+      assert(mx === deltas.max, s"$tpe max")
+    }
+    SparkEntry.release(spark)
+  }
 }
