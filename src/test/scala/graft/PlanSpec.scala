@@ -650,4 +650,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"no keyed shuffle expected (1-row aggs go through single partition):\n$p")
     SparkEntry.release(spark)
   }
+
+  test("q128 interarrival: the corpus lag window partitions by (type, block), never by type alone") {
+    val p = plan("q128_interarrival")
+    assert(p.contains("hashpartitioning(event_type") &&
+      p.contains("blk"),
+      s"within-block window must partition on the hour block in:\n$p")
+  }
+
+  test("t61 oov: vocab membership is a broadcast join over a TakeOrdered top-k — no second corpus shuffle") {
+    val p = plan("t61_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-K must be a distributed partial take in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"membership must broadcast in:\n$p")
+  }
+
+  test("t60 cdc: every shuffle is doc-, chunk- or source-keyed") {
+    val p = plan("t60_cdc_chunks")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id", "source", "chunk_md5")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
 }
