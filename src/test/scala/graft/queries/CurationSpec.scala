@@ -1656,4 +1656,47 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("q129 blocking sweep: pair counts replay from block sizes and rules bracket the cost trade") {
+    val rows = SparkEntry.queries("q129_blocking_sweep")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("nation", "segment", "nation_x_segment",
+      "balance_bucket"))
+    val cust = graft.Tables.t(spark, sf0001, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def check(rule: String, key: ((Int, String, Double)) => String): Unit = {
+      val blocks = cust.groupBy(key).view.mapValues(_.size.toLong)
+      val (nb, nr, pairs, mx) = rows(rule)
+      assert(nb === blocks.size, s"$rule blocks")
+      assert(nr === cust.length, s"$rule rows")
+      assert(pairs === blocks.values.map(b => b * (b - 1) / 2).sum,
+        s"$rule pairs")
+      assert(mx === blocks.values.max, s"$rule max block")
+    }
+    check("nation", c => c._1.toString)
+    check("segment", c => c._2)
+    check("nation_x_segment", c => s"${c._1}|${c._2}")
+    check("balance_bucket", c => math.floor(c._3 / 1000.0).toLong.toString)
+    // the sweep's purpose: a refined key must cost less than its parts
+    assert(rows("nation_x_segment")._3 < rows("nation")._3)
+    assert(rows("nation_x_segment")._3 < rows("segment")._3)
+    SparkEntry.release(spark)
+  }
+
+  test("q130 typed profile: the mergeable Aggregator matches the untyped rendering exactly") {
+    val typed = SparkEntry.queries("q130_typed_profile")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val untyped = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        round(max(col("value")), 2).as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(typed === untyped)
+    SparkEntry.release(spark)
+  }
 }
