@@ -338,6 +338,36 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class SeenEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class FirstSeen(user_id: Long, first_day: java.sql.Date)
+
+  /** STREAMING NEW-USER DETECTOR — the q127 batch split's streaming
+    * twin: per user, emit exactly ONE row carrying the first event's
+    * day, the first time the user is ever seen; later events (and
+    * later micro-batches) emit nothing. State per key is the single
+    * boolean fact "seen" (a day value), so the state store holds one
+    * tiny struct per user — the canonical bounded-state streaming
+    * pattern behind every "new signups today" dashboard tile.
+    * Within-batch arrival order does not matter: the batch's own
+    * minimum (day) is folded before the emit decision. */
+  def firstSeenStream(events: Dataset[SeenEvent]): Dataset[FirstSeen] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstSeen, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SeenEvent], state: GroupState[FirstSeen]) =>
+          val batchMin = it.map(e =>
+            new java.sql.Date(e.ts.getTime - java.lang.Math.floorMod(
+              e.ts.getTime, 86400000L))).minBy(_.getTime)
+          if (state.exists) Iterator.empty
+          else {
+            val fs = FirstSeen(uid, batchMin)
+            state.update(fs)
+            Iterator(fs)
+          }
+      }
+  }
+
   /** The same running totals through `transformWithState` (Spark 4
     * arbitrary-state v2): typed per-key ValueState via the
     * StatefulProcessor handle, RocksDB-backed state store. The v2 API

@@ -441,6 +441,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("firstSeen (q127 twin): each user emits exactly one row with the batch-global first day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.SeenEvent]
+    val query = EventStreams.firstSeenStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("first_seen_out")
+      .start()
+    try {
+      val evs = mkEvents.map(e => EventStreams.SeenEvent(e.user_id, e.ts))
+      input.addData(evs.take(120))
+      query.processAllAvailable()
+      input.addData(evs.drop(120))       // re-arrivals of known users
+      query.processAllAvailable()
+      val streamed = spark.table("first_seen_out").collect()
+        .map(r => r.getLong(0) -> r.getDate(1).getTime).toMap
+      // batch twin: the q127 first-day rule over the same events
+      val batch = evs.groupBy(_.user_id).map { case (uid, es) =>
+        uid -> es.map(e => e.ts.getTime -
+          java.lang.Math.floorMod(e.ts.getTime, 86400000L)).min
+      }
+      assert(streamed === batch,
+        "one row per user, carrying the earliest UTC day")
+      assert(spark.table("first_seen_out").count() === batch.size,
+        "re-arrivals must emit nothing")
+    } finally query.stop()
+  }
+
   test("watermarked append-mode tumbling agg emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
