@@ -1402,6 +1402,49 @@ object Analytic {
           max(col("max_us")).as("max_us"),
           max(round(col("sum_us") / (col("n_gaps") * lit(1000000.0)), 4))
             .as("mean_s"))
+    },
+
+    // COHORT × FUNNEL MATRIX — does conversion QUALITY change across
+    // acquisition cohorts, or only volume? q76's signup-week cohorts
+    // crossed with a discriminating funnel: signup → first click →
+    // HIGH-VALUE purchase (> 150, the q114 metric — plain "purchased"
+    // saturates at 100% on this corpus, which would make every cell
+    // 1.0 and the matrix noise; caught in data probing). Per (cohort,
+    // stage) cell: user count and within-cohort share; users who
+    // never click stay visible as 'signup_only' — the left join from
+    // the cohort frame accounts for every member. All parents are
+    // per-user min/exists aggregates; the cross is user-keyed joins
+    // plus a (cohort, stage) partial agg with broadcast totals.
+    "q131_cohort_funnel" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val firstClick = e.filter(col("event_type") === "click")
+        .join(cohort.select(col("user_id")), "user_id")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val highPurchase = e.filter(col("event_type") === "purchase" &&
+          col("value") > 150)
+        .join(firstClick, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .select(col("user_id")).distinct()
+        .withColumn("hp", lit(1))
+      val cell = cohort
+        .join(firstClick.select(col("user_id"), lit(1).as("cl")),
+          Seq("user_id"), "left")
+        .join(highPurchase, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("hp").isNotNull, "high_purchase")
+            .when(col("cl").isNotNull, "click")
+            .otherwise("signup_only"))
+        .groupBy(col("cohort_week"), col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+      val tot = cell.groupBy(col("cohort_week"))
+        .agg(sum(col("n_users")).as("cohort_size"))
+      cell.join(broadcast(tot), "cohort_week")
+        .select(col("cohort_week"), col("stage"), col("n_users"),
+          col("cohort_size"),
+          round(col("n_users") / col("cohort_size"), 4).as("share"))
     }
   )
 
@@ -2325,6 +2368,37 @@ object Analytic {
         | max(CASE WHEN rk = (90*n + 99) // 100 THEN delta_us END) AS p90_us,
         | max(max_us) AS max_us,
         | max(round(sum_us / (n * 1000000.0), 4)) AS mean_s
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+    // q76's cohort CTE + the discriminating click/high-purchase
+    // stages; left joins keep signup-only members; identical share
+    // division
+    "q131_cohort_funnel" ->
+      """WITH cohort AS (
+        | SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        | FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |cl AS (
+        | SELECT e.user_id, min(e.ts) AS t_click
+        | FROM events e JOIN cohort USING (user_id)
+        | WHERE e.event_type = 'click' GROUP BY 1),
+        |hp AS (
+        | SELECT DISTINCT e.user_id
+        | FROM events e JOIN cl USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.value > 150
+        |   AND e.ts >= cl.t_click),
+        |cell AS (
+        | SELECT cohort_week,
+        |  CASE WHEN hp.user_id IS NOT NULL THEN 'high_purchase'
+        |       WHEN cl.user_id IS NOT NULL THEN 'click'
+        |       ELSE 'signup_only' END AS stage,
+        |  count(*) AS n_users
+        | FROM cohort LEFT JOIN cl USING (user_id)
+        |   LEFT JOIN hp USING (user_id)
+        | GROUP BY 1, 2),
+        |tot AS (
+        | SELECT cohort_week, CAST(sum(n_users) AS BIGINT) AS cohort_size
+        | FROM cell GROUP BY 1)
+        |SELECT cohort_week, stage, n_users, cohort_size,
+        | round(n_users / cohort_size, 4) AS share
+        |FROM cell JOIN tot USING (cohort_week)""".stripMargin
   )
 }

@@ -1699,4 +1699,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(typed === untyped)
     SparkEntry.release(spark)
   }
+
+  test("q131 cohort funnel: shares sum to one per cohort and cells partition the signup population") {
+    val rows = SparkEntry.queries("q131_cohort_funnel")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getTimestamp(0))
+    val signups = graft.Tables.t(spark, sf0001, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(byCohort.values.flatten.map(_.getLong(2)).sum === signups,
+      "cells must partition the signed-up population")
+    for ((cw, cells) <- byCohort) {
+      val size = cells.head.getLong(3)
+      assert(cells.map(_.getLong(2)).sum === size, s"$cw cells vs size")
+      val shareSum = cells.map(_.getDouble(4)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-3, s"$cw shares must sum to 1")
+      assert(cells.map(_.getString(1)).toSet.subsetOf(
+        Set("signup_only", "click", "high_purchase")))
+    }
+    // the staging must discriminate on this corpus (the reason the
+    // final stage is high-value purchase, not any purchase)
+    assert(rows.map(_.getString(1)).distinct.length >= 2,
+      "at least two stages must be populated")
+    SparkEntry.release(spark)
+  }
 }
