@@ -1445,8 +1445,170 @@ object Analytic {
         .select(col("cohort_week"), col("stage"), col("n_users"),
           col("cohort_size"),
           round(col("n_users") / col("cohort_size"), 4).as("share"))
+    },
+
+    // TRAILING-WINDOW VELOCITY FEATURES — the fraud/rate-limit feature
+    // shape: for every event, how many events (and how much value) did
+    // THIS user generate in the trailing hour, computed with a RANGE
+    // frame over integer event-time micros — the frame is defined by
+    // TIME, not row count, so bursts and quiet periods are measured on
+    // the same clock. The registry's other windows are all ROWS-framed;
+    // this is the RANGE-frame coverage. Value rides as exact integer
+    // cents (round-half at 2 dp is the same double op in both engines)
+    // because a sliding-frame SUM is order-sensitive in FP — DuckDB
+    // computes it over a segment tree, Spark by in-order accumulation —
+    // while integer addition commutes exactly. One shuffle keyed by
+    // user_id; the frame never holds more than the user's 1-hour burst,
+    // so executor state is bounded by peak per-user rate, not history.
+    "q132_event_velocity" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-hourUs, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("n_1h"),
+          col("cents_1h"))
+    },
+
+    // PER-USER CONTRIBUTION CAP — the differential-privacy /
+    // abuse-robustness preprocessing step every user-level aggregation
+    // pipeline runs first: bound each user to at most 20 events so no
+    // single user dominates downstream statistics, then account for
+    // what the cap cost per event type. The kept set is chosen by
+    // deterministic md5(event_id) rank — re-running on the same
+    // snapshot keeps the same events, and adding new events never
+    // evicts previously-kept ones with a lower hash. Runs through the
+    // NATIVE TopKPerKey operator: one shuffle on user_id, a bounded
+    // 20-row heap per user, never a per-user sort — at 100 TB the
+    // reducer state is O(users-per-partition × 20), independent of the
+    // heaviest user's event count (exactly the skew this op exists to
+    // bound). Value mass in exact integer cents (q132's argument).
+    "q133_user_event_cap" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val tot = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("cents_total"))
+      cappedEvents(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("cents_kept"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("n_events"), col("n_kept"),
+          round(col("n_kept") / col("n_events"), 4).as("kept_share"),
+          col("cents_total"), col("cents_kept"))
+    },
+
+    // COUNT-MIN HEAVY HITTERS — the fixed-memory frequency sketch
+    // (Cormode & Muthukrishnan 2005) audited against its exact twin:
+    // estimate per-key counts from a 4×256 counter grid (4 independent
+    // md5-derived hash rows; estimate = min over rows, so errors are
+    // one-sided overestimates) and report the top-20 keys by EXACT
+    // count with their sketch estimate and overshoot. The key domain is
+    // (user_id, event_type) — more keys than buckets, so collisions and
+    // their overestimates are real, which is what the audit is for. The
+    // sketch is the 100 TB story: the grid is a ≤1024-row partial agg
+    // regardless of key cardinality (a bounded ×4 row fan-out map-side,
+    // combined before the shuffle), where the exact twin's state grows
+    // with distinct keys. Everything is integer counts + md5 — both
+    // engines agree bitwise; top-20 via distributed TakeOrdered with a
+    // key tie-break.
+    "q135_heavy_hitters" -> { (s, d) =>
+      val keyed = t(s, d, "events")
+        .select(concat_ws("|", col("user_id"), col("event_type")).as("k"))
+      val grid = cmsGrid(keyed)
+      val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.select(col("k"), col("exact_n"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .withColumn("bkt",
+          conv(substring(md5(concat(col("r"), lit("|"), col("k"))), 1, 2),
+            16, 10).cast("long"))
+      probes.join(broadcast(grid), Seq("r", "bkt"))
+        .groupBy(col("k"), col("exact_n"))
+        .agg(min(col("cell_n")).as("est_n"))
+        .withColumn("over_n", col("est_n") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("k").asc)
+        .limit(20)
+    },
+
+    // CUSUM CHANGE DETECTION — the sequential drift detector beside
+    // q111's per-hour z-spikes (point anomalies) and q123's
+    // Mann-Kendall (monotone trend): the one-sided CUSUM statistic
+    // S_t = max(0, S_{t-1} + (x_t − μ − k)) accumulates SUSTAINED
+    // excess over the mean + 10% allowance and alarms when the
+    // accumulated drift passes half a day's mean volume — the classic
+    // "traffic shifted, not just spiked" monitor. All-integer
+    // arithmetic: scaling by 10·n_days turns x − 1.1μ into
+    // 10·D·x − 11·N exactly, and the max(0,·) recurrence is computed
+    // in closed form as cum_t − min(0, min_{j≤t} cum_j) — two running
+    // windows over the (type, day) AGGREGATE (|types|×|days| rows),
+    // never the event log. The log itself sees one partial-agg
+    // groupBy; at 100 TB the recurrence input is still tiny.
+    "q136_cusum_changepoint" -> { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("n"), count(lit(1)).as("dcnt"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.join(broadcast(tot), "event_type")
+        .withColumn("d_u",
+          col("x") * col("dcnt") * 10L - col("n") * 11L)
+        .withColumn("cum", sum(col("d_u")).over(wRun))
+        .withColumn("runmin", least(min(col("cum")).over(wRun), lit(0L)))
+        .withColumn("s_u", col("cum") - col("runmin"))
+        .withColumn("alarm", col("s_u") > col("n") * 5L)
+        .select(col("event_type"), col("day").cast("timestamp").as("day"),
+          col("x"), col("s_u"), col("alarm"))
+    },
+
+    // DP SENSITIVITY ACCOUNTING — the number a differentially-private
+    // release needs AFTER q133's contribution bounding: per event
+    // type, the worst-case single-user contribution to a count query
+    // (≤ the cap by construction) and to a sum-of-|value| query (the
+    // Δf that calibrates Laplace/Gaussian noise). Derived from the
+    // SAME capped event set q133 ships (shared helper — the gate and
+    // its accounting cannot drift), via a (type, user) partial agg
+    // followed by a |types|-row max rollup. All integer.
+    "q137_dp_sensitivity" -> { (s, d) =>
+      cappedEvents(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"), sum(abs(col("cents"))).as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          max(col("c")).as("count_sensitivity"),
+          max(col("m")).as("cents_sensitivity"))
     }
   )
+
+  /** q135's Count-Min sketch grid over a one-column frame of keys
+    * `k`: 4 hash rows (bucket r = first byte of md5("r|" ++ key)) ×
+    * 256 buckets, counted. Shared VERBATIM with the streaming twin
+    * ([[graft.streaming.EventStreams.cmsGridStream]]) — same bounded
+    * ×4 fan-out, same partial-agg grid, so the batch sketch and the
+    * continuously-maintained one are the same algebra by construction. */
+  private[graft] def cmsGrid(keyed: DataFrame): DataFrame = {
+    val rows = (0 until 4).map { r =>
+      keyed.select(lit(r).as("r"),
+        conv(substring(md5(concat(lit(s"$r|"), col("k"))), 1, 2), 16, 10)
+          .cast("long").as("bkt"))
+    }.reduce(_ union _)
+    rows.groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("cell_n"))
+  }
+
+  /** q133/q137's shared contribution-bounded event set: at most 20
+    * events per user, selected by deterministic md5(event_id) rank
+    * through the native TopKPerKey operator (bounded per-user heap —
+    * reducer state is independent of the heaviest user's volume). */
+  private def cappedEvents(s: SparkSession, d: String): DataFrame = {
+    val keyed = t(s, d, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      md5(col("event_id").cast("string")).as("h"))
+    graft.operators.TopKPerKeyApi.topKPerKey(keyed, Seq("user_id"),
+      Seq(("h", true), ("event_id", true)), 20, rankName = "rnk")
+  }
 
   val oracle: Map[String, String] = Map(
     // both engines truncate to Monday-start weeks; the offset is an
@@ -2399,6 +2561,118 @@ object Analytic {
         | FROM cell GROUP BY 1)
         |SELECT cohort_week, stage, n_users, cohort_size,
         | round(n_users / cohort_size, 4) AS share
-        |FROM cell JOIN tot USING (cohort_week)""".stripMargin
+        |FROM cell JOIN tot USING (cohort_week)""".stripMargin,
+    // RANGE frame over integer micros; the summed quantity is integer
+    // cents so DuckDB's segment-tree accumulation and Spark's in-order
+    // accumulation cannot diverge
+    "q132_event_velocity" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events)
+        |SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // the same md5(event_id) rank rule as a row_number; integer cents
+    "q133_user_event_cap" ->
+      """WITH k AS (
+        | SELECT user_id, event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+        | FROM events),
+        |tot AS (
+        | SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS cents_total
+        | FROM events GROUP BY 1),
+        |kp AS (
+        | SELECT event_type, count(*) AS n_kept,
+        |  CAST(sum(cents) AS BIGINT) AS cents_kept
+        | FROM k WHERE rnk <= 20 GROUP BY 1)
+        |SELECT t.event_type, t.n_events, kp.n_kept,
+        | round(kp.n_kept / t.n_events, 4) AS kept_share,
+        | t.cents_total, kp.cents_kept
+        |FROM tot t JOIN kp USING (event_type)""".stripMargin,
+    // the identical 4×256 grid from the identical md5 bucket rule;
+    // min-over-rows estimate; top-20 with the same key tie-break
+    "q135_heavy_hitters" ->
+      """WITH ks AS (
+        | SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS k
+        | FROM events),
+        |rows_ AS (
+        | SELECT r.i AS r,
+        |  (strpos('0123456789abcdef',
+        |    substring(md5(CAST(r.i AS VARCHAR) || '|' || k), 1, 1)) - 1)
+        |   * 16 +
+        |  (strpos('0123456789abcdef',
+        |    substring(md5(CAST(r.i AS VARCHAR) || '|' || k), 2, 1)) - 1)
+        |   AS bkt
+        | FROM ks, range(0, 4) r(i)),
+        |grid AS (
+        | SELECT r, bkt, count(*) AS cell_n FROM rows_ GROUP BY 1, 2),
+        |exact AS (SELECT k, count(*) AS exact_n FROM ks GROUP BY 1),
+        |probes AS (
+        | SELECT e.k, e.exact_n, r.i AS r,
+        |  (strpos('0123456789abcdef',
+        |    substring(md5(CAST(r.i AS VARCHAR) || '|' || e.k), 1, 1)) - 1)
+        |   * 16 +
+        |  (strpos('0123456789abcdef',
+        |    substring(md5(CAST(r.i AS VARCHAR) || '|' || e.k), 2, 1)) - 1)
+        |   AS bkt
+        | FROM exact e, range(0, 4) r(i))
+        |SELECT p.k, p.exact_n,
+        | CAST(min(g.cell_n) AS BIGINT) AS est_n,
+        | CAST(min(g.cell_n) - p.exact_n AS BIGINT) AS over_n
+        |FROM probes p JOIN grid g ON p.r = g.r AND p.bkt = g.bkt
+        |GROUP BY 1, 2
+        |ORDER BY p.exact_n DESC, p.k ASC
+        |LIMIT 20""".stripMargin,
+    // the closed-form CUSUM (cum − min(0, running-min cum)) over the
+    // identical integer-scaled deviations; windows over the daily
+    // aggregate only
+    "q136_cusum_changepoint" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        | FROM events GROUP BY 1, 2),
+        |tot AS (
+        | SELECT event_type, CAST(sum(x) AS BIGINT) AS n,
+        |  count(*) AS dcnt
+        | FROM daily GROUP BY 1),
+        |j AS (
+        | SELECT d.event_type, d.day, d.x, t.n,
+        |  d.x * t.dcnt * 10 - t.n * 11 AS d_u
+        | FROM daily d JOIN tot t USING (event_type)),
+        |c AS (
+        | SELECT *, CAST(sum(d_u) OVER w AS BIGINT) AS cum FROM j
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        | SELECT *, least(CAST(min(cum) OVER w AS BIGINT), 0) AS runmin
+        | FROM c
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, x,
+        | cum - runmin AS s_u, (cum - runmin) > n * 5 AS alarm
+        |FROM m""".stripMargin,
+    // q133's k CTE verbatim, then the (type, user) rollup and the max
+    "q137_dp_sensitivity" ->
+      """WITH k AS (
+        | SELECT user_id, event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  row_number() OVER (PARTITION BY user_id
+        |   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+        | FROM events),
+        |pu AS (
+        | SELECT event_type, user_id, count(*) AS c,
+        |  CAST(sum(abs(cents)) AS BIGINT) AS m
+        | FROM k WHERE rnk <= 20 GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_users,
+        | CAST(max(c) AS BIGINT) AS count_sensitivity,
+        | CAST(max(m) AS BIGINT) AS cents_sensitivity
+        |FROM pu GROUP BY 1""".stripMargin
   )
 }

@@ -503,6 +503,56 @@ object SamplingOps {
           sum(col("w") * col("n_chars")).as("sum_chars"))
         .select(col("r").as("replicate"), col("n_eff"), col("sum_chars"),
           round(col("sum_chars") / col("n_eff"), 4).as("mean_chars"))
+    },
+
+    // MIXTURE REWEIGHTING STEP (DoReMi-shaped, Xie et al. 2023) — one
+    // multiplicative-weights update of the per-source mixture from
+    // measured excess loss: score each source's bigram stream under its
+    // OWN Laplace-smoothed 256-bucket model (the proxy that has seen
+    // the domain) and under the pooled CORPUS model (the reference);
+    // the clipped gap max(0, loss_ref − loss_self) is the domain's
+    // excess loss, and the next mixture is α_s ∝ exp(excess_s),
+    // normalized. Domains the pooled model predicts badly relative to
+    // their own model get upweighted — q119's affinity matrix turned
+    // into an actionable mixture-config step. Plan shape: ONE corpus
+    // tokenize scan into a (source, bucket) partial agg; every model,
+    // loss, and weight after that is ≤ |sources|×256 arithmetic, and
+    // the normalizer is a broadcast 1-row aggregate. Float contract:
+    // losses are Σ of ≤256 (exact-ratio × ln(exact-ratio)) terms —
+    // reorder drift ~1e-13 against the 1e-4 grid (the q119 argument);
+    // excess is a difference of two ROUNDED values, so exp() sees the
+    // identical double in both engines, and only the final α rounds.
+    "q134_mixture_step" -> { (s, d) =>
+      val hb = t(s, d, "documents")
+        .withColumn("w", graft.queries.TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("source"),
+          explode(expr("transform(sequence(0, size(w)-2), " +
+            "i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+        .withColumn("b",
+          conv(substring(md5(col("g")), 1, 2), 16, 10).cast("long"))
+      val cnt = hb.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val n = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val corpus = cnt.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+      val nAll = corpus.agg(sum(col("cc")).as("nn"))
+      val losses = cnt.join(n, "source").join(broadcast(corpus), "b")
+        .crossJoin(broadcast(nAll))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_bigrams"),
+          round(-sum((col("c") / col("n")) *
+            log((col("c") + lit(1.0d)) / (col("n") + lit(256.0d)))), 4)
+            .as("loss_self"),
+          round(-sum((col("c") / col("n")) *
+            log((col("cc") + lit(1.0d)) / (col("nn") + lit(256.0d)))), 4)
+            .as("loss_ref"))
+      val exc = losses.withColumn("excess",
+        greatest(lit(0.0d), col("loss_ref") - col("loss_self")))
+      val z = exc.agg(sum(exp(col("excess"))).as("z"))
+      exc.crossJoin(broadcast(z))
+        .select(col("source"), col("n_bigrams"), col("loss_self"),
+          col("loss_ref"), round(col("excess"), 4).as("excess"),
+          round(exp(col("excess")) / col("z"), 6).as("alpha_next"))
     })
 
   /** Cumulative Poisson(1) CDF scaled to the 24-bit bucket space —
@@ -801,7 +851,46 @@ object SamplingOps {
     // wraps the ENTIRE d44 oracle verbatim (which itself composes
     // t35 + d41 + d38), plus q65's bucket rule and the t45 token rule —
     // the full curation algebra replayed end-to-end in DuckDB
-    "q96_training_manifest" -> q96Oracle)
+    "q96_training_manifest" -> q96Oracle,
+    // q101's tok/bg/hb CTE prefix keyed by source; losses round 4
+    // BEFORE the excess difference, exp sees the unrounded clipped gap
+    // (identical doubles in both engines), only α rounds at the end
+    "q134_mixture_step" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        | FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        | SELECT source,
+        |  unnest(list_transform(range(1, len(w)),
+        |   i -> w[i] || ' ' || w[i+1])) AS g
+        | FROM tok WHERE len(w) >= 2),
+        |hb AS (
+        | SELECT source,
+        |  (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) AS b
+        | FROM bg),
+        |cnt AS (SELECT source, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |      FROM cnt GROUP BY 1),
+        |corpus AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc
+        |           FROM cnt GROUP BY 1),
+        |na AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM corpus),
+        |losses AS (
+        | SELECT cnt.source, CAST(max(n.n) AS BIGINT) AS n_bigrams,
+        |  round(-sum((cnt.c / n.n)
+        |    * ln((cnt.c + 1.0) / (n.n + 256.0))), 4) AS loss_self,
+        |  round(-sum((cnt.c / n.n)
+        |    * ln((corpus.cc + 1.0) / (na.nn + 256.0))), 4) AS loss_ref
+        | FROM cnt JOIN n USING (source) JOIN corpus USING (b), na
+        | GROUP BY 1),
+        |exc AS (
+        | SELECT *, greatest(0.0, loss_ref - loss_self) AS e FROM losses),
+        |z AS (SELECT sum(exp(e)) AS z FROM exc)
+        |SELECT exc.source, exc.n_bigrams, exc.loss_self, exc.loss_ref,
+        | round(exc.e, 4) AS excess,
+        | round(exp(exc.e) / z.z, 6) AS alpha_next
+        |FROM exc, z""".stripMargin)
 
   /** q96 oracle body, shared with q103's wrapper. */
   private def q96Oracle: String = {

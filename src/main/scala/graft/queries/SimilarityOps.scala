@@ -1310,8 +1310,121 @@ object SimilarityOps {
             lit(pq.bytesPerVector).as("bytes_per_vector"),
             col("n_vectors"), col("mse"), col("max_sqerr"))
       }.reduce(_.unionAll(_))
+    },
+
+    // SCALAR QUANTIZATION (SQ8) DISTORTION AUDIT — the third point on
+    // the index compression curve beside full floats and PQ (s59/s62),
+    // and the DATA-ADAPTIVE codec s39's fixed 1/127 grid is not:
+    // quantize every dimension to an 8-bit code against GLOBAL per-dim
+    // [min, max] ranges and measure per-dim reconstruction error. This
+    // is the FAISS-style SQ8 storage arm (4 B → 1 B per dim) whose
+    // distortion-vs-budget numbers sit between raw vectors and PQ's
+    // 0.125 B/dim, and the per-dim table shows WHICH dimensions lose
+    // resolution (wide ranges → coarse steps). Determinism: the range
+    // table is an exact min/max aggregate (no FP summation); code =
+    // min(255, floor((v−min)·256/(max−min))) — 256 uniform buckets,
+    // mid-bucket reconstruction, so |err| ≤ range/512 by construction
+    // (the bound the spec asserts) — is the identical double expression
+    // in both engines (floor of identical doubles); errors quantize to
+    // integer micro-units so the per-dim SSE is an order-free BIGINT
+    // sum. Plan: one posexplode scan → 64-row range aggregate broadcast
+    // back → map-side encode → (dim) partial agg. At corpus scale the
+    // range table is still 64 rows and the encode never shuffles the
+    // vectors — the same two-pass shape a real SQ8 index build runs.
+    "s64_sq8_quant" -> { (s, d) =>
+      sq8Enc(s, d)
+        .withColumn("eu",
+          expr("CAST(round((v - recon) * 1000000) AS BIGINT)"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_vals"),
+          max(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+          countDistinct(col("code")).as("n_codes"),
+          sum(col("eu") * col("eu")).as("sse_u"),
+          max(abs(col("eu"))).as("max_abs_eu"))
+    },
+
+    // SQ8 SEARCH RECALL — does the 4× cheaper storage arm still FIND
+    // the right neighbors? Asymmetric-distance search (full-precision
+    // queries against the SQ8-reconstructed corpus — the FAISS ADC
+    // convention, same as s41's PQ-ADC) compared against the exact
+    // brute-force top-10 per query: recall@10 closes the loop s64's
+    // distortion table opens, and pairs with s48's recall matrix as
+    // the scalar-codec arm. Both arms share the s33 shape — the 10
+    // queries broadcast, corpus scored map-side, top-10 through the
+    // NATIVE bounded-heap operator (no per-query sort). The corpus
+    // reconstruction reuses the SAME sq8Enc codec as s64 (no drift
+    // possible), rebuilt into dim-ordered arrays via array_sort so the
+    // fused cosine loop runs left-to-right identically in both engines.
+    "s65_sq8_recall" -> { (s, d) =>
+      val e = emb(s, d)
+      val recons = sq8Enc(s, d)
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("recon"))))
+          .as("a"))
+        .select(col("vec_id"), expr("transform(a, x -> x.recon)").as("remb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      def top10(corpus: DataFrame, vcol: String): DataFrame =
+        graft.operators.TopKPerKeyApi.topKPerKey(
+          corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
+            .withColumn("c", round(cos(col("qemb"), col(vcol)), 6))
+            .select(col("qid"), col("vec_id"), col("c")),
+          Seq("qid"), Seq(("c", false), ("vec_id", true)), 10,
+          rankName = "rnk")
+      val hits = top10(e.select(col("vec_id"), col("emb")), "emb")
+        .select(col("qid"), col("vec_id"))
+        .join(top10(recons, "remb").select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      q.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n"), lit(0L)) / lit(10.0d), 4).as("recall"))
     }
   )
+
+  /** DuckDB rendering of [[sq8Enc]] — the shared CTE prefix of the
+    * s64/s65 oracles (e → per-dim x → rng → enc with code + recon),
+    * operation-for-operation the Spark codec. */
+  private val sq8CteSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (
+      | SELECT vec_id, CAST(r.i AS BIGINT) AS dim, emb[r.i] AS v
+      | FROM e, range(1, 65) r(i)),
+      |rng AS (
+      | SELECT dim, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY 1),
+      |enc AS (
+      | SELECT vec_id, dim, v, vmin, vmax, code,
+      |  vmin + ((code + 0.5) * (vmax - vmin)) / 256.0 AS recon
+      | FROM (
+      |  SELECT x.vec_id, x.dim, x.v, rng.vmin, rng.vmax,
+      |   CASE WHEN rng.vmax = rng.vmin THEN 0
+      |        ELSE least(255, CAST(floor(((x.v - rng.vmin) * 256.0)
+      |          / (rng.vmax - rng.vmin)) AS BIGINT)) END AS code
+      |  FROM x JOIN rng USING (dim)))""".stripMargin
+
+  /** Shared SQ8 codec (s64/s65): per-dim global [min,max] ranges, 256
+    * uniform buckets, mid-bucket reconstruction — |err| ≤ range/512 by
+    * construction. One posexplode scan + a 64-row broadcast range
+    * table; every expression is the identical IEEE double computation
+    * in the DuckDB oracle rendering. */
+  private def sq8Enc(s: SparkSession, d: String): DataFrame = {
+    val ev = emb(s, d).select(col("vec_id"),
+      posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("v"))
+    val rng = ev.groupBy(col("dim"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    ev.join(broadcast(rng), "dim")
+      .withColumn("code",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor(((col("v") - col("vmin")) * lit(256.0d)) /
+              (col("vmax") - col("vmin"))).cast("long"))))
+      .withColumn("recon",
+        col("vmin") + ((col("code").cast("double") + lit(0.5d)) *
+          (col("vmax") - col("vmin"))) / lit(256.0d))
+  }
 
   /** s40's oracle carries the trained centroids as a VALUES clause —
     * identical literals to the ones the Spark plan used, captured from
@@ -1789,6 +1902,53 @@ object SimilarityOps {
   def oracle: Map[String, String] = Map(
     "s62_pq_budget_sweep" -> s62Oracle,
     "s63_multiprobe_lsh" -> s63Oracle,
+    // the identical code/recon double expressions (floor of the same
+    // IEEE quotient) over the exact per-dim min/max; errors quantize
+    // to integer micro-units so the SSE sum is order-free
+    "s64_sq8_quant" ->
+      s"""WITH $sq8CteSql,
+        |err AS (
+        | SELECT vec_id, dim, vmin, vmax, code,
+        |  CAST(round((v - recon) * 1000000) AS BIGINT) AS eu
+        | FROM enc)
+        |SELECT dim, count(*) AS n_vals,
+        | max(vmin) AS vmin, max(vmax) AS vmax,
+        | count(DISTINCT code) AS n_codes,
+        | CAST(sum(eu * eu) AS BIGINT) AS sse_u,
+        | CAST(max(abs(eu)) AS BIGINT) AS max_abs_eu
+        |FROM err GROUP BY 1""".stripMargin,
+    // the same sq8 CTE prefix; both arms replay the bounded heap's
+    // (cosine DESC, vec_id ASC) order as a row_number
+    "s65_sq8_recall" ->
+      s"""WITH $sq8CteSql,
+        |re AS (
+        | SELECT vec_id, list(recon ORDER BY dim) AS remb
+        | FROM enc GROUP BY 1),
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |ext AS (
+        | SELECT qid, vec_id FROM (
+        |  SELECT q.qid, e.vec_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_dot_product(q.qemb, e.emb) /
+        |     (sqrt(list_dot_product(q.qemb, q.qemb))
+        |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+        |    e.vec_id ASC) AS rn
+        |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+        |apt AS (
+        | SELECT qid, vec_id FROM (
+        |  SELECT q.qid, re.vec_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_dot_product(q.qemb, re.remb) /
+        |     (sqrt(list_dot_product(q.qemb, q.qemb))
+        |      * sqrt(list_dot_product(re.remb, re.remb))), 6) DESC,
+        |    re.vec_id ASC) AS rn
+        |  FROM q, re WHERE re.vec_id <> q.qid) WHERE rn <= 10),
+        |hits AS (
+        | SELECT ext.qid, count(*) AS n
+        | FROM ext JOIN apt USING (qid, vec_id) GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+        | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
+        |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
     // raw list_dot_product top-5 with the identical (ip DESC, vec_id
     // ASC) heap order; the norm-augmentation re-rank replays as a
     // second row_number within the kept 5, M/‖q‖ computed with the

@@ -50,6 +50,21 @@ object EventStreams extends Serializable {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** STREAMING COUNT-MIN SKETCH — the q135 heavy-hitter grid
+    * maintained continuously: each arriving event fans out into its 4
+    * (hash-row, bucket) cells and the complete-mode aggregation keeps
+    * the ≤ 4×256-cell grid current. The grid rule is the SAME function
+    * the batch query runs ([[graft.queries.Analytic.cmsGrid]]), so
+    * batch and stream agree cell-for-cell after the same input — and
+    * the streaming state is the sketch's fixed 1024 counters no matter
+    * how many distinct keys flow past: the reason a sketch (and not
+    * the exact per-key count) is what a 100 TB/day stream can afford
+    * to keep hot. */
+  def cmsGridStream(events: DataFrame): DataFrame =
+    graft.queries.Analytic.cmsGrid(
+      events.select(
+        concat_ws("|", col("user_id"), col("event_type")).as("k")))
+
   /** Stream-stream INTERVAL join: each click attributed to the same
     * user's impression it followed within `window`. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

@@ -673,4 +673,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges.subsetOf(Set("doc_id", "source", "chunk_md5")),
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
+
+  test("q133 contribution cap: the kept set runs through the native bounded heap, never a per-user sort") {
+    val p = plan("q133_user_event_cap")
+    assert(p.contains("TopKPerKey"),
+      s"cap must use the native heap operator in:\n$p")
+    assert(!p.contains("Sort ["),
+      s"no per-user sort may appear in:\n$p")
+  }
+
+  test("q135 heavy hitters: the sketch grid and the exact twin shuffle only on their own keys; top-20 is a distributed take") {
+    val p = plan("q135_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed partial take in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-cell grid must broadcast onto the probes in:\n$p")
+  }
+
+  test("s65 sq8 recall: both arms score map-side against broadcast queries and rank in the native heap") {
+    val p = plan("s65_sq8_recall")
+    assert(p.contains("TopKPerKey"),
+      s"top-10 must be the native heap in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 10 queries must broadcast in:\n$p")
+  }
 }

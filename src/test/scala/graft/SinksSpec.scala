@@ -81,6 +81,33 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("schema evolution: mergeSchema unions batch schemas, missing columns read as null") {
+    // the lakehouse reality at 100 TB: a column added mid-ingest must
+    // not force a rewrite of older shards — readers union the footers
+    val out = Files.createTempDirectory("graft-evolve").toString + "/docs"
+    val v1 = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source")).filter(col("doc_id") < 50)
+    val v2 = Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .filter(col("doc_id") >= 50)
+    v1.write.parquet(out + "/batch=1")
+    v2.write.parquet(out + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.schema.fieldNames.toSet ===
+      Set("doc_id", "source", "lang", "batch"))
+    assert(merged.count() === v1.count() + v2.count())
+    // old rows surface the new column as NULL; new rows keep values
+    assert(merged.filter(col("batch") === 1 && col("lang").isNotNull)
+      .count() === 0)
+    assert(merged.filter(col("batch") === 2 && col("lang").isNull)
+      .count() === 0)
+    // pruning still reaches the scan through the merged schema
+    val plan = merged.filter(col("doc_id") < 10).select(col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"pushdown must survive schema merge:\n$plan")
+  }
+
   test("Verify-style coalesced parquet round-trip preserves values") {
     val out = Files.createTempDirectory("graft-rt").toString + "/q01"
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)

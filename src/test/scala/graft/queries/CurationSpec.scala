@@ -1724,4 +1724,146 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "at least two stages must be populated")
     SparkEntry.release(spark)
   }
+
+  test("q132 velocity: trailing-hour counts and cents replay exactly from the raw event stream") {
+    val out = SparkEntry.queries("q132_event_velocity")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val raw = graft.Tables.t(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.size === raw.length, "one output row per event")
+    val hourUs = 3600L * 1000000L
+    for ((byUser) <- raw.groupBy(_._2).values; (id, _, us, _) <- byUser) {
+      val frame = byUser.filter(e => e._3 >= us - hourUs && e._3 <= us)
+      assert(out(id) === ((frame.length.toLong, frame.map(_._4).sum)),
+        s"event $id trailing-1h frame mismatch")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q133 contribution cap: no user keeps more than 20 events and the kept set is the deterministic hash prefix") {
+    val e = graft.Tables.t(spark, sf0001, "events")
+    val kept = e
+      .select(col("user_id"), col("event_id"),
+        md5(col("event_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._3, t._2)).take(20).map(_._2).toSet)
+      .toMap
+    val perType = SparkEntry.queries("q133_user_event_cap")(spark, sf0001)
+      .collect()
+    val nKeptTotal = perType.map(_.getLong(2)).sum
+    assert(nKeptTotal === kept.values.map(_.size).sum,
+      "per-type kept counts must sum to the per-user hash-prefix union")
+    assert(perType.map(_.getLong(1)).sum === e.count())
+    perType.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)} kept > total")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q134 mixture step: alphas normalize, excess is the clipped loss gap, and weights order by excess") {
+    val rows = SparkEntry.queries("q134_mixture_step")(spark, sf0001)
+      .collect()
+    assert(rows.length >= 2)
+    val alphaSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(alphaSum - 1.0) < 1e-4, s"alphas sum to $alphaSum")
+    rows.foreach { r =>
+      val (self, ref, exc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(exc - math.max(0.0, ref - self)) < 1e-3,
+        s"${r.getString(0)} excess is not the clipped loss gap")
+      assert(exc >= 0.0)
+    }
+    // multiplicative weights: higher excess loss ⇒ at least as much α
+    val byExcess = rows.sortBy(_.getDouble(4)).map(_.getDouble(5))
+    assert(byExcess.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9),
+      "alpha must be monotone in excess")
+    SparkEntry.release(spark)
+  }
+
+  test("q135 heavy hitters: estimates are one-sided overestimates and exact counts replay driver-side") {
+    val rows = SparkEntry.queries("q135_heavy_hitters")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val exact = graft.Tables.t(spark, sf0001, "events")
+      .select(concat_ws("|", col("user_id"), col("event_type")).as("k"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (k, ex, est, over) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(exact(k) === ex, s"$k exact count mismatch")
+      assert(est >= ex, s"$k: count-min must never underestimate")
+      assert(over === est - ex)
+    }
+    // top-20 by exact count: no unreturned key may beat the returned floor
+    val floor = rows.map(_.getLong(1)).min
+    val returned = rows.map(_.getString(0)).toSet
+    assert(exact.filterNot(kv => returned(kv._1)).values.forall(_ <= floor),
+      "a heavier key was left out of the top-20")
+    SparkEntry.release(spark)
+  }
+
+  test("q136 CUSUM: the closed-form statistic replays the max(0, S+d) recurrence exactly") {
+    val rows = SparkEntry.queries("q136_cusum_changepoint")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val ordered = series.sortBy(_._2.getTime)
+      val n = ordered.map(_._3).sum
+      val dcnt = ordered.length.toLong
+      var s = 0L
+      ordered.foreach { case (_, _, x, sU, alarm) =>
+        s = math.max(0L, s + (x * dcnt * 10L - n * 11L))
+        assert(s === sU, s"CUSUM recurrence mismatch at x=$x")
+        assert(alarm === (s > n * 5L))
+      }
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q137 DP sensitivity: bounds respect the q133 cap and replay from the capped event set") {
+    val rows = SparkEntry.queries("q137_dp_sensitivity")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 20L,
+        s"${r.getString(0)}: count sensitivity must respect the cap")
+      assert(r.getLong(3) >= 0L)
+    }
+    // consistency with q133: per-type user-aggregated kept events sum
+    // to the same kept totals the cap query reports
+    val keptByType = SparkEntry.queries("q133_user_event_cap")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val e = graft.Tables.t(spark, sf0001, "events")
+    val keptSets = e
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        md5(col("event_id").cast("string")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(t => (t._4, t._2)).take(20)).toSeq
+    val perType = keptSets.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(perType === keptByType, "q137's base set must be q133's")
+    SparkEntry.release(spark)
+  }
+
+  test("s64 SQ8: per-dim error respects the half-step codec bound and codes stay within budget") {
+    val rows = SparkEntry.queries("s64_sq8_quant")(spark, sf0001).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (dim, n, vmin, vmax, nCodes, maxAbsEu) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(6))
+      assert(n > 0 && nCodes >= 1 && nCodes <= 256, s"dim $dim code budget")
+      val halfStepU = (vmax - vmin) / 256.0 / 2.0 * 1e6
+      assert(maxAbsEu <= math.ceil(halfStepU).toLong + 1,
+        s"dim $dim: |err| ${maxAbsEu}u exceeds half-step ${halfStepU}u")
+    }
+    SparkEntry.release(spark)
+  }
 }

@@ -469,6 +469,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("cmsGrid (q135 twin): the streaming sketch equals the batch grid cell-for-cell after the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = EventStreams.cmsGridStream(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_grid_out")
+      .start()
+    try {
+      input.addData(mkEvents.take(120))
+      query.processAllAvailable()
+      input.addData(mkEvents.drop(120))
+      query.processAllAvailable()
+      val streamed = spark.table("cms_grid_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.queries.Analytic.cmsGrid(
+        mkEvents.toDF().select(org.apache.spark.sql.functions.concat_ws(
+          "|", $"user_id", $"event_type").as("k")))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch, "sketch cells must match the batch rule")
+      assert(streamed.size <= 1024, "the grid is the sketch's whole state")
+      assert(streamed.values.sum === 4L * mkEvents.size,
+        "every event lands in exactly 4 cells")
+    } finally query.stop()
+  }
+
   test("watermarked append-mode tumbling agg emits finalized windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
