@@ -1580,8 +1580,207 @@ object Analytic {
         .agg(count(lit(1)).as("n_users"),
           max(col("c")).as("count_sensitivity"),
           max(col("m")).as("cents_sensitivity"))
+    },
+
+    // MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    // principled alternative to last-touch (q94) and position (q122)
+    // attribution: model the user journey as q80's first-order chain,
+    // compute the probability of REACHING purchase within 6 steps from
+    // the empirical start distribution, then re-compute it with each
+    // channel removed (its transitions deleted, its start mass lost);
+    // a channel's credit is the conversion it would destroy. The
+    // corpus is touched exactly twice — q80's user-keyed lead window
+    // for transitions and a per-user argmin for first events — then
+    // every arm's 6-step propagation is |types|²-sized joins over the
+    // persisted aggregates. Probabilities are exact count ratios;
+    // per-step sums run over ≤5 terms (reorder drift ~1e-15 against
+    // the 4-dp grid); only the final columns round.
+    "q138_markov_attribution" -> { (s, d) =>
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = t(s, d, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .persist(lvl)
+      val pTrans = trans
+        .join(trans.groupBy(col("src")).agg(sum(col("n")).as("ns")), "src")
+        .select(col("src"), col("dst"), (col("n") / col("ns")).as("p"))
+        .persist(lvl)
+      val start = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("f"))
+        .groupBy(col("f.event_type").as("state"))
+        .agg(count(lit(1)).as("n"))
+      val nUsers = start.agg(sum(col("n")).as("nu"))
+      val pStart = start.crossJoin(broadcast(nUsers))
+        .select(col("state"), (col("n") / col("nu")).as("mass"))
+        .persist(lvl)
+      def reach(removed: Option[String]): DataFrame = {
+        val pt = removed.fold(pTrans)(c =>
+          pTrans.filter(col("src") =!= c && col("dst") =!= c))
+        val v0 = removed.fold(pStart)(c => pStart.filter(col("state") =!= c))
+        val absorbed0 = v0.filter(col("state") === "purchase")
+          .agg(coalesce(sum(col("mass")), lit(0.0d)).as("a"))
+        val live0 = v0.filter(col("state") =!= "purchase")
+        val (liveK, absorbedK) = (1 to 6).foldLeft((live0, absorbed0)) {
+          case ((live, abs0), _) =>
+            val stepped = live
+              .join(pt, col("state") === col("src"))
+              .select(col("dst"), (col("mass") * col("p")).as("m"))
+            val hit = stepped.filter(col("dst") === "purchase")
+              .agg(coalesce(sum(col("m")), lit(0.0d)).as("a"))
+            val next = stepped.filter(col("dst") =!= "purchase")
+              .groupBy(col("dst").as("state")).agg(sum(col("m")).as("mass"))
+            (next, abs0.crossJoin(hit.select(col("a").as("a2")))
+              .select((col("a") + col("a2")).as("a")))
+        }
+        val _ = liveK // the live mass after 6 steps is not reported
+        absorbedK.select(col("a").as(removed.fold("p_full")(_ => "p_removed")))
+      }
+      val full = reach(None)
+      val channels = Seq("click", "view", "signup", "error")
+      val arms = channels.map { c =>
+        reach(Some(c)).select(lit(c).as("channel"), col("p_removed"))
+      }.reduce(_ union _)
+      val effects = arms.crossJoin(broadcast(full))
+        .withColumn("effect",
+          greatest(lit(0.0d), col("p_full") - col("p_removed")))
+      val totEffect = effects.agg(sum(col("effect")).as("te"))
+      effects.crossJoin(broadcast(totEffect))
+        .select(col("channel"), round(col("p_full"), 4).as("p_full"),
+          round(col("p_removed"), 4).as("p_removed"),
+          round(col("effect"), 4).as("removal_effect"),
+          round(col("effect") / col("te"), 4).as("credit_share"))
+    },
+
+    // KAPLAN-MEIER TIME-TO-CONVERSION — survival analysis done right
+    // where q121's lag quantiles can't be: per user, the clock runs
+    // from the FIRST event to the first high-value purchase
+    // (value > 150 — the q114/q131 discriminating conversion; plain
+    // "purchased" saturates on this corpus); users who never convert
+    // are CENSORED at their last event — the observations a naive
+    // "mean time to convert" silently drops, biasing the answer fast.
+    // S(t) = Π_{u ≤ t} (1 − d_u/n_u) over distinct hour-granularity
+    // durations, computed in log space as exp(Σ ln·) with the
+    // IDENTICAL expression in both engines, plus an explicit zeroed
+    // flag once a factor hits 0 (Spark's ln(0) is NULL, DuckDB's -inf
+    // — the flag keeps both out of the transcendental). The corpus
+    // sees two user-keyed partial aggs; the risk-set/cumulative
+    // windows run over the ≤|distinct duration| aggregate. Counts
+    // exact; S rounds 4.
+    "q139_survival_km" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val users = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val conv = e.filter(col("event_type") === "purchase" &&
+          col("value") > 150)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("conv_us"))
+      val obs = users.join(conv, Seq("user_id"), "left")
+        .withColumn("converted", col("conv_us").isNotNull.cast("long"))
+        .withColumn("dur_hours",
+          expr("(coalesce(conv_us, last_us) - first_us) div 3600000000"))
+      val byT = obs.groupBy(col("dur_hours"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("converted")).as("n_conv"))
+      val wOrd = Window.orderBy(col("dur_hours"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val tot = byT.agg(sum(col("n_obs")).as("nu"))
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("nu") - coalesce(sum(col("n_obs"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("zeroed",
+          max((col("n_conv") === col("n_risk")).cast("long")).over(wCum))
+        .withColumn("lnterm",
+          when(col("n_conv") < col("n_risk"),
+            log(lit(1.0d) - col("n_conv") / col("n_risk")))
+            .otherwise(lit(0.0d)))
+        .withColumn("s_km",
+          when(col("zeroed") === 1L, lit(0.0d))
+            .otherwise(round(exp(sum(col("lnterm")).over(wCum)), 4)))
+        .select(col("dur_hours"), col("n_risk"),
+          col("n_conv"), (col("n_obs") - col("n_conv")).as("n_censored"),
+          col("s_km"))
     }
   )
+
+  /** q138 oracle: the q80-shaped transition/start ratios, then one
+    * unrolled 6-step absorption chain per arm (full + each channel
+    * removed), all over VALUES-free tiny CTEs. Arm CTEs are generated
+    * by the same loop bounds the Spark fold uses. */
+  private def q138Oracle: String = {
+    def arm(label: String, removed: Option[String]): String = {
+      val vFilter = removed.fold("")(c => s" WHERE state <> '$c'")
+      val ptFilter = removed.fold("")(c =>
+        s" WHERE src <> '$c' AND dst <> '$c'")
+      val steps = (1 to 6).map { k =>
+        val prev = if (k == 1) s"l0_$label" else s"l${k - 1}_$label"
+        s"""s${k}_$label AS (
+           | SELECT pt.dst, l.mass * pt.p AS m
+           | FROM $prev l JOIN pt_$label pt ON l.state = pt.src),
+           |a${k}_$label AS (
+           | SELECT (SELECT a FROM a${k - 1}_$label)
+           |  + (SELECT coalesce(sum(m), 0.0) FROM s${k}_$label
+           |     WHERE dst = 'purchase') AS a),
+           |l${k}_$label AS (
+           | SELECT dst AS state, sum(m) AS mass FROM s${k}_$label
+           | WHERE dst <> 'purchase' GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""v0_$label AS (SELECT state, mass FROM pstart$vFilter),
+         |pt_$label AS (SELECT src, dst, p FROM pt$ptFilter),
+         |a0_$label AS (
+         | SELECT coalesce(sum(mass), 0.0) AS a FROM v0_$label
+         | WHERE state = 'purchase'),
+         |l0_$label AS (
+         | SELECT state, mass FROM v0_$label WHERE state <> 'purchase'),
+         |$steps""".stripMargin
+    }
+    val channels = Seq("click", "view", "signup", "error")
+    val arms = (arm("full", None) +:
+      channels.map(c => arm(c, Some(c)))).mkString(",\n")
+    val effects = channels.map(c =>
+      s"SELECT '$c' AS channel, (SELECT a FROM a6_$c) AS pr")
+      .mkString("\nUNION ALL\n")
+    s"""WITH trans AS (
+       | SELECT event_type AS src, next_type AS dst, count(*) AS n
+       | FROM (
+       |  SELECT event_type, lead(event_type) OVER
+       |   (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |  FROM events) x
+       | WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |pt AS (
+       | SELECT src, dst, n / ns AS p
+       | FROM trans JOIN (SELECT src, CAST(sum(n) AS BIGINT) AS ns
+       |                  FROM trans GROUP BY 1) USING (src)),
+       |fe AS (
+       | SELECT user_id, event_type FROM (
+       |  SELECT user_id, event_type, row_number() OVER
+       |   (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events) y
+       | WHERE rn = 1),
+       |st AS (SELECT event_type AS state, count(*) AS n FROM fe
+       |       GROUP BY 1),
+       |pstart AS (
+       | SELECT state, n / (SELECT CAST(sum(n) AS BIGINT) FROM st) AS mass
+       | FROM st),
+       |$arms,
+       |eff AS (
+       | SELECT channel,
+       |  greatest(0.0, (SELECT a FROM a6_full) - pr) AS effect, pr
+       | FROM ($effects) u),
+       |te AS (SELECT sum(effect) AS te FROM eff)
+       |SELECT eff.channel,
+       | round((SELECT a FROM a6_full), 4) AS p_full,
+       | round(eff.pr, 4) AS p_removed,
+       | round(eff.effect, 4) AS removal_effect,
+       | round(eff.effect / te.te, 4) AS credit_share
+       |FROM eff, te""".stripMargin
+  }
 
   /** q135's Count-Min sketch grid over a one-column frame of keys
     * `k`: 4 hash rows (bucket r = first byte of md5("r|" ++ key)) ×
@@ -2658,6 +2857,53 @@ object Analytic {
         |SELECT event_type, CAST(day AS TIMESTAMP) AS day, x,
         | cum - runmin AS s_u, (cum - runmin) > n * 5 AS alarm
         |FROM m""".stripMargin,
+    // unrolled 6-step propagation per arm over the same exact count
+    // ratios; only the final columns round
+    "q138_markov_attribution" -> q138Oracle,
+    // the same log-space product with the identical zeroed guard;
+    // windows over the tenure aggregate only
+    "q139_survival_km" ->
+      """WITH u AS (
+        | SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |  max(epoch_us(ts)) AS last_us
+        | FROM events GROUP BY 1),
+        |cv AS (
+        | SELECT user_id, min(epoch_us(ts)) AS conv_us
+        | FROM events WHERE event_type = 'purchase' AND value > 150
+        | GROUP BY 1),
+        |obs AS (
+        | SELECT (coalesce(cv.conv_us, u.last_us) - u.first_us)
+        |   // 3600000000 AS dur_hours,
+        |  CASE WHEN cv.conv_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+        | FROM u LEFT JOIN cv USING (user_id)),
+        |byt AS (
+        | SELECT dur_hours, count(*) AS n_obs,
+        |  CAST(sum(converted) AS BIGINT) AS n_conv
+        | FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nu FROM byt),
+        |r AS (
+        | SELECT byt.*, tot.nu,
+        |  tot.nu - coalesce(CAST(sum(n_obs) OVER
+        |    (ORDER BY dur_hours
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) AS n_risk
+        | FROM byt, tot),
+        |z AS (
+        | SELECT *,
+        |  max(CASE WHEN n_conv = n_risk THEN 1 ELSE 0 END) OVER wc
+        |   AS zeroed,
+        |  CASE WHEN n_conv < n_risk
+        |       THEN ln(1.0 - n_conv / n_risk) ELSE 0.0 END AS lnterm
+        | FROM r
+        | WINDOW wc AS (ORDER BY dur_hours
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT dur_hours, n_risk, n_conv,
+        | n_obs - n_conv AS n_censored,
+        | CASE WHEN zeroed = 1 THEN 0.0
+        |      ELSE round(exp(sum(lnterm) OVER wc), 4) END AS s_km
+        |FROM z
+        |WINDOW wc AS (ORDER BY dur_hours
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     // q133's k CTE verbatim, then the (type, user) rollup and the max
     "q137_dp_sensitivity" ->
       """WITH k AS (

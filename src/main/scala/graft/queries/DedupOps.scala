@@ -939,6 +939,62 @@ object DedupOps {
           concat_ws(",", array_sort(collect_set(col("lang"))))
             .as("langs"))
         .withColumn("pure", col("n_langs") === 1)
+    },
+
+    // SOURCE-LEVEL MINHASH SIGNATURES — t46's cross-source overlap
+    // matrix rebuilt as a SKETCH: each source compresses to the d36
+    // 24-permutation minhash signature (min per slot over every
+    // shingle hash the source contains), pairwise similarity is
+    // estimated as matching-slot fraction, and the estimate is
+    // CALIBRATED against the exact shingle Jaccard per pair. The point
+    // at 100 TB is the state contract: the signature is a pure
+    // min-per-slot PARTIAL AGG — mergeable across shards, batches, and
+    // days (a streaming-ingest monitor keeps sources×24 longs hot,
+    // never shingle sets) — where t46's exact matrix re-joins the gram
+    // universe every run. The exact arm here is the calibration
+    // harness; the permutations are d36's own seeded literals, so this
+    // table also audits the SAME machinery the dedup family banks on.
+    "d60_source_minhash" -> { (s, d) =>
+      val p = MinhashP
+      val (pa, pb) = minhashPerms
+      val sh = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), shingleCol.as("shingles"))
+        .select(col("source"), explode(col("shingles")).as("sstr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val x = conv(substring(md5(col("sstr")), 1, 12), 16, 10)
+        .cast("long") % p
+      val permVals = array((0 until 24).map(i =>
+        (lit(pa(i)) * col("x") + lit(pb(i))) % p): _*)
+      val sigs = sh.withColumn("x", x)
+        .select(col("source"), posexplode(permVals).as(Seq("i", "v")))
+        .groupBy(col("source"), col("i")).agg(min(col("v")).as("mh"))
+      val est = sigs.select(col("source").as("sa"), col("i"), col("mh"))
+        .join(sigs.select(col("source").as("sb"), col("i"),
+          col("mh").as("mhb")), Seq("i"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(when(col("mh") === col("mhb"), 1L).otherwise(0L))
+          .as("matches"))
+      val ss = sh.distinct()
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = ss.select(col("source").as("sa"), col("sstr"))
+        .join(ss.select(col("source").as("sb"), col("sstr")), Seq("sstr"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("sa", "sb"), "left")
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("est_jaccard", round(col("matches") / lit(24.0d), 4))
+        .withColumn("jaccard", round(col("inter") /
+          (col("na") + col("nb") - col("inter")), 4))
+        .select(col("sa"), col("sb"), col("matches"), col("est_jaccard"),
+          col("jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
     }
   )
 
@@ -1541,8 +1597,61 @@ object DedupOps {
          |   sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
          |FROM pr
          | JOIN e a ON pr.ia = a.vec_id
-         | JOIN e b ON pr.ib = b.vec_id""".stripMargin
+         | JOIN e b ON pr.ib = b.vec_id""".stripMargin,
+    // d36's seeded permutation literals re-keyed by source; the exact
+    // arm replays shingle-set Jaccard over the same distinct grams
+    "d60_source_minhash" -> d60OracleSql
   )
+
+  /** d60 oracle: source-keyed rendering of [[minhashSigCte]]'s
+    * machinery (same 48-bit md5 prefix, same affine permutations),
+    * matched-slot estimate vs exact distinct-shingle Jaccard. */
+  private def d60OracleSql: String = {
+    val (pa, pb) = minhashPerms
+    val permRows = (0 until 24)
+      .map(i => s"($i, ${pa(i)}, ${pb(i)})").mkString(", ")
+    val h48 = (1 to 12).map { j =>
+      val w = 1L << (4 * (12 - j))
+      s"(CAST(strpos('0123456789abcdef', substring(hx, $j, 1)) - 1 AS BIGINT) * $w)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT source, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
+       | FROM documents WHERE length(trim(text)) > 0),
+       |shl AS (
+       | SELECT source, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sstr
+       | FROM tok WHERE len(w) >= 3),
+       |hxs AS (SELECT source, sstr, md5(sstr) AS hx FROM shl),
+       |xs AS (SELECT source, ($h48) % $MinhashP AS x FROM hxs),
+       |perm(i, a, b) AS (VALUES $permRows),
+       |mh AS (
+       | SELECT source, i, min((a * x + b) % $MinhashP) AS mh
+       | FROM xs, perm GROUP BY 1, 2),
+       |est AS (
+       | SELECT ma.source AS sa, mb.source AS sb,
+       |  CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS matches
+       | FROM mh ma JOIN mh mb ON ma.i = mb.i AND ma.source < mb.source
+       | GROUP BY 1, 2),
+       |ss AS (SELECT DISTINCT source, sstr FROM shl),
+       |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       | SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+       | FROM ss a JOIN ss b ON a.sstr = b.sstr AND a.source < b.source
+       | GROUP BY 1, 2),
+       |fin AS (
+       | SELECT est.sa, est.sb, est.matches,
+       |  round(est.matches / 24.0, 4) AS est_jaccard,
+       |  round(coalesce(inter.inter, 0)
+       |    / (na.n + nb.n - coalesce(inter.inter, 0)), 4) AS jaccard
+       | FROM est
+       |  LEFT JOIN inter ON est.sa = inter.sa AND est.sb = inter.sb
+       |  JOIN sizes na ON est.sa = na.source
+       |  JOIN sizes nb ON est.sb = nb.source)
+       |SELECT sa, sb, matches, est_jaccard, jaccard,
+       | round(abs(est_jaccard - jaccard), 4) AS abs_err
+       |FROM fin""".stripMargin
+  }
 
   /** d40/d45 shared oracle: the d28 edge CTE at the 0.5 threshold +
     * id-ordered two-path/closure self-joins (a < b < c single-count —

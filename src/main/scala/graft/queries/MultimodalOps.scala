@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -273,6 +274,53 @@ object MultimodalOps extends Serializable {
             .cast("long").as("tile_bytes"),
           md5(expr(s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
             .as("tile_md5"))
+    },
+
+    // SHOT-BOUNDARY DETECTION — the video-curation step that runs
+    // BEFORE frame dedup/sampling: consecutive frames whose cheap
+    // feature vectors diverge mark scene cuts, and the per-asset scene
+    // count / cut positions drive which frames a training pipeline
+    // keeps (one per scene beats every-Nth within a static shot). The
+    // decode stub stands in exactly as the prompt's multimodal
+    // contract: "frames" are m34's 256-byte payload tiles in order and
+    // the frame feature is the 16-bin nibble histogram (m40's
+    // replace-counter trick, zero explode) — a real codec swaps in
+    // decoded frames + real histograms, the Spark shapes stay. The
+    // boundary rule is an exact integer L1 > 256 (a quarter of the
+    // tile's nibble mass shifted — probed discriminative on this
+    // corpus, ~half of transitions). One doc-keyed window orders each
+    // asset's ≤64 frames; everything else is map-side.
+    "m46_shot_boundaries" -> { (s, d) =>
+      val hexPerTile = 512
+      val tiles = multimodalTable(s, d)
+        .withColumn("hx", lower(hex(col("payload"))))
+        .withColumn("nt", least(
+          ceil(length(col("hx")) / lit(hexPerTile.toDouble)).cast("long"),
+          lit(64L)))
+        .filter(col("nt") > 0)
+        .withColumn("tidx", explode(sequence(lit(0L), col("nt") - 1)))
+        .withColumn("tile", expr(
+          s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
+        .select(col("doc_id"), col("tidx"), col("tile"))
+      val nibbles = "0123456789abcdef"
+      val withCnts = nibbles.zipWithIndex.foldLeft(tiles) {
+        case (df, (c, i)) => df.withColumn(s"c$i",
+          (length(col("tile")) -
+            length(expr(s"replace(tile, '$c', '')"))).cast("long"))
+      }
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
+      val lagged = (0 until 16).foldLeft(withCnts) { case (df, i) =>
+        df.withColumn(s"p$i", lag(col(s"c$i"), 1).over(w))
+      }
+      val l1 = (0 until 16).map(i =>
+        abs(col(s"c$i") - col(s"p$i"))).reduce(_ + _)
+      lagged
+        .withColumn("l1", when(col("p0").isNotNull, l1))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("l1") > 256L, 1L).otherwise(0L)).as("n_cuts"),
+          max(coalesce(col("l1"), lit(0L))).as("max_l1"))
+        .withColumn("n_scenes", col("n_cuts") + 1)
     },
 
     // Sub-asset dedup — m34's payoff: tiles whose fingerprint recurs
@@ -669,6 +717,46 @@ object MultimodalOps extends Serializable {
       |WHERE i < nt""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // m34's tile CTEs + the m40 replace-counter (dense over the 16
+    // nibbles by construction), per-nibble lag, integer L1 rollup
+    "m46_shot_boundaries" ->
+      """WITH p AS (
+        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+        |n AS (
+        | SELECT doc_id, hx,
+        |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
+        | FROM p WHERE length(hx) > 0),
+        |tiles AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS tidx,
+        |  substring(hx, CAST(i*512 + 1 AS BIGINT), 512) AS tile
+        | FROM n, range(0, 64) r(i)
+        | WHERE i < nt),
+        |g AS (
+        | SELECT doc_id, tidx, tile,
+        |  substring('0123456789abcdef', CAST(h.i AS BIGINT), 1) AS nb
+        | FROM tiles, range(1, 17) h(i)),
+        |c AS (
+        | SELECT doc_id, tidx, nb,
+        |  length(tile) - length(replace(tile, nb, '')) AS cnt
+        | FROM g),
+        |l AS (
+        | SELECT doc_id, tidx, nb, cnt,
+        |  lag(cnt) OVER (PARTITION BY doc_id, nb ORDER BY tidx) AS pcnt
+        | FROM c),
+        |l1 AS (
+        | SELECT doc_id, tidx, CAST(sum(abs(cnt - pcnt)) AS BIGINT) AS l1
+        | FROM l WHERE pcnt IS NOT NULL GROUP BY 1, 2),
+        |f AS (
+        | SELECT t.doc_id, t.tidx, l1.l1
+        | FROM tiles t LEFT JOIN l1 ON t.doc_id = l1.doc_id
+        |  AND t.tidx = l1.tidx)
+        |SELECT doc_id, count(*) AS n_frames,
+        | CAST(sum(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_cuts,
+        | CAST(max(coalesce(l1, 0)) AS BIGINT) AS max_l1,
+        | CAST(sum(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |   AS n_scenes
+        |FROM f GROUP BY 1""".stripMargin,
     // the m32 nibble arithmetic rebuilt as an inline 8-element list
     // (values n/65536 are exact in FLOAT32, so doubles replay the
     // Spark float contract bit-for-bit); rank-based decile cut

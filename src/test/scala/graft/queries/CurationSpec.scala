@@ -1852,6 +1852,104 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d60 source minhash: full pair grid, bounded estimator error, slots within range") {
+    val rows = SparkEntry.queries("d60_source_minhash")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val srcs = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length === srcs * (srcs - 1) / 2,
+      "every source pair must appear exactly once")
+    rows.foreach { case (sa, sb, m, est, jac, err) =>
+      assert(m >= 0 && m <= 24, s"$sa/$sb slot matches out of range")
+      assert(est >= 0.0 && est <= 1.0 && jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(est - jac) - err < 1e-9)
+    }
+    // 24 permutations ⇒ stderr ≤ √(0.25/24) ≈ 0.102; the mean error
+    // across pairs must sit inside a few multiples of that
+    val meanErr = rows.map(_._6).sum / rows.length
+    assert(meanErr < 0.15, s"mean |est − exact| $meanErr too high")
+    SparkEntry.release(spark)
+  }
+
+  test("q138 markov attribution: removal never helps, credit shares normalize") {
+    val rows = SparkEntry.queries("q138_markov_attribution")(spark, sf0001)
+      .collect()
+    assert(rows.length === 4)
+    val pFull = rows.head.getDouble(1)
+    rows.foreach { r =>
+      assert(r.getDouble(1) === pFull)
+      assert(r.getDouble(2) <= pFull + 1e-9,
+        s"${r.getString(0)}: removing a channel cannot increase reach")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(2) >= 0.0)
+    }
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    SparkEntry.release(spark)
+  }
+
+  test("q139 KM: the survival curve replays exactly from raw events with censoring") {
+    val rows = SparkEntry.queries("q139_survival_km")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    val obs = byUser.values.map { es =>
+      val first = es.map(_._2).min
+      val convs = es.filter(e => e._3 == "purchase" && e._4 > 150)
+      if (convs.nonEmpty) ((convs.map(_._2).min - first) / 3600000000L, true)
+      else ((es.map(_._2).max - first) / 3600000000L, false)
+    }.toSeq
+    assert(rows.map(_._2).max === obs.size, "top risk set = all users")
+    var s = 1.0
+    var atRisk = obs.size.toLong
+    rows.foreach { case (t, nRisk, nConv, nCens, sKm) =>
+      val here = obs.filter(_._1 == t)
+      assert(nRisk === atRisk, s"risk set at $t")
+      assert(nConv === here.count(_._2) && nCens === here.count(!_._2))
+      if (nConv > 0) s *= 1.0 - nConv.toDouble / nRisk
+      assert(math.abs(sKm - s) < 5e-4, s"S($t): $sKm vs replay $s")
+      atRisk -= here.size
+    }
+    assert(rows.last._5 < 1.0, "conversions must actually move the curve")
+    SparkEntry.release(spark)
+  }
+
+  test("m46 shot boundaries: frame deltas replay exactly from payload bytes") {
+    val out = SparkEntry.queries("m46_shot_boundaries")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val hx = text.getBytes("UTF-8").map("%02x".format(_)).mkString
+      if (hx.nonEmpty) {
+        val tiles = hx.grouped(512).take(64).toArray
+        val hists = tiles.map { t =>
+          val h = new Array[Long](16)
+          t.foreach(c => h(Integer.parseInt(c.toString, 16)) += 1)
+          h
+        }
+        val l1s = hists.sliding(2).collect { case Array(a, b) =>
+          a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        }.toArray
+        val expected = (tiles.length.toLong,
+          l1s.count(_ > 256).toLong,
+          if (l1s.isEmpty) 0L else l1s.max)
+        assert(out(id) === expected, s"doc $id frame stats mismatch")
+      }
+    }
+    assert(out.values.map(_._2).sum > 0, "cuts must fire on this corpus")
+    SparkEntry.release(spark)
+  }
+
   test("s64 SQ8: per-dim error respects the half-step codec bound and codes stay within budget") {
     val rows = SparkEntry.queries("s64_sq8_quant")(spark, sf0001).collect()
     assert(rows.length === 64)
