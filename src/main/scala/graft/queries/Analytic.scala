@@ -1706,6 +1706,57 @@ object Analytic {
         .select(col("dur_hours"), col("n_risk"),
           col("n_conv"), (col("n_obs") - col("n_conv")).as("n_censored"),
           col("s_km"))
+    },
+
+    // PEAK CONCURRENCY — the capacity-planning number: the maximum
+    // number of simultaneously-open sessions each day, via the classic
+    // interval sweep (+1 at session start, −1 at session end, running
+    // sum, max) over q78's gap sessions. At equal instants starts
+    // process before ends (delta DESC), so touching sessions count as
+    // concurrent and single-event sessions still register. The sweep's
+    // global running sum is DECOMPOSED the t31/q116 way — within-hour
+    // cumsums (parallelism = #blocks) plus a broadcast per-block
+    // prefix — never a one-task global window over the deltas; at any
+    // scale the unpartitioned window touches only the per-hour
+    // aggregate. All-integer arithmetic throughout.
+    "q140_peak_concurrency" -> { (s, d) =>
+      val gapUs = 4L * 3600L * 1000000L
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+            .cast("long"))
+        .withColumn("session_n", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_n"))
+        .agg(min(col("us")).as("sus"), max(col("us")).as("eus"))
+      val del = sess.select(col("sus").as("us"), lit(1L).as("delta"),
+          col("user_id"), col("session_n"))
+        .union(sess.select(col("eus").as("us"), lit(-1L).as("delta"),
+          col("user_id"), col("session_n")))
+        .withColumn("blk", expr(s"us div $hourUs"))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("us").asc, col("delta").desc, col("user_id").asc,
+          col("session_n").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val inBlk = del.withColumn("cum_in", sum(col("delta")).over(wIn))
+      val blkTot = del.groupBy(col("blk")).agg(sum(col("delta")).as("btot"))
+      val wPre = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = blkTot
+        .withColumn("prefix", coalesce(sum(col("btot")).over(wPre), lit(0L)))
+        .select(col("blk"), col("prefix"))
+      inBlk.join(broadcast(prefix), "blk")
+        .withColumn("running", col("prefix") + col("cum_in"))
+        .groupBy(to_date(timestamp_micros(col("us"))).cast("timestamp")
+          .as("day"))
+        .agg(max(col("running")).as("peak_concurrent"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_sessions_started"))
     }
   )
 
@@ -2904,6 +2955,45 @@ object Analytic {
         |FROM z
         |WINDOW wc AS (ORDER BY dur_hours
         | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q78's session CTEs in micros, the same (us, delta DESC) sweep
+    // order, one flat global running sum (the tiny-scale rendering of
+    // the block-decomposed Spark cumsum)
+    "q140_peak_concurrency" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_us
+        | FROM events),
+        |f AS (
+        | SELECT *, CASE WHEN prev_us IS NULL
+        |   OR us - prev_us > 14400000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM g),
+        |sn AS (
+        | SELECT user_id, us,
+        |  sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+        | FROM f),
+        |s AS (
+        | SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+        |  min(us) AS sus, max(us) AS eus
+        | FROM sn GROUP BY 1, 2),
+        |del AS (
+        | SELECT sus AS us, 1 AS delta, user_id, session_n FROM s
+        | UNION ALL
+        | SELECT eus AS us, -1 AS delta, user_id, session_n FROM s),
+        |r AS (
+        | SELECT us, delta,
+        |  CAST(sum(delta) OVER (ORDER BY us ASC, delta DESC,
+        |    user_id ASC, session_n ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS running
+        | FROM del)
+        |SELECT CAST(CAST(make_timestamp(us) AS DATE) AS TIMESTAMP) AS day,
+        | CAST(max(running) AS BIGINT) AS peak_concurrent,
+        | CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_sessions_started
+        |FROM r GROUP BY 1""".stripMargin,
     // q133's k CTE verbatim, then the (type, user) rollup and the max
     "q137_dp_sensitivity" ->
       """WITH k AS (

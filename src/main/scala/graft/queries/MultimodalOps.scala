@@ -291,36 +291,31 @@ object MultimodalOps extends Serializable {
     // corpus, ~half of transitions). One doc-keyed window orders each
     // asset's ≤64 frames; everything else is map-side.
     "m46_shot_boundaries" -> { (s, d) =>
-      val hexPerTile = 512
-      val tiles = multimodalTable(s, d)
-        .withColumn("hx", lower(hex(col("payload"))))
-        .withColumn("nt", least(
-          ceil(length(col("hx")) / lit(hexPerTile.toDouble)).cast("long"),
-          lit(64L)))
-        .filter(col("nt") > 0)
-        .withColumn("tidx", explode(sequence(lit(0L), col("nt") - 1)))
-        .withColumn("tile", expr(
-          s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
-        .select(col("doc_id"), col("tidx"), col("tile"))
-      val nibbles = "0123456789abcdef"
-      val withCnts = nibbles.zipWithIndex.foldLeft(tiles) {
-        case (df, (c, i)) => df.withColumn(s"c$i",
-          (length(col("tile")) -
-            length(expr(s"replace(tile, '$c', '')"))).cast("long"))
-      }
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
-      val lagged = (0 until 16).foldLeft(withCnts) { case (df, i) =>
-        df.withColumn(s"p$i", lag(col(s"c$i"), 1).over(w))
-      }
-      val l1 = (0 until 16).map(i =>
-        abs(col(s"c$i") - col(s"p$i"))).reduce(_ + _)
-      lagged
-        .withColumn("l1", when(col("p0").isNotNull, l1))
+      frameDeltas(s, d)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(when(col("l1") > 256L, 1L).otherwise(0L)).as("n_cuts"),
           max(coalesce(col("l1"), lit(0L))).as("max_l1"))
         .withColumn("n_scenes", col("n_cuts") + 1)
+    },
+
+    // SCENE KEYFRAME SELECTION — m46's payoff: the frame a training
+    // pipeline actually KEEPS from each scene (the first frame after
+    // every cut), replacing every-Nth sampling that oversamples static
+    // shots and misses short ones. Scene numbers are a running count
+    // of cut flags over each asset's ordered frames (the q78
+    // sessionization shape at frame granularity); the keyframe is the
+    // scene's min frame index. Same single doc-keyed window as m46 —
+    // no new shuffle shape.
+    "m47_scene_keyframes" -> { (s, d) =>
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      frameDeltas(s, d)
+        .withColumn("cut", when(col("l1") > 256L, 1L).otherwise(0L))
+        .withColumn("scene_n", sum(col("cut")).over(w))
+        .groupBy(col("doc_id"), col("scene_n"))
+        .agg(min(col("tidx")).as("key_frame_idx"),
+          count(lit(1)).as("n_frames"))
     },
 
     // Sub-asset dedup — m34's payoff: tiles whose fingerprint recurs
@@ -699,6 +694,74 @@ object MultimodalOps extends Serializable {
         |FROM c JOIN t ON c.doc_id = t.doc_id AND c.tile_idx = t.tile_idx
         |GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB rendering of [[frameDeltas]] — the shared m46/m47 CTE
+    * prefix ending in `f(doc_id, tidx, l1)` with l1 NULL on first
+    * frames. */
+  private val frameDeltaCte: String =
+    """p AS (
+      | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+      |n AS (
+      | SELECT doc_id, hx,
+      |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
+      | FROM p WHERE length(hx) > 0),
+      |tiles AS (
+      | SELECT doc_id, CAST(i AS BIGINT) AS tidx,
+      |  substring(hx, CAST(i*512 + 1 AS BIGINT), 512) AS tile
+      | FROM n, range(0, 64) r(i)
+      | WHERE i < nt),
+      |g AS (
+      | SELECT doc_id, tidx, tile,
+      |  substring('0123456789abcdef', CAST(h.i AS BIGINT), 1) AS nb
+      | FROM tiles, range(1, 17) h(i)),
+      |c AS (
+      | SELECT doc_id, tidx, nb,
+      |  length(tile) - length(replace(tile, nb, '')) AS cnt
+      | FROM g),
+      |l AS (
+      | SELECT doc_id, tidx, nb, cnt,
+      |  lag(cnt) OVER (PARTITION BY doc_id, nb ORDER BY tidx) AS pcnt
+      | FROM c),
+      |l1 AS (
+      | SELECT doc_id, tidx, CAST(sum(abs(cnt - pcnt)) AS BIGINT) AS l1
+      | FROM l WHERE pcnt IS NOT NULL GROUP BY 1, 2),
+      |f AS (
+      | SELECT t.doc_id, t.tidx, l1.l1
+      | FROM tiles t LEFT JOIN l1 ON t.doc_id = l1.doc_id
+      |  AND t.tidx = l1.tidx)""".stripMargin
+
+  /** m46/m47's shared per-frame delta stream: m34's payload tiles as
+    * ordered "frames", 16-bin nibble histograms (the m40
+    * replace-counter, zero explode) lagged over ONE doc-keyed window,
+    * integer L1 between consecutive frames (`l1` is NULL on each
+    * asset's first frame). */
+  private def frameDeltas(s: SparkSession, d: String): DataFrame = {
+    val hexPerTile = 512
+    val tiles = multimodalTable(s, d)
+      .withColumn("hx", lower(hex(col("payload"))))
+      .withColumn("nt", least(
+        ceil(length(col("hx")) / lit(hexPerTile.toDouble)).cast("long"),
+        lit(64L)))
+      .filter(col("nt") > 0)
+      .withColumn("tidx", explode(sequence(lit(0L), col("nt") - 1)))
+      .withColumn("tile", expr(
+        s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
+      .select(col("doc_id"), col("tidx"), col("tile"))
+    val nibbles = "0123456789abcdef"
+    val withCnts = nibbles.zipWithIndex.foldLeft(tiles) {
+      case (df, (c, i)) => df.withColumn(s"c$i",
+        (length(col("tile")) -
+          length(expr(s"replace(tile, '$c', '')"))).cast("long"))
+    }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
+    val lagged = (0 until 16).foldLeft(withCnts) { case (df, i) =>
+      df.withColumn(s"p$i", lag(col(s"c$i"), 1).over(w))
+    }
+    val l1 = (0 until 16).map(i =>
+      abs(col(s"c$i") - col(s"p$i"))).reduce(_ + _)
+    lagged.withColumn("l1", when(col("p0").isNotNull, l1))
+      .select(col("doc_id"), col("tidx"), col("l1"))
+  }
+
   /** hex(text) hexes the string's UTF-8 bytes in DuckDB — the same
     * bytes Spark's hex(encode(text,'utf-8')) renders; lower() pins the
     * case on both sides. range(0,64) mirrors the explicit cap. */
@@ -720,36 +783,7 @@ object MultimodalOps extends Serializable {
     // m34's tile CTEs + the m40 replace-counter (dense over the 16
     // nibbles by construction), per-nibble lag, integer L1 rollup
     "m46_shot_boundaries" ->
-      """WITH p AS (
-        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
-        |n AS (
-        | SELECT doc_id, hx,
-        |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
-        | FROM p WHERE length(hx) > 0),
-        |tiles AS (
-        | SELECT doc_id, CAST(i AS BIGINT) AS tidx,
-        |  substring(hx, CAST(i*512 + 1 AS BIGINT), 512) AS tile
-        | FROM n, range(0, 64) r(i)
-        | WHERE i < nt),
-        |g AS (
-        | SELECT doc_id, tidx, tile,
-        |  substring('0123456789abcdef', CAST(h.i AS BIGINT), 1) AS nb
-        | FROM tiles, range(1, 17) h(i)),
-        |c AS (
-        | SELECT doc_id, tidx, nb,
-        |  length(tile) - length(replace(tile, nb, '')) AS cnt
-        | FROM g),
-        |l AS (
-        | SELECT doc_id, tidx, nb, cnt,
-        |  lag(cnt) OVER (PARTITION BY doc_id, nb ORDER BY tidx) AS pcnt
-        | FROM c),
-        |l1 AS (
-        | SELECT doc_id, tidx, CAST(sum(abs(cnt - pcnt)) AS BIGINT) AS l1
-        | FROM l WHERE pcnt IS NOT NULL GROUP BY 1, 2),
-        |f AS (
-        | SELECT t.doc_id, t.tidx, l1.l1
-        | FROM tiles t LEFT JOIN l1 ON t.doc_id = l1.doc_id
-        |  AND t.tidx = l1.tidx)
+      s"""WITH $frameDeltaCte
         |SELECT doc_id, count(*) AS n_frames,
         | CAST(sum(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_cuts,
@@ -757,6 +791,19 @@ object MultimodalOps extends Serializable {
         | CAST(sum(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) + 1 AS BIGINT)
         |   AS n_scenes
         |FROM f GROUP BY 1""".stripMargin,
+    // the same delta CTEs; scene = running cut count, keyframe = min
+    "m47_scene_keyframes" ->
+      s"""WITH $frameDeltaCte,
+        |sc AS (
+        | SELECT doc_id, tidx,
+        |  CAST(sum(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) OVER
+        |   (PARTITION BY doc_id ORDER BY tidx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS scene_n
+        | FROM f)
+        |SELECT doc_id, scene_n, min(tidx) AS key_frame_idx,
+        | count(*) AS n_frames
+        |FROM sc GROUP BY 1, 2""".stripMargin,
     // the m32 nibble arithmetic rebuilt as an inline 8-element list
     // (values n/65536 are exact in FLOAT32, so doubles replay the
     // Spark float contract bit-for-bit); rank-based decile cut

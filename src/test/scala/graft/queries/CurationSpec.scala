@@ -1950,6 +1950,64 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q140 peak concurrency: the block-decomposed sweep replays the flat interval sweep exactly") {
+    val rows = SparkEntry.queries("q140_peak_concurrency")(spark, sf0001)
+      .collect()
+      .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // driver replay: sessions, then the flat sweep
+    val ev = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 4L * 3600L * 1000000L
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (s0, e0) = (sorted.head._2, sorted.head._2)
+      sorted.tail.foreach { e =>
+        if (e._2 - e0 > gap) { bounds += ((s0, e0)); s0 = e._2 }
+        e0 = e._2
+      }
+      bounds += ((s0, e0))
+      bounds.map { case (a, b) => (uid, a, b) }
+    }
+    val sweep = sessions.flatMap { case (uid, a, b) =>
+      Seq((a, 1L, uid), (b, -1L, uid)) }
+      .sortBy { case (us, delta, uid) => (us, -delta, uid) }
+    var run = 0L
+    val byDay = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    sweep.foreach { case (us, delta, _) =>
+      run += delta
+      val day = us / 86400000000L * 86400000L
+      val (pk, st) = byDay.getOrElse(day, (Long.MinValue, 0L))
+      byDay(day) = (math.max(pk, run), st + (if (delta > 0) 1 else 0))
+    }
+    assert(rows === byDay.toMap, "sweep replay mismatch")
+    assert(rows.values.map(_._1).max > 1, "concurrency must exceed one")
+    SparkEntry.release(spark)
+  }
+
+  test("m47 keyframes: scenes partition m46's frames and every scene starts at its keyframe") {
+    val scenes = SparkEntry.queries("m47_scene_keyframes")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m46 = SparkEntry.queries("m46_shot_boundaries")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val byDoc = scenes.groupBy(_._1)
+    assert(byDoc.keySet === m46.keySet)
+    for ((doc, sc) <- byDoc) {
+      val (nFrames, nScenes) = m46(doc)
+      assert(sc.map(_._4).sum === nFrames, s"doc $doc frames partition")
+      assert(sc.length.toLong === nScenes, s"doc $doc scene count")
+      assert(sc.minBy(_._2)._3 === 0L, s"doc $doc scene 0 starts at frame 0")
+      // keyframes are distinct and ordered with scene numbers
+      val ordered = sc.sortBy(_._2).map(_._3)
+      assert(ordered.sameElements(ordered.sorted), s"doc $doc keyframe order")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("s64 SQ8: per-dim error respects the half-step codec bound and codes stay within budget") {
     val rows = SparkEntry.queries("s64_sq8_quant")(spark, sf0001).collect()
     assert(rows.length === 64)
