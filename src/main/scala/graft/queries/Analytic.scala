@@ -1757,8 +1757,138 @@ object Analytic {
         .agg(max(col("running")).as("peak_concurrent"),
           sum(when(col("delta") === 1L, 1L).otherwise(0L))
             .as("n_sessions_started"))
+    },
+
+    // BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality screen run
+    // over financial columns: the first significant digit of each
+    // order total against Benford's log10(1+1/d) law, with per-digit
+    // chi-square contributions (the cells an auditor reads to see
+    // WHICH digit is inflated). Determinism: the digit comes from the
+    // decimal rendering of INTEGER CENTS (integer→string is identical
+    // in both engines; no FP log10 ever touches a data value), and the
+    // nine expected fractions are computed ONCE driver-side and enter
+    // both engines' plans as the same double literals (the DecayPerDay
+    // discipline). The 9-row expected table LEFT-joins the observed
+    // counts so both engines emit exactly nine rows even if a digit
+    // never occurs. Plan: map-only digit extraction → 9-row partial
+    // agg; the total broadcast back. At 100 TB this is one scan of one
+    // column with a 9-row reduction — nothing else moves.
+    "q141_benford_digits" -> { (s, d) =>
+      val expected = s.sql(
+        s"SELECT CAST(digit AS BIGINT) AS digit, exp_frac " +
+          s"FROM VALUES $benfordValuesSql AS t(digit, exp_frac)")
+      val cnt = t(s, d, "orders")
+        .select(substring(
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"),
+          1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = cnt.agg(sum(col("n_obs")).as("total"))
+      expected.join(cnt, Seq("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("n_orders", coalesce(col("n_obs"), lit(0L)))
+        .withColumn("e_cnt", col("exp_frac") * col("total"))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders") / col("total"), 6).as("obs_frac"),
+          col("exp_frac"),
+          round((col("n_orders") - col("e_cnt"))
+            * (col("n_orders") - col("e_cnt")) / col("e_cnt"), 6)
+            .as("chi_term"))
+    },
+
+    // MARKET-BASKET ASSOCIATION RULES — support/confidence/lift over
+    // brands co-purchased in the same order (the recommender /
+    // assortment staple): top-20 brand pairs by lift. The basket
+    // self-join is keyed by ORDER (fan-out bounded by basket size —
+    // a handful of lines per order — never by brand popularity), so
+    // the pair stage is O(orders × k²) and every shuffle is
+    // orderkey-keyed; the per-brand and pair aggregates are tiny
+    // (~brands² rows) and the dimension side broadcasts. All three
+    // ratios are integer-count quotients rounded 6 dp — identical
+    // doubles in both engines — and the top-20 runs through
+    // TakeOrderedAndProject on (lift DESC, brand_a, brand_b), a
+    // deterministic total order. Support floor n_co ≥ 5 keeps noise
+    // pairs out of the ranking.
+    "q142_basket_lift" -> { (s, d) =>
+      val br = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = br.agg(countDistinct(col("ok")).as("n_orders"))
+      val brandCnt = br.groupBy(col("brand")).agg(count(lit(1)).as("nb"))
+      val a = br.select(col("ok"), col("brand").as("brand_a"))
+      val b = br.select(col("ok").as("okb"), col("brand").as("brand_b"))
+      a.join(b, col("ok") === col("okb")
+          && col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 5)
+        .join(broadcast(brandCnt.select(col("brand").as("brand_a"),
+          col("nb").as("n_a"))), "brand_a")
+        .join(broadcast(brandCnt.select(col("brand").as("brand_b"),
+          col("nb").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support", round(col("n_co") / col("n_orders"), 6))
+        .withColumn("confidence", round(col("n_co") / col("n_a"), 6))
+        .withColumn("lift",
+          round((col("n_co") * col("n_orders"))
+            / (col("n_a") * col("n_b")).cast("double"), 6))
+        .select(col("brand_a"), col("brand_b"), col("n_co"), col("n_a"),
+          col("n_b"), col("n_orders"), col("support"), col("confidence"),
+          col("lift"))
+        .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
+        .limit(20)
+    },
+
+    // EWMA TRAFFIC LEVEL + FORECAST — exponentially weighted daily
+    // volume per event type with α = 1/2, the smoothing every
+    // monitoring forecast starts from (and the level the next day's
+    // flat forecast IS). The textbook recursion S_t = αx_t + (1−α)
+    // S_{t−1} is order-sensitive in FP, so the kernel is evaluated in
+    // CLOSED FORM over a 32-day trailing window with BINARY weights:
+    // ewma_scaled = Σ_k x_{t−k}·2^(31−k) — a pure BIGINT sum (exact
+    // under any partitioning and engine; truncation error vs the
+    // infinite kernel is a provable 2⁻³² relative bound), displayed as
+    // ewma = scaled/2³². Missing days are zero counts and drop out of
+    // the sum naturally. Plan: ONE corpus partial-agg groupBy to the
+    // (type, day) aggregate — everything after runs on that tiny frame
+    // via a calendar-bounded self-join (q123's discipline), so at
+    // 100 TB the corpus is touched once.
+    "q143_ewma_forecast" -> { (s, d) =>
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val b = daily.select(col("event_type").as("tb"), col("day").as("db"),
+        col("c").as("cb"))
+      daily.join(b, col("event_type") === col("tb")
+          && col("db") <= col("day")
+          && col("db") >= date_sub(col("day"), 31))
+        .withColumn("k", datediff(col("day"), col("db")))
+        .withColumn("term", expr("shiftleft(cb, CAST(31 - k AS INT))"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(when(col("k") === 0, col("cb"))).as("n_events"),
+          sum(col("term")).as("ewma_scaled"))
+        .select(col("event_type"), col("day").cast("timestamp").as("day"),
+          col("n_events"), col("ewma_scaled"),
+          round(col("ewma_scaled") / lit(4294967296.0d), 4).as("ewma"))
     }
   )
+
+  /** q141's Benford expectations log10(1+1/d), computed once here and
+    * rendered as the SAME double literals into both engines' plans
+    * (Scala Double toString round-trips exactly — the DecayPerDay
+    * discipline), so neither engine's own log10 enters the compare. */
+  private val benfordVals: Seq[(Int, Double)] =
+    (1 to 9).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
+
+  /** Rendered as `CAST('<repr>' AS DOUBLE)` — the one literal form both
+    * Spark SQL (which parses bare decimals as DECIMAL) and DuckDB
+    * (likewise) round-trip to the identical IEEE double. */
+  private def benfordValuesSql: String =
+    benfordVals.map { case (dd, f) => s"($dd, CAST('$f' AS DOUBLE))" }
+      .mkString(", ")
 
   /** q138 oracle: the q80-shaped transition/start ratios, then one
     * unrolled 6-step absorption chain per arm (full + each channel
@@ -3009,6 +3139,64 @@ object Analytic {
         |SELECT event_type, count(*) AS n_users,
         | CAST(max(c) AS BIGINT) AS count_sensitivity,
         | CAST(max(m) AS BIGINT) AS cents_sensitivity
-        |FROM pu GROUP BY 1""".stripMargin
+        |FROM pu GROUP BY 1""".stripMargin,
+    // digit from the decimal rendering of integer cents; the nine
+    // expected fractions are the SAME driver-side double literals the
+    // Spark plan carries; LEFT JOIN keeps all nine rows
+    "q141_benford_digits" ->
+      s"""WITH exp(digit, exp_frac) AS (VALUES $benfordValuesSql),
+        |cnt AS (
+        | SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  count(*) AS n_obs
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM cnt)
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        | CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_orders,
+        | round(coalesce(c.n_obs, 0) / t.total, 6) AS obs_frac,
+        | e.exp_frac,
+        | round((coalesce(c.n_obs, 0) - e.exp_frac * t.total)
+        |  * (coalesce(c.n_obs, 0) - e.exp_frac * t.total)
+        |  / (e.exp_frac * t.total), 6) AS chi_term
+        |FROM exp e LEFT JOIN cnt c ON e.digit = c.digit, tot t""".stripMargin,
+    // the same order-keyed basket self-join, integer-count quotients,
+    // and (lift DESC, brand_a, brand_b) top-20
+    "q142_basket_lift" ->
+      """WITH br AS (
+        | SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM br),
+        |bc AS (SELECT brand, count(*) AS nb FROM br GROUP BY 1),
+        |co AS (
+        | SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_co
+        | FROM br a JOIN br b ON a.ok = b.ok AND a.brand < b.brand
+        | GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT co.brand_a, co.brand_b, co.n_co,
+        | ca.nb AS n_a, cb.nb AS n_b, no.n_orders,
+        | round(co.n_co / no.n_orders, 6) AS support,
+        | round(co.n_co / ca.nb, 6) AS confidence,
+        | round((co.n_co * no.n_orders)
+        |  / CAST(ca.nb * cb.nb AS DOUBLE), 6) AS lift
+        |FROM co JOIN bc ca ON co.brand_a = ca.brand
+        | JOIN bc cb ON co.brand_b = cb.brand, no
+        |ORDER BY lift DESC, brand_a ASC, brand_b ASC
+        |LIMIT 20""".stripMargin,
+    // the same calendar-bounded self-join over the daily aggregate;
+    // the binary-weighted kernel is a pure BIGINT sum in both engines
+    "q143_ewma_forecast" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |j AS (
+        | SELECT a.event_type, a.day,
+        |  CAST(date_diff('day', b.day, a.day) AS INT) AS k, b.c AS cb
+        | FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |  AND b.day <= a.day AND b.day >= a.day - 31)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        | CAST(max(CASE WHEN k = 0 THEN cb END) AS BIGINT) AS n_events,
+        | CAST(sum(cb << CAST(31 - k AS INT)) AS BIGINT) AS ewma_scaled,
+        | round(CAST(sum(cb << CAST(31 - k AS INT)) AS BIGINT)
+        |  / CAST(4294967296 AS DOUBLE), 4) AS ewma
+        |FROM j GROUP BY 1, 2""".stripMargin
   )
 }

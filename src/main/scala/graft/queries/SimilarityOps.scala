@@ -1380,8 +1380,123 @@ object SimilarityOps {
         .select(col("qid"),
           coalesce(col("n"), lit(0L)).as("n_hits"),
           round(coalesce(col("n"), lit(0L)) / lit(10.0d), 4).as("recall"))
+    },
+
+    // BINARY QUANTIZATION (1 bit/dim) — the fourth and cheapest point
+    // on the compression curve (floats 4 B/dim → SQ8 1 B/dim → PQ
+    // 0.125 B/dim → sign bits 1/32 B/dim): each dimension collapses to
+    // one bit ("above this dim's corpus mean?"), the 64-dim vector to
+    // TWO 32-bit halves packed in BIGINTs (one 64-bit word would need
+    // bit 63 = the sign bit; two halves keep every shift in signed
+    // range in BOTH engines). The threshold is the per-dim MEAN so the
+    // bits are balanced — computed in integer micro-units (order-free
+    // BIGINT sum) and compared as the exact rational n·v_u > sum_u, so
+    // no FP mean ever enters the plan. Plan: one posexplode scan → a
+    // 64-row threshold aggregate broadcast back → map-side pack into a
+    // (vec_id) partial agg. At corpus scale this is the same two-pass
+    // shape as s64's SQ8 build, and the output table is 16 bytes/vector
+    // — the artifact a Hamming-distance ANN stage (s67) scans.
+    "s66_binary_quant" -> { (s, d) =>
+      binCodes(s, d)
+        .withColumn("n_bits_set",
+          expr("CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT)"))
+        .select(col("vec_id"), col("code_lo"), col("code_hi"),
+          col("n_bits_set"))
+    },
+
+    // BINARY HAMMING RECALL — does 1 bit/dim still FIND the right
+    // neighbors? Symmetric Hamming search (queries and corpus both
+    // sign-quantized, distance = popcount of the XOR — the integer
+    // kernel real binary indexes ship because it is 2 machine
+    // instructions per 64 dims) against the exact brute-force cosine
+    // top-10: recall@10 per query, the s65/s48 eval discipline applied
+    // to the cheapest codec. Hamming distances are small integers —
+    // no rounding discipline needed, the (ham ASC, vec_id ASC) order
+    // is exact in both engines. Both arms broadcast the 10 queries,
+    // score map-side, and rank through the NATIVE bounded-heap
+    // operator; the codes table is rebuilt from the shared binCodes
+    // codec so s66/s67 cannot drift apart.
+    "s67_hamming_recall" -> { (s, d) =>
+      val e = emb(s, d)
+      val codes = binCodes(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val qc = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("code_lo").as("qlo"),
+          col("code_hi").as("qhi"))
+      val exact = graft.operators.TopKPerKeyApi.topKPerKey(
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("c", round(cos(col("qemb"), col("emb")), 6))
+          .select(col("qid"), col("vec_id"), col("c")),
+        Seq("qid"), Seq(("c", false), ("vec_id", true)), 10,
+        rankName = "rnk")
+      val ham = graft.operators.TopKPerKeyApi.topKPerKey(
+        codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
+          .withColumn("ham",
+            expr("CAST(bit_count(code_lo ^ qlo) + bit_count(code_hi ^ qhi) AS BIGINT)"))
+          .select(col("qid"), col("vec_id"), col("ham")),
+        Seq("qid"), Seq(("ham", true), ("vec_id", true)), 10,
+        rankName = "rnk")
+      val hits = exact.select(col("qid"), col("vec_id"))
+        .join(ham.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      q.select(col("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n"), lit(0L)) / lit(10.0d), 4).as("recall"))
     }
   )
+
+  /** Shared binary codec (s66/s67): per-dim corpus-mean threshold in
+    * integer micro-units (exact rational compare n·v_u > sum_u — no FP
+    * mean), bits packed into two 32-bit halves (dims 1–32 → code_lo,
+    * 33–64 → code_hi) so every shift stays in signed-BIGINT range in
+    * both engines. One posexplode scan + a 64-row broadcast threshold
+    * table; packing sums are order-free BIGINT adds. */
+  private def binCodes(s: SparkSession, d: String): DataFrame = {
+    val ev = emb(s, d).select(col("vec_id"),
+      posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(round(v * 1000000) AS BIGINT)").as("vu"))
+    val th = ev.groupBy(col("dim"))
+      .agg(sum(col("vu")).as("sum_u"), count(lit(1)).as("n"))
+    ev.join(broadcast(th), "dim")
+      .withColumn("bit",
+        when(col("vu") * col("n") > col("sum_u"), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("dim") <= 32,
+          expr("shiftleft(bit, CAST(dim - 1 AS INT))")).otherwise(lit(0L)))
+          .as("code_lo"),
+        sum(when(col("dim") > 32,
+          expr("shiftleft(bit, CAST(dim - 33 AS INT))")).otherwise(lit(0L)))
+          .as("code_hi"))
+  }
+
+  /** DuckDB rendering of [[binCodes]] — the shared CTE prefix of the
+    * s66/s67 oracles, operation-for-operation the Spark codec (integer
+    * micro-unit thresholds, exact rational compare, two-half packing). */
+  private val binCteSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (
+      | SELECT vec_id, CAST(r.i AS BIGINT) AS dim,
+      |  CAST(round(emb[r.i] * 1000000) AS BIGINT) AS vu
+      | FROM e, range(1, 65) r(i)),
+      |th AS (
+      | SELECT dim, CAST(sum(vu) AS BIGINT) AS sum_u, count(*) AS n
+      | FROM x GROUP BY 1),
+      |b AS (
+      | SELECT vec_id, dim,
+      |  CASE WHEN x.vu * th.n > th.sum_u THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS bit
+      | FROM x JOIN th USING (dim)),
+      |codes AS (
+      | SELECT vec_id,
+      |  CAST(sum(CASE WHEN dim <= 32 THEN bit << CAST(dim - 1 AS INT)
+      |           ELSE 0 END) AS BIGINT) AS code_lo,
+      |  CAST(sum(CASE WHEN dim > 32 THEN bit << CAST(dim - 33 AS INT)
+      |           ELSE 0 END) AS BIGINT) AS code_hi
+      | FROM b GROUP BY 1)""".stripMargin
 
   /** DuckDB rendering of [[sq8Enc]] — the shared CTE prefix of the
     * s64/s65 oracles (e → per-dim x → rng → enc with code + recon),
@@ -1946,6 +2061,46 @@ object SimilarityOps {
         |hits AS (
         | SELECT ext.qid, count(*) AS n
         | FROM ext JOIN apt USING (qid, vec_id) GROUP BY 1)
+        |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+        | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
+        |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
+    // the identical integer-micro-unit threshold compare and two-half
+    // bit packing; popcounts are exact integers in both engines
+    "s66_binary_quant" ->
+      s"""WITH $binCteSql
+        |SELECT vec_id, code_lo, code_hi,
+        | CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT)
+        |  AS n_bits_set
+        |FROM codes""".stripMargin,
+    // the same codes CTE; the exact arm replays the bounded heap's
+    // (cosine DESC, vec_id ASC) order, the binary arm the integer
+    // (hamming ASC, vec_id ASC) order — no rounding discipline needed
+    // on Hamming, it is already an exact small integer
+    "s67_hamming_recall" ->
+      s"""WITH $binCteSql,
+        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+        |qc AS (SELECT vec_id AS qid, code_lo AS qlo, code_hi AS qhi
+        |       FROM codes WHERE vec_id < 10),
+        |ext AS (
+        | SELECT qid, vec_id FROM (
+        |  SELECT q.qid, e.vec_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_dot_product(q.qemb, e.emb) /
+        |     (sqrt(list_dot_product(q.qemb, q.qemb))
+        |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+        |    e.vec_id ASC) AS rn
+        |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+        |bin AS (
+        | SELECT qid, vec_id FROM (
+        |  SELECT qc.qid, c.vec_id,
+        |   row_number() OVER (PARTITION BY qc.qid ORDER BY
+        |    bit_count(xor(c.code_lo, qc.qlo))
+        |     + bit_count(xor(c.code_hi, qc.qhi)) ASC,
+        |    c.vec_id ASC) AS rn
+        |  FROM qc, codes c WHERE c.vec_id <> qc.qid) WHERE rn <= 10),
+        |hits AS (
+        | SELECT ext.qid, count(*) AS n
+        | FROM ext JOIN bin USING (qid, vec_id) GROUP BY 1)
         |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
         | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
         |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,

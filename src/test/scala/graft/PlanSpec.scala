@@ -697,4 +697,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the 10 queries must broadcast in:\n$p")
   }
+
+  test("s67 hamming recall: both arms broadcast the queries and rank in the native heap") {
+    val p = plan("s67_hamming_recall")
+    assert(p.contains("TopKPerKey"),
+      s"top-10 must be the native heap in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 10 queries must broadcast in:\n$p")
+  }
+
+  test("q142 basket lift: the pair stage shuffles by order key and the dims broadcast; top-20 is a distributed take") {
+    val p = plan("q142_basket_lift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed partial take in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("ok", "okb", "brand", "brand_a", "brand_b")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q143 EWMA: one corpus aggregate, then the calendar-bounded join over the tiny daily frame") {
+    val p = plan("q143_ewma_forecast")
+    // the corpus shuffles once for the (type, day) aggregate; the
+    // self-join of that aggregate broadcasts one side (AQE or static)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"daily-frame self-join must broadcast in:\n$p")
+  }
 }

@@ -2022,4 +2022,129 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("q141 Benford: nine rows replay exactly from raw order totals and fractions close") {
+    val rows = SparkEntry.queries("q141_benford_digits")(spark, sf0001)
+      .orderBy("digit").collect()
+    assert(rows.length === 9)
+    // driver replay: digit histogram from raw totals via the same
+    // integer-cents rendering
+    val totals = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val hist = totals.groupBy(v =>
+      math.round(v * 100).toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    var obsSum = 0.0
+    rows.foreach { r =>
+      val (digit, n, obs, expF, chi) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n === hist.getOrElse(digit, 0L), s"digit $digit count")
+      assert(expF === math.log10(1.0 + 1.0 / digit), s"digit $digit exp")
+      assert(chi >= 0.0)
+      obsSum += obs
+    }
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"obs fractions sum $obsSum")
+    SparkEntry.release(spark)
+  }
+
+  test("q142 basket lift: top-20 replays exactly from the raw (order, brand) baskets") {
+    val rows = SparkEntry.queries("q142_basket_lift")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val baskets = graft.Tables.t(spark, sf0001, "lineitem")
+      .join(graft.Tables.t(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = baskets.map(_._1).distinct.length.toLong
+    val bc = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = baskets.groupBy(_._1).values.flatMap { items =>
+      val bs = items.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    val expected = co.toSeq.map { case ((a, b), nc) =>
+      val lift = math.rint(nc * n / (bc(a) * bc(b)).toDouble * 1e6) / 1e6
+      (a, b, nc, lift)
+    }.sortBy { case (a, b, _, lift) => (-lift, a, b) }.take(20)
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(8)))
+    assert(got.toSeq === expected, "top-20 pair set/order")
+    rows.foreach(r => assert(r.getString(0) < r.getString(1)))
+    SparkEntry.release(spark)
+  }
+
+  test("q143 EWMA: every row's scaled kernel replays exactly from the daily counts") {
+    val rows = SparkEntry.queries("q143_ewma_forecast")(spark, sf0001).collect()
+    val daily = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+      .view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    assert(rows.length === daily.length)
+    rows.foreach { r =>
+      val (tpe, day) = (r.getString(0), r.getTimestamp(1)
+        .toLocalDateTime.toLocalDate)
+      val cnts = byType(tpe)
+      val scaled = (0 to 31).map(k => cnts.getOrElse(day.minusDays(k), 0L)
+        << (31 - k)).sum
+      assert(r.getLong(3) === scaled, s"$tpe $day scaled kernel")
+      assert(r.getLong(2) === cnts(day), s"$tpe $day n_events")
+      // the level sits between min and max daily volume by convexity
+      // (weights sum < 1, so it can undershoot the min — only the max
+      // bound is a hard invariant)
+      assert(r.getDouble(4) <= cnts.values.max.toDouble)
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("s66 binary codes: packing replays exactly from raw embeddings against the integer-mean rule") {
+    val rows = SparkEntry.queries("s66_binary_quant")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    assert(rows.length === embs.length)
+    val micro = embs.map { case (id, v) =>
+      id -> v.map(x => math.rint(x * 1e6).toLong) }
+    val nVec = micro.length.toLong
+    val sums = Array.tabulate(64)(k => micro.map(_._2(k)).sum)
+    val expected = micro.map { case (id, vu) =>
+      var lo = 0L; var hi = 0L
+      for (k <- 0 until 64)
+        if (vu(k) * nVec > sums(k)) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      (id, lo, hi, java.lang.Long.bitCount(lo).toLong
+        + java.lang.Long.bitCount(hi))
+    }
+    assert(rows.toSeq === expected.toSeq)
+    // mean thresholds must produce non-degenerate bit planes: at least
+    // half the dims split the corpus non-trivially
+    val nonTrivial = (0 until 64).count { k =>
+      val set = micro.count { case (_, vu) => vu(k) * nVec > sums(k) }
+      set > 0 && set < micro.length
+    }
+    assert(nonTrivial >= 32, s"only $nonTrivial non-trivial bit planes")
+    SparkEntry.release(spark)
+  }
+
+  test("s67 Hamming recall: hits are the exact-arm intersection and the codec beats chance") {
+    val rows = SparkEntry.queries("s67_hamming_recall")(spark, sf0001)
+      .orderBy("qid").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (qid, nHits, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(qid >= 0 && qid < 10)
+      assert(nHits >= 0 && nHits <= 10)
+      assert(recall === math.rint(nHits / 10.0 * 1e4) / 1e4)
+    }
+    // chance recall@10 over a 500-vector corpus is 10/499 ≈ 0.02 per
+    // query; the sign codec must do materially better on average
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean >= 0.1, s"mean binary recall $mean below floor")
+    SparkEntry.release(spark)
+  }
 }
