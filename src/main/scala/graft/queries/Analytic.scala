@@ -1857,24 +1857,272 @@ object Analytic {
     // via a calendar-bounded self-join (q123's discipline), so at
     // 100 TB the corpus is touched once.
     "q143_ewma_forecast" -> { (s, d) =>
+      ewmaDaily(s, d)
+        .select(col("event_type"), col("day").cast("timestamp").as("day"),
+          col("n_events"), col("ewma_scaled"),
+          round(col("ewma_scaled") / lit(4294967296.0d), 4).as("ewma"))
+    },
+
+    // PRICE ELASTICITY — the log-log demand regression every pricing
+    // team runs: per brand, the slope of ln(quantity) on ln(unit
+    // price) (elasticity ≈ %ΔQ per %ΔP) plus fit quality. One
+    // lineitem scan with the part dimension broadcast; regr_slope/
+    // regr_r2 are the same covar_pop/var_pop algebra in both engines
+    // (the t41/q61 discipline) and the per-brand aggregate is
+    // partial-agg'd map-side — the corpus shuffles once on brand.
+    // 4-dp final rounds absorb FP summation-order ulps.
+    "q144_price_elasticity" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          (round(expr(
+            "regr_slope(ln(l_quantity), ln(l_extendedprice / l_quantity))"),
+            4) + 0.0).as("elasticity"),
+          (round(expr(
+            "regr_r2(ln(l_quantity), ln(l_extendedprice / l_quantity))"),
+            4) + 0.0).as("r2"))
+    },
+
+    // ORDER→SHIP LAG PROFILE + TEMPORAL-CONSISTENCY AUDIT — the
+    // warehouse-QA table beside q82's FK orphans: per order priority,
+    // the exact p10/p50/p90 of (last line-item ship date − order
+    // date) and the count of BACKDATED orders (a ship before the
+    // order — on this synthetic corpus the dates are independent, so
+    // the audit honestly reports ~50% violations; on a real corpus
+    // this column is the alarm). Quantiles use the bounded-domain
+    // value-count reduction: lags land on a calendar-bounded integer
+    // grid, so the (priority, lag) aggregate stays tiny at ANY corpus
+    // size and the only windows run over it; selection at nearest
+    // rank via the integer inequality k·cum ≥ q·k·n — no FP rank.
+    // The fact join is orderkey-keyed (the natural co-partition).
+    "q145_ship_lag_audit" -> { (s, d) =>
+      val dd = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(datediff(max(col("l_shipdate")), max(col("o_orderdate")))
+          .cast("long").as("dd"))
+      val vc = dd.groupBy(col("o_orderpriority"), col("dd"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("dd").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy(col("o_orderpriority"))
+      vc.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("n")).as("n_orders"),
+          sum(when(col("dd") < 0, col("c")).otherwise(0L))
+            .as("n_backdated"),
+          min(when(col("cum") * 10 >= col("n"), col("dd")))
+            .as("p10_days"),
+          min(when(col("cum") * 2 >= col("n"), col("dd")))
+            .as("p50_days"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("dd")))
+            .as("p90_days"))
+        .withColumn("backdated_rate",
+          round(col("n_backdated") / col("n_orders"), 4))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("n_backdated"), col("backdated_rate"), col("p10_days"),
+          col("p50_days"), col("p90_days"))
+    },
+
+    // ABC (PARETO) CLASSIFICATION — the inventory-analytics companion
+    // to q125's decile panel, at PER-PART granularity: parts ranked by
+    // revenue, classes cut at cumulative share 80% (A) and 95% (B) by
+    // EXACT integer inequalities (10·cum ≤ 8·total, 20·cum ≤ 19·total
+    // — no FP share enters the classification). The global revenue
+    // cumsum over the ranked parts uses the t31/q125 block discipline
+    // — log2-bucket blocks (monotone with the descending revenue
+    // order), within-block cumsum windows, a broadcast per-block
+    // prefix — so parallelism is #blocks, never one task for the
+    // whole ranked list; the per-part aggregate itself is the only
+    // corpus-keyed shuffle. cum_share is display-only, rounded 6 dp.
+    "q146_abc_classification" -> { (s, d) =>
+      val per = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          * 100).cast("long").as("cents"))
+        // log2 bucket: strictly monotone (coarsely) with cents, so
+        // every row in block b sorts before every row in block b+1
+        // under (cents DESC); negate for an ASCENDING block key
+        .withColumn("__blk", -length(bin(col("cents"))))
+      val wIn = Window.partitionBy(col("__blk"))
+        .orderBy(col("cents").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wPre = Window.orderBy(col("__blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = per.groupBy(col("__blk"))
+        .agg(sum(col("cents")).as("__bt"))
+        .withColumn("__off", coalesce(sum(col("__bt")).over(wPre), lit(0L)))
+        .select(col("__blk"), col("__off"))
+      val tot = per.agg(sum(col("cents")).as("total_cents"))
+      per.withColumn("__cumin", sum(col("cents")).over(wIn))
+        .join(broadcast(offsets), "__blk")
+        .withColumn("cum_cents", col("__off") + col("__cumin"))
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey").as("part_key"), col("cents"),
+          col("cum_cents"),
+          round(col("cum_cents") / col("total_cents"), 6).as("cum_share"),
+          when(col("cum_cents") * 10 <= col("total_cents") * 8, "A")
+            .when(col("cum_cents") * 20 <= col("total_cents") * 19, "B")
+            .otherwise("C").as("abc_class"))
+    },
+
+    // RETURN-RATE SCREEN — the merchandising QA table: per brand, the
+    // returned-line rate with a two-proportion z² flag against the
+    // corpus rate (q114's discipline pointed at l_returnflag — the
+    // column the reference corpus ships for exactly this analysis).
+    // z² reduces to a²/(n·R·(N−R)) with a = r·N − R·n; a and the
+    // denominator are exact BIGINTs, squared/divided in doubles with
+    // identical IEEE ops in both engines (a² would overflow BIGINT at
+    // corpus scale — the double widening happens at < 2⁵³, where cast
+    // is exact). One brand-keyed partial agg over the fact scan, the
+    // part dimension and the 1-row corpus totals broadcast.
+    "q147_return_rates" -> { (s, d) =>
+      val per = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+      val g = per.agg(sum(col("n_lines")).as("nn"),
+        sum(col("n_returned")).as("rr"))
+      per.crossJoin(broadcast(g))
+        .withColumn("a",
+          (col("n_returned") * col("nn") - col("rr") * col("n_lines"))
+            .cast("double"))
+        .withColumn("den",
+          (col("n_lines") * col("rr") * (col("nn") - col("rr")))
+            .cast("double"))
+        .select(col("p_brand"), col("n_lines"), col("n_returned"),
+          round(col("n_returned") / col("n_lines"), 4).as("return_rate"),
+          round(col("a") * col("a") / col("den"), 4).as("z2"),
+          (col("a") * col("a") > lit(4.0d) * col("den")).as("flagged"))
+    },
+
+    // SEASONAL DECOMPOSITION — the STL-lite split every traffic series
+    // gets before alerting on it: daily volume per type decomposed
+    // into a 7-day centered moving-average TREND, a day-of-week
+    // EFFECT, and the RESIDUAL (what q111-style alarms should actually
+    // fire on — alarming on the raw series re-discovers the weekend
+    // every week). Integer discipline throughout: trend×7 is an exact
+    // BIGINT sum over the full ±3-day window (edge days without a
+    // complete window are excluded in both engines by the n=7 guard),
+    // the detrended series is the integer 7·x − trend7, and the dow
+    // effect is that integer mass over 7·n occurrences — doubles
+    // appear only in the final one-step divisions of exact operands.
+    // Plan: ONE corpus partial-agg groupBy; every window/join after
+    // runs on the tiny (type, day) frame (q123/q143 discipline).
+    "q148_seasonal_decomposition" -> { (s, d) =>
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("c"))
       val b = daily.select(col("event_type").as("tb"), col("day").as("db"),
         col("c").as("cb"))
-      daily.join(b, col("event_type") === col("tb")
-          && col("db") <= col("day")
-          && col("db") >= date_sub(col("day"), 31))
-        .withColumn("k", datediff(col("day"), col("db")))
-        .withColumn("term", expr("shiftleft(cb, CAST(31 - k AS INT))"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(max(when(col("k") === 0, col("cb"))).as("n_events"),
-          sum(col("term")).as("ewma_scaled"))
+      val trend = daily.join(b, col("event_type") === col("tb")
+          && col("db") >= date_sub(col("day"), 3)
+          && col("db") <= date_add(col("day"), 3))
+        .groupBy(col("event_type"), col("day"), col("c"))
+        .agg(count(lit(1)).as("nw"), sum(col("cb")).as("trend7"))
+        .filter(col("nw") === 7)
+        .withColumn("det7", col("c") * 7 - col("trend7"))
+        .withColumn("dow", dayofweek(col("day")))
+      val eff = trend.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("det7")).as("s7"), count(lit(1)).as("nd"))
+      trend.join(eff, Seq("event_type", "dow"))
         .select(col("event_type"), col("day").cast("timestamp").as("day"),
-          col("n_events"), col("ewma_scaled"),
-          round(col("ewma_scaled") / lit(4294967296.0d), 4).as("ewma"))
+          col("c").as("n_events"), col("dow").cast("long").as("dow"),
+          round(col("trend7") / lit(7.0d), 4).as("trend"),
+          round(col("s7") / (col("nd") * lit(7.0d)), 4).as("dow_effect"),
+          round(col("c") - col("trend7") / lit(7.0d)
+            - col("s7") / (col("nd") * lit(7.0d)), 4).as("residual"))
+    },
+
+    // EWMA BACKTEST — the eval-before-trust pass for q143 (the q120
+    // discipline applied to the forecaster): each day's actual volume
+    // scored against yesterday's EWMA level (the one-step-ahead
+    // forecast) AND against the persistence baseline (yesterday's raw
+    // count); per type, MAE and signed bias for the EWMA plus the
+    // SKILL score 1 − mae/mae_naive — below 0 means the smoother is
+    // WORSE than persistence and should not gate alerts. Errors are
+    // exact integers (2³²·actual − ewma_scaled, and the naive delta),
+    // so every aggregate is an order-free BIGINT sum; doubles appear
+    // only in the final scaled divisions. Same one-corpus-pass shape
+    // as q143 — the backtest joins consecutive days of the tiny
+    // (type, day) frame.
+    "q149_ewma_backtest" -> { (s, d) =>
+      val ew = ewmaDaily(s, d)
+      val nxt = ew.select(col("event_type").as("tn"),
+        date_sub(col("day"), 1).as("dprev"), col("n_events").as("actual"))
+      val prev = ew.select(col("event_type").as("tp"), col("day").as("dp"),
+        col("n_events").as("c_prev"), col("ewma_scaled"))
+      nxt.join(prev, col("tn") === col("tp") && col("dprev") === col("dp"))
+        .withColumn("err_s",
+          shiftleft(col("actual"), 32) - col("ewma_scaled"))
+        .withColumn("err_naive", col("actual") - col("c_prev"))
+        .groupBy(col("tn").as("event_type"))
+        .agg(count(lit(1)).as("n_evals"),
+          sum(abs(col("err_s"))).as("sae_s"),
+          sum(col("err_s")).as("se_s"),
+          sum(abs(col("err_naive"))).as("sae_n"))
+        .select(col("event_type"), col("n_evals"),
+          round(col("sae_s") / (col("n_evals") * lit(4294967296.0d)), 4)
+            .as("mae"),
+          round(col("se_s") / (col("n_evals") * lit(4294967296.0d)), 4)
+            .as("bias"),
+          round(col("sae_n") / col("n_evals").cast("double"), 4)
+            .as("mae_naive"),
+          round(lit(1.0d) - (col("sae_s") / lit(4294967296.0d))
+            / col("sae_n").cast("double"), 4).as("skill"))
     }
   )
+
+  /** q143/q149's shared EWMA frame: per (event_type, day), the day's
+    * count and the 32-day binary-weighted trailing kernel
+    * ewma_scaled = Σ_k x_{t−k}·2^(31−k) — a pure BIGINT sum, exact
+    * under any partitioning. One corpus partial-agg groupBy; the
+    * kernel runs as a calendar-bounded self-join over the tiny daily
+    * frame (q123's discipline). */
+  private def ewmaDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val b = daily.select(col("event_type").as("tb"), col("day").as("db"),
+      col("c").as("cb"))
+    daily.join(b, col("event_type") === col("tb")
+        && col("db") <= col("day")
+        && col("db") >= date_sub(col("day"), 31))
+      .withColumn("k", datediff(col("day"), col("db")))
+      .withColumn("term", expr("shiftleft(cb, CAST(31 - k AS INT))"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(when(col("k") === 0, col("cb"))).as("n_events"),
+        sum(col("term")).as("ewma_scaled"))
+  }
+
+  /** DuckDB rendering of [[ewmaDaily]] — the shared q143/q149 CTE
+    * prefix ending in `ew(event_type, day, n_events, ewma_scaled)`. */
+  private val ewmaCteSql: String =
+    """daily AS (
+      | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      | FROM events GROUP BY 1, 2),
+      |j AS (
+      | SELECT a.event_type, a.day,
+      |  CAST(date_diff('day', b.day, a.day) AS INT) AS k, b.c AS cb
+      | FROM daily a JOIN daily b ON a.event_type = b.event_type
+      |  AND b.day <= a.day AND b.day >= a.day - 31),
+      |ew AS (
+      | SELECT event_type, day,
+      |  CAST(max(CASE WHEN k = 0 THEN cb END) AS BIGINT) AS n_events,
+      |  CAST(sum(cb << CAST(31 - k AS INT)) AS BIGINT) AS ewma_scaled
+      | FROM j GROUP BY 1, 2)""".stripMargin
 
   /** q141's Benford expectations log10(1+1/d), computed once here and
     * rendered as the SAME double literals into both engines' plans
@@ -3181,22 +3429,146 @@ object Analytic {
         | JOIN bc cb ON co.brand_b = cb.brand, no
         |ORDER BY lift DESC, brand_a ASC, brand_b ASC
         |LIMIT 20""".stripMargin,
-    // the same calendar-bounded self-join over the daily aggregate;
-    // the binary-weighted kernel is a pure BIGINT sum in both engines
+    // the shared ewma CTE prefix; the binary-weighted kernel is a pure
+    // BIGINT sum in both engines
     "q143_ewma_forecast" ->
+      s"""WITH $ewmaCteSql
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events,
+        | ewma_scaled,
+        | round(ewma_scaled / CAST(4294967296 AS DOUBLE), 4) AS ewma
+        |FROM ew""".stripMargin,
+    // the same covar_pop/var_pop regr algebra over identical ln args;
+    // round(...)+0.0 normalizes -0.0 (the t41 discipline)
+    "q144_price_elasticity" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        | round(regr_slope(ln(l_quantity),
+        |   ln(l_extendedprice / l_quantity)), 4) + 0.0 AS elasticity,
+        | round(regr_r2(ln(l_quantity),
+        |   ln(l_extendedprice / l_quantity)), 4) + 0.0 AS r2
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    // the same orderkey-keyed rollup, (priority, lag) value counts,
+    // and integer nearest-rank inequalities
+    "q145_ship_lag_audit" ->
+      """WITH dd AS (
+        | SELECT o_orderkey, o_orderpriority,
+        |  CAST(date_diff('day', max(o_orderdate), max(l_shipdate))
+        |   AS BIGINT) AS dd
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2),
+        |vc AS (
+        | SELECT o_orderpriority, dd, count(*) AS c FROM dd GROUP BY 1, 2),
+        |r AS (
+        | SELECT *, sum(c) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY dd ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(c) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM vc)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN dd < 0 THEN c ELSE 0 END) AS BIGINT)
+        |   AS n_backdated,
+        | round(sum(CASE WHEN dd < 0 THEN c ELSE 0 END) / max(n), 4)
+        |   AS backdated_rate,
+        | min(CASE WHEN cum * 10 >= n THEN dd END) AS p10_days,
+        | min(CASE WHEN cum * 2 >= n THEN dd END) AS p50_days,
+        | min(CASE WHEN cum * 10 >= n * 9 THEN dd END) AS p90_days
+        |FROM r GROUP BY 1""".stripMargin,
+    // the same integer-cents collapse; the flat window cumsum replays
+    // the block-decomposed one exactly, classes by the identical
+    // integer inequalities
+    "q146_abc_classification" ->
+      """WITH pc AS (
+        | SELECT l_partkey AS part_key,
+        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100)
+        |   AS BIGINT) AS cents
+        | FROM lineitem GROUP BY 1),
+        |r AS (
+        | SELECT part_key, cents,
+        |  sum(cents) OVER (ORDER BY cents DESC, part_key ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+        |  sum(cents) OVER () AS total_cents
+        | FROM pc)
+        |SELECT part_key, cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+        | round(cum_cents / total_cents, 6) AS cum_share,
+        | CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+        |      WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |FROM r""".stripMargin,
+    // the same integer a = r·N − R·n widened to doubles below 2^53;
+    // identical IEEE square/divide/compare in both engines
+    "q147_return_rates" ->
+      """WITH per AS (
+        | SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_returned
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY 1),
+        |g AS (
+        | SELECT CAST(sum(n_lines) AS BIGINT) AS nn,
+        |  CAST(sum(n_returned) AS BIGINT) AS rr
+        | FROM per),
+        |x AS (
+        | SELECT p_brand, n_lines, n_returned,
+        |  CAST(n_returned * nn - rr * n_lines AS DOUBLE) AS a,
+        |  CAST(n_lines * rr * (nn - rr) AS DOUBLE) AS den
+        | FROM per, g)
+        |SELECT p_brand, n_lines, n_returned,
+        | round(n_returned / n_lines, 4) AS return_rate,
+        | round(a * a / den, 4) AS z2,
+        | (a * a > 4 * den) AS flagged
+        |FROM x""".stripMargin,
+    // the same ±3-day full-window trend join (n=7 guard both sides),
+    // integer detrended mass, and DuckDB's 0-based dow shifted +1 to
+    // Spark's Sunday=1 convention (the q118 mapping)
+    "q148_seasonal_decomposition" ->
       """WITH daily AS (
         | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
         | FROM events GROUP BY 1, 2),
-        |j AS (
-        | SELECT a.event_type, a.day,
-        |  CAST(date_diff('day', b.day, a.day) AS INT) AS k, b.c AS cb
+        |tr AS (
+        | SELECT a.event_type, a.day, a.c, count(*) AS nw,
+        |  CAST(sum(b.c) AS BIGINT) AS trend7
         | FROM daily a JOIN daily b ON a.event_type = b.event_type
-        |  AND b.day <= a.day AND b.day >= a.day - 31)
-        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
-        | CAST(max(CASE WHEN k = 0 THEN cb END) AS BIGINT) AS n_events,
-        | CAST(sum(cb << CAST(31 - k AS INT)) AS BIGINT) AS ewma_scaled,
-        | round(CAST(sum(cb << CAST(31 - k AS INT)) AS BIGINT)
-        |  / CAST(4294967296 AS DOUBLE), 4) AS ewma
-        |FROM j GROUP BY 1, 2""".stripMargin
+        |  AND b.day >= a.day - 3 AND b.day <= a.day + 3
+        | GROUP BY 1, 2, 3),
+        |g AS (
+        | SELECT *, c * 7 - trend7 AS det7, dayofweek(day) + 1 AS dow
+        | FROM tr WHERE nw = 7),
+        |eff AS (
+        | SELECT event_type, dow, CAST(sum(det7) AS BIGINT) AS s7,
+        |  count(*) AS nd
+        | FROM g GROUP BY 1, 2)
+        |SELECT g.event_type, CAST(g.day AS TIMESTAMP) AS day,
+        | g.c AS n_events, CAST(g.dow AS BIGINT) AS dow,
+        | round(g.trend7 / CAST(7 AS DOUBLE), 4) AS trend,
+        | round(eff.s7 / CAST(eff.nd * 7 AS DOUBLE), 4) AS dow_effect,
+        | round(g.c - g.trend7 / CAST(7 AS DOUBLE)
+        |  - eff.s7 / CAST(eff.nd * 7 AS DOUBLE), 4) AS residual
+        |FROM g JOIN eff ON g.event_type = eff.event_type
+        | AND g.dow = eff.dow""".stripMargin,
+    // the shared ewma CTE prefix; every error is an exact integer so
+    // the aggregates are order-free BIGINT sums
+    "q149_ewma_backtest" ->
+      s"""WITH $ewmaCteSql,
+        |x AS (
+        | SELECT n.event_type, n.n_events AS actual, p.n_events AS c_prev,
+        |  p.ewma_scaled
+        | FROM ew n JOIN ew p ON n.event_type = p.event_type
+        |  AND p.day = n.day - 1),
+        |e AS (
+        | SELECT event_type,
+        |  (actual << 32) - ewma_scaled AS err_s,
+        |  actual - c_prev AS err_naive
+        | FROM x)
+        |SELECT event_type, count(*) AS n_evals,
+        | round(CAST(sum(abs(err_s)) AS BIGINT)
+        |  / CAST(count(*) * 4294967296 AS DOUBLE), 4) AS mae,
+        | round(CAST(sum(err_s) AS BIGINT)
+        |  / CAST(count(*) * 4294967296 AS DOUBLE), 4) AS bias,
+        | round(CAST(sum(abs(err_naive)) AS BIGINT)
+        |  / CAST(count(*) AS DOUBLE), 4) AS mae_naive,
+        | round(1 - (CAST(sum(abs(err_s)) AS BIGINT)
+        |   / CAST(4294967296 AS DOUBLE))
+        |  / CAST(sum(abs(err_naive)) AS DOUBLE), 4) AS skill
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

@@ -318,6 +318,55 @@ object MultimodalOps extends Serializable {
           count(lit(1)).as("n_frames"))
     },
 
+    // PER-SCENE FRAME-BUDGET ALLOCATION — the sampler a video curation
+    // pipeline runs after scene detection: each asset gets a fixed
+    // budget of 8 frames, apportioned across its scenes PROPORTIONALLY
+    // to scene length by the largest-remainder method (floor quotas +
+    // the leftover frames to the scenes with the largest integer
+    // remainders, remainder DESC / scene ASC tie-break), each quota
+    // capped at the scene's own frame count — so long static shots
+    // can't eat the budget and short scenes still surface (what
+    // every-Nth sampling gets wrong). Scenes come from the SAME delta
+    // stream as m46/m47 but at a FINER 32-byte frame size with a
+    // proportionally scaled cut rule (L1 > 24 — probed on this corpus:
+    // delta quartiles 18/22/28, so the rule splits transitions, and
+    // 64-hex frames give ~10/doc where the 256-byte tiles give 1–3,
+    // which made an 8-frame budget vacuous — the q139 degeneracy
+    // lesson, caught by inspecting the first cut's output).
+    // All-integer arithmetic: base = (8·n) div total, remainder =
+    // (8·n) mod total — no FP proportion enters either engine. The
+    // budget may underfill only when scenes saturate (total < 8), the
+    // standard single-pass contract. Plan: one doc-keyed frame window,
+    // a doc-keyed scene aggregate, and two windows sharing the SAME
+    // doc_id clustering — no new shuffle shape at any corpus size.
+    "m48_frame_budget" -> { (s, d) =>
+      val budget = 8L
+      val wSc = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val scenes = frameDeltas(s, d, hexPerTile = 64)
+        .withColumn("cut", when(col("l1") > 24L, 1L).otherwise(0L))
+        .withColumn("scene_n", sum(col("cut")).over(wSc))
+        .groupBy(col("doc_id"), col("scene_n"))
+        .agg(min(col("tidx")).as("key_frame_idx"),
+          count(lit(1)).as("n_frames"))
+      val tot = scenes.groupBy(col("doc_id"))
+        .agg(sum(col("n_frames")).as("total_frames"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wR = Window.partitionBy(col("doc_id"))
+        .orderBy(col("rem_w").desc, col("scene_n").asc)
+      scenes.join(tot, "doc_id")
+        .withColumn("base", expr(s"($budget * n_frames) div total_frames"))
+        .withColumn("rem_w", expr(s"($budget * n_frames) % total_frames"))
+        .withColumn("rrk", row_number().over(wR))
+        .withColumn("rem_total", lit(budget) - sum(col("base")).over(wDoc))
+        .withColumn("quota", least(
+          col("base") + when(col("rrk") <= col("rem_total"), 1L)
+            .otherwise(0L),
+          col("n_frames")))
+        .select(col("doc_id"), col("scene_n"), col("key_frame_idx"),
+          col("n_frames"), col("total_frames"), col("quota"))
+    },
+
     // Sub-asset dedup — m34's payoff: tiles whose fingerprint recurs
     // across assets. Whole-file digests (d27/m31) miss assets that
     // share 90% of their bytes; tile-level grouping catches them, and
@@ -694,19 +743,21 @@ object MultimodalOps extends Serializable {
         |FROM c JOIN t ON c.doc_id = t.doc_id AND c.tile_idx = t.tile_idx
         |GROUP BY 1, 2""".stripMargin
 
-  /** DuckDB rendering of [[frameDeltas]] — the shared m46/m47 CTE
+  /** DuckDB rendering of [[frameDeltas]] — the shared m46/m47/m48 CTE
     * prefix ending in `f(doc_id, tidx, l1)` with l1 NULL on first
-    * frames. */
-  private val frameDeltaCte: String =
-    """p AS (
+    * frames. Parameterized by the hex-per-frame width (512 for the
+    * m46/m47 tile granularity, 64 for m48's finer frames). */
+  private def frameDeltaCteFor(hexPerTile: Int): String =
+    s"""p AS (
       | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
       |n AS (
       | SELECT doc_id, hx,
-      |  least(CAST(ceil(length(hx) / 512.0) AS BIGINT), 64) AS nt
+      |  least(CAST(ceil(length(hx) / $hexPerTile.0) AS BIGINT), 64) AS nt
       | FROM p WHERE length(hx) > 0),
       |tiles AS (
       | SELECT doc_id, CAST(i AS BIGINT) AS tidx,
-      |  substring(hx, CAST(i*512 + 1 AS BIGINT), 512) AS tile
+      |  substring(hx, CAST(i*$hexPerTile + 1 AS BIGINT), $hexPerTile)
+      |   AS tile
       | FROM n, range(0, 64) r(i)
       | WHERE i < nt),
       |g AS (
@@ -729,13 +780,19 @@ object MultimodalOps extends Serializable {
       | FROM tiles t LEFT JOIN l1 ON t.doc_id = l1.doc_id
       |  AND t.tidx = l1.tidx)""".stripMargin
 
+  private val frameDeltaCte: String = frameDeltaCteFor(512)
+
   /** m46/m47's shared per-frame delta stream: m34's payload tiles as
     * ordered "frames", 16-bin nibble histograms (the m40
     * replace-counter, zero explode) lagged over ONE doc-keyed window,
     * integer L1 between consecutive frames (`l1` is NULL on each
-    * asset's first frame). */
-  private def frameDeltas(s: SparkSession, d: String): DataFrame = {
-    val hexPerTile = 512
+    * asset's first frame). m48 uses the same stream at a FINER
+    * 32-byte (64-hex) frame size — this corpus's short payloads give
+    * only 1–3 of the 256-byte tiles, which degenerates a per-scene
+    * frame budget (probed; the q139 lesson), while 64-hex frames give
+    * ~10/doc. */
+  private def frameDeltas(s: SparkSession, d: String,
+      hexPerTile: Int = 512): DataFrame = {
     val tiles = multimodalTable(s, d)
       .withColumn("hx", lower(hex(col("payload"))))
       .withColumn("nt", least(
@@ -804,6 +861,40 @@ object MultimodalOps extends Serializable {
         |SELECT doc_id, scene_n, min(tidx) AS key_frame_idx,
         | count(*) AS n_frames
         |FROM sc GROUP BY 1, 2""".stripMargin,
+    // the delta CTEs at the finer 64-hex frame width with the scaled
+    // L1 > 24 cut, then the identical integer largest-remainder
+    // apportionment over the scene aggregate
+    "m48_frame_budget" ->
+      s"""WITH ${frameDeltaCteFor(64)},
+        |sc AS (
+        | SELECT doc_id, tidx,
+        |  CAST(sum(CASE WHEN l1 > 24 THEN 1 ELSE 0 END) OVER
+        |   (PARTITION BY doc_id ORDER BY tidx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS scene_n
+        | FROM f),
+        |scenes AS (
+        | SELECT doc_id, scene_n, min(tidx) AS key_frame_idx,
+        |  count(*) AS n_frames
+        | FROM sc GROUP BY 1, 2),
+        |tt AS (
+        | SELECT doc_id, CAST(sum(n_frames) AS BIGINT) AS total_frames
+        | FROM scenes GROUP BY 1),
+        |b AS (
+        | SELECT s.doc_id, s.scene_n, s.key_frame_idx, s.n_frames,
+        |  tt.total_frames,
+        |  (8 * s.n_frames) // tt.total_frames AS base,
+        |  (8 * s.n_frames) % tt.total_frames AS rem_w
+        | FROM scenes s JOIN tt USING (doc_id)),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY rem_w DESC, scene_n ASC) AS rrk,
+        |  8 - sum(base) OVER (PARTITION BY doc_id) AS rem_total
+        | FROM b)
+        |SELECT doc_id, scene_n, key_frame_idx, n_frames, total_frames,
+        | CAST(least(base + CASE WHEN rrk <= rem_total THEN 1 ELSE 0 END,
+        |   n_frames) AS BIGINT) AS quota
+        |FROM r""".stripMargin,
     // the m32 nibble arithmetic rebuilt as an inline 8-element list
     // (values n/65536 are exact in FLOAT32, so doubles replay the
     // Spark float contract bit-for-bit); rank-based decile cut

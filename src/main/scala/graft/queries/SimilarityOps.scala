@@ -1444,6 +1444,54 @@ object SimilarityOps {
         .select(col("qid"),
           coalesce(col("n"), lit(0L)).as("n_hits"),
           round(coalesce(col("n"), lit(0L)) / lit(10.0d), 4).as("recall"))
+    },
+
+    // RECALL@K CURVE — the third axis of the index-eval suite: s53
+    // sweeps nprobe, s48 sweeps the index VARIANT, this sweeps the
+    // RESULT DEPTH k ∈ {1, 3, 5, 10} for the deterministic IVF (s37's
+    // cell restriction) against the exact arm — the curve that says
+    // whether an index that looks fine at k=1 starves a k=10 consumer
+    // (cells hold fewer good candidates than the caller asks for).
+    // Both arms rank ONCE to depth 10 (broadcast queries, map-side
+    // scoring, the s33/s37 rounded-cosine + vec_id order) and every
+    // prefix is read off the same two ranked lists — four k's cost no
+    // extra corpus passes; everything after the two rankings runs on
+    // ≤ 100 matched rows crossed with a 4-row k table.
+    "s68_recall_at_k" -> { (s, d) =>
+      val e = emb(s, d)
+      val cell = cellAssignMemo(s, d)
+      val q = cell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("qcell"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      val exact = e
+        .join(broadcast(q.select(col("qid"), col("qemb"))),
+          col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .withColumn("re", row_number().over(w))
+        .filter(col("re") <= 10)
+        .select(col("qid"), col("vec_id"), col("re"))
+      val approx = cell
+        .join(broadcast(q),
+          col("cid") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+        .withColumn("ra", row_number().over(w))
+        .filter(col("ra") <= 10)
+        .select(col("qid").as("aqid"), col("vec_id").as("avid"), col("ra"))
+      val matched = exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"))
+        .select(col("qid"), col("re"), col("ra"))
+      val ks = s.sql(
+        "SELECT CAST(k AS BIGINT) AS k FROM VALUES (1),(3),(5),(10) AS t(k)")
+      val hits = matched.crossJoin(broadcast(ks))
+        .filter(col("re") <= col("k") && col("ra") <= col("k"))
+        .groupBy(col("k"), col("qid")).agg(count(lit(1)).as("n"))
+      q.select(col("qid")).crossJoin(broadcast(ks))
+        .join(hits, Seq("k", "qid"), "left")
+        .select(col("k"), col("qid"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n"), lit(0L)) / col("k"), 4).as("recall"))
     }
   )
 
@@ -2017,6 +2065,53 @@ object SimilarityOps {
   def oracle: Map[String, String] = Map(
     "s62_pq_budget_sweep" -> s62Oracle,
     "s63_multiprobe_lsh" -> s63Oracle,
+    // s37's cell CTEs, both arms ranked to 10 with the identical
+    // rounded-cosine + vec_id order, prefixes read off via the 4-row
+    // k table
+    "s68_recall_at_k" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, cid AS qcell FROM cell WHERE vec_id < 10),
+        |ext AS (
+        | SELECT qid, vec_id, rn AS re FROM (
+        |  SELECT q.qid, e.vec_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_dot_product(q.qemb, e.emb) /
+        |     (sqrt(list_dot_product(q.qemb, q.qemb))
+        |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+        |    e.vec_id ASC) AS rn
+        |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+        |apt AS (
+        | SELECT qid, vec_id, rn AS ra FROM (
+        |  SELECT q.qid, cell.vec_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_dot_product(q.qemb, cell.emb) /
+        |     (sqrt(list_dot_product(q.qemb, q.qemb))
+        |      * sqrt(list_dot_product(cell.emb, cell.emb))), 6) DESC,
+        |    cell.vec_id ASC) AS rn
+        |  FROM q JOIN cell ON cell.cid = q.qcell AND cell.vec_id <> q.qid)
+        | WHERE rn <= 10),
+        |ks(k) AS (VALUES (1), (3), (5), (10)),
+        |m AS (
+        | SELECT ext.qid, ext.re, apt.ra
+        | FROM ext JOIN apt ON ext.qid = apt.qid AND ext.vec_id = apt.vec_id),
+        |h AS (
+        | SELECT k, qid, count(*) AS n FROM m, ks
+        | WHERE re <= k AND ra <= k GROUP BY 1, 2)
+        |SELECT CAST(ks.k AS BIGINT) AS k, q.qid,
+        | CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        | round(coalesce(h.n, 0) / ks.k, 4) AS recall
+        |FROM q CROSS JOIN ks
+        |LEFT JOIN h ON h.k = ks.k AND h.qid = q.qid""".stripMargin,
     // the identical code/recon double expressions (floor of the same
     // IEEE quotient) over the exact per-dim min/max; errors quantize
     // to integer micro-units so the SSE sum is order-free

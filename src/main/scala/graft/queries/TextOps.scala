@@ -1313,6 +1313,69 @@ object TextOps {
           round(col("oov_tokens") / col("tokens_total"), 4).as("oov_rate"),
           col("n_types"), col("oov_types"),
           round(col("oov_types") / col("n_types"), 4).as("oov_type_rate"))
+    },
+
+    // TOKEN BURSTINESS — the dispersion diagnostic stopword lists are
+    // built from: for each of the corpus top-50 tokens (the t39/t41
+    // deterministic vocabulary), the Fisher index var/mean of its
+    // PER-DOCUMENT count, with absent documents counted as zeros.
+    // Function words spread evenly (index ≈ 1, Poisson-like); content
+    // and template tokens clump into few docs (index ≫ 1) — frequency
+    // alone cannot tell them apart, burstiness can. The index is
+    // computed as the EXACT integer ratio (N·Σc² − (Σc)²)/(N·Σc) —
+    // population variance over all N docs including zeros, one double
+    // division at the end — so no FP moment enters the compare.
+    // Shuffles: (token) vocab agg, (token, doc) counts, (token)
+    // moments — the corpus fans down immediately after the broadcast
+    // vocab semi-join; the doc total is a broadcast 1-row aggregate.
+    "t62_token_burstiness" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tok = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("c_corpus"))
+        .orderBy(col("c_corpus").desc, col("token").asc).limit(50)
+      tok.join(broadcast(vocab.select(col("token"))), "token")
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_docs_present"),
+          sum(col("c")).as("total_count"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("token"), col("n_docs_present"), col("total_count"),
+          round((col("n_docs") * col("sumsq")
+            - col("total_count") * col("total_count"))
+            / (col("n_docs") * col("total_count")).cast("double"), 6)
+            .as("burstiness"))
+    },
+
+    // BPE FIRST-MERGE CANDIDATES — the opening iteration of byte-pair-
+    // encoding tokenizer TRAINING (what t29/t52 consume a finished
+    // vocab for, this op produces one): adjacent character-pair counts
+    // within words, weighted by word frequency — the top pair IS the
+    // first merge a BPE trainer would commit, and the top-20 table is
+    // the merge frontier. The corpus collapses to the word-frequency
+    // table FIRST (one corpus-keyed shuffle); the quadratic-looking
+    // pair explode runs over the VOCABULARY at ≤31 pairs per word (the
+    // 32-char cap is explicit in both engines — m33's bounded-sample
+    // contract), so corpus volume never multiplies. Top-20 through
+    // TakeOrderedAndProject on (count DESC, pair ASC).
+    "t63_bpe_merge_step" -> { (s, d) =>
+      val words = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      words
+        .withColumn("wl", least(length(col("w")), lit(32)))
+        .filter(col("wl") >= 2)
+        .withColumn("i", explode(sequence(lit(1), col("wl") - 1)))
+        .withColumn("pair", expr("substring(w, i, 2)"))
+        .groupBy(col("pair"))
+        .agg(sum(col("wf")).as("n_occurrences"),
+          countDistinct(col("w")).as("n_words"))
+        .orderBy(col("n_occurrences").desc, col("pair").asc)
+        .limit(20)
     }
   )
 
@@ -2049,7 +2112,56 @@ object TextOps {
         | round(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) /
         |   count(*), 4) AS oov_type_rate
         |FROM st LEFT JOIN vocab USING (token)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // the same deterministic top-50 vocabulary and the exact integer
+    // Fisher index (N·Σc² − (Σc)²)/(N·Σc) with one double division
+    "t62_token_burstiness" ->
+      """WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        |tok AS (
+        | SELECT doc_id, unnest(
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END)
+        |  AS token
+        | FROM documents),
+        |vocab AS (
+        | SELECT token FROM (
+        |  SELECT token, row_number() OVER
+        |    (ORDER BY count(*) DESC, token ASC) AS rn
+        |  FROM tok GROUP BY token)
+        | WHERE rn <= 50),
+        |pd AS (
+        | SELECT token, doc_id, count(*) AS c
+        | FROM tok JOIN vocab USING (token) GROUP BY 1, 2),
+        |mo AS (
+        | SELECT token, count(*) AS n_docs_present,
+        |  CAST(sum(c) AS BIGINT) AS total_count,
+        |  CAST(sum(c * c) AS BIGINT) AS sumsq
+        | FROM pd GROUP BY 1)
+        |SELECT token, n_docs_present, total_count,
+        | round((nd.n_docs * sumsq - total_count * total_count)
+        |  / CAST(nd.n_docs * total_count AS DOUBLE), 6) AS burstiness
+        |FROM mo, nd""".stripMargin,
+    // the same word-frequency collapse, 32-char pair cap, and
+    // (count DESC, pair ASC) top-20
+    "t63_bpe_merge_step" ->
+      """WITH tok AS (
+        | SELECT unnest(
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END)
+        |  AS w
+        | FROM documents),
+        |words AS (SELECT w, count(*) AS wf FROM tok GROUP BY 1),
+        |pairs AS (
+        | SELECT substr(w, CAST(r.i AS INT), 2) AS pair, wf, w
+        | FROM (SELECT w, wf, least(length(w), 32) AS wl FROM words
+        |       WHERE least(length(w), 32) >= 2) x,
+        |  range(1, 32) r(i)
+        | WHERE r.i <= x.wl - 1)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences,
+        | count(DISTINCT w) AS n_words
+        |FROM pairs GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair ASC
+        |LIMIT 20""".stripMargin
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

@@ -716,6 +716,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("t63 BPE merge step: corpus collapses to the word table first and top-20 is a distributed take") {
+    val p = plan("t63_bpe_merge_step")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed partial take in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("w", "pair")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("t62 burstiness: every shuffle is token- or doc-keyed and the vocab broadcasts back") {
+    val p = plan("t62_token_burstiness")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("token", "doc_id")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 50-token vocab must broadcast in:\n$p")
+  }
+
   test("q143 EWMA: one corpus aggregate, then the calendar-bounded join over the tiny daily frame") {
     val p = plan("q143_ewma_forecast")
     // the corpus shuffles once for the (type, day) aggregate; the

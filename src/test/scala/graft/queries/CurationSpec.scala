@@ -2147,4 +2147,335 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.1, s"mean binary recall $mean below floor")
     SparkEntry.release(spark)
   }
+
+  test("t62 burstiness: the Fisher index replays exactly from per-doc token counts with zeros") {
+    val rows = SparkEntry.queries("t62_token_burstiness")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    def toks(t: String): Seq[String] =
+      if (t.trim.isEmpty) Seq.empty else t.trim.split("[ \t\n\f\r]+").toSeq
+    val perDoc = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).view.mapValues(_.length.toLong).toMap }
+    rows.foreach { r =>
+      val (tok, present, total) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val cs = perDoc.map(_._2.getOrElse(tok, 0L))
+      assert(present === cs.count(_ > 0))
+      assert(total === cs.sum)
+      val sumsq = cs.map(c => c * c).sum
+      val expect = math.rint((n * sumsq - total * total).toDouble
+        / (n * total).toDouble * 1e6) / 1e6
+      assert(r.getDouble(3) === expect, s"token $tok burstiness")
+      assert(r.getDouble(3) > 0.0)
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("t63 BPE merge step: the top-20 pair table replays exactly from the word-frequency collapse") {
+    val rows = SparkEntry.queries("t63_bpe_merge_step")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (p, _, _) => assert(p.length === 2) }
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val words = docs.flatMap(t =>
+      if (t.trim.isEmpty) Seq.empty[String]
+      else t.trim.split("[ \t\n\f\r]+").toSeq)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = words.toSeq.flatMap { case (w, wf) =>
+      val wl = math.min(w.length, 32)
+      (1 until wl).map(i => (w.substring(i - 1, i + 1), w, wf))
+    }
+    val expected = pairCounts.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.map(_._3).sum, xs.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy { case (p, nOcc, _) => (-nOcc, p) }.take(20)
+    assert(rows.toSeq === expected)
+    SparkEntry.release(spark)
+  }
+
+  test("m48 frame budget: per-doc quotas sum to min(8, frames) and replay the largest-remainder rule") {
+    val rows = SparkEntry.queries("m48_frame_budget")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    var binds = 0
+    rows.groupBy(_._1).foreach { case (doc, scenes) =>
+      val total = scenes.head._4
+      assert(scenes.map(_._3).sum === total, s"doc $doc frame total")
+      assert(scenes.map(_._5).sum === math.min(8L, total),
+        s"doc $doc quota sum")
+      if (total > 8) binds += 1
+      // replay largest-remainder from (scene_n, n_frames, total)
+      val base = scenes.map(s => s._2 -> (8L * s._3 / total)).toMap
+      val remW = scenes.map(s => s._2 -> (8L * s._3 % total)).toMap
+      val remTotal = 8L - base.values.sum
+      val bonusScenes = scenes.map(_._2)
+        .sortBy(sn => (-remW(sn), sn)).take(math.max(0, remTotal.toInt))
+        .toSet
+      scenes.foreach { s =>
+        val expect = math.min(
+          base(s._2) + (if (bonusScenes(s._2)) 1L else 0L), s._3)
+        assert(s._5 === expect, s"doc $doc scene ${s._2} quota")
+      }
+    }
+    assert(binds > 0, "the budget must actually bind on this corpus")
+    SparkEntry.release(spark)
+  }
+
+  test("q144 elasticity: slopes replay from the closed-form regression and demand slopes down") {
+    val rows = SparkEntry.queries("q144_price_elasticity")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val pts = graft.Tables.t(spark, sf0001, "lineitem")
+      .join(graft.Tables.t(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), math.log(r.getDouble(1)),
+        math.log(r.getDouble(2) / r.getDouble(1))))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (brand, n, el, r2) = (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))
+      val xs = pts(brand)
+      assert(n === xs.length)
+      val mx = xs.map(_._3).sum / n
+      val my = xs.map(_._2).sum / n
+      val cov = xs.map(p => (p._3 - mx) * (p._2 - my)).sum / n
+      val vx = xs.map(p => (p._3 - mx) * (p._3 - mx)).sum / n
+      assert(math.abs(el - cov / vx) < 2e-4, s"$brand slope $el")
+      assert(el < 0.0, s"$brand demand must slope down on this corpus")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q145 ship-lag audit: quantiles and backdated counts replay exactly from per-order lags") {
+    val rows = SparkEntry.queries("q145_ship_lag_audit")(spark, sf0001)
+      .collect()
+    val lags = graft.Tables.t(spark, sf0001, "lineitem")
+      .join(graft.Tables.t(spark, sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(datediff(max(col("l_shipdate")), max(col("o_orderdate")))
+        .cast("long").as("dd"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.length === lags.size)
+    rows.foreach { r =>
+      val p = r.getString(0)
+      val ds = lags(p)
+      val n = ds.length
+      def q(k: Double) = ds(math.ceil(k * n).toInt - 1)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === ds.count(_ < 0).toLong)
+      assert(r.getLong(4) === q(0.1), s"$p p10")
+      assert(r.getLong(5) === q(0.5), s"$p p50")
+      assert(r.getLong(6) === q(0.9), s"$p p90")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q146 ABC: the block-decomposed cumsum replays the flat ranked cumsum and classes are contiguous") {
+    val rows = SparkEntry.queries("q146_abc_classification")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val ranked = rows.sortBy(x => (-x._2, x._1))
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    ranked.foreach { case (pk, cents, gotCum, cls) =>
+      cum += cents
+      assert(gotCum === cum, s"part $pk cumsum")
+      val expect = if (cum * 10 <= total * 8) "A"
+        else if (cum * 20 <= total * 19) "B" else "C"
+      assert(cls === expect, s"part $pk class")
+    }
+    // contiguity: once the class leaves A it never returns (same for B)
+    val classes = ranked.map(_._4)
+    assert(classes === classes.sorted, "classes must be A*B*C* in rank order")
+    assert(classes.toSet.size >= 2, "at least two classes must populate")
+    SparkEntry.release(spark)
+  }
+
+  test("d61 shingle sweep: the n=5 arm replays exactly and cost falls while confirms hold") {
+    val rows = SparkEntry.queries("d61_shingle_size_sweep")(spark, sf0001)
+      .orderBy("shingle_n").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getLong(6) > 0, s"arm ${r.getLong(0)}: confirms must exist")
+      assert(r.getLong(5) >= r.getLong(6), "candidates >= confirmed")
+    }
+    // finer shingles collide more: candidate cost must fall with n on
+    // this corpus (the trade the sweep exists to show)
+    assert(rows(0).getLong(5) > rows(1).getLong(5)
+      && rows(1).getLong(5) > rows(2).getLong(5), "cost must fall with n")
+    assert(rows(0).getLong(3) < rows(1).getLong(3)
+      && rows(1).getLong(3) < rows(2).getLong(3),
+      "distinct shingles must rise with n")
+    // full driver replay of the n=5 arm (its candidate set is tiny)
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String): Array[String] =
+      if (t.trim.isEmpty) Array.empty else t.trim.split("[ \t\n\f\r]+")
+    val sh5 = docs.map { case (id, t) =>
+      val w = toks(t)
+      id -> w.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+        .toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = sh5.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rare = df.filter(_._2.size <= 50)
+    val cands = rare.values.flatMap { ids =>
+      val s = ids.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.toSet
+    val confirmed = cands.count { case (a, b) =>
+      val (sa, sb) = (sh5(a), sh5(b))
+      val inter = (sa & sb).size
+      inter.toDouble / (sa.size + sb.size - inter) >= 0.8
+    }
+    val arm5 = rows(2)
+    assert(arm5.getLong(5) === cands.size.toLong, "n=5 candidates")
+    assert(arm5.getLong(6) === confirmed.toLong, "n=5 confirmed")
+    SparkEntry.release(spark)
+  }
+
+  test("q147 return rates: the z-squared screen replays exactly from integer counts") {
+    val rows = SparkEntry.queries("q147_return_rates")(spark, sf0001)
+      .collect()
+    val per = graft.Tables.t(spark, sf0001, "lineitem")
+      .join(graft.Tables.t(spark, sf0001, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nn = per.map(_._2).sum
+    val rr = per.map(_._3).sum
+    val byBrand = per.map(x => x._1 -> x).toMap
+    assert(rows.length === per.length)
+    rows.foreach { row =>
+      val (brand, n, r) = (row.getString(0), row.getLong(1), row.getLong(2))
+      assert((brand, n, r) === byBrand(brand))
+      val a = (r * nn - rr * n).toDouble
+      val den = (n * rr * (nn - rr)).toDouble
+      assert(row.getDouble(4) === math.rint(a * a / den * 1e4) / 1e4)
+      assert(row.getBoolean(5) === (a * a > 4.0 * den))
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("s68 recall@k: hits nest across prefixes and the k=3 row agrees with s45") {
+    val rows = SparkEntry.queries("s68_recall_at_k")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.length === 40)
+    val byQ = rows.groupBy(_._2)
+    byQ.foreach { case (qid, rs) =>
+      val m = rs.map(x => x._1 -> x._3).toMap
+      assert(m.keySet === Set(1L, 3L, 5L, 10L))
+      m.foreach { case (k, h) => assert(h >= 0 && h <= k) }
+      // E_k and A_k are nested prefixes, so the intersection can only
+      // grow with k
+      assert(m(1L) <= m(3L) && m(3L) <= m(5L) && m(5L) <= m(10L),
+        s"qid $qid hits must nest")
+    }
+    val s45 = SparkEntry.queries("s45_ann_recall")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_._1 == 3L).foreach { case (_, qid, _, rec) =>
+      assert(rec === s45(qid), s"qid $qid: s68@3 must equal s45 recall@3")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q148 decomposition: components replay exactly and residuals center per (type, dow)") {
+    val rows = SparkEntry.queries("q148_seasonal_decomposition")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+      .view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    // full replay: integer trend7 over complete windows, integer
+    // detrended mass, per-(type, dow) effect
+    val trend7 = daily.flatMap { case (tpe, day, c) =>
+      val cnts = byType(tpe)
+      val window = (-3 to 3).flatMap(k => cnts.get(day.plusDays(k)))
+      if (window.length == 7) Some(((tpe, day), (c, window.sum))) else None
+    }.toMap
+    val eff = trend7.toSeq.groupBy { case ((tpe, day), _) =>
+      (tpe, day.getDayOfWeek.getValue % 7 + 1) }
+      .view.mapValues { xs =>
+        val s7 = xs.map { case (_, (c, t7)) => 7 * c - t7 }.sum
+        (s7, xs.length)
+      }.toMap
+    assert(rows.length === trend7.size)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val day = r.getTimestamp(1).toLocalDateTime.toLocalDate
+      val (c, t7) = trend7((tpe, day))
+      assert(r.getLong(2) === c)
+      val dow = day.getDayOfWeek.getValue % 7 + 1
+      assert(r.getLong(3) === dow.toLong, s"$tpe $day dow")
+      assert(r.getDouble(4) === math.rint(t7 / 7.0 * 1e4) / 1e4)
+      val (s7, nd) = eff((tpe, dow))
+      assert(r.getDouble(5) === math.rint(s7 / (nd * 7.0) * 1e4) / 1e4)
+      assert(r.getDouble(6) ===
+        math.rint((c - t7 / 7.0 - s7 / (nd * 7.0)) * 1e4) / 1e4)
+    }
+    // the dow effect is the detrended mean, so residuals sum to ~0
+    // within each (type, dow) cell (up to the 4-dp display rounding)
+    rows.groupBy(r => (r.getString(0), r.getLong(3))).foreach {
+      case (cell, rs) =>
+        val m = rs.map(_.getDouble(6)).sum / rs.length
+        assert(math.abs(m) < 1e-3, s"cell $cell residual mean $m")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q149 backtest: errors replay exactly from the kernel and the skill algebra is consistent") {
+    val rows = SparkEntry.queries("q149_ewma_backtest")(spark, sf0001)
+      .collect()
+    val daily = graft.Tables.t(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+      .view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val cnts = byType(tpe)
+      val evals = cnts.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate)
+        => d.toEpochDay)).flatMap { day =>
+        cnts.get(day.plusDays(1)).map { actual =>
+          val scaled = (0 to 31).map(k =>
+            cnts.getOrElse(day.minusDays(k), 0L) << (31 - k)).sum
+          ((actual << 32) - scaled, actual - cnts(day))
+        }
+      }
+      val n = evals.length.toLong
+      assert(r.getLong(1) === n, s"$tpe n_evals")
+      val saeS = evals.map(e => math.abs(e._1)).sum
+      val seS = evals.map(_._1).sum
+      val saeN = evals.map(e => math.abs(e._2)).sum
+      assert(r.getDouble(2) ===
+        math.rint(saeS / (n * 4294967296.0) * 1e4) / 1e4, s"$tpe mae")
+      assert(r.getDouble(3) ===
+        math.rint(seS / (n * 4294967296.0) * 1e4) / 1e4, s"$tpe bias")
+      assert(r.getDouble(4) ===
+        math.rint(saeN.toDouble / n * 1e4) / 1e4, s"$tpe mae_naive")
+      assert(r.getDouble(5) ===
+        math.rint((1.0 - (saeS / 4294967296.0) / saeN.toDouble) * 1e4)
+          / 1e4, s"$tpe skill")
+    }
+    SparkEntry.release(spark)
+  }
 }
