@@ -2082,8 +2082,246 @@ object Analytic {
             .as("mae_naive"),
           round(lit(1.0d) - (col("sae_s") / lit(4294967296.0d))
             / col("sae_n").cast("double"), 4).as("skill"))
+    },
+
+    // AUDIENCE OVERLAP MATRIX — the upsell/cross-feature table beside
+    // q113's day-basket co-occurrence, at USER granularity: for every
+    // ordered pair of event types, how many users do both, the
+    // containment P(b|a) = |A∩B|/|A|, and the lift against
+    // independence. The self-join is keyed by USER with fan-out
+    // bounded by the 5-type vocabulary (≤25 pairs per user), never by
+    // audience size; per-type counts and the 1-row user total
+    // broadcast onto the 20-cell aggregate. All ratios are
+    // integer-count quotients rounded 4 dp.
+    "q150_audience_overlap" -> { (s, d) =>
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val cnt = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val tot = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+      val b = ut.select(col("user_id").as("ub"),
+        col("event_type").as("type_b"))
+      a.join(b, col("user_id") === col("ub")
+          && col("type_a") =!= col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(cnt.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(cnt.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"), col("n_users"),
+          round(col("n_both") / col("n_a"), 4).as("containment"),
+          round((col("n_both") * col("n_users"))
+            / (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+    },
+
+    // A/B POWER ANALYSIS — the table read BEFORE q114's z-test is
+    // believed: at the current arm sizes and pooled conversion, the
+    // minimum detectable effect at 80% power / α=0.05 two-sided
+    // (z-constants are driver-rendered literals, the DecayPerDay
+    // discipline), beside the observed lift and whether the
+    // experiment is POWERED for it. An insignificant q114 with
+    // |lift| ≪ MDE means "keep collecting", not "no effect" — this
+    // row is the difference. Same arm/conversion algebra as q114
+    // (the oracle shares its CTEs verbatim); everything after the
+    // per-arm integers is scalar double arithmetic on exact operands.
+    "q151_ab_power" -> { (s, d) =>
+      val arm = when(SamplingOps.bucket(col("user_id")) % 2 === 0, "A")
+        .otherwise("B")
+      val one = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("converted"))
+        .withColumn("arm", arm)
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("x"))).as("x_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("x"))).as("x_b"))
+      val pbar = (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))
+      val mde = lit(PowerZSum) * sqrt(pbar * (lit(1.0d) - pbar)
+        * (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b")))
+      val lift = col("x_b") / col("n_b") - col("x_a") / col("n_a")
+      one.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(pbar, 6).as("pooled_rate"),
+        round(mde, 6).as("mde_abs"),
+        round(lift, 6).as("observed_lift"),
+        (abs(lift) > mde).as("powered"))
+    },
+
+    // COHORT LTV CURVE — q76/q105's revenue companion: cumulative
+    // purchase value per signup-week cohort by weeks since signup,
+    // per cohort member — the curve a "payback period" is read off.
+    // Revenue in integer cents (one round at the event level), the
+    // cohort join keyed by user_id, the cumulative window over the
+    // tiny (cohort, offset) aggregate; ISO-Monday weeks and the
+    // integer day-diff div 7 offset are the q105 conventions so the
+    // two matrices line up cell-for-cell.
+    "q152_cohort_ltv" -> { (s, d) =>
+      val first = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val rev = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .groupBy(col("cw"),
+          expr("CAST(datediff(date_trunc('week', ts), cw) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      val wCum = Window.partitionBy(col("cw")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum_cents", sum(col("revenue_cents")).over(wCum))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_users"), col("revenue_cents"), col("cum_cents"),
+          round(col("cum_cents") / col("n_users"), 4)
+            .as("ltv_cents_per_user"))
+    },
+
+    // SEQUENTIAL A/B MONITOR (mSPRT) — the always-valid statistic that
+    // lets an experimenter PEEK daily without inflating false
+    // positives (the fixed-horizon q114 is only valid once, at the
+    // planned end): per day, cumulative per-arm exposures (users first
+    // seen ≤ t) and conversions (first high-value purchase ≤ t), and
+    // the mixture likelihood ratio
+    //   Λ_t = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²)))
+    // with the normal-approximation variance V = p̄(1−p̄)(1/n_a+1/n_b)
+    // and a τ = 0.1 mixture prior; reject when Λ ≥ 1/α = 20. The
+    // per-day integers come from two tiny (arm, day) cumulative
+    // windows — the corpus is touched twice (first-event and
+    // first-conversion per user, both user-keyed partial aggs) and
+    // NEVER per day. Determinism: every Λ input derives from exact
+    // integers and driver-rendered literals; the exp/√ arguments are
+    // identical doubles in both engines (the q134 exp discipline), and
+    // V=0 / degenerate-p̄ days yield NULL Λ under an explicit guard.
+    "q153_sequential_ab" -> { (s, d) =>
+      val arm = when(SamplingOps.bucket(col("user_id")) % 2 === 0, "A")
+        .otherwise("B")
+      val perUser = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          min(when(col("event_type") === "purchase" &&
+            col("value") > 150, to_date(col("ts")))).as("conv_day"))
+        .withColumn("arm", arm)
+      val days = t(s, d, "events")
+        .select(to_date(col("ts")).as("day")).distinct()
+      val wA = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val exp_ = perUser.groupBy(col("arm"), col("first_day").as("day"))
+        .agg(count(lit(1)).as("dn"))
+      val conv = perUser.filter(col("conv_day").isNotNull)
+        .groupBy(col("arm"), col("conv_day").as("day"))
+        .agg(count(lit(1)).as("dx"))
+      // dense (arm, day) grid so cumulative counts carry over days
+      // with no new exposures/conversions in that arm
+      val grid = days.crossJoin(
+        perUser.select(col("arm")).distinct())
+      val cum = grid
+        .join(exp_, Seq("arm", "day"), "left")
+        .join(conv, Seq("arm", "day"), "left")
+        .withColumn("n", sum(coalesce(col("dn"), lit(0L))).over(wA))
+        .withColumn("x", sum(coalesce(col("dx"), lit(0L))).over(wA))
+      val one = cum.groupBy(col("day"))
+        .agg(max(when(col("arm") === "A", col("n"))).as("n_a"),
+          max(when(col("arm") === "A", col("x"))).as("x_a"),
+          max(when(col("arm") === "B", col("n"))).as("n_b"),
+          max(when(col("arm") === "B", col("x"))).as("x_b"))
+      val tau2 = lit(0.01d)
+      val pbar = (col("x_a") + col("x_b")) / (col("n_a") + col("n_b"))
+      val v = pbar * (lit(1.0d) - pbar) *
+        (lit(1.0d) / col("n_a") + lit(1.0d) / col("n_b"))
+      val theta = col("x_b") / col("n_b") - col("x_a") / col("n_a")
+      val lam = sqrt(col("v") / (col("v") + tau2)) *
+        exp(col("theta") * col("theta") * tau2
+          / (lit(2.0d) * col("v") * (col("v") + tau2)))
+      one
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("v", v).withColumn("theta", theta)
+        .withColumn("lambda",
+          when(col("v") > 0, round(lam, 4)))
+        .select(col("day").cast("timestamp").as("day"), col("n_a"),
+          col("x_a"), col("n_b"), col("x_b"),
+          round(col("theta"), 6).as("observed_lift"),
+          col("lambda"),
+          coalesce(col("lambda") >= 20.0, lit(false))
+            .as("significant_sequential"))
+    },
+
+    // HISTOGRAM-SKETCH QUANTILES + ERROR AUDIT — the O(1)-state
+    // mergeable quantile estimator beside the exact q99 (and the
+    // sketch family's quantile member next to q45 HLL / q90 KMV /
+    // q135 CMS): per event type, p50/p90/p99 read off a FIXED
+    // 256-bucket histogram over the global [min, max] (the s64 grid —
+    // an exact min/max broadcast, the identical floor expression in
+    // both engines), audited against the exact rank-select arm. The
+    // histogram is 256 BIGINTs per key at ANY cardinality — the state
+    // a streaming/pre-agg quantile tile actually keeps — and the
+    // |err| ≤ half-bucket-width bound is structural (the estimate's
+    // bucket CONTAINS the exact rank value; spec-asserted). The exact
+    // arm runs through DistributedRank with the histogram BIN as its
+    // block key (parallelism = types × 256, never one task per type).
+    "q154_histogram_quantiles" -> { (s, d) =>
+      val ev = t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val rng = ev.agg(min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+      val binned = ev.crossJoin(broadcast(rng))
+        .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor(((col("value") - col("vmin")) * lit(256.0d)) /
+              (col("vmax") - col("vmin"))).cast("long"))))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy(col("event_type"))
+      val cum = binned.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+      def estBin(q: Int) = min(when(
+        lit(100L) * col("cum") >= lit(q.toLong) * col("n"), col("bin")))
+      val est = cum.groupBy(col("event_type"))
+        .agg(estBin(50).as("b50"), estBin(90).as("b90"),
+          estBin(99).as("b99"))
+      val ranked = graft.operators.DistributedRank.rowNumber(binned,
+        Seq("event_type"), Seq(col("value").asc, col("event_id").asc),
+        col("bin"), "rk")
+      val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      def target(q: Int) = expr(s"($q * n + 99) div 100")
+      val exact = ranked.join(broadcast(totals), "event_type")
+        .filter(col("rk") === target(50) || col("rk") === target(90) ||
+          col("rk") === target(99))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rk") === target(50), col("value"))).as("x50"),
+          max(when(col("rk") === target(90), col("value"))).as("x90"),
+          max(when(col("rk") === target(99), col("value"))).as("x99"))
+      def recon(b: Column) = col("vmin") +
+        ((b.cast("double") + lit(0.5d)) * (col("vmax") - col("vmin"))) /
+          lit(256.0d)
+      est.join(exact, "event_type").crossJoin(broadcast(rng))
+        .select(col("event_type"), col("n"),
+          round(recon(col("b50")), 4).as("est_p50"),
+          round(col("x50"), 4).as("exact_p50"),
+          round(abs(recon(col("b50")) - col("x50")), 4).as("err_p50"),
+          round(recon(col("b90")), 4).as("est_p90"),
+          round(col("x90"), 4).as("exact_p90"),
+          round(abs(recon(col("b90")) - col("x90")), 4).as("err_p90"),
+          round(recon(col("b99")), 4).as("est_p99"),
+          round(col("x99"), 4).as("exact_p99"),
+          round(abs(recon(col("b99")) - col("x99")), 4).as("err_p99"))
     }
   )
+
+  /** q151's z-constant sum z_{0.975} + z_{0.80} (two-sided α=0.05 at
+    * 80% power), rendered as the same double literal into both
+    * engines' plans (the DecayPerDay discipline). */
+  private val PowerZSum: Double = 1.959963984540054 + 0.8416212335729143
 
   /** q143/q149's shared EWMA frame: per (event_type, day), the day's
     * count and the 32-day binary-weighted trailing kernel
@@ -3569,6 +3807,198 @@ object Analytic {
         | round(1 - (CAST(sum(abs(err_s)) AS BIGINT)
         |   / CAST(4294967296 AS DOUBLE))
         |  / CAST(sum(abs(err_naive)) AS DOUBLE), 4) AS skill
-        |FROM e GROUP BY 1""".stripMargin
+        |FROM e GROUP BY 1""".stripMargin,
+    // the same user-keyed pair join over the deduped (user, type)
+    // frame; all ratios integer-count quotients
+    "q150_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |cnt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |pr AS (
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_both
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type
+        | GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_both, ca.n AS n_a, cb.n AS n_b,
+        | tot.n_users,
+        | round(pr.n_both / ca.n, 4) AS containment,
+        | round((pr.n_both * tot.n_users) / CAST(ca.n * cb.n AS DOUBLE), 4)
+        |   AS lift
+        |FROM pr JOIN cnt ca ON pr.type_a = ca.event_type
+        | JOIN cnt cb ON pr.type_b = cb.event_type, tot""".stripMargin,
+    // q114's u/g/one CTEs verbatim, then scalar double algebra on the
+    // exact per-arm integers with the driver-rendered z-constant
+    "q151_ab_power" -> {
+      val b = SamplingOps.bucketSql("user_id")
+      s"""WITH u AS (
+         | SELECT user_id,
+         |  max(CASE WHEN event_type = 'purchase' AND value > 150
+         |      THEN 1 ELSE 0 END) AS converted,
+         |  CASE WHEN ${b} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         | FROM events GROUP BY user_id),
+         |g AS (
+         | SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+         | FROM u GROUP BY 1),
+         |one AS (
+         | SELECT
+         |  max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         |  max(CASE WHEN arm = 'A' THEN x END) AS x_a,
+         |  max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         |  max(CASE WHEN arm = 'B' THEN x END) AS x_b
+         | FROM g),
+         |p AS (
+         | SELECT *, (x_a + x_b) / (n_a + n_b) AS pbar,
+         |  x_b / n_b - x_a / n_a AS lift
+         | FROM one),
+         |m AS (
+         | SELECT *, CAST('$PowerZSum' AS DOUBLE)
+         |   * sqrt(pbar * (CAST(1 AS DOUBLE) - pbar)
+         |     * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+         |   AS mde
+         | FROM p)
+         |SELECT n_a, x_a, n_b, x_b,
+         | round(pbar, 6) AS pooled_rate,
+         | round(mde, 6) AS mde_abs,
+         | round(lift, 6) AS observed_lift,
+         | (abs(lift) > mde) AS powered
+         |FROM m""".stripMargin
+    },
+    // q105's cohort/offset conventions; cents rounded once at the
+    // event level, cumulative window over the tiny aggregate
+    "q152_cohort_ltv" ->
+      """WITH f AS (
+        | SELECT user_id, date_trunc('week', min(ts)) AS cw
+        | FROM events GROUP BY 1),
+        |sizes AS (SELECT cw, count(*) AS n_users FROM f GROUP BY 1),
+        |rev AS (
+        | SELECT f.cw,
+        |  CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+        |   AS BIGINT) AS week_offset,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |   AS revenue_cents
+        | FROM events e JOIN f USING (user_id)
+        | WHERE e.event_type = 'purchase'
+        | GROUP BY 1, 2),
+        |c AS (
+        | SELECT cw, week_offset, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cw
+        |    ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_cents
+        | FROM rev)
+        |SELECT c.cw AS cohort_week, c.week_offset, s.n_users,
+        | c.revenue_cents, c.cum_cents,
+        | round(c.cum_cents / s.n_users, 4) AS ltv_cents_per_user
+        |FROM c JOIN sizes s ON c.cw = s.cw""".stripMargin,
+    // the same dense (arm, day) cumulative grid and mixture-LR algebra
+    // on exact integers; exp/sqrt see identical doubles (the q134
+    // discipline) and the significance compare runs on the ROUNDED Λ
+    "q153_sequential_ab" -> {
+      val b = SamplingOps.bucketSql("user_id")
+      s"""WITH pu AS (
+         | SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+         |  min(CASE WHEN event_type = 'purchase' AND value > 150
+         |      THEN CAST(ts AS DATE) END) AS conv_day,
+         |  CASE WHEN ${b} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         | FROM events GROUP BY user_id),
+         |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         |arms AS (SELECT DISTINCT arm FROM pu),
+         |ex AS (SELECT arm, first_day AS day, count(*) AS dn
+         |       FROM pu GROUP BY 1, 2),
+         |cv AS (SELECT arm, conv_day AS day, count(*) AS dx
+         |       FROM pu WHERE conv_day IS NOT NULL GROUP BY 1, 2),
+         |cum AS (
+         | SELECT g.arm, g.day,
+         |  CAST(sum(coalesce(ex.dn, 0)) OVER (PARTITION BY g.arm
+         |    ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS n,
+         |  CAST(sum(coalesce(cv.dx, 0)) OVER (PARTITION BY g.arm
+         |    ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS x
+         | FROM (SELECT d.day, a.arm FROM days d, arms a) g
+         | LEFT JOIN ex ON g.arm = ex.arm AND g.day = ex.day
+         | LEFT JOIN cv ON g.arm = cv.arm AND g.day = cv.day),
+         |one AS (
+         | SELECT day,
+         |  max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         |  max(CASE WHEN arm = 'A' THEN x END) AS x_a,
+         |  max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         |  max(CASE WHEN arm = 'B' THEN x END) AS x_b
+         | FROM cum GROUP BY 1),
+         |p AS (
+         | SELECT *, (x_a + x_b) / (n_a + n_b) AS pbar,
+         |  x_b / n_b - x_a / n_a AS theta
+         | FROM one WHERE n_a > 0 AND n_b > 0),
+         |q AS (
+         | SELECT *, pbar * (CAST(1 AS DOUBLE) - pbar)
+         |  * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b) AS v
+         | FROM p),
+         |r AS (
+         | SELECT *, CASE WHEN v > 0 THEN
+         |   round(sqrt(v / (v + CAST(0.01 AS DOUBLE)))
+         |    * exp(theta * theta * CAST(0.01 AS DOUBLE)
+         |      / (CAST(2 AS DOUBLE) * v * (v + CAST(0.01 AS DOUBLE)))), 4)
+         |  END AS lambda
+         | FROM q)
+         |SELECT CAST(day AS TIMESTAMP) AS day, n_a, x_a, n_b, x_b,
+         | round(theta, 6) AS observed_lift, lambda,
+         | coalesce(lambda >= 20.0, false) AS significant_sequential
+         |FROM r""".stripMargin
+    },
+    // the s64 bin/recon expressions verbatim, the same integer rank
+    // inequality on both arms, and a flat per-type row_number exact arm
+    "q154_histogram_quantiles" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM e),
+        |b AS (
+        | SELECT e.*, CASE WHEN rng.vmax = rng.vmin THEN 0
+        |   ELSE least(255, CAST(floor(((e.value - rng.vmin) * 256.0)
+        |     / (rng.vmax - rng.vmin)) AS BIGINT)) END AS bin
+        | FROM e, rng),
+        |h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |cu AS (
+        | SELECT *, CAST(sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        | FROM h),
+        |est AS (
+        | SELECT event_type,
+        |  min(CASE WHEN 100 * cum >= 50 * n THEN bin END) AS b50,
+        |  min(CASE WHEN 100 * cum >= 90 * n THEN bin END) AS b90,
+        |  min(CASE WHEN 100 * cum >= 99 * n THEN bin END) AS b99
+        | FROM cu GROUP BY 1),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY value ASC, event_id ASC) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM e),
+        |ex AS (
+        | SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rk = (50*n + 99) // 100 THEN value END) AS x50,
+        |  max(CASE WHEN rk = (90*n + 99) // 100 THEN value END) AS x90,
+        |  max(CASE WHEN rk = (99*n + 99) // 100 THEN value END) AS x99
+        | FROM r GROUP BY 1)
+        |SELECT est.event_type, ex.n,
+        | round(rng.vmin + ((est.b50 + 0.5) * (rng.vmax - rng.vmin))
+        |   / 256.0, 4) AS est_p50,
+        | round(ex.x50, 4) AS exact_p50,
+        | round(abs(rng.vmin + ((est.b50 + 0.5) * (rng.vmax - rng.vmin))
+        |   / 256.0 - ex.x50), 4) AS err_p50,
+        | round(rng.vmin + ((est.b90 + 0.5) * (rng.vmax - rng.vmin))
+        |   / 256.0, 4) AS est_p90,
+        | round(ex.x90, 4) AS exact_p90,
+        | round(abs(rng.vmin + ((est.b90 + 0.5) * (rng.vmax - rng.vmin))
+        |   / 256.0 - ex.x90), 4) AS err_p90,
+        | round(rng.vmin + ((est.b99 + 0.5) * (rng.vmax - rng.vmin))
+        |   / 256.0, 4) AS est_p99,
+        | round(ex.x99, 4) AS exact_p99,
+        | round(abs(rng.vmin + ((est.b99 + 0.5) * (rng.vmax - rng.vmin))
+        |   / 256.0 - ex.x99), 4) AS err_p99
+        |FROM est JOIN ex ON est.event_type = ex.event_type, rng""".stripMargin
   )
 }

@@ -1492,6 +1492,40 @@ object SimilarityOps {
         .select(col("k"), col("qid"),
           coalesce(col("n"), lit(0L)).as("n_hits"),
           round(coalesce(col("n"), lit(0L)) / col("k"), 4).as("recall"))
+    },
+
+    // CODEC STORAGE/RECALL FRONTIER — the capstone sizing sheet that
+    // joins the compression family into ONE table: bytes per vector
+    // vs mean recall@10 for full floats (256 B, 1.0 by definition —
+    // the exact arm against itself), SQ8 (64 B, s65's audit), and
+    // sign bits (8 B, s67's). The decision "can we afford 4×/32×
+    // cheaper storage" is read straight off this curve. Each codec
+    // row AGGREGATES the corresponding registry twin (shared query
+    // code on the Spark side, shared oracle SQL wrapped as a subquery
+    // on the DuckDB side — the s45 composition discipline), and the
+    // mean is Σ n_hits / (10·n) — an exact-integer quotient, no FP
+    // mean of rounded recalls.
+    "s69_codec_frontier" -> { (s, d) =>
+      def frontierRow(codec: String, bytes: Long, rec: DataFrame) =
+        rec.agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("total_hits"))
+          .select(lit(codec).as("codec"),
+            lit(bytes).as("bytes_per_vector"),
+            col("n_queries"), col("total_hits"),
+            round(col("total_hits")
+              / (lit(10L) * col("n_queries")).cast("double"), 4)
+              .as("mean_recall_at_10"))
+      val full = s.sql(
+        "SELECT CAST('float32' AS STRING) AS codec, " +
+          "CAST(256 AS BIGINT) AS bytes_per_vector, " +
+          "CAST(10 AS BIGINT) AS n_queries, " +
+          "CAST(100 AS BIGINT) AS total_hits, " +
+          "CAST(1.0 AS DOUBLE) AS mean_recall_at_10")
+      full
+        .unionByName(frontierRow("sq8", 64L,
+          queries("s65_sq8_recall")(s, d)))
+        .unionByName(frontierRow("binary", 8L,
+          queries("s67_hamming_recall")(s, d)))
     }
   )
 
@@ -1520,6 +1554,69 @@ object SimilarityOps {
           expr("shiftleft(bit, CAST(dim - 33 AS INT))")).otherwise(lit(0L)))
           .as("code_hi"))
   }
+
+  /** s65's full oracle (a complete SELECT) — shared with s69, which
+    * wraps it as a subquery to aggregate the frontier row. */
+  private def s65OracleSql: String =
+    s"""WITH $sq8CteSql,
+      |re AS (
+      | SELECT vec_id, list(recon ORDER BY dim) AS remb
+      | FROM enc GROUP BY 1),
+      |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+      |ext AS (
+      | SELECT qid, vec_id FROM (
+      |  SELECT q.qid, e.vec_id,
+      |   row_number() OVER (PARTITION BY q.qid ORDER BY
+      |    round(list_dot_product(q.qemb, e.emb) /
+      |     (sqrt(list_dot_product(q.qemb, q.qemb))
+      |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+      |    e.vec_id ASC) AS rn
+      |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+      |apt AS (
+      | SELECT qid, vec_id FROM (
+      |  SELECT q.qid, re.vec_id,
+      |   row_number() OVER (PARTITION BY q.qid ORDER BY
+      |    round(list_dot_product(q.qemb, re.remb) /
+      |     (sqrt(list_dot_product(q.qemb, q.qemb))
+      |      * sqrt(list_dot_product(re.remb, re.remb))), 6) DESC,
+      |    re.vec_id ASC) AS rn
+      |  FROM q, re WHERE re.vec_id <> q.qid) WHERE rn <= 10),
+      |hits AS (
+      | SELECT ext.qid, count(*) AS n
+      | FROM ext JOIN apt USING (qid, vec_id) GROUP BY 1)
+      |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+      | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
+      |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin
+
+  /** s67's full oracle — shared with s69 (same composition rule). */
+  private def s67OracleSql: String =
+    s"""WITH $binCteSql,
+      |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+      |qc AS (SELECT vec_id AS qid, code_lo AS qlo, code_hi AS qhi
+      |       FROM codes WHERE vec_id < 10),
+      |ext AS (
+      | SELECT qid, vec_id FROM (
+      |  SELECT q.qid, e.vec_id,
+      |   row_number() OVER (PARTITION BY q.qid ORDER BY
+      |    round(list_dot_product(q.qemb, e.emb) /
+      |     (sqrt(list_dot_product(q.qemb, q.qemb))
+      |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+      |    e.vec_id ASC) AS rn
+      |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+      |bin AS (
+      | SELECT qid, vec_id FROM (
+      |  SELECT qc.qid, c.vec_id,
+      |   row_number() OVER (PARTITION BY qc.qid ORDER BY
+      |    bit_count(xor(c.code_lo, qc.qlo))
+      |     + bit_count(xor(c.code_hi, qc.qhi)) ASC,
+      |    c.vec_id ASC) AS rn
+      |  FROM qc, codes c WHERE c.vec_id <> qc.qid) WHERE rn <= 10),
+      |hits AS (
+      | SELECT ext.qid, count(*) AS n
+      | FROM ext JOIN bin USING (qid, vec_id) GROUP BY 1)
+      |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+      | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
+      |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin
 
   /** DuckDB rendering of [[binCodes]] — the shared CTE prefix of the
     * s66/s67 oracles, operation-for-operation the Spark codec (integer
@@ -2129,36 +2226,24 @@ object SimilarityOps {
         |FROM err GROUP BY 1""".stripMargin,
     // the same sq8 CTE prefix; both arms replay the bounded heap's
     // (cosine DESC, vec_id ASC) order as a row_number
-    "s65_sq8_recall" ->
-      s"""WITH $sq8CteSql,
-        |re AS (
-        | SELECT vec_id, list(recon ORDER BY dim) AS remb
-        | FROM enc GROUP BY 1),
-        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
-        |ext AS (
-        | SELECT qid, vec_id FROM (
-        |  SELECT q.qid, e.vec_id,
-        |   row_number() OVER (PARTITION BY q.qid ORDER BY
-        |    round(list_dot_product(q.qemb, e.emb) /
-        |     (sqrt(list_dot_product(q.qemb, q.qemb))
-        |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
-        |    e.vec_id ASC) AS rn
-        |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
-        |apt AS (
-        | SELECT qid, vec_id FROM (
-        |  SELECT q.qid, re.vec_id,
-        |   row_number() OVER (PARTITION BY q.qid ORDER BY
-        |    round(list_dot_product(q.qemb, re.remb) /
-        |     (sqrt(list_dot_product(q.qemb, q.qemb))
-        |      * sqrt(list_dot_product(re.remb, re.remb))), 6) DESC,
-        |    re.vec_id ASC) AS rn
-        |  FROM q, re WHERE re.vec_id <> q.qid) WHERE rn <= 10),
-        |hits AS (
-        | SELECT ext.qid, count(*) AS n
-        | FROM ext JOIN apt USING (qid, vec_id) GROUP BY 1)
-        |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
-        | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
-        |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
+    "s65_sq8_recall" -> s65OracleSql,
+    // each codec row wraps its twin's full oracle as a subquery (the
+    // s45 composition rule); the float32 row is definitional in both
+    // engines
+    "s69_codec_frontier" ->
+      s"""SELECT CAST('float32' AS VARCHAR) AS codec,
+        | CAST(256 AS BIGINT) AS bytes_per_vector,
+        | CAST(10 AS BIGINT) AS n_queries,
+        | CAST(100 AS BIGINT) AS total_hits,
+        | CAST(1.0 AS DOUBLE) AS mean_recall_at_10
+        |UNION ALL
+        |SELECT 'sq8', 64, count(*), CAST(sum(n_hits) AS BIGINT),
+        | round(sum(n_hits) / CAST(10 * count(*) AS DOUBLE), 4)
+        |FROM ($s65OracleSql) s65q
+        |UNION ALL
+        |SELECT 'binary', 8, count(*), CAST(sum(n_hits) AS BIGINT),
+        | round(sum(n_hits) / CAST(10 * count(*) AS DOUBLE), 4)
+        |FROM ($s67OracleSql) s67q""".stripMargin,
     // the identical integer-micro-unit threshold compare and two-half
     // bit packing; popcounts are exact integers in both engines
     "s66_binary_quant" ->
@@ -2171,34 +2256,7 @@ object SimilarityOps {
     // (cosine DESC, vec_id ASC) order, the binary arm the integer
     // (hamming ASC, vec_id ASC) order — no rounding discipline needed
     // on Hamming, it is already an exact small integer
-    "s67_hamming_recall" ->
-      s"""WITH $binCteSql,
-        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
-        |qc AS (SELECT vec_id AS qid, code_lo AS qlo, code_hi AS qhi
-        |       FROM codes WHERE vec_id < 10),
-        |ext AS (
-        | SELECT qid, vec_id FROM (
-        |  SELECT q.qid, e.vec_id,
-        |   row_number() OVER (PARTITION BY q.qid ORDER BY
-        |    round(list_dot_product(q.qemb, e.emb) /
-        |     (sqrt(list_dot_product(q.qemb, q.qemb))
-        |      * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
-        |    e.vec_id ASC) AS rn
-        |  FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= 10),
-        |bin AS (
-        | SELECT qid, vec_id FROM (
-        |  SELECT qc.qid, c.vec_id,
-        |   row_number() OVER (PARTITION BY qc.qid ORDER BY
-        |    bit_count(xor(c.code_lo, qc.qlo))
-        |     + bit_count(xor(c.code_hi, qc.qhi)) ASC,
-        |    c.vec_id ASC) AS rn
-        |  FROM qc, codes c WHERE c.vec_id <> qc.qid) WHERE rn <= 10),
-        |hits AS (
-        | SELECT ext.qid, count(*) AS n
-        | FROM ext JOIN bin USING (qid, vec_id) GROUP BY 1)
-        |SELECT q.qid, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
-        | round(coalesce(hits.n, 0) / 10.0, 4) AS recall
-        |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
+    "s67_hamming_recall" -> s67OracleSql,
     // raw list_dot_product top-5 with the identical (ip DESC, vec_id
     // ASC) heap order; the norm-augmentation re-rank replays as a
     // second row_number within the kept 5, M/‖q‖ computed with the

@@ -2478,4 +2478,143 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  test("q150 audience overlap: cells replay from distinct user-type sets and counts are symmetric") {
+    val rows = SparkEntry.queries("q150_audience_overlap")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val ut = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nUsers = ut.map(_._1).distinct.length.toLong
+    val cells = rows.map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (a, b, both, na, nb, tot) =>
+      assert(tot === nUsers)
+      assert(na === byType(a).size.toLong && nb === byType(b).size.toLong)
+      assert(both === (byType(a) & byType(b)).size.toLong, s"($a,$b)")
+      assert(cells((b, a)) === both, s"($a,$b) symmetry")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q151 power: arm integers match q114 and the MDE algebra replays in closed form") {
+    val r = SparkEntry.queries("q151_ab_power")(spark, sf0001)
+      .collect().head
+    val z = SparkEntry.queries("q114_ab_ztest")(spark, sf0001)
+      .collect().head
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert((na, xa, nb, xb) ===
+      (z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)),
+      "arm integers must match q114's")
+    val pbar = (xa + xb).toDouble / (na + nb)
+    val zsum = 1.959963984540054 + 0.8416212335729143
+    val mde = zsum * math.sqrt(pbar * (1.0 - pbar)
+      * (1.0 / na + 1.0 / nb))
+    val lift = xb.toDouble / nb - xa.toDouble / na
+    assert(r.getDouble(5) === math.rint(mde * 1e6) / 1e6)
+    assert(r.getDouble(6) === math.rint(lift * 1e6) / 1e6)
+    assert(r.getBoolean(7) === (math.abs(lift) > mde))
+    SparkEntry.release(spark)
+  }
+
+  test("q152 cohort LTV: the curve replays exactly and is non-decreasing per cohort") {
+    val rows = SparkEntry.queries("q152_cohort_ltv")(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, nUsers, rev, gotCum, ltv) =>
+        cum += rev
+        assert(gotCum === cum, s"cohort $cw cumsum")
+        assert(ltv === math.rint(cum.toDouble / nUsers * 1e4) / 1e4)
+      }
+      // cumulative revenue can only grow with the offset
+      assert(sorted.map(_._5) === sorted.map(_._5).sorted)
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("s69 frontier: codec rows aggregate their registry twins exactly") {
+    val rows = SparkEntry.queries("s69_codec_frontier")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set("float32", "sq8", "binary"))
+    assert(rows("float32") === ((256L, 10L, 100L, 1.0)))
+    val s65 = SparkEntry.queries("s65_sq8_recall")(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    val s67 = SparkEntry.queries("s67_hamming_recall")(spark, sf0001)
+      .collect().map(_.getLong(1)).sum
+    assert(rows("sq8")._3 === s65, "sq8 hits must equal s65's total")
+    assert(rows("binary")._3 === s67, "binary hits must equal s67's total")
+    assert(rows("sq8")._4 === math.rint(s65 / 100.0 * 1e4) / 1e4)
+    assert(rows("binary")._4 === math.rint(s67 / 100.0 * 1e4) / 1e4)
+    SparkEntry.release(spark)
+  }
+
+  test("q153 sequential monitor: cumulative counts are monotone, the final day matches q114, and the mixture LR replays") {
+    val rows = SparkEntry.queries("q153_sequential_ab")(spark, sf0001)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    var (pna, pxa, pnb, pxb) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val (na, xa, nb, xb) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(na >= pna && xa >= pxa && nb >= pnb && xb >= pxb,
+        s"${r.getTimestamp(0)}: cumulative counts must be monotone")
+      assert(xa <= na && xb <= nb)
+      pna = na; pxa = xa; pnb = nb; pxb = xb
+      if (!r.isNullAt(6)) {
+        val pbar = (xa + xb).toDouble / (na + nb)
+        val v = pbar * (1.0 - pbar) * (1.0 / na + 1.0 / nb)
+        val theta = xb.toDouble / nb - xa.toDouble / na
+        val lam = math.sqrt(v / (v + 0.01)) *
+          math.exp(theta * theta * 0.01 / (2.0 * v * (v + 0.01)))
+        assert(r.getDouble(6) === math.rint(lam * 1e4) / 1e4,
+          s"${r.getTimestamp(0)} lambda")
+        assert(r.getBoolean(7) === (r.getDouble(6) >= 20.0))
+      }
+    }
+    val z = SparkEntry.queries("q114_ab_ztest")(spark, sf0001)
+      .collect().head
+    assert((pna, pxa, pnb, pxb) ===
+      (z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)),
+      "the final sequential day must reproduce q114's fixed-horizon integers")
+    SparkEntry.release(spark)
+  }
+
+  test("q154 histogram quantiles: estimates respect the half-bucket bound and the exact arm replays") {
+    val rows = SparkEntry.queries("q154_histogram_quantiles")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.t(spark, sf0001, "events")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val vmin = vals.map(_._3).min
+    val vmax = vals.map(_._3).max
+    val halfBucket = (vmax - vmin) / 256.0 / 2.0
+    val byType = vals.groupBy(_._1)
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      val sorted = byType(tpe).sortBy(x => (x._3, x._2)).map(_._3)
+      val n = sorted.length
+      assert(r.getLong(1) === n.toLong)
+      def exact(q: Int) = sorted((q * n + 99) / 100 - 1)
+      // the exact rank values replay, and each estimate sits within
+      // half a bucket of its exact value (structural: the estimate's
+      // bucket contains the rank value, the estimate is its center)
+      Seq((50, 3, 4), (90, 6, 7), (99, 9, 10)).foreach {
+        case (q, exIdx, errIdx) =>
+          assert(r.getDouble(exIdx) === math.rint(exact(q) * 1e4) / 1e4,
+            s"$tpe exact p$q")
+          assert(r.getDouble(errIdx) <= halfBucket + 1e-4,
+            s"$tpe p$q err ${r.getDouble(errIdx)} > half bucket $halfBucket")
+      }
+    }
+    SparkEntry.release(spark)
+  }
 }
