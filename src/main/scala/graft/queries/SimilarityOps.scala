@@ -778,6 +778,42 @@ object SimilarityOps {
           coalesce(!col("hit"), lit(true)).as("keep"))
     },
 
+    // SEMDEDUP THRESHOLD SWEEP — d52's operating-curve discipline
+    // pointed at the EMBEDDING dedup (d51): how much of the corpus
+    // would the semantic dedup drop at τ ∈ {0.30, 0.35, 0.40}? The
+    // knob that trades recall-of-redundancy against kept-data volume,
+    // decided BEFORE committing a τ corpus-wide. One cell-bounded
+    // pairwise pass (d51's O(Σ cell²) shape) reduces each vector to
+    // its MAX cosine against lower-id cell-mates; all three arms are
+    // then conditional counts over that per-vector aggregate — the
+    // sweep costs ONE extra scan of a vec-count-sized frame, not
+    // three pairwise passes. τ=0.35 reproduces d51's drop set by
+    // construction (spec-pinned).
+    "d62_semdedup_sweep" -> { (s, d) =>
+      val cell = cellAssignMemo(s, d)
+      val a = cell.select(col("cid"), col("vec_id").as("ia"),
+        col("emb").as("ea"))
+      val b = cell.select(col("cid").as("cidb"), col("vec_id").as("ib"),
+        col("emb").as("eb"))
+      val maxcos = a.join(b,
+          col("cid") === col("cidb") && col("ia") < col("ib"))
+        .withColumn("c", round(cos(col("ea"), col("eb")), 6))
+        .groupBy(col("ib").as("vec_id"))
+        .agg(max(col("c")).as("maxc"))
+      val agg = cell.select(col("vec_id"))
+        .join(maxcos, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("nv"),
+          sum(when(col("maxc") >= 0.30, 1L).otherwise(0L)).as("d30"),
+          sum(when(col("maxc") >= 0.35, 1L).otherwise(0L)).as("d35"),
+          sum(when(col("maxc") >= 0.40, 1L).otherwise(0L)).as("d40"))
+      Seq(("0.3", "d30"), ("0.35", "d35"), ("0.4", "d40")).map {
+        case (tau, cn) =>
+          agg.select(expr(s"CAST($tau AS DOUBLE)").as("tau"),
+            col("nv").as("n_vectors"), col(cn).as("n_dropped"),
+            round(col(cn) / col("nv"), 4).as("drop_rate"))
+      }.reduce(_ unionByName _)
+    },
+
     // GREEDY k-CENTER CORESET — farthest-point traversal over the
     // embedding space (Gonzalez 1985; the "diverse subset" selection a
     // curation pipeline runs to seed eval sets or active-learning
@@ -2366,6 +2402,41 @@ object SimilarityOps {
         |dropped AS (SELECT DISTINCT ib AS vec_id FROM p WHERE c >= 0.35)
         |SELECT cell.vec_id, cell.cid, (d.vec_id IS NULL) AS keep
         |FROM cell LEFT JOIN dropped d ON cell.vec_id = d.vec_id""".stripMargin,
+    // d51's cell/pair CTEs reduced to per-vector max-cosine, the same
+    // three threshold counts over the one aggregate
+    "d62_semdedup_sweep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |p AS (
+        | SELECT b.vec_id AS ib,
+        |  round(list_dot_product(a.emb, b.emb) /
+        |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS c
+        | FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |mx AS (SELECT ib AS vec_id, max(c) AS maxc FROM p GROUP BY 1),
+        |agg AS (
+        | SELECT count(*) AS nv,
+        |  CAST(sum(CASE WHEN maxc >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d30,
+        |  CAST(sum(CASE WHEN maxc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d35,
+        |  CAST(sum(CASE WHEN maxc >= 0.40 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d40
+        | FROM cell LEFT JOIN mx USING (vec_id))
+        |SELECT CAST(0.3 AS DOUBLE) AS tau, nv AS n_vectors,
+        | d30 AS n_dropped, round(d30 / nv, 4) AS drop_rate FROM agg
+        |UNION ALL
+        |SELECT CAST(0.35 AS DOUBLE), nv, d35, round(d35 / nv, 4) FROM agg
+        |UNION ALL
+        |SELECT CAST(0.4 AS DOUBLE), nv, d40, round(d40 / nv, 4) FROM agg""".stripMargin,
     // s37's cell CTEs widened with label; the metadata predicate joins
     // into candidate generation exactly like the Spark plan, and the
     // top-3 replays via row_number on the same (cosine DESC, vec_id)

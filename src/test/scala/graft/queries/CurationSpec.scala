@@ -2587,6 +2587,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d62 semdedup sweep: drops are monotone in tau and the 0.35 arm reproduces d51") {
+    val rows = SparkEntry.queries("d62_semdedup_sweep")(spark, sf0001)
+      .orderBy("tau").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.length === 3)
+    assert(rows.map(_._1).toSeq === Seq(0.3, 0.35, 0.4))
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3,
+      "a lower tau can only drop more")
+    assert(rows(0)._3 > rows(2)._3,
+      "the sweep must actually discriminate on this corpus")
+    val d51Drops = SparkEntry.queries("d51_semdedup")(spark, sf0001)
+      .filter(!col("keep")).count()
+    assert(rows(1)._3 === d51Drops, "tau=0.35 must reproduce d51's drops")
+    rows.foreach { case (_, nv, nd, rate) =>
+      assert(rate === math.rint(nd.toDouble / nv * 1e4) / 1e4)
+    }
+    SparkEntry.release(spark)
+  }
+
   test("q154 histogram quantiles: estimates respect the half-bucket bound and the exact arm replays") {
     val rows = SparkEntry.queries("q154_histogram_quantiles")(spark, sf0001)
       .collect()
