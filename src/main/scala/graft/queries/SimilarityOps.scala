@@ -778,6 +778,42 @@ object SimilarityOps {
           coalesce(!col("hit"), lit(true)).as("keep"))
     },
 
+    // LSH BUCKET-BALANCE DIAGNOSTIC — s49's index-health discipline
+    // pointed at the SIGN-LSH layout (s35/s63): the full per-(table,
+    // bucket) occupancy table with each bucket's corpus fraction. A
+    // collapsed hyperplane (all mass in few buckets) turns the bucket
+    // equi-join into a near-cross-join — this table is where that is
+    // visible BEFORE the join cost lands. Same seeded plane literals
+    // as s35 (both engines), one map-side bucket computation with a
+    // bounded ×6 fan-out, one (table, bucket) partial agg — ≤96 rows
+    // of output at any corpus size; the corpus total broadcasts.
+    "d63_lsh_bucket_stats" -> { (s, d) =>
+      val nTables = 6
+      val planesPerTable = 4
+      val planes = s35Planes
+      val e = emb(s, d)
+      val tableBuckets = (0 until nTables).map { tb =>
+        val bucket = (0 until planesPerTable).map { p =>
+          val proj = aggregate(
+            zip_with(col("emb"), typedlit(planes(tb)(p).toSeq),
+              (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ bitwiseOR _)
+        struct(lit(tb).as("table_id"), bucket.as("bucket"))
+      }
+      val keyed = e.withColumn("tb", explode(array(tableBuckets: _*)))
+        .select(col("tb.table_id").cast("long").as("table_id"),
+          col("tb.bucket").cast("long").as("bucket"))
+      val tot = e.agg(count(lit(1)).as("n_vectors"))
+      keyed.groupBy(col("table_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_in_bucket"))
+        .crossJoin(broadcast(tot))
+        .select(col("table_id"), col("bucket"), col("n_in_bucket"),
+          col("n_vectors"),
+          round(col("n_in_bucket") / col("n_vectors"), 4).as("frac"))
+    },
+
     // SEMDEDUP THRESHOLD SWEEP — d52's operating-curve discipline
     // pointed at the EMBEDDING dedup (d51): how much of the corpus
     // would the semantic dedup drop at τ ∈ {0.30, 0.35, 0.40}? The
@@ -1986,6 +2022,28 @@ object SimilarityOps {
        |FROM confirmed WHERE cosine >= 0.4""".stripMargin
   }
 
+  /** d63 oracle: s35's plane/keyed CTEs verbatim, then the occupancy
+    * rollup with the broadcast corpus total. */
+  private def d63Oracle: String = {
+    val planeRows = (for {
+      tb <- s35Planes.indices
+      p <- s35Planes(tb).indices
+    } yield s"($tb, ${1 << p}, [${s35Planes(tb)(p).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pl(tb, bit, v) AS (VALUES $planeRows),
+       |keyed AS (
+       | SELECT e.vec_id, pl.tb,
+       |  sum(CASE WHEN list_dot_product(e.emb, pl.v) >= 0 THEN pl.bit ELSE 0 END) AS bucket
+       | FROM e, pl GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n_vectors FROM e)
+       |SELECT CAST(tb AS BIGINT) AS table_id,
+       | CAST(bucket AS BIGINT) AS bucket,
+       | count(*) AS n_in_bucket, tot.n_vectors,
+       | round(count(*) / tot.n_vectors, 4) AS frac
+       |FROM keyed, tot GROUP BY 1, 2, tot.n_vectors""".stripMargin
+  }
+
   /** s63 oracle: s35's plane/keyed CTEs verbatim, then one candidate
     * set per probe arm — the Hamming-1 arm joins through an xor mask
     * VALUES table — with the same distinct-pair and ≥0.4 confirm
@@ -2521,6 +2579,7 @@ object SimilarityOps {
          |     + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), 0.0), 6) AS rrf
          |FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.vec_id""".stripMargin,
     "s35_ann_lsh" -> s35Oracle,
+    "d63_lsh_bucket_stats" -> d63Oracle,
     "s43_ivfpq_residual" -> s43Oracle,
     "s40_ivf_trained" -> s40Oracle,
     "s53_nprobe_sweep" -> s53Oracle,

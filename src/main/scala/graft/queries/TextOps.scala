@@ -1376,6 +1376,35 @@ object TextOps {
           countDistinct(col("w")).as("n_words"))
         .orderBy(col("n_occurrences").desc, col("pair").asc)
         .limit(20)
+    },
+
+    // VOCABULARY COVERAGE CURVE — the tokenizer-budget sizing sheet
+    // t61's single cut can't draw: what fraction of corpus TOKEN MASS
+    // the top-K frequency vocabulary covers, at K ∈ {5, 10, 20} (this
+    // corpus has 31 types — the natural-corpus setting is K ∈ {8k,
+    // 32k, 50k}, same plan). The decision "how big must the vocab be
+    // before OOV mass is acceptable" is read straight off the curve.
+    // The top-20 arrives by distributed TakeOrderedAndProject on the
+    // deterministic (count DESC, token ASC) order; the only
+    // unpartitioned window ranks those constant 20 rows (the s44
+    // discipline). All coverage ratios are integer-count quotients.
+    "t64_vocab_coverage" -> { (s, d) =>
+      val freq = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val totals = freq.agg(sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("n_types"))
+      val w = Window.orderBy(col("c").desc, col("token").asc)
+      val ranked = freq.orderBy(col("c").desc, col("token").asc).limit(20)
+        .withColumn("rn", row_number().over(w))
+      Seq(5, 10, 20).map { k =>
+        ranked.filter(col("rn") <= k)
+          .agg(sum(col("c")).as("covered"))
+          .crossJoin(broadcast(totals))
+          .select(lit(k.toLong).as("vocab_k"), col("n_types"),
+            col("total_tokens"), col("covered"),
+            round(col("covered") / col("total_tokens"), 4).as("coverage"))
+      }.reduce(_ unionByName _)
     }
   )
 
@@ -2161,7 +2190,31 @@ object TextOps {
         | count(DISTINCT w) AS n_words
         |FROM pairs GROUP BY 1
         |ORDER BY n_occurrences DESC, pair ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // the same deterministic rank + three prefix sums over the top-20
+    "t64_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT unnest(
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '[ \t\n\f\r]+') END)
+        |  AS token
+        | FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |totals AS (
+        | SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_types
+        | FROM freq),
+        |ranked AS (
+        | SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rn
+        | FROM freq),
+        |ks(k) AS (VALUES (5), (10), (20))
+        |SELECT CAST(ks.k AS BIGINT) AS vocab_k, t.n_types,
+        | t.total_tokens,
+        | CAST(sum(r.c) AS BIGINT) AS covered,
+        | round(sum(r.c) / t.total_tokens, 4) AS coverage
+        |FROM ks JOIN ranked r ON r.rn <= ks.k
+        | CROSS JOIN totals t
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

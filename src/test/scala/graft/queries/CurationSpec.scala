@@ -2607,6 +2607,110 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d63 LSH bucket stats: every table partitions the corpus and no table collapses") {
+    val rows = SparkEntry.queries("d63_lsh_bucket_stats")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 96)
+    val nVec = rows.head._4
+    rows.groupBy(_._1).foreach { case (table, bs) =>
+      assert(bs.map(_._3).sum === nVec,
+        s"table $table must partition all $nVec vectors")
+      assert(bs.forall(b => b._2 >= 0 && b._2 < 16))
+      assert(bs.length > 1,
+        s"table $table collapsed into a single bucket")
+      bs.foreach { b =>
+        assert(b._5 === math.rint(b._3.toDouble / nVec * 1e4) / 1e4)
+      }
+    }
+    assert(rows.map(_._1).distinct.length === 6)
+    SparkEntry.release(spark)
+  }
+
+  test("t64 vocab coverage: prefix sums replay exactly and coverage grows with K") {
+    val rows = SparkEntry.queries("t64_vocab_coverage")(spark, sf0001)
+      .orderBy("vocab_k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(5L, 10L, 20L))
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val freq = docs.flatMap(t =>
+      if (t.trim.isEmpty) Seq.empty[String]
+      else t.trim.split("[ \t\n\f\r]+").toSeq)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, c) => (-c, tok) }
+    val total = freq.map(_._2).sum
+    rows.foreach { case (k, nTypes, totalTokens, covered, coverage) =>
+      assert(nTypes === freq.length.toLong)
+      assert(totalTokens === total)
+      assert(covered === freq.take(k.toInt).map(_._2).sum, s"K=$k covered")
+      assert(coverage === math.rint(covered.toDouble / total * 1e4) / 1e4)
+    }
+    assert(rows(0)._5 < rows(1)._5 && rows(1)._5 <= rows(2)._5,
+      "coverage must grow with K")
+    SparkEntry.release(spark)
+  }
+
+  test("m49 positional entropy: deciles replay exactly and the tail dips below the head") {
+    val rows = SparkEntry.queries("m49_positional_entropy")(spark, sf0001)
+      .orderBy("decile").collect()
+    assert(rows.length === 10)
+    // driver replay at the 64-hex frame width with the same fold order
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val nibbles = "0123456789abcdef"
+    val frames = docs.flatMap { text =>
+      val hx = text.getBytes("UTF-8").map("%02x".format(_)).mkString
+      val nt = math.min(math.ceil(hx.length / 64.0).toLong, 64L)
+      (0L until nt).map { i =>
+        val th = hx.substring((i * 64).toInt,
+          math.min(hx.length, (i * 64 + 64).toInt))
+        val cnts = nibbles.map(c => th.count(_ == c).toLong)
+        val pres = cnts.filter(_ > 0)
+        val ent = math.rint(-pres.foldLeft(0.0) { (acc, n) =>
+          acc + (n.toDouble / th.length) * math.log(n.toDouble / th.length) /
+            math.log(2.0)
+        } * 1e4) / 1e4
+        (10 * i / nt, math.rint(ent * 1e4).toLong, ent)
+      }
+    }
+    val byDec = frames.groupBy(_._1)
+    rows.foreach { r =>
+      val dec = r.getLong(0)
+      val fs = byDec(dec)
+      assert(r.getLong(1) === fs.length.toLong, s"decile $dec n_frames")
+      assert(r.getDouble(2) === math.rint(fs.map(_._2).sum.toDouble
+        / (fs.length * 10000L) * 1e4) / 1e4, s"decile $dec mean")
+      assert(r.getDouble(3) === fs.map(_._3).min, s"decile $dec min")
+    }
+    assert(rows(9).getDouble(2) < rows.head.getDouble(2),
+      "the tail decile must dip below the head on this corpus")
+    SparkEntry.release(spark)
+  }
+
+  test("q155 rolling median: every value replays from the trailing-7 sorted frame") {
+    val rows = SparkEntry.queries("q155_rolling_median")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val evs = graft.Tables.t(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.collect { case ((_, _, eid, _), i) if i >= 6 =>
+        (uid, eid) -> sorted.slice(i - 6, i + 1).map(_._4).sorted.apply(3)
+      }
+    }.toMap
+    assert(rows.length === expected.size)
+    rows.foreach { case (uid, eid, med) =>
+      assert(med === expected((uid, eid)), s"user $uid event $eid")
+    }
+    SparkEntry.release(spark)
+  }
+
   test("q154 histogram quantiles: estimates respect the half-bucket bound and the exact arm replays") {
     val rows = SparkEntry.queries("q154_histogram_quantiles")(spark, sf0001)
       .collect()
