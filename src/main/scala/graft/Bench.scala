@@ -88,6 +88,17 @@ object Bench {
     val leaked = spark.sparkContext.getPersistentRDDs.size
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr}"""
     println(line)
+    // The driver snapshots only a ~2 KB stdout TAIL, which truncates
+    // the ~15 KB full line above mid-map (r11: BENCH_r11.json shipped
+    // parsed:null) — so ALSO print a compact line LAST that always
+    // fits whole in the tail: headline total + the 10 slowest queries
+    // (the ones perf review actually reads) + failures. The full
+    // per-query map survives via BENCH_LAST.json, committed in-repo.
+    val slowest = stats.sortBy(-_._2).take(10)
+      .map { case (k, med, _, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"10 slowest of ${stats.size}; full map in BENCH_LAST.json","reps":$reps,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr}"""
+    println(compact)
     // durability: the driver's BENCH_r0x.json keeps only a 2 KB stdout
     // tail, which truncates the per-query map — also land the full line
     // in-repo so every round's numbers survive for cross-round diffs

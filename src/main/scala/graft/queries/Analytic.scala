@@ -1287,17 +1287,20 @@ object Analytic {
     // decile carry 40% of revenue?") beside q102's Gini: customers cut
     // into EXACT revenue deciles with the t48 integer-ntile formula
     // over the block-distributed row_number, per-decile revenue summed
-    // in INTEGER CENTS (the per-customer total is scaled ×100 BEFORE
-    // its one round — rounding then scaling leaves a float product
-    // that truncates differently per engine; caught in testing —
-    // everything after is exact under any partitioning), cumulative
+    // in INTEGER CENTS (each ORDER's price is rounded to cents at the
+    // row, then summed as exact BIGINTs — a rounded FP sum would be
+    // partial-agg-order sensitive at half-cent boundaries; everything
+    // after is exact under any partitioning), cumulative
     // share from the richest decile down via
     // a window over the 10-row aggregate. Decile 10 = richest. One
     // custkey-keyed shuffle + the rank machinery; totals broadcast.
     "q125_revenue_concentration" -> { (s, d) =>
       val perCust = t(s, d, "orders")
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice")) * 100).cast("long")
+        // per-ORDER rounding, then an exact BIGINT sum (q152/q146
+        // discipline) — a rounded FP sum would be partial-agg-order
+        // sensitive at half-cent boundaries
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .as("cents"))
       val ranked = graft.operators.DistributedRank.rowNumber(perCust,
         Seq.empty, Seq(col("cents").asc, col("o_custkey").asc),
@@ -1590,71 +1593,98 @@ object Analytic {
     // channel removed (its transitions deleted, its start mass lost);
     // a channel's credit is the conversion it would destroy. The
     // corpus is touched exactly twice — q80's user-keyed lead window
-    // for transitions and a per-user argmin for first events — then
-    // every arm's 6-step propagation is |types|²-sized joins over the
-    // persisted aggregates. Probabilities are exact count ratios;
-    // per-step sums run over ≤5 terms (reorder drift ~1e-15 against
-    // the 4-dp grid); only the final columns round.
+    // for transitions and a per-user argmin for first events — and
+    // BOTH collapse to provably tiny aggregates: ≤|types|² transition
+    // rows and ≤|types| start rows. Those are COLLECTED behind a
+    // cardinality guard (`spark.graft.markov.maxStates`, default 256
+    // → ≤64 Ki matrix rows — the scale-SAFE use of collect: output
+    // bounded by the type alphabet, not the corpus) and the 5 arms ×
+    // 6-step propagation runs in local double arithmetic — identical
+    // count-ratio operands, per-step sums accumulated in sorted state
+    // order (the distributed version's ≤5-term reorder drift ~1e-15
+    // sat inside the 4-dp grid; a fixed order is strictly more
+    // deterministic). The r11 form scheduled ~35 chained mini-jobs
+    // over the same aggregates — 24 s of pure scheduling overhead at
+    // sf0.1 for arithmetic on ≤25 numbers. Final rounding happens IN
+    // SPARK on the assembled 4-row frame so round semantics stay the
+    // engine's own.
     "q138_markov_attribution" -> { (s, d) =>
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      val trans = t(s, d, "events")
+      val transRows = t(s, d, "events")
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
         .agg(count(lit(1)).as("n"))
-        .persist(lvl)
-      val pTrans = trans
-        .join(trans.groupBy(col("src")).agg(sum(col("n")).as("ns")), "src")
-        .select(col("src"), col("dst"), (col("n") / col("ns")).as("p"))
-        .persist(lvl)
-      val start = t(s, d, "events")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      val startRows = t(s, d, "events")
         .groupBy(col("user_id"))
         .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
           .as("f"))
         .groupBy(col("f.event_type").as("state"))
         .agg(count(lit(1)).as("n"))
-      val nUsers = start.agg(sum(col("n")).as("nu"))
-      val pStart = start.crossJoin(broadcast(nUsers))
-        .select(col("state"), (col("n") / col("nu")).as("mass"))
-        .persist(lvl)
-      def reach(removed: Option[String]): DataFrame = {
-        val pt = removed.fold(pTrans)(c =>
-          pTrans.filter(col("src") =!= c && col("dst") =!= c))
-        val v0 = removed.fold(pStart)(c => pStart.filter(col("state") =!= c))
-        val absorbed0 = v0.filter(col("state") === "purchase")
-          .agg(coalesce(sum(col("mass")), lit(0.0d)).as("a"))
-        val live0 = v0.filter(col("state") =!= "purchase")
-        val (liveK, absorbedK) = (1 to 6).foldLeft((live0, absorbed0)) {
-          case ((live, abs0), _) =>
-            val stepped = live
-              .join(pt, col("state") === col("src"))
-              .select(col("dst"), (col("mass") * col("p")).as("m"))
-            val hit = stepped.filter(col("dst") === "purchase")
-              .agg(coalesce(sum(col("m")), lit(0.0d)).as("a"))
-            val next = stepped.filter(col("dst") =!= "purchase")
-              .groupBy(col("dst").as("state")).agg(sum(col("m")).as("mass"))
-            (next, abs0.crossJoin(hit.select(col("a").as("a2")))
-              .select((col("a") + col("a2")).as("a")))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      val maxStates =
+        s.conf.get("spark.graft.markov.maxStates", "256").toInt
+      val nStates = (transRows.map(_._1) ++ transRows.map(_._2) ++
+        startRows.map(_._1)).distinct.size
+      require(nStates <= maxStates,
+        s"$nStates event types > spark.graft.markov.maxStates=$maxStates " +
+          "— the collected transition matrix is only bounded by the type " +
+          "alphabet; raise the cap only if |types|^2 rows fit the driver")
+      val outBySrc = transRows.groupBy(_._1)
+        .map { case (src, xs) => src -> xs.map(_._3).sum }
+      val pt0 = transRows.map { case (src, dst, n) =>
+        (src, dst, n.toDouble / outBySrc(src)) }
+      val nu = startRows.map(_._2).sum
+      val mass0 = startRows.map { case (st, n) => (st, n.toDouble / nu) }
+      def reach(removed: Option[String]): Double = {
+        val pt = removed.fold(pt0)(c =>
+          pt0.filter(x => x._1 != c && x._2 != c))
+        val bySrc = pt.groupBy(_._1)
+        val v0 = removed.fold(mass0)(c => mass0.filter(_._1 != c))
+        var absorbed = v0.filter(_._1 == "purchase").map(_._2).sum
+        var live: Seq[(String, Double)] = v0.filter(_._1 != "purchase").toSeq
+        for (_ <- 1 to 6) {
+          val stepped = live.sortBy(_._1).flatMap { case (st, mass) =>
+            bySrc.getOrElse(st, Array.empty[(String, String, Double)])
+              .map { case (_, dst, p) => (dst, mass * p) }
+          }
+          absorbed += stepped.filter(_._1 == "purchase").map(_._2).sum
+          live = stepped.filter(_._1 != "purchase")
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (dst, xs) => (dst, xs.map(_._2).sum) }
         }
-        val _ = liveK // the live mass after 6 steps is not reported
-        absorbedK.select(col("a").as(removed.fold("p_full")(_ => "p_removed")))
+        absorbed
       }
-      val full = reach(None)
+      val pFull = reach(None)
       val channels = Seq("click", "view", "signup", "error")
-      val arms = channels.map { c =>
-        reach(Some(c)).select(lit(c).as("channel"), col("p_removed"))
-      }.reduce(_ union _)
-      val effects = arms.crossJoin(broadcast(full))
-        .withColumn("effect",
-          greatest(lit(0.0d), col("p_full") - col("p_removed")))
-      val totEffect = effects.agg(sum(col("effect")).as("te"))
-      effects.crossJoin(broadcast(totEffect))
-        .select(col("channel"), round(col("p_full"), 4).as("p_full"),
-          round(col("p_removed"), 4).as("p_removed"),
-          round(col("effect"), 4).as("removal_effect"),
-          round(col("effect") / col("te"), 4).as("credit_share"))
+      val effects = channels.map { c =>
+        val pRem = reach(Some(c))
+        (c, pRem, math.max(0.0d, pFull - pRem))
+      }
+      val te = effects.map(_._3).sum
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pf",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("pr",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("eff",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("te",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows = effects.map { case (c, pRem, eff) =>
+        org.apache.spark.sql.Row(c, pFull, pRem, eff, te) }
+      s.createDataFrame(rows.asJava, schema)
+        .select(col("channel"), round(col("pf"), 4).as("p_full"),
+          round(col("pr"), 4).as("p_removed"),
+          round(col("eff"), 4).as("removal_effect"),
+          round(col("eff") / col("te"), 4).as("credit_share"))
     },
 
     // KAPLAN-MEIER TIME-TO-CONVERSION — survival analysis done right
@@ -1946,8 +1976,14 @@ object Analytic {
     "q146_abc_classification" -> { (s, d) =>
       val per = t(s, d, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
-          * 100).cast("long").as("cents"))
+        // cents are rounded PER ROW then summed as exact BIGINTs (the
+        // q152 discipline): a rounded FP *sum* would depend on Spark's
+        // partial-agg order vs the oracle's scan order at half-cent
+        // boundaries, and the flip would cascade through cum_cents
+        // into the A/B/C class
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1.0D - l_discount) * 100) AS BIGINT)"))
+          .as("cents"))
         // log2 bucket: strictly monotone (coarsely) with cents, so
         // every row in block b sorts before every row in block b+1
         // under (cents DESC); negate for an ASCENDING block key
@@ -1978,12 +2014,14 @@ object Analytic {
     // returned-line rate with a two-proportion z² flag against the
     // corpus rate (q114's discipline pointed at l_returnflag — the
     // column the reference corpus ships for exactly this analysis).
-    // z² reduces to a²/(n·R·(N−R)) with a = r·N − R·n; a and the
-    // denominator are exact BIGINTs, squared/divided in doubles with
-    // identical IEEE ops in both engines (a² would overflow BIGINT at
-    // corpus scale — the double widening happens at < 2⁵³, where cast
-    // is exact). One brand-keyed partial agg over the fact scan, the
-    // part dimension and the 1-row corpus totals broadcast.
+    // z² reduces to a²/(n·R·(N−R)) with a = r·N − R·n; every operand
+    // is cast to double BEFORE any multiplication, so at corpus scale
+    // the products degrade gracefully to nearest-double in BOTH
+    // engines (identical IEEE ops) instead of wrapping a BIGINT
+    // product past 2⁶³ — a 100 TB corpus has r·N far above 2⁶³, where
+    // non-ANSI Spark would silently wrap while DuckDB raises. One
+    // brand-keyed partial agg over the fact scan, the part dimension
+    // and the 1-row corpus totals broadcast.
     "q147_return_rates" -> { (s, d) =>
       val per = t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")
@@ -1997,11 +2035,11 @@ object Analytic {
         sum(col("n_returned")).as("rr"))
       per.crossJoin(broadcast(g))
         .withColumn("a",
-          (col("n_returned") * col("nn") - col("rr") * col("n_lines"))
-            .cast("double"))
+          col("n_returned").cast("double") * col("nn").cast("double")
+            - col("rr").cast("double") * col("n_lines").cast("double"))
         .withColumn("den",
-          (col("n_lines") * col("rr") * (col("nn") - col("rr")))
-            .cast("double"))
+          col("n_lines").cast("double") * col("rr").cast("double")
+            * (col("nn").cast("double") - col("rr").cast("double")))
         .select(col("p_brand"), col("n_lines"), col("n_returned"),
           round(col("n_returned") / col("n_lines"), 4).as("return_rate"),
           round(col("a") * col("a") / col("den"), 4).as("z2"),
@@ -2350,7 +2388,14 @@ object Analytic {
   /** q143/q149's shared EWMA frame: per (event_type, day), the day's
     * count and the 32-day binary-weighted trailing kernel
     * ewma_scaled = Σ_k x_{t−k}·2^(31−k) — a pure BIGINT sum, exact
-    * under any partitioning. One corpus partial-agg groupBy; the
+    * under any partitioning. Validity bound: the k=0 term is cb·2³¹
+    * and the 32-term sum is < 2³²·max(cb), so the kernel is exact
+    * while every per-(type, day) count stays below 2³¹ (~2.1e9
+    * events per type-day; the 2⁻³² truncation bound vs the infinite
+    * kernel holds in the same regime). Beyond that, widen the scale
+    * factor or switch the term to DECIMAL(38,0) — signed-64 shiftleft
+    * wraps silently in both engines. q149's 2³²·actual residual basis
+    * shares the identical bound. One corpus partial-agg groupBy; the
     * kernel runs as a calendar-bounded self-join over the tiny daily
     * frame (q123's discipline). */
   private def ewmaDaily(s: SparkSession, d: String): DataFrame = {
@@ -3352,7 +3397,8 @@ object Analytic {
     "q125_revenue_concentration" ->
       """WITH pc AS (
         | SELECT o_custkey,
-        |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS cents
         | FROM orders GROUP BY 1),
         |r AS (
         | SELECT *, row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
@@ -3741,8 +3787,8 @@ object Analytic {
     "q146_abc_classification" ->
       """WITH pc AS (
         | SELECT l_partkey AS part_key,
-        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100)
-        |   AS BIGINT) AS cents
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS cents
         | FROM lineitem GROUP BY 1),
         |r AS (
         | SELECT part_key, cents,
@@ -3771,8 +3817,10 @@ object Analytic {
         | FROM per),
         |x AS (
         | SELECT p_brand, n_lines, n_returned,
-        |  CAST(n_returned * nn - rr * n_lines AS DOUBLE) AS a,
-        |  CAST(n_lines * rr * (nn - rr) AS DOUBLE) AS den
+        |  CAST(n_returned AS DOUBLE) * CAST(nn AS DOUBLE)
+        |   - CAST(rr AS DOUBLE) * CAST(n_lines AS DOUBLE) AS a,
+        |  CAST(n_lines AS DOUBLE) * CAST(rr AS DOUBLE)
+        |   * (CAST(nn AS DOUBLE) - CAST(rr AS DOUBLE)) AS den
         | FROM per, g)
         |SELECT p_brand, n_lines, n_returned,
         | round(n_returned / n_lines, 4) AS return_rate,

@@ -413,7 +413,12 @@ object MultimodalOps extends Serializable {
     // byte total uses t31's block-offset discipline — per-(class,
     // block) cumsum windows plus a tiny broadcast prefix aggregate —
     // so parallelism is #classes × #blocks, never one task per class.
-    // All integer arithmetic; fill_rate is the single rounded float.
+    // All-integer arithmetic end to end: fill_bp renders the fill
+    // fraction in basis points (bytes*10000 div budget), the q122-ppm
+    // discipline — no FP division or rounding anywhere in the output,
+    // and the oracle casts every windowed-sum-derived integer column
+    // to BIGINT (DuckDB widens windowed sum(BIGINT) to HUGEINT, which
+    // pandas renders as float64 and would flip the driver's hash).
     "m42_batch_packing" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val budget = 16384L
@@ -440,8 +445,8 @@ object MultimodalOps extends Serializable {
         .agg(count(lit(1)).as("n_assets"),
           sum(col("bytes")).as("batch_bytes"),
           min(col("doc_id")).as("first_doc"))
-        .withColumn("fill_rate",
-          round(col("batch_bytes") / lit(budget.toDouble), 4))
+        .withColumn("fill_bp",
+          expr(s"(batch_bytes * 10000) div $budget"))
     },
 
     // PAYLOAD ENTROPY — the compressibility/quality signal a media
@@ -759,8 +764,28 @@ object MultimodalOps extends Serializable {
 
   /** m38 oracle: m34's tile CTEs + m37's per-position nibble counting
     * scoped to the tile substring; shared verbatim by m39's rollup. */
+  /** Per-nibble counter columns (`c0..c15`, nibble order) over a hex
+    * string column — the oracle-side mirror of the Spark 16-counter
+    * map-side histogram. */
+  private def nibbleCountCols(src: String): String =
+    "0123456789abcdef".zipWithIndex.map { case (ch, i) =>
+      s"CAST(length($src) - length(replace($src, '$ch', '')) AS BIGINT) AS c$i"
+    }.mkString(", ")
+
+  /** Fixed-order entropy sum over `c0..c15` / `tot` — explicit
+    * left-associated 16-term addition in NIBBLE ORDER, replicating
+    * Spark's ordered aggregate() fold bit-for-bit (an unordered SQL
+    * SUM over nibble-group rows lets the engine pick a summation
+    * order, and a 4-dp half-tie would then flake the hash gate —
+    * the r11 m38/m49 advisory). Absent nibbles add an exact 0.0,
+    * which is an IEEE identity on the accumulator. */
+  private def entropySumSql: String =
+    (0 until 16).map(i =>
+      s"(CASE WHEN c$i > 0 THEN (c$i / tot) * ln(c$i / tot) / ln(2) " +
+        "ELSE 0.0 END)").mkString(" + ")
+
   private def m38OracleSql: String =
-      """WITH p AS (
+      s"""WITH p AS (
         | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
         |n AS (
         | SELECT doc_id, hx,
@@ -771,22 +796,13 @@ object MultimodalOps extends Serializable {
         |  substring(hx, CAST(i*512 + 1 AS BIGINT), 512) AS th
         | FROM n, range(0, 64) r(i)
         | WHERE i < nt),
-        |nib AS (
-        | SELECT doc_id, tile_idx, th,
-        |  substring(th, CAST(unnest(generate_series(1, length(th)))
-        |    AS BIGINT), 1) AS nib
-        | FROM tiles),
         |c AS (
-        | SELECT doc_id, tile_idx, nib, count(*) AS n
-        | FROM nib GROUP BY 1, 2, 3),
-        |t AS (
-        | SELECT doc_id, tile_idx, CAST(sum(n) AS BIGINT) AS tot
-        | FROM c GROUP BY 1, 2)
-        |SELECT c.doc_id, c.tile_idx, min(t.tot) AS n_nibbles,
-        | round(-sum((c.n / t.tot) * ln(c.n / t.tot) / ln(2)), 4)
-        |   AS entropy_bits
-        |FROM c JOIN t ON c.doc_id = t.doc_id AND c.tile_idx = t.tile_idx
-        |GROUP BY 1, 2""".stripMargin
+        | SELECT doc_id, tile_idx, CAST(length(th) AS BIGINT) AS tot,
+        |  ${nibbleCountCols("th")}
+        | FROM tiles)
+        |SELECT doc_id, tile_idx, tot AS n_nibbles,
+        | round(-($entropySumSql), 4) AS entropy_bits
+        |FROM c""".stripMargin
 
   /** DuckDB rendering of [[frameDeltas]] — the shared m46/m47/m48 CTE
     * prefix ending in `f(doc_id, tidx, l1)` with l1 NULL on first
@@ -942,8 +958,10 @@ object MultimodalOps extends Serializable {
         |FROM r""".stripMargin,
     // m38's entropy CTEs at the 64-hex frame width, the same
     // (10·tidx) div nt decile key, and the integer-unit mean
+    // frame entropy via the shared fixed-order 16-term sum (see
+    // entropySumSql — replicates Spark's ordered fold bit-for-bit)
     "m49_positional_entropy" ->
-      """WITH p AS (
+      s"""WITH p AS (
         | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
         |n AS (
         | SELECT doc_id, hx,
@@ -954,22 +972,14 @@ object MultimodalOps extends Serializable {
         |  substring(hx, CAST(i*64 + 1 AS BIGINT), 64) AS th
         | FROM n, range(0, 64) r(i)
         | WHERE i < nt),
-        |nib AS (
-        | SELECT doc_id, tidx, nt, th,
-        |  substring(th, CAST(unnest(generate_series(1, length(th)))
-        |    AS BIGINT), 1) AS nib
-        | FROM tiles),
         |c AS (
-        | SELECT doc_id, tidx, nt, nib, count(*) AS n
-        | FROM nib GROUP BY 1, 2, 3, 4),
-        |t AS (
-        | SELECT doc_id, tidx, CAST(sum(n) AS BIGINT) AS tot
-        | FROM c GROUP BY 1, 2),
+        | SELECT doc_id, tidx, nt, CAST(length(th) AS BIGINT) AS tot,
+        |  ${nibbleCountCols("th")}
+        | FROM tiles),
         |ent AS (
-        | SELECT c.doc_id, c.tidx, min(c.nt) AS nt,
-        |  round(-sum((c.n / t.tot) * ln(c.n / t.tot) / ln(2)), 4) AS ent
-        | FROM c JOIN t ON c.doc_id = t.doc_id AND c.tidx = t.tidx
-        | GROUP BY 1, 2),
+        | SELECT doc_id, tidx, nt,
+        |  round(-($entropySumSql), 4) AS ent
+        | FROM c),
         |d AS (
         | SELECT (10 * tidx) // nt AS decile,
         |  CAST(round(ent * 10000) AS BIGINT) AS e4u, ent
@@ -1027,10 +1037,12 @@ object MultimodalOps extends Serializable {
         |  sum(bytes) OVER (PARTITION BY size_class ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS icum
         | FROM c)
-        |SELECT size_class, (icum - bytes) // 16384 AS batch_id,
+        |SELECT size_class,
+        | CAST((icum - bytes) // 16384 AS BIGINT) AS batch_id,
         | count(*) AS n_assets, CAST(sum(bytes) AS BIGINT) AS batch_bytes,
         | CAST(min(doc_id) AS BIGINT) AS first_doc,
-        | round(CAST(sum(bytes) AS BIGINT) / 16384.0, 4) AS fill_rate
+        | CAST((CAST(sum(bytes) AS BIGINT) * 10000) // 16384 AS BIGINT)
+        |   AS fill_bp
         |FROM k GROUP BY 1, 2""".stripMargin,
     // wraps the m34 tile SQL verbatim; distinct tiles per asset, the
     // shared set via the same >1-doc digest rule as m35
@@ -1085,22 +1097,22 @@ object MultimodalOps extends Serializable {
          | round($l1, 6) AS l1_drift
          |FROM s, g""".stripMargin
     },
+    // whole-payload entropy via the shared fixed-order 16-term sum
+    // (see entropySumSql — replicates Spark's ordered fold)
     "m37_payload_entropy" ->
-      """WITH h AS (
-        | SELECT doc_id, lower(hex(text)) AS hx FROM documents),
-        |nib AS (
-        | SELECT doc_id,
-        |  substring(hx, CAST(unnest(generate_series(1, length(hx)))
-        |    AS BIGINT), 1) AS nib
-        | FROM h),
-        |c AS (SELECT doc_id, nib, count(*) AS n FROM nib GROUP BY 1, 2),
-        |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
-        |SELECT c.doc_id, count(*) AS n_distinct_nibbles,
-        | CAST(min(t.tot) AS BIGINT) AS n_nibbles,
-        | round(-sum((c.n / t.tot) * ln(c.n / t.tot) / ln(2)), 4)
-        |   AS entropy_bits
-        |FROM c JOIN t ON c.doc_id = t.doc_id
-        |GROUP BY 1""".stripMargin,
+      s"""WITH h AS (
+        | SELECT doc_id, lower(hex(text)) AS hx FROM documents
+        | WHERE length(lower(hex(text))) > 0),
+        |c AS (
+        | SELECT doc_id, CAST(length(hx) AS BIGINT) AS tot,
+        |  ${nibbleCountCols("hx")}
+        | FROM h)
+        |SELECT doc_id,
+        | CAST(${(0 until 16).map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")}
+        |   AS BIGINT) AS n_distinct_nibbles,
+        | tot AS n_nibbles,
+        | round(-($entropySumSql), 4) AS entropy_bits
+        |FROM c""".stripMargin,
     // wraps the m34 tile SQL verbatim; the same distinct-set Jaccard
     // algebra as d28 over exact integer counts, one 4-dp final round
     "m36_asset_similarity" ->

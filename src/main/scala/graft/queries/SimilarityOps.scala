@@ -74,6 +74,18 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** [[cellAssign]] plus an EAGER cache fill: every consumer fans the
+    * assignment into 2+ branches of one job, and filling the cache in
+    * a dedicated tiny job first means no branch can find it cold (or
+    * evicted under a long run's memory pressure) and block on / race
+    * the 16-way crossJoin recompute — the r11 s48/s50 driver-run
+    * spread signature. */
+  private def cellAssignEager(e: DataFrame): DataFrame = {
+    val a = cellAssign(e)
+    a.count()
+    a
+  }
+
   /** Per-(session, dir) memo for the shared index stages: a composed
     * query (s48's four arms, s50's funnel stages) otherwise builds and
     * MATERIALIZES an identical persisted assignment once per arm.
@@ -132,7 +144,7 @@ object SimilarityOps {
   }
 
   private def cellAssignMemo(s: SparkSession, d: String): DataFrame =
-    memoGet(s, d, "cell")(cellAssign(emb(s, d)))
+    memoGet(s, d, "cell")(cellAssignEager(emb(s, d)))
 
   /** Trained coarse quantizer for s40: seeded k-means (k=8) fit once
     * per SF dir; centroids are rounded to 6 dp so the SAME literals
@@ -426,6 +438,11 @@ object SimilarityOps {
       val exact = queries("s33_knn_bruteforce")(s, d)
         .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Eager fill (r11 s48 spread [2.4 s, 21.7 s] under long driver
+      // runs): materialize the 30-row ground truth ONCE before the
+      // four probe arms reference it, so no arm ever finds the cache
+      // cold/evicted and re-derives the exact subtree mid-union.
+      exact.count()
       def arm(label: String, name: String): DataFrame = {
         val approx = queries(name)(s, d)
           .select(col("qid").as("aqid"), col("neighbor_id").as("aneib"))

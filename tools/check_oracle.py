@@ -50,6 +50,12 @@ def compare(name, spark_df, duck_df):
                 continue
             if xnull != ynull:
                 return f"null mismatch col={col} row={i}: {x!r} vs {y!r}"
+            if isinstance(x, float) != isinstance(y, float):
+                # dtype skew (e.g. DuckDB HUGEINT -> pandas float64 vs
+                # Spark int64): numerically equal but the driver hashes
+                # the rendered value, so 1 vs 1.0 is a real failure —
+                # the m42 r11 signature. Fail loudly here too.
+                return f"dtype skew col={col} row={i}: {x!r} vs {y!r}"
             if isinstance(x, float) or isinstance(y, float):
                 # exact: the query rounding discipline yields bitwise
                 # parity (verified across all queries); keep it that way
