@@ -61,7 +61,9 @@ object StressBench {
         array(lit("en"), lit("es"), lit("de"), lit("fr"), lit("zh")),
         (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
       .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
     tm("gen_docs")(docs.repartition(32).write.mode("overwrite")
       .parquet(s"$base/documents.parquet"))
 
@@ -181,6 +183,50 @@ object StressBench {
       SparkEntry.queries("d53_fuzzy_decontam")(spark, base).count()
     }
     println(s"""{"stress":"fuzzy_decontam_contaminated_docs","value":$decontamN}""")
+    SparkEntry.release(spark)
+
+    // ---- r12 scale-evidence cohort: the registry ops that landed in
+    // r11 without a §8.5 row, run at 10-20× sf0.1 so the linear-vs-
+    // data slope is recorded, not asserted.
+    // d61 shingle-size sweep at 100k docs: every arm's candidate join
+    // must stay rarity-bounded by the df ≤ 50 cap (which bites HARDER
+    // here than at sf0.1 — more common shingles cross the threshold),
+    // so arm cost tracks the corpus-linear shingle pass, never pairs².
+    val d61rows = tm("shingle_sweep_100k") {
+      SparkEntry.queries("d61_shingle_size_sweep")(spark, base)
+        .collect()
+    }
+    d61rows.sortBy(_.getLong(0)).foreach(r => println(
+      s"""{"stress":"shingle_sweep_arm_n${r.getLong(0)}","candidates":${r.getLong(5)},"confirmed":${r.getLong(6)}}"""))
+    SparkEntry.release(spark)
+
+    // m48 per-scene frame budgeting at 100k docs (20× sf0.1): frame
+    // explode + one doc-keyed window + map-side apportionment — time
+    // must scale with total payload bytes, no global stage.
+    val m48n = tm("frame_budget_100k") {
+      SparkEntry.queries("m48_frame_budget")(spark, base).count()
+    }
+    println(s"""{"stress":"frame_budget_docs","value":$m48n}""")
+    SparkEntry.release(spark)
+
+    // q146 ABC classification over a 10M-row synthetic lineitem
+    // (~17× sf0.1's 600k): the global revenue cumsum runs through the
+    // log2-block decomposition (per-block windows + broadcast prefix),
+    // so the ranked-list stage parallelizes by block instead of one
+    // task for the whole ordered list.
+    val li = spark.range(10000000L).toDF("id")
+      .withColumn("l_partkey", pmod(xxhash64(col("id")), lit(1000000L)))
+      .withColumn("l_extendedprice",
+        (pmod(xxhash64(col("id") + 7), lit(900000L)) + 100000L) / 100.0)
+      .withColumn("l_discount",
+        pmod(xxhash64(col("id") + 13), lit(11L)) / 100.0)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    tm("gen_lineitem_10m")(li.repartition(32).write.mode("overwrite")
+      .parquet(s"$base/lineitem.parquet"))
+    tm("abc_classification_10m") {
+      SparkEntry.queries("q146_abc_classification")(spark, base)
+        .write.format("noop").mode("overwrite").save()
+    }
     SparkEntry.release(spark)
 
     // ---- synthesize embeddings: 20k × 64 dims from hashes

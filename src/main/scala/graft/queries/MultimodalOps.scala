@@ -560,6 +560,79 @@ object MultimodalOps extends Serializable {
           col("min_entropy"))
     },
 
+    // PERCEPTUAL-HASH NEAR-DUP — the content-defined binary
+    // fingerprint a media store indexes FIRST (the aHash shape): the
+    // payload resamples to 64 positional segments with exact integer
+    // boundaries ((i·len) div 64 — no empty segment at any length),
+    // each segment's nibble-value mass thresholds against the payload
+    // total via the exact inequality 64·seg > tot (s66's n·v > sum
+    // discipline — no FP mean in either engine), and the 64 bits pack
+    // into TWO 32-bit halves (one 64-bit word would need the sign
+    // bit; two halves keep every shift signed-safe — the s66/s67
+    // packing). Search is d32's banded-Hamming shape: four 16-bit
+    // bands generate candidates (shuffle O(assets × 4 band keys),
+    // never pairs²), popcount-of-XOR scores every candidate and the
+    // is_dup flag marks ≤ 8/64 bits. The FULL scored candidate set
+    // ships (1058 rows at sf0.1, 14 at sf0.001 — band-collision-
+    // bounded at every scale): on this text-payload corpus the
+    // positional profile only collapses to Hamming ≤ 8 for near-
+    // identical payloads (8 pairs at sf0.1, none smaller — probed,
+    // the q139 degeneracy lesson), so the candidate table with scores
+    // IS the operator and m36's exact tile Jaccard is the confirm
+    // tier it feeds. The whole fingerprint is 8 bytes/asset — m36's
+    // 64-digest tile footprint shrunk ~100× for the first-pass index.
+    // Signature table persists at its two-consumer reuse point (both
+    // sides of the band self-join).
+    "m50_phash_neardup" -> { (s, d) =>
+      val sigs = multimodalTable(s, d)
+        .select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
+        .filter(length(col("hx")) >= 64)
+        .withColumn("ln", length(col("hx")))
+        .withColumn("segsums", expr(
+          """transform(sequence(0, 63), i ->
+            |  aggregate(
+            |    sequence(CAST((i * ln) div 64 + 1 AS INT),
+            |             CAST(((i + 1) * ln) div 64 AS INT)),
+            |    0L,
+            |    (a, p) -> a +
+            |      CAST(instr('0123456789abcdef', substring(hx, p, 1))
+            |        AS BIGINT) - 1L))""".stripMargin))
+        .withColumn("tot", expr("aggregate(segsums, 0L, (a, x) -> a + x)"))
+        .withColumn("bits", expr(
+          "transform(segsums, x -> IF(x * 64 > tot, 1L, 0L))"))
+        .withColumn("ph_hi", expr(
+          """aggregate(zip_with(slice(bits, 1, 32), sequence(31, 0, -1),
+            | (b, k) -> shiftleft(b, k)), 0L, (a, x) -> a + x)"""
+            .stripMargin))
+        .withColumn("ph_lo", expr(
+          """aggregate(zip_with(slice(bits, 33, 32), sequence(31, 0, -1),
+            | (b, k) -> shiftleft(b, k)), 0L, (a, x) -> a + x)"""
+            .stripMargin))
+        .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sigs.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        explode(array(
+          struct(lit(0).as("bi"), shiftright(col("ph_hi"), 16)
+            .bitwiseAND(lit(0xffffL)).as("bv")),
+          struct(lit(1).as("bi"),
+            col("ph_hi").bitwiseAND(lit(0xffffL)).as("bv")),
+          struct(lit(2).as("bi"), shiftright(col("ph_lo"), 16)
+            .bitwiseAND(lit(0xffffL)).as("bv")),
+          struct(lit(3).as("bi"),
+            col("ph_lo").bitwiseAND(lit(0xffffL)).as("bv")))).as("b"))
+      banded.select(col("doc_id").as("ia"), col("ph_hi").as("ha"),
+          col("ph_lo").as("la"), col("b"))
+        .join(banded.select(col("doc_id").as("ib"), col("ph_hi").as("hb"),
+          col("ph_lo").as("lb"), col("b").as("bb")),
+          col("b") === col("bb") && col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), col("ha"), col("la"), col("hb"),
+          col("lb")).distinct()
+        .withColumn("hamming",
+          expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
+        .select(col("ia"), col("ib"), col("hamming"),
+          (col("hamming") <= 8).as("is_dup"))
+    },
+
     // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
     // distribution vs the fleet-wide distribution, as an L1 distance:
     // the lakehouse check that catches a source whose payload format
@@ -1021,6 +1094,59 @@ object MultimodalOps extends Serializable {
          |FROM r""".stripMargin
     },
     "m34_payload_tiles" -> m34OracleSql,
+    // the same exact segment boundaries ((i*ln)//64), nibble-value
+    // mass via the 16-counter replace form (integer-identical to the
+    // Spark per-position fold), 64·v > tot bit rule, two-half packing,
+    // d32-style band join + popcount confirm
+    "m50_phash_neardup" -> {
+      val nibMass = "0123456789abcdef".zipWithIndex.filter(_._2 > 0)
+        .map { case (ch, v) =>
+          s"$v * (length(sg) - length(replace(sg, '$ch', '')))"
+        }.mkString(" + ")
+      s"""WITH h AS (
+         | SELECT doc_id, lower(hex(text)) AS hx FROM documents
+         | WHERE length(lower(hex(text))) >= 64),
+         |seg AS (
+         | SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |  substring(hx, (i * length(hx)) // 64 + 1,
+         |   ((i + 1) * length(hx)) // 64 - (i * length(hx)) // 64) AS sg
+         | FROM h, range(0, 64) r(i)),
+         |sv AS (
+         | SELECT doc_id, i, CAST($nibMass AS BIGINT) AS v FROM seg),
+         |t AS (
+         | SELECT doc_id, CAST(sum(v) AS BIGINT) AS tot
+         | FROM sv GROUP BY 1),
+         |b AS (
+         | SELECT sv.doc_id, sv.i,
+         |  CASE WHEN sv.v * 64 > t.tot THEN 1 ELSE 0 END AS bit
+         | FROM sv JOIN t ON sv.doc_id = t.doc_id),
+         |ph AS (
+         | SELECT doc_id,
+         |  CAST(sum(CASE WHEN i < 32
+         |   THEN CAST(bit AS BIGINT) << CAST(31 - i AS INT)
+         |   ELSE 0 END) AS BIGINT) AS ph_hi,
+         |  CAST(sum(CASE WHEN i >= 32
+         |   THEN CAST(bit AS BIGINT) << CAST(63 - i AS INT)
+         |   ELSE 0 END) AS BIGINT) AS ph_lo
+         | FROM b GROUP BY 1),
+         |banded AS (
+         | SELECT doc_id, ph_hi, ph_lo, bb.bi,
+         |  CASE bb.bi WHEN 0 THEN (ph_hi >> 16) & 65535
+         |             WHEN 1 THEN ph_hi & 65535
+         |             WHEN 2 THEN (ph_lo >> 16) & 65535
+         |             ELSE ph_lo & 65535 END AS bv
+         | FROM ph, (VALUES (0),(1),(2),(3)) bb(bi)),
+         |cands AS (
+         | SELECT DISTINCT a.doc_id AS ia, b2.doc_id AS ib,
+         |  a.ph_hi AS ha, a.ph_lo AS la, b2.ph_hi AS hb, b2.ph_lo AS lb
+         | FROM banded a JOIN banded b2
+         |  ON a.bi = b2.bi AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT ia, ib,
+         | CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+         |   AS hamming,
+         | (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 8) AS is_dup
+         |FROM cands""".stripMargin
+    },
     // the same next-fit rule over a single-window cumsum rendering
     // (the block-offset form is bitwise identical to it)
     "m42_batch_packing" ->

@@ -274,6 +274,89 @@ object Relational {
     // Pivot = A1 count-vectorization shape on the corpus (SURVEY.md §2.4):
     // explicit value list, like pivot("Family", familias) in the reef
     // pipeline — conditional aggregation, one pass, no value shuffle.
+    // TPC-H Q17 SHAPE — small-quantity-order revenue per brand: lines
+    // whose quantity sits below 20% of their PART's average, the
+    // "smaller container" probe. The 20%-of-avg gate runs as the EXACT
+    // integer inequality 5·qty·cnt < sumq (quantities are integral, so
+    // the per-part average never materializes as a float), revenue in
+    // row-rounded integer cents (q152 discipline). Plan: ONE lineitem
+    // partial agg per part, joined back to the fact on l_partkey (both
+    // shuffles partkey-keyed; the aggregate side is |parts|-sized),
+    // part dim broadcast.
+    "q156_small_qty_revenue" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("sumq"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt")
+          < col("sumq"))
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+    },
+
+    // TPC-H Q18 SHAPE — large-volume orders: orders whose total line
+    // quantity exceeds 250 (the top ~1.5% of this corpus), with their
+    // customer. The HAVING gate runs on the orderkey partial agg
+    // BEFORE any join, so both dimension joins see only qualifying
+    // orders; quantities are integral so the gate is exact. The
+    // customer join stays un-broadcast deliberately — at 100 TB the
+    // customer table is itself fact-sized and AQE picks the join.
+    "q157_large_orders" -> { (s, d) =>
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("total_cents"),
+          col("sum_qty"))
+    },
+
+    // TPC-H Q21 SHAPE — suppliers who were the SOLE late shipper in a
+    // multi-supplier order (late = shipped > 365 days after the order
+    // date — this corpus's ship lag is synthetic-wide, q145 audits
+    // it). The classic correlated EXISTS/NOT-EXISTS pair collapses
+    // into aggregates: the fact collapses FIRST to one row per
+    // (order, supplier) — so all later logic runs on a frame bounded
+    // by order fan-out, not lines — then a per-order profile (distinct
+    // suppliers, distinct late suppliers) gates the qualifying rows.
+    // Both shuffles orderkey-keyed; the (order, supplier) frame
+    // persists at its documented two-consumer reuse point; supplier
+    // dim broadcast.
+    "q158_sole_late_supplier" -> { (s, d) =>
+      val g = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(datediff(col("l_shipdate"), col("o_orderdate"))
+          > 365, 1L).otherwise(0L)).as("n_late_lines"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prof = g.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("n_late_lines") > 0, 1L).otherwise(0L))
+            .as("n_late_supp"))
+      g.filter(col("n_late_lines") > 0)
+        .join(prof, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(sum(col("n_late_lines")).as("n_late_lines"),
+          count(lit(1)).as("n_orders"))
+    },
+
     "q12_pivot_flag_status" -> { (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -424,6 +507,49 @@ object Relational {
       """SELECT l_returnflag,
         | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END),2) AS qty_f,
         | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END),2) AS qty_o
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the same exact 5·qty·cnt < sumq inequality; cents rounded per row
+    "q156_small_qty_revenue" ->
+      """WITH pp AS (
+        | SELECT l_partkey AS pk, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumq
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small_lines,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS revenue_cents
+        |FROM lineitem l JOIN pp ON l.l_partkey = pp.pk
+        | JOIN part ON l.l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sumq
+        |GROUP BY 1""".stripMargin,
+    "q157_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        | CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q158_sole_late_supplier" ->
+      """WITH g AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 365 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_late_lines
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2),
+        |prof AS (
+        | SELECT l_orderkey AS ok, count(*) AS n_supp,
+        |  CAST(sum(CASE WHEN n_late_lines > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_late_supp
+        | FROM g GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        | CAST(sum(n_late_lines) AS BIGINT) AS n_late_lines,
+        | count(*) AS n_orders
+        |FROM g JOIN prof ON g.l_orderkey = prof.ok
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_late_lines > 0 AND n_supp > 1 AND n_late_supp = 1
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -743,4 +743,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       s"daily-frame self-join must broadcast in:\n$p")
   }
+
+  test("q156: every shuffle is partkey-keyed and the part dim broadcasts") {
+    val p = plan("q156_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("l_partkey", "pk", "p_brand")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q158: the fact collapses to (order, supplier) aggregates; supplier dim broadcasts") {
+    val p = plan("q158_sole_late_supplier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast in:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the (order, supplier) frame must persist for its two consumers in:\n$p")
+  }
+
+  test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
+    val p = plan("m50_phash_neardup")
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate generation must stay an equi-join in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"band join missing in:\n$p")
+  }
 }

@@ -2741,4 +2741,136 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
     SparkEntry.release(spark)
   }
+
+  /** Spark's round() on doubles: HALF_UP via BigDecimal — the replay
+    * must use the same tie rule, not rint's HALF_EVEN. */
+  private def round0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  test("q156 small-qty revenue: the exact 5·qty·cnt < sumq gate replays per brand") {
+    val li = graft.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong,
+        round0(r.getDouble(2) * 100)))
+    val brand = graft.Tables.t(spark, sf0001, "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perPart = li.groupBy(_._1).map { case (pk, xs) =>
+      pk -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val expected = li.filter { case (pk, q, _) =>
+        val (cnt, sumq) = perPart(pk); q * 5 * cnt < sumq }
+      .groupBy(x => brand(x._1))
+      .map { case (b, xs) => b -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    val got = SparkEntry.queries("q156_small_qty_revenue")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "the small-quantity gate must fire on this corpus")
+    SparkEntry.release(spark)
+  }
+
+  test("q157 large orders: the pre-join HAVING gate replays exactly") {
+    val sumQty = graft.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong))
+      .groupBy(_._1).map { case (ok, xs) => ok -> xs.map(_._2).sum }
+    val big = sumQty.filter(_._2 > 250)
+    val orders = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val custName = graft.Tables.t(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = big.map { case (ok, sq) =>
+      val (ck, tp) = orders(ok)
+      (custName(ck), ck, ok, round0(tp * 100), sq)
+    }.toSet
+    val got = SparkEntry.queries("q157_large_orders")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "the 250-quantity gate must fire on this corpus")
+    SparkEntry.release(spark)
+  }
+
+  test("q158 sole late supplier: the EXISTS/NOT-EXISTS collapse replays exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    // o_orderdate ships as TIMESTAMP_NTZ (LocalDateTime), l_shipdate
+    // as TIMESTAMP (sql.Timestamp) — normalize both to the UTC date
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    val orderDate = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderdate")).collect()
+      .map(r => r.getLong(0) -> day(r.get(1))).toMap
+    val lines = graft.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          orderDate(r.getLong(0)), day(r.get(2))) > 365))
+    val g = lines.groupBy(x => (x._1, x._2)).map { case ((ok, sk), xs) =>
+      (ok, sk) -> xs.count(_._3).toLong }
+    val prof = g.keys.groupBy(_._1).map { case (ok, ks) =>
+      ok -> ((ks.size.toLong, ks.count(k => g(k) > 0).toLong)) }
+    val expected = g.toSeq
+      .filter { case ((ok, _), nLate) =>
+        val (nSupp, nLateSupp) = prof(ok)
+        nLate > 0 && nSupp > 1 && nLateSupp == 1 }
+      .groupBy(_._1._2)
+      .map { case (sk, xs) =>
+        sk -> ((xs.map(_._2).sum, xs.length.toLong)) }
+    val got = SparkEntry.queries("q158_sole_late_supplier")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "sole-late suppliers must exist on this corpus")
+    SparkEntry.release(spark)
+  }
+
+  test("m50 phash near-dup: byte-exact fingerprint replay and the banded candidate set covers the output") {
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val alpha = "0123456789abcdef"
+    val sigs = docs.flatMap { case (id, txt) =>
+      val hx = txt.getBytes("UTF-8").map("%02x".format(_)).mkString
+      val ln = hx.length
+      if (ln < 64) None else {
+        val segs = (0 until 64).map { i =>
+          hx.substring(i * ln / 64, (i + 1) * ln / 64)
+            .map(c => alpha.indexOf(c).toLong).sum
+        }
+        val tot = segs.sum
+        val bits = segs.map(v => if (v * 64 > tot) 1L else 0L)
+        val hi = bits.take(32).zipWithIndex
+          .map { case (b, k) => b << (31 - k) }.sum
+        val lo = bits.drop(32).zipWithIndex
+          .map { case (b, k) => b << (31 - k) }.sum
+        Some(id -> ((hi, lo)))
+      }
+    }
+    def bands(h: Long, l: Long): Seq[Long] =
+      Seq((h >> 16) & 0xffffL, h & 0xffffL, (l >> 16) & 0xffffL,
+        l & 0xffffL)
+    val expected = (for {
+      (a, (ha, la)) <- sigs
+      (b2, (hb, lb)) <- sigs
+      if a < b2 && bands(ha, la).zip(bands(hb, lb)).exists(p => p._1 == p._2)
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+    } yield (a, b2, h.toLong, h <= 8)).toSet
+    val got = SparkEntry.queries("m50_phash_neardup")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "band candidates must exist on this corpus")
+    got.foreach { case (_, _, h, flag) => assert(flag === (h <= 8)) }
+    SparkEntry.release(spark)
+  }
 }
