@@ -588,15 +588,22 @@ object MultimodalOps extends Serializable {
         .select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
         .filter(length(col("hx")) >= 64)
         .withColumn("ln", length(col("hx")))
-        .withColumn("segsums", expr(
+        // nibble-value mass per segment via the m37 replace-counter
+        // form: Σ v·count_v runs as 15 NATIVE string scans per
+        // segment (UTF8String.replace) instead of a per-position
+        // lambda — measured ~3× faster than the per-char fold at
+        // sf0.1, same exact integers
+        .withColumn("segs", expr(
           """transform(sequence(0, 63), i ->
-            |  aggregate(
-            |    sequence(CAST((i * ln) div 64 + 1 AS INT),
-            |             CAST(((i + 1) * ln) div 64 AS INT)),
-            |    0L,
-            |    (a, p) -> a +
-            |      CAST(instr('0123456789abcdef', substring(hx, p, 1))
-            |        AS BIGINT) - 1L))""".stripMargin))
+            |  substring(hx, CAST((i * ln) div 64 + 1 AS INT),
+            |    CAST(((i + 1) * ln) div 64 - (i * ln) div 64 AS INT)))"""
+            .stripMargin))
+        .withColumn("segsums", expr(
+          "transform(segs, sg -> " +
+            "0123456789abcdef".zipWithIndex.filter(_._2 > 0)
+              .map { case (ch, v) =>
+                s"${v}L * (length(sg) - length(replace(sg, '$ch', '')))"
+              }.mkString(" + ") + ")"))
         .withColumn("tot", expr("aggregate(segsums, 0L, (a, x) -> a + x)"))
         .withColumn("bits", expr(
           "transform(segsums, x -> IF(x * 64 > tot, 1L, 0L))"))
