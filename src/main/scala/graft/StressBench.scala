@@ -209,6 +209,51 @@ object StressBench {
     println(s"""{"stress":"frame_budget_docs","value":$m48n}""")
     SparkEntry.release(spark)
 
+    // m50 perceptual hash at 100k assets, two claims measured
+    // separately:
+    // (1) VOLUME — candidates on the raw corpus stay at the LSH
+    //     collision bound (~n²/2¹⁶ per 16-bit band; measured 360k
+    //     for 100k docs, BELOW the 610k uniform-random expectation —
+    //     the banding never degenerates toward pairs²). The corpus's
+    //     planted append-dups are NOT byte-aligned past the early
+    //     segments (boundaries shift by i·Δlen/64), so they are not
+    //     a phash recall signal — measured and documented, not
+    //     assumed (planted_found = 0 is the honest number here).
+    // (2) RECALL — aHash's actual robustness class is the
+    //     length-PRESERVING local edit (the image analog: a few
+    //     changed pixels). 1000 copies with one byte substituted at
+    //     a fixed offset keep every segment boundary identical, so
+    //     only the touched segment's mass (and the global total,
+    //     slightly) moves; those pairs must land at tiny Hamming and
+    //     be flagged is_dup.
+    val ph = tm("phash_neardup_100k") {
+      SparkEntry.queries("m50_phash_neardup")(spark, base)
+        .agg(count(lit(1)).as("cands"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"))
+        .head()
+    }
+    println(s"""{"stress":"phash_candidates","value":${ph.getLong(0)},"is_dup":${ph.getLong(1)}}""")
+    SparkEntry.release(spark)
+    val phBase = s"$base/phash_edit"
+    val edited = d.filter(col("doc_id") % 100 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text",
+        concat(substring(col("text"), 1, 40), lit("X"),
+          substring(col("text"), 42, 1000000)))
+    d.unionByName(edited).repartition(32).write.mode("overwrite")
+      .parquet(s"$phBase/documents.parquet")
+    val phe = tm("phash_aligned_edit_recall") {
+      SparkEntry.queries("m50_phash_neardup")(spark, phBase)
+        .filter(col("ib") - col("ia") === 10000000L
+          && col("ib") % 100 === 0)
+        .agg(count(lit(1)).as("cand_pairs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("found"),
+          max(col("hamming")).as("max_h"))
+        .head()
+    }
+    println(s"""{"stress":"phash_aligned_edit","planted":1000,"candidates":${phe.getLong(0)},"is_dup":${phe.getLong(1)},"max_hamming":${if (phe.isNullAt(2)) -1 else phe.getLong(2)}}""")
+    SparkEntry.release(spark)
+
     // q146 ABC classification over a 10M-row synthetic lineitem
     // (~17× sf0.1's 600k): the global revenue cumsum runs through the
     // log2-block decomposition (per-block windows + broadcast prefix),
