@@ -46,19 +46,34 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      SparkEntry.release(spark)
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
+    // SELF-HEAL: a single contended rep on a shared host can stretch one
+    // query's max to 3-6× its own min (r11's 8-row cohort, r12's d38 —
+    // all environmental, zero source changes). If the 3-rep spread
+    // exceeds 3×, take ONE extra measurement before recording the
+    // median: with 4 samples the upper-middle statistic can never be the
+    // one contended outlier, so a single bad rep can no longer produce a
+    // red bench_diff row. Healed queries are reported so noise stays
+    // VISIBLE (a "healed" array in the line), just no longer damaging.
+    var healed = List.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        SparkEntry.release(spark)
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      val sorted = times.sorted
+      val times = (1 to reps).flatMap(_ => timeOnce(name, fn))
+      val extra =
+        if (times.size >= 2 && times.min > 0 && times.max / times.min > 3.0) {
+          healed ::= name
+          timeOnce(name, fn)
+        } else None
+      val sorted = (times ++ extra).sorted
       (name, sorted)
     }
     // A query whose every rep failed must NOT appear as a 0.0 median:
@@ -79,14 +94,18 @@ object Bench {
       "\"" + k + "\":[" + mn + "," + mx + "]"
     }.mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val healedArr = healed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED all reps: " +
         failed.map(_._1).mkString(", "))
+    if (healed.nonEmpty)
+      System.err.println(s"[bench] ${healed.size} queries re-measured after >3x spread: " +
+        healed.sorted.mkString(", "))
     val total = stats.map(_._2).sum
     // lifecycle evidence: after release() between reps, nothing this
     // library persisted may outlive the pass (0 expected)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
     println(line)
     // The driver snapshots only a ~2 KB stdout TAIL, which truncates
     // the ~15 KB full line above mid-map (r11: BENCH_r11.json shipped
@@ -97,17 +116,21 @@ object Bench {
     val slowest = stats.sortBy(-_._2).take(10)
       .map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"10 slowest of ${stats.size}; full map in BENCH_LAST.json","reps":$reps,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"10 slowest of ${stats.size}; full map in BENCH_LAST.json","reps":$reps,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
     println(compact)
     // durability: the driver's BENCH_r0x.json keeps only a 2 KB stdout
     // tail, which truncates the per-query map — also land the full line
-    // in-repo so every round's numbers survive for cross-round diffs
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_LAST.json")), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_LAST.json: ${e.getMessage}")
-    }
+    // in-repo so every round's numbers survive for cross-round diffs,
+    // PLUS the compact summary at a stable path the driver (or anyone)
+    // can snapshot whole without parsing a truncated tail
+    def writeFile(path: String, content: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path), content + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"), line)
+    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json"), compact)
     spark.stop()
   }
 }

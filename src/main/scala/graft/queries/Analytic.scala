@@ -2017,9 +2017,17 @@ object Analytic {
     // z² reduces to a²/(n·R·(N−R)) with a = r·N − R·n; every operand
     // is cast to double BEFORE any multiplication, so at corpus scale
     // the products degrade gracefully to nearest-double in BOTH
-    // engines (identical IEEE ops) instead of wrapping a BIGINT
-    // product past 2⁶³ — a 100 TB corpus has r·N far above 2⁶³, where
-    // non-ANSI Spark would silently wrap while DuckDB raises. One
+    // engines (identical IEEE ops) instead of overflowing a BIGINT
+    // product past 2⁶³ — a 100 TB corpus has r·N far above 2⁶³,
+    // where ANSI Spark (4.1 default) raises at runtime. Known trade:
+    // a = r·N − R·n cancels catastrophically in double once the
+    // products pass 2⁵³ with near-equal rates (the common case), so
+    // z2's 4-dp value near the 3.84 flag boundary loses accuracy;
+    // DECIMAL(38,0) was probed as the exact escape and REJECTED —
+    // DuckDB silently promotes DECIMAL(19,0)×DECIMAL(19,0) and
+    // DECIMAL(38,0)−DECIMAL(38,0) to DOUBLE (measured), so the
+    // decimal form is not portable and the IEEE-identical double
+    // chain is the strongest cross-engine contract available. One
     // brand-keyed partial agg over the fact scan, the part dimension
     // and the 1-row corpus totals broadcast.
     "q147_return_rates" -> { (s, d) =>

@@ -592,11 +592,17 @@ object MultimodalOps extends Serializable {
         // form: Σ v·count_v runs as 15 NATIVE string scans per
         // segment (UTF8String.replace) instead of a per-position
         // lambda — measured ~3× faster than the per-char fold at
-        // sf0.1, same exact integers
+        // sf0.1, same exact integers. Boundary products i·ln widen
+        // to BIGINT BEFORE multiplying (i ≤ 64 × ln up to 2³¹ would
+        // overflow 32-bit INT for payloads over ~16 MiB — ANSI Spark
+        // would throw at runtime), mirroring the oracle's BIGINT
+        // range(0,64) operands.
         .withColumn("segs", expr(
           """transform(sequence(0, 63), i ->
-            |  substring(hx, CAST((i * ln) div 64 + 1 AS INT),
-            |    CAST(((i + 1) * ln) div 64 - (i * ln) div 64 AS INT)))"""
+            |  substring(hx,
+            |    CAST((CAST(i AS BIGINT) * ln) div 64 + 1 AS INT),
+            |    CAST((CAST(i + 1 AS BIGINT) * ln) div 64
+            |         - (CAST(i AS BIGINT) * ln) div 64 AS INT)))"""
             .stripMargin))
         .withColumn("segsums", expr(
           "transform(segs, sg -> " +
