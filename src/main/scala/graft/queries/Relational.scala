@@ -364,6 +364,43 @@ object Relational {
         .agg(round(sum(col("l_quantity")), 2))
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
+    },
+
+    // TPC-H Q20 SHAPE — suppliers with excess stock of a screened
+    // part: the classic correlated scalar subquery (availqty > 0.5 ×
+    // the (part, supplier)'s yearly shipped quantity) decorrelated
+    // over its TWO correlation keys into ONE per-(part, supplier)
+    // aggregate with two conditional sums — this corpus has no
+    // partsupp, so "stock" is the quantity the supplier shipped of
+    // that part OUTSIDE the demand year (1997), the proxy that keeps
+    // both sides of Q20's inequality on the same fact scan. The 'red%'
+    // part screen broadcasts INTO the scan side so only screened parts
+    // reach the shuffle; the inequality runs as exact integers
+    // (2·avail > demand — no 0.5 double); the Q20 EXISTS collapses to
+    // a supplier-keyed count over qualifying (part, supplier) rows;
+    // supplier dim broadcast. One fact shuffle, keyed (part, supplier).
+    "q159_excess_stock" -> { (s, d) =>
+      val y0 = lit("1997-01-01").cast("timestamp")
+      val y1 = lit("1998-01-01").cast("timestamp")
+      val in97 = col("l_shipdate") >= y0 && col("l_shipdate") < y1
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(when(in97, col("l_quantity").cast("long"))
+            .otherwise(0L)).as("demand97"),
+          sum(when(!in97, col("l_quantity").cast("long"))
+            .otherwise(0L)).as("avail_other"))
+        .filter(col("demand97") > 0
+          && col("avail_other") * 2 > col("demand97"))
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_excess_parts"),
+          sum(col("avail_other")).as("stock_qty"))
     }
   )
 
@@ -550,6 +587,27 @@ object Relational {
         |FROM g JOIN prof ON g.l_orderkey = prof.ok
         | JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_late_lines > 0 AND n_supp > 1 AND n_late_supp = 1
+        |GROUP BY 1, 2""".stripMargin,
+    // the same two-key decorrelation: one (part, supplier) aggregate
+    // with conditional integer sums, the exact 2·avail > demand gate
+    "q159_excess_stock" ->
+      """WITH q AS (
+        | SELECT l_partkey AS pk, l_suppkey AS sk,
+        |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |   AS demand97,
+        |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    THEN 0 ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT)
+        |   AS avail_other
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE 'red%'
+        | GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, count(*) AS n_excess_parts,
+        | CAST(sum(avail_other) AS BIGINT) AS stock_qty
+        |FROM q JOIN supplier ON sk = s_suppkey
+        |WHERE demand97 > 0 AND avail_other * 2 > demand97
         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -762,6 +762,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the (order, supplier) frame must persist for its two consumers in:\n$p")
   }
 
+  test("q159: part screen and supplier dim broadcast; the one fact shuffle is (part, supplier)-keyed") {
+    val p = plan("q159_excess_stock")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"part screen and supplier dim must both broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("l_partkey", "pk", "s_suppkey", "sk")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
     val p = plan("m50_phash_neardup")
     assert(!p.contains("CartesianProduct")

@@ -2833,6 +2833,39 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q159 excess stock: the two-key decorrelation replays exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    val redParts = graft.Tables.t(spark, sf0001, "part")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .filter(_.getString(1).startsWith("red")).map(_.getLong(0)).toSet
+    val agg = graft.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_shipdate")).collect()
+      .filter(r => redParts(r.getLong(0)))
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2).toLong, day(r.get(3)).getYear == 1997)))
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> ((xs.collect { case (_, (q, true)) => q }.sum,
+               xs.collect { case (_, (q, false)) => q }.sum)) }
+    val expected = agg.toSeq
+      .filter { case (_, (demand97, avail)) =>
+        demand97 > 0 && avail * 2 > demand97 }
+      .groupBy(_._1._2)
+      .map { case (sk, xs) =>
+        sk -> ((xs.length.toLong, xs.map(_._2._2).sum)) }
+    val got = SparkEntry.queries("q159_excess_stock")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "excess-stock suppliers must exist on this corpus")
+    SparkEntry.release(spark)
+  }
+
   test("m50 phash near-dup: byte-exact fingerprint replay and the banded candidate set covers the output") {
     val docs = graft.Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"), col("text")).collect()
