@@ -640,6 +640,52 @@ object TextOps {
         .withColumn("agreement", round(col("n_agree") / col("n_docs"), 4))
     },
 
+    // FIXED-WEIGHT LINEAR PROBE — t57's deterministic twin: the same
+    // five t35 signals, the same md5-bucket splits, the same per-split
+    // agreement table, but the scorer is a FROZEN linear probe (one
+    // offline logistic fit, weights rounded to 1 dp and committed as
+    // literals) instead of a run-fit LBFGS model. The margin is one
+    // left-associated double chain over exact integer-ratio operands —
+    // identical IEEE evaluation in both engines — so unlike t57
+    // (rows-only: treeAggregate FP order moves low-margin predictions
+    // run to run) this replays hash-exactly in DuckDB at every SF.
+    // Agreement vs the t35 rule gate is ~0.90-0.91 at all three SFs
+    // (measured sf0.001/0.01/0.1) — the distilled-probe quality the
+    // RefinedWeb pattern expects, now with an exact oracle. Deploy
+    // shape is a broadcast-free map-side scorer: five doubles in, one
+    // comparison out, no shuffle beyond t35's own signal aggregation.
+    "t65_linear_probe" -> { (s, d) =>
+      val signals = queries("t35_quality_filter")(s, d)
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("uniq_ratio"), lit(0.0)).as("f_uniq"),
+          col("top_bigram_frac").as("f_top"),
+          col("dup_bigram_frac").as("f_dup"),
+          col("stop_hits"),
+          when(col("reason") === "keep", 1L).otherwise(0L).as("label"))
+        .withColumn("f_band",
+          when(col("n_tokens") >= 16 && col("n_tokens") <= 4096, 1.0d)
+            .otherwise(0.0d))
+        .withColumn("f_stop", least(col("stop_hits"), lit(4L)) / lit(4.0d))
+        // FIXED ORDER: the same left-associated chain as the oracle
+        .withColumn("margin",
+          lit(-16.1d) + lit(8.8d) * col("f_band")
+            + lit(9.0d) * col("f_uniq")
+            - lit(15.5d) * col("f_top")
+            - lit(32.9d) * col("f_dup")
+            + lit(11.0d) * col("f_stop"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long") % 100
+      signals.withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).as("n_keep"),
+          sum(when((col("margin") > 0.0d) === (col("label") === 1L), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .withColumn("agreement", round(col("n_agree") / col("n_docs"), 4))
+    },
+
     // GOPHER QUALITY RULES — the published rule-based pretraining
     // filter (Rae et al. 2021, Gopher §A1.1): word-count bounds, mean
     // word length in [3,10], symbol-to-word ratio (# and ellipsis),
@@ -1565,6 +1611,45 @@ object TextOps {
     // chain evaluates in the identical priority order, and a NULL
     // stop_hits (unknown lang) falls through to keep in both engines
     "t35_quality_filter" -> t35OracleSql,
+    // wraps t35's SQL verbatim; the frozen 1-dp weights evaluate in
+    // the IDENTICAL left-associated double chain, the md5 split
+    // bucket is the q65 nibble rebuild of Spark's conv(hex, 16, 10)
+    "t65_linear_probe" -> {
+      val nibs = (1 to 6).map(p =>
+        s"(strpos('0123456789abcdef', substring(hx, $p, 1)) - 1)")
+      val bucketVal = nibs.reduce((acc, n) => s"($acc * 16 + $n)")
+      s"""WITH t35 AS (${t35OracleSql}),
+         |f AS (
+         | SELECT doc_id,
+         |  CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS label,
+         |  CASE WHEN n_tokens >= 16 AND n_tokens <= 4096
+         |   THEN 1.0 ELSE 0.0 END AS f_band,
+         |  coalesce(uniq_ratio, 0.0) AS f_uniq,
+         |  top_bigram_frac AS f_top, dup_bigram_frac AS f_dup,
+         |  least(stop_hits, 4) / 4.0 AS f_stop
+         | FROM t35),
+         |m AS (
+         | SELECT doc_id, label,
+         |  -16.1 + 8.8 * f_band + 9.0 * f_uniq - 15.5 * f_top
+         |   - 32.9 * f_dup + 11.0 * f_stop AS margin
+         | FROM f),
+         |b AS (
+         | SELECT doc_id, ($bucketVal) % 100 AS bucket
+         | FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+         |       FROM documents)),
+         |g AS (
+         | SELECT CASE WHEN bucket < 80 THEN 'train'
+         |             WHEN bucket < 90 THEN 'valid'
+         |             ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(label) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN (margin > 0.0) = (label = 1)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         | FROM m JOIN b USING (doc_id) GROUP BY 1)
+         |SELECT split, n_docs, n_keep, n_agree,
+         | round(n_agree / n_docs, 4) AS agreement
+         |FROM g""".stripMargin
+    },
     // wraps t36's and t35's SQL verbatim; the identical global ntile
     // formula over the same (perplexity, doc_id) total order
     "t51_signal_calibration" ->

@@ -173,6 +173,40 @@ class ReefPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("full pipeline persistence: feature PipelineModel + fitted regressor round-trip byte-identically on the held-out split") {
+    // the production reuse path: featurization and regression both
+    // persist, a fresh process loads BOTH and scores new data — the
+    // whole chain must reproduce the in-memory predictions exactly
+    val vectors = ReefPipeline.countVectors(
+      ReefPipeline.ingest(spark, csvPath), vocab)
+    val featModel = ReefPipeline.featurePipeline(vocab).fit(vectors)
+    val feat = featModel.transform(vectors)
+      .select(col("latitude"), col("longitude"), col("features"))
+    val (regModel, _) = ReefPipeline.trainAndEvaluate(feat, "longitude",
+      ReefPipeline.GBT)
+    val base = Files.createTempDirectory("reef-chain").toString
+    featModel.write.overwrite().save(s"$base/features")
+    regModel.write.overwrite().save(s"$base/gbt")
+    val featLoaded = org.apache.spark.ml.PipelineModel.load(s"$base/features")
+    val regLoaded = org.apache.spark.ml.PipelineModel.load(s"$base/gbt")
+    // score the held-out 30% (same seeded split trainAndEvaluate used)
+    val Array(_, test) = feat.randomSplit(Array(0.7, 0.3), 42L)
+    val expected = regModel.transform(test)
+      .select(col("latitude"), col("prediction")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    // loaded chain starts from RAW vectors — featurize with the LOADED
+    // feature model, split identically, score with the LOADED regressor
+    val featB = featLoaded.transform(vectors)
+      .select(col("latitude"), col("longitude"), col("features"))
+    val Array(_, testB) = featB.randomSplit(Array(0.7, 0.3), 42L)
+    val got = regLoaded.transform(testB)
+      .select(col("latitude"), col("prediction")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.nonEmpty, "held-out split must be non-empty")
+    assert(got.sameElements(expected),
+      "loaded feature+regressor chain must predict byte-identically")
+  }
+
   test("no-leakage variant drops latitude from features") {
     val honest = ReefPipeline.featurize(spark, csvPath, vocab,
       includeLatInFeatures = false)

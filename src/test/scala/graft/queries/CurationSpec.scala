@@ -1066,6 +1066,50 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t65 linear probe: frozen weights track the rule gate and replay the in-memory margin chain exactly") {
+    val rows = SparkEntry.queries("t65_linear_probe")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set("train", "valid", "test"))
+    // the frozen probe's whole point vs t57: deterministic AND still a
+    // useful distillation — every split must clear a real floor (the
+    // measured agreement is ~0.90-0.91 at sf0.001/0.01/0.1)
+    for ((split, (n, keep, agree, acc)) <- rows) {
+      assert(n > 0 && agree <= n, s"$split counts inconsistent")
+      assert(keep < n, s"$split must contain both classes")
+      assert(acc >= 0.8, s"$split agreement $acc below 0.8 floor")
+    }
+    // replay: the per-split totals must equal a driver-side fold over
+    // the raw t35 signals with the same frozen left-associated chain
+    val sig = SparkEntry.queries("t35_quality_filter")(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("uniq_ratio"), lit(0.0)).as("u"),
+        col("top_bigram_frac"), col("dup_bigram_frac"),
+        col("stop_hits"), (col("reason") === "keep").as("k")).collect()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    val expected = sig.groupBy { r =>
+      val b = bucket(r.getLong(0))
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }.map { case (split, rs) =>
+      val stats = rs.map { r =>
+        val band = if (r.getLong(1) >= 16 && r.getLong(1) <= 4096) 1.0 else 0.0
+        val fStop = math.min(r.getLong(5), 4L) / 4.0
+        val margin = -16.1 + 8.8 * band + 9.0 * r.getDouble(2) -
+          15.5 * r.getDouble(3) - 32.9 * r.getDouble(4) + 11.0 * fStop
+        (if (r.getBoolean(6)) 1L else 0L,
+         if ((margin > 0.0) == r.getBoolean(6)) 1L else 0L)
+      }
+      split -> ((rs.length.toLong, stats.map(_._1).sum, stats.map(_._2).sum))
+    }
+    assert(rows.view.mapValues(v => (v._1, v._2, v._3)).toMap === expected)
+    SparkEntry.release(spark)
+  }
+
   test("d58 shard leakage: spanning clusters replay from the d41 labels and the q110 shard rule") {
     val lab = SparkEntry.queries("d41_canonical_docs")(spark, sf0001)
       .filter(col("cluster_size") > 1)
