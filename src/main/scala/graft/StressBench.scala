@@ -200,6 +200,16 @@ object StressBench {
       s"""{"stress":"shingle_sweep_arm_n${r.getLong(0)}","candidates":${r.getLong(5)},"confirmed":${r.getLong(6)}}"""))
     SparkEntry.release(spark)
 
+    // d35 delta-ingest dedup at 100k docs (20× sf0.1): the new-vs-base
+    // split is the same doc_id*10 >= mx*9 rule, so the delta join sees
+    // 10k new docs against 90k base — time must track the DELTA-keyed
+    // candidate join, not base², for the incremental posture to hold.
+    val d35n = tm("incremental_dedup_100k") {
+      SparkEntry.queries("d35_incremental_dedup")(spark, base).count()
+    }
+    println(s"""{"stress":"incremental_dedup_pairs","value":$d35n}""")
+    SparkEntry.release(spark)
+
     // m48 per-scene frame budgeting at 100k docs (20× sf0.1): frame
     // explode + one doc-keyed window + map-side apportionment — time
     // must scale with total payload bytes, no global stage.
@@ -253,6 +263,62 @@ object StressBench {
     }
     println(s"""{"stress":"phash_aligned_edit","planted":1000,"candidates":${phe.getLong(0)},"is_dup":${phe.getLong(1)},"max_hamming":${if (phe.isNullAt(2)) -1 else phe.getLong(2)}}""")
     SparkEntry.release(spark)
+
+    // ---- band-width trade (spark.graft.phash.bandBits): the 16-bit
+    // quarter keys are Θ(4·n²/2¹⁶) for random fingerprints — fine at
+    // 100k, ~10¹³ pairs at 10⁹ assets. The 32-bit quarter-PAIR keys
+    // (C(4,2)=6 Manku-style tables) cut volume to Θ(6·n²/2³²) and
+    // still guarantee every Hamming ≤ 2 pair. Measure BOTH widths on
+    // the 100k corpus, then BOTH on a 1M-asset corpus with 10k planted
+    // aligned one-byte edits — candidates must grow ~quadratically at
+    // 16 bits and stay near-linear at 32 bits, with planted recall
+    // intact at both widths.
+    def phashRun(dir: String, bits: String): (Long, Long) = {
+      spark.conf.set("spark.graft.phash.bandBits", bits)
+      val r = SparkEntry.queries("m50_phash_neardup")(spark, dir)
+        .agg(count(lit(1)).as("cands"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups")).head()
+      SparkEntry.release(spark)
+      spark.conf.set("spark.graft.phash.bandBits", "16")
+      (r.getLong(0), r.getLong(1))
+    }
+    val ph32 = tm("phash_neardup_100k_b32")(phashRun(base, "32"))
+    println(s"""{"stress":"phash_candidates_100k_b32","value":${ph32._1},"is_dup":${ph32._2}}""")
+    val base1m = s"$base/phash_1m"
+    val n1m = 1000000
+    tm("gen_phash_1m") {
+      spark.range(n1m).toDF("doc_id")
+        .withColumn("base_id",
+          when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+            .otherwise(col("doc_id")))
+        .withColumn("len",
+          (pmod(xxhash64(col("base_id")), lit(40)) + 60).cast("int"))
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(1), col("len")),
+            i => concat(lit("w"),
+              pmod(xxhash64(col("base_id") * 1000000 + i), lit(5000))))))
+        // length-PRESERVING one-byte substitution at a fixed offset:
+        // every segment boundary of the copy matches its base, the
+        // aHash robustness class (the phash_aligned_edit shape)
+        .withColumn("text",
+          when(col("doc_id") =!= col("base_id"),
+            concat(substring(col("text"), 1, 40), lit("X"),
+              expr("substring(text, 42)")))
+            .otherwise(col("text")))
+        .withColumn("lang", element_at(
+          array(lit("en"), lit("es"), lit("de"), lit("fr"), lit("zh")),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("int")))
+        .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$base1m/documents.parquet")
+    }
+    val ph1m32 = tm("phash_neardup_1m_b32")(phashRun(base1m, "32"))
+    println(s"""{"stress":"phash_candidates_1m_b32","value":${ph1m32._1},"is_dup":${ph1m32._2}}""")
+    val ph1m16 = tm("phash_neardup_1m_b16")(phashRun(base1m, "16"))
+    println(s"""{"stress":"phash_candidates_1m_b16","value":${ph1m16._1},"is_dup":${ph1m16._2}}""")
 
     // q146 ABC classification over a 10M-row synthetic lineitem
     // (~17× sf0.1's 600k): the global revenue cumsum runs through the

@@ -623,16 +623,37 @@ object MultimodalOps extends Serializable {
             .stripMargin))
         .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // BAND-WIDTH KNOB (spark.graft.phash.bandBits = 16 | 32): 16-bit
+      // banding (default, the oracle-matched form) emits 4 quarter
+      // keys — candidate volume Θ(4·n²/2¹⁶) for random fingerprints,
+      // fine to ~100k assets, quadratic death at 10⁹. 32-bit banding
+      // emits the C(4,2)=6 quarter-PAIR keys (Manku-style multi-table
+      // indexing): a pair collides iff BOTH quarters match, so volume
+      // drops to Θ(6·n²/2³²) while any pair with ≤2 dirty quarters —
+      // every Hamming ≤ 2 pair guaranteed, and in practice the whole
+      // sf0.1 is_dup set (spec-pinned) — still collides. The trade is
+      // recall at high Hamming near the ≤8 flag line vs ~65000× less
+      // candidate volume; StressBench measures both widths at 100k
+      // and the 32-bit form at 1M assets.
+      val quarters = Seq(
+        shiftright(col("ph_hi"), 16).bitwiseAND(lit(0xffffL)),
+        col("ph_hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("ph_lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("ph_lo").bitwiseAND(lit(0xffffL)))
+      val bandBits = s.conf.get("spark.graft.phash.bandBits", "16").toInt
+      require(bandBits == 16 || bandBits == 32,
+        s"spark.graft.phash.bandBits must be 16 or 32, got $bandBits")
+      val bandStructs =
+        if (bandBits == 16)
+          quarters.zipWithIndex.map { case (q, i) =>
+            struct(lit(i).as("bi"), q.as("bv")) }
+        else
+          Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).zipWithIndex
+            .map { case ((a, b), i) =>
+              struct(lit(i).as("bi"),
+                (quarters(a) * lit(65536L) + quarters(b)).as("bv")) }
       val banded = sigs.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
-        explode(array(
-          struct(lit(0).as("bi"), shiftright(col("ph_hi"), 16)
-            .bitwiseAND(lit(0xffffL)).as("bv")),
-          struct(lit(1).as("bi"),
-            col("ph_hi").bitwiseAND(lit(0xffffL)).as("bv")),
-          struct(lit(2).as("bi"), shiftright(col("ph_lo"), 16)
-            .bitwiseAND(lit(0xffffL)).as("bv")),
-          struct(lit(3).as("bi"),
-            col("ph_lo").bitwiseAND(lit(0xffffL)).as("bv")))).as("b"))
+        explode(array(bandStructs: _*)).as("b"))
       banded.select(col("doc_id").as("ia"), col("ph_hi").as("ha"),
           col("ph_lo").as("la"), col("b"))
         .join(banded.select(col("doc_id").as("ib"), col("ph_hi").as("hb"),

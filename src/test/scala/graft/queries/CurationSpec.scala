@@ -2910,6 +2910,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m50 band widths: 16-bit quarters and 32-bit quarter pairs agree on the sf0.1 is_dup set") {
+    // the scale knob's contract: widening the band keys (65000× fewer
+    // random collisions) must not lose a single flagged pair on the
+    // real corpus — the is_dup pairs are near-identical payloads with
+    // tiny Hamming, which always leave ≥2 clean quarters
+    val sf01 = "/root/testdata/sf0.1"
+    def dupSet(bits: String): Set[(Long, Long)] = {
+      spark.conf.set("spark.graft.phash.bandBits", bits)
+      try SparkEntry.queries("m50_phash_neardup")(spark, sf01)
+        .filter(col("is_dup")).select(col("ia"), col("ib")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally {
+        spark.conf.set("spark.graft.phash.bandBits", "16")
+        SparkEntry.release(spark)
+      }
+    }
+    val d16 = dupSet("16")
+    val d32 = dupSet("32")
+    assert(d16.nonEmpty, "sf0.1 must contain is_dup pairs")
+    assert(d32 === d16,
+      s"band widths disagree: 16-bit ${d16.size} pairs, 32-bit ${d32.size}")
+  }
+
   test("m50 phash near-dup: byte-exact fingerprint replay and the banded candidate set covers the output") {
     val docs = graft.Tables.t(spark, sf0001, "documents")
       .select(col("doc_id"), col("text")).collect()
