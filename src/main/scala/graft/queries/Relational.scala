@@ -401,6 +401,94 @@ object Relational {
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("n_excess_parts"),
           sum(col("avail_other")).as("stock_qty"))
+    },
+
+    // TPC-H Q15 SHAPE — top supplier(s) by quarterly revenue: the
+    // revenue-view-then-max pattern (CREATE VIEW + WHERE total =
+    // (SELECT max FROM view)). The view is one suppkey partial agg
+    // over the quarter's fact slice (predicate pushed to the scan);
+    // the scalar max rides back as a broadcast 1-row cross join and
+    // the equality keeps TIES (the shape's point vs a LIMIT 1).
+    // Revenue in per-row-rounded cents so max and equality are exact
+    // integers — no float revenue comparison anywhere.
+    "q160_top_quarter_supplier" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("total_rev_cents"))
+      val mx = rev.agg(max(col("total_rev_cents")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_cents") === col("mx"))
+        .join(broadcast(t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+    },
+
+    // TPC-H Q22 SHAPE — churned high-balance customers: positive-
+    // balance customers above the positive-balance AVERAGE with no
+    // order since 1999 (the classic has "no orders ever", which this
+    // corpus's synthetic coverage makes vacuous — probed, every
+    // positive-balance customer orders; the windowed variant is the
+    // production churn question anyway). The average gate runs as the
+    // exact integer inequality bal_cents·n > Σcents (never a double
+    // avg — the d35 discipline), the NOT EXISTS is one LEFT ANTI join
+    // keyed o_custkey (the single fact shuffle), and the nation
+    // rollup is a broadcast dim join on the tiny survivor set.
+    "q161_churned_customers" -> { (s, d) =>
+      val pos = t(s, d, "customer").filter(col("c_acctbal") > 0)
+        .withColumn("bal_cents",
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      val g = pos.agg(sum(col("bal_cents")).as("sum_cents"),
+        count(lit(1)).as("n_pos"))
+      val rich = pos.crossJoin(broadcast(g))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      val active = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      rich.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("bal_cents")).as("total_bal_cents"))
+    },
+
+    // TPC-H Q11 SHAPE — important parts at one nation's suppliers:
+    // per-part value restricted to the nation's suppliers, gated
+    // HAVING value > a fraction of the group's TOTAL value — the
+    // scalar-subquery-in-HAVING pattern, decorrelated into one
+    // partial agg plus a broadcast 1-row total. The classic fixed
+    // fraction (0.0001/SF in TPC-H) is corpus-size-dependent — a
+    // fixed 1/1000 gate probed EMPTY at sf0.1 (the q139 degeneracy
+    // lesson) — so the gate is self-scaling: value > 2× the MEAN
+    // part value, as the exact integer inequality value·n_parts >
+    // 2·total (15/126/1235 rows at the three SFs). The nation's
+    // supplier list broadcasts into the fact scan (one nation ≈
+    // 1/|nations| of suppliers — the Q11 posture; at 100 TB AQE can
+    // demote it to a shuffled join without changing the shape).
+    "q162_important_parts" -> { (s, d) =>
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = t(s, d, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("value_cents"))
+      val tot = v.agg(sum(col("value_cents")).as("tc"),
+        count(lit(1)).as("np"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("np") > col("tc") * 2)
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"))
     }
   )
 
@@ -608,6 +696,59 @@ object Relational {
         | CAST(sum(avail_other) AS BIGINT) AS stock_qty
         |FROM q JOIN supplier ON sk = s_suppkey
         |WHERE demand97 > 0 AND avail_other * 2 > demand97
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // the same revenue view + tie-preserving = max(view) equality on
+    // exact per-row-rounded cents
+    "q160_top_quarter_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS total_rev_cents
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)"""
+        .stripMargin,
+    // the same exact bal·n > Σ average gate and windowed NOT EXISTS
+    "q161_churned_customers" ->
+      """WITH pos AS (
+        | SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer WHERE c_acctbal > 0),
+        |g AS (
+        | SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |  count(*) AS n_pos FROM pos),
+        |rich AS (
+        | SELECT pos.* FROM pos, g
+        | WHERE bal_cents * n_pos > sum_cents),
+        |ch AS (
+        | SELECT r.* FROM rich r
+        | WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+        |   AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+        |SELECT n_name, count(*) AS n_custs,
+        | CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+        |FROM ch JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    // the same one-nation value rollup with the exact self-scaling
+    // value·n_parts > 2·total HAVING gate
+    "q162_important_parts" ->
+      """WITH nat AS (
+        | SELECT s_suppkey FROM supplier JOIN nation
+        |  ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_3'),
+        |v AS (
+        | SELECT l_partkey AS p_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM lineitem JOIN nat ON l_suppkey = s_suppkey
+        | GROUP BY 1)
+        |SELECT p_partkey, value_cents
+        |FROM v, (SELECT CAST(sum(value_cents) AS BIGINT) AS tc,
+        |         count(*) AS np FROM v) t
+        |WHERE value_cents * np > tc * 2""".stripMargin
   )
 }

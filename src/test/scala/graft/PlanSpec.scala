@@ -772,6 +772,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("q160: the quarter predicate reaches the scan; max and supplier dim broadcast") {
+    val p = plan("q160_top_quarter_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"quarter slice must push to the scan in:\n$p")
+    // Catalyst turns the = max(view) equality into a broadcast EQUI
+    // join on the revenue value itself (not a nested-loop) — both the
+    // 1-row max and the supplier dim broadcast-hash
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2
+      && !p.contains("CartesianProduct"),
+      s"1-row max and supplier dim must broadcast-hash in:\n$p")
+  }
+
+  test("q161: the churn NOT EXISTS plans as one anti join; nation dim broadcasts") {
+    val p = plan("q161_churned_customers")
+    assert(p.contains("LeftAnti"), s"windowed NOT EXISTS must be anti join in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast in:\n$p")
+  }
+
+  test("q162: nation supplier list broadcasts into the fact scan; the value agg shuffles on partkey") {
+    val p = plan("q162_important_parts")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"nation and supplier-list joins must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("l_partkey")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
   test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
     val p = plan("m50_phash_neardup")
     assert(!p.contains("CartesianProduct")

@@ -2910,6 +2910,71 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q160/q161/q162: the Q15 tie-max, Q22 churn gate, and Q11 fraction gate replay exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    def cents(x: Double): Long = math.round(x * 100)
+    // Q15: per-supplier quarter revenue, winners = all at the max
+    val li = graft.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount")).collect()
+    val q1 = li.filter { r =>
+      val dd = day(r.get(2))
+      !dd.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
+        dd.isBefore(java.time.LocalDate.of(1997, 4, 1)) }
+    val rev = q1.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => cents(r.getDouble(3) * (1 - r.getDouble(4)))).sum).toMap
+    val mxRev = rev.values.max
+    val expTop = rev.filter(_._2 == mxRev).keySet
+    val gotTop = SparkEntry.queries("q160_top_quarter_supplier")(
+      spark, sf0001).collect()
+    assert(gotTop.map(_.getLong(0)).toSet === expTop)
+    assert(gotTop.forall(_.getLong(2) === mxRev))
+    // Q22: above-average positive balances with no order since 1999
+    val cust = graft.Tables.t(spark, sf0001, "customer")
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), cents(r.getDouble(2))))
+    val recent = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderdate")).collect()
+      .filter(r => !day(r.get(1)).isBefore(java.time.LocalDate.of(1999, 1, 1)))
+      .map(_.getLong(0)).toSet
+    val sumC = cust.map(_._3).sum; val nPos = cust.length
+    val churned = cust.filter(c => c._3 * nPos > sumC && !recent(c._1))
+    assert(churned.nonEmpty, "churned rich customers must exist")
+    val expChurn = churned.groupBy(_._2).map { case (nk, xs) =>
+      nk -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    val nations = graft.Tables.t(spark, sf0001, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    val gotChurn = SparkEntry.queries("q161_churned_customers")(
+      spark, sf0001).collect()
+      .map(r => nations(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(gotChurn === expChurn)
+    // Q11: per-part value at NATION_3 suppliers, gate value·1000 > total
+    val n3 = graft.Tables.t(spark, sf0001, "supplier")
+      .join(graft.Tables.t(spark, sf0001, "nation")
+        .filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val byPart = li.filter(r => n3(r.getLong(0))).groupBy(_.getLong(1))
+      .view.mapValues(
+        _.map(r => cents(r.getDouble(3) * (1 - r.getDouble(4)))).sum).toMap
+    val total = byPart.values.sum
+    val nParts = byPart.size
+    val expParts = byPart.filter(_._2 * nParts > total * 2)
+    assert(expParts.nonEmpty, "important parts must exist")
+    val gotParts = SparkEntry.queries("q162_important_parts")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotParts === expParts)
+    SparkEntry.release(spark)
+  }
+
   test("m50 band widths: 16-bit quarters and 32-bit quarter pairs agree on the sf0.1 is_dup set") {
     // the scale knob's contract: widening the band keys (65000× fewer
     // random collisions) must not lose a single flagged pair on the
