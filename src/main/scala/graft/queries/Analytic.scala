@@ -2385,6 +2385,58 @@ object Analytic {
         .filter(col("rn") >= 7)
         .select(col("user_id"), col("event_id"), col("value"),
           element_at(col("arr"), 4).as("rolling_median_7"))
+    },
+
+    // INTERVAL-OVERLAP LOAD PROFILE — per supplier, how many PAIRS of
+    // fulfillment intervals (order date → ship date, half-open [a,b))
+    // overlap in time, plus the peak in-flight count. The naive
+    // rendering is an interval×interval self-join (theta join, pairs²
+    // blow-up); the sweep-line identity counts every overlapping pair
+    // WITHOUT materializing one: explode each interval into (+1 at a,
+    // −1 at b) events, running-sum in (t, delta) order (ends sort
+    // before starts at equal t — half-open semantics), and each start
+    // event contributes (active_before = cum − 1) new pairs. Per-row
+    // cum values inside a tie group depend on partition order, but the
+    // per-supplier SUM over starts and MAX are order-invariant (a tie
+    // group of k starts contributes base + 0..k−1 in some order), so
+    // the aggregate output is deterministic and hash-exact. The sweep
+    // window runs DECOMPOSED: cumsum within (supplier, year block) +
+    // broadcast per-block prefix offsets (the q146/t31 discipline) —
+    // parallelism #suppliers × #years, never one task per supplier.
+    "q163_inflight_overlap" -> { (s, d) =>
+      val iv = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          to_date(col("o_orderdate")).as("a"),
+          to_date(col("l_shipdate")).as("b"))
+        .filter(col("b") > col("a"))
+      val ev = iv.select(col("sk"), col("a").as("t"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("sk"), col("b").as("t"),
+          lit(-1L).as("delta")))
+      val withBlk = ev.withColumn("__blk", year(col("t")))
+      val wIn = Window.partitionBy(col("sk"), col("__blk"))
+        .orderBy(col("t").asc, col("delta").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.partitionBy(col("sk")).orderBy(col("__blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withBlk.groupBy(col("sk"), col("__blk"))
+        .agg(sum(col("delta")).as("__bt"))
+        .withColumn("__off", coalesce(sum(col("__bt")).over(wBlk), lit(0L)))
+        .select(col("sk").as("osk"), col("__blk").as("oblk"), col("__off"))
+      withBlk.withColumn("__cumin", sum(col("delta")).over(wIn))
+        .join(broadcast(offsets),
+          col("sk") === col("osk") && col("__blk") === col("oblk"))
+        .withColumn("cum", col("__off") + col("__cumin"))
+        .groupBy(col("sk"))
+        .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_intervals"),
+          sum(when(col("delta") === 1L, col("cum") - 1L).otherwise(0L))
+            .as("n_overlap_pairs"),
+          max(col("cum")).as("peak_inflight"))
+        .select(col("sk").as("s_suppkey"), col("n_intervals"),
+          col("n_overlap_pairs"), col("peak_inflight"))
     }
   )
 
@@ -4092,6 +4144,29 @@ object Analytic {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
         | FROM events)
         |SELECT user_id, event_id, value, arr[4] AS rolling_median_7
-        |FROM r WHERE rn >= 7""".stripMargin
+        |FROM r WHERE rn >= 7""".stripMargin,
+    // the same sweep in ONE window (DuckDB scale); (t, delta) order
+    // puts ends before starts at equal t, and only order-invariant
+    // per-supplier aggregates of cum ship
+    "q163_inflight_overlap" ->
+      """WITH iv AS (
+        | SELECT l_suppkey AS sk, CAST(o_orderdate AS DATE) AS a,
+        |  CAST(l_shipdate AS DATE) AS b
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)),
+        |ev AS (
+        | SELECT sk, a AS t, 1 AS delta FROM iv
+        | UNION ALL SELECT sk, b, -1 FROM iv),
+        |c AS (
+        | SELECT sk, delta, sum(delta) OVER (PARTITION BY sk
+        |   ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM ev)
+        |SELECT sk AS s_suppkey,
+        | CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_intervals,
+        | CAST(sum(CASE WHEN delta = 1 THEN cum - 1 ELSE 0 END) AS BIGINT)
+        |  AS n_overlap_pairs,
+        | CAST(max(cum) AS BIGINT) AS peak_inflight
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

@@ -800,6 +800,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected shuffle keys $exchanges in:\n$p")
   }
 
+  test("q163: the overlap count never materializes a pair and the sweep window is block-decomposed") {
+    val p = plan("q163_inflight_overlap")
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair count must stay a sweep, not a theta self-join, in:\n$p")
+    // the corpus-sized sweep partitions by (sk, __blk); a window whose
+    // spec is (sk, t ...) would be the one-task-per-supplier rendering
+    assert("windowspecdefinition\\(sk#\\d+L?, __blk#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"sweep window must partition by (sk, year block) in:\n$p")
+    assert("windowspecdefinition\\(sk#\\d+L?, t#\\d+".r
+      .findFirstIn(p).isEmpty,
+      s"corpus sweep must not partition by supplier alone in:\n$p")
+  }
+
   test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
     val p = plan("m50_phash_neardup")
     assert(!p.contains("CartesianProduct")

@@ -2910,6 +2910,43 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q163 inflight overlap: the sweep-line pair count equals the brute-force pairwise count") {
+    val utc = java.time.ZoneOffset.UTC
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    val orderDate = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderdate")).collect()
+      .map(r => r.getLong(0) -> day(r.get(1))).toMap
+    val ivs = graft.Tables.t(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .collect()
+      .map(r => (r.getLong(1), orderDate(r.getLong(0)), day(r.get(2))))
+      .filter(x => x._3.isAfter(x._2))
+    // brute force: count every pair with max(a) < min(b) — the O(n²)
+    // definition the sweep identity must reproduce exactly
+    val expected = ivs.groupBy(_._1).map { case (sk, xs) =>
+      var pairs = 0L; var peak = 0
+      for (i <- xs.indices; j <- 0 until i) {
+        val lo = if (xs(i)._2.isAfter(xs(j)._2)) xs(i)._2 else xs(j)._2
+        val hi = if (xs(i)._3.isBefore(xs(j)._3)) xs(i)._3 else xs(j)._3
+        if (lo.isBefore(hi)) pairs += 1
+      }
+      val days = xs.flatMap(x => Seq(x._2, x._3)).distinct
+      peak = days.map(t => xs.count(x => !x._2.isAfter(t) && x._3.isAfter(t))).max
+      sk -> ((xs.length.toLong, pairs, peak.toLong))
+    }
+    val got = SparkEntry.queries("q163_inflight_overlap")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0), "overlapping pairs must exist")
+    SparkEntry.release(spark)
+  }
+
   test("q160/q161/q162: the Q15 tie-max, Q22 churn gate, and Q11 fraction gate replay exactly") {
     val utc = java.time.ZoneOffset.UTC
     def day(x: Any): java.time.LocalDate = x match {
