@@ -489,6 +489,29 @@ object Relational {
       v.crossJoin(broadcast(tot))
         .filter(col("value_cents") * col("np") > col("tc") * 2)
         .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+    },
+
+    // TPC-H Q4 SHAPE — late-order counts by priority: orders placed in
+    // a quarter with AT LEAST ONE line shipped > 90 days after the
+    // order date, counted per priority. The correlated EXISTS (the
+    // subquery references the outer o_orderdate) decorrelates into ONE
+    // left-semi join whose condition carries both the orderkey equi
+    // part and the non-equi date residual — Spark plans the equi key
+    // and evaluates the residual inside the join, so the quarter
+    // filter still prunes the probe side at the scan and no
+    // lineitem ever materializes per-order. Completes the classic
+    // correlated-subquery family (Q17/Q18/Q21/Q20/Q15/Q22/Q11/Q4).
+    "q164_priority_late_orders" -> { (s, d) =>
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val late = t(s, d, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      o.join(late, col("o_orderkey") === col("l_orderkey")
+          && col("sd") > date_add(to_date(col("o_orderdate")), 90),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
     }
   )
 
@@ -749,6 +772,18 @@ object Relational {
         |SELECT p_partkey, value_cents
         |FROM v, (SELECT CAST(sum(value_cents) AS BIGINT) AS tc,
         |         count(*) AS np FROM v) t
-        |WHERE value_cents * np > tc * 2""".stripMargin
+        |WHERE value_cents * np > tc * 2""".stripMargin,
+    // the same correlated EXISTS, run verbatim as DuckDB's own
+    // decorrelation; ship lag measured in exact DATE arithmetic
+    "q164_priority_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-04-01'
+        | AND EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |   AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -815,6 +815,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"corpus sweep must not partition by supplier alone in:\n$p")
   }
 
+  test("q164: the correlated EXISTS plans as one semi join and the quarter filter reaches the orders scan") {
+    val p = plan("q164_priority_late_orders")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS must decorrelate to a semi join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"quarter predicate must push to the orders scan in:\n$p")
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"the date residual must ride the equi semi join in:\n$p")
+  }
+
   test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
     val p = plan("m50_phash_neardup")
     assert(!p.contains("CartesianProduct")

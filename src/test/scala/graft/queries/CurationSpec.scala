@@ -2910,6 +2910,37 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q164 priority late orders: the EXISTS decorrelation replays exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    val orders = graft.Tables.t(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), day(r.get(1)), r.getString(2)))
+      .filter(o => !o._2.isBefore(java.time.LocalDate.of(1997, 1, 1))
+        && o._2.isBefore(java.time.LocalDate.of(1997, 4, 1)))
+    val lateKeys = {
+      val od = orders.map(o => o._1 -> o._2).toMap
+      graft.Tables.t(spark, sf0001, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate")).collect()
+        .filter { r =>
+          od.get(r.getLong(0))
+            .exists(a => day(r.get(1)).isAfter(a.plusDays(90))) }
+        .map(_.getLong(0)).toSet
+    }
+    val expected = orders.filter(o => lateKeys(o._1))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q164_priority_late_orders")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.size === 5, "all five priorities must have late orders")
+    SparkEntry.release(spark)
+  }
+
   test("q163 inflight overlap: the sweep-line pair count equals the brute-force pairwise count") {
     val utc = java.time.ZoneOffset.UTC
     def day(x: Any): java.time.LocalDate = x match {
