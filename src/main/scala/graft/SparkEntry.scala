@@ -24,7 +24,13 @@ object SparkEntry {
     * with a query's result — Bench/Verify do so between queries. The
     * similarity-index memo additionally self-evicts when the same
     * session asks for a different sfDir, so a dir-walking caller that
-    * never releases holds at most one dir's cached index. */
+    * never releases holds at most one dir's cached index.
+    *
+    * EAGERNESS: d61_shingle_size_sweep is the one EAGER entry —
+    * constructing its DataFrame runs the 3-arm sweep (concurrent jobs,
+    * eager per-arm cache lifecycle) and returns a pre-computed local
+    * relation; plan-only callers (explain/schema) pay the full job. All
+    * other entries are lazy plans. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Analytic.queries ++
@@ -77,7 +83,8 @@ object SparkEntry {
     *    in ExtendedSpec (exact twin: q08).
     *  - t57_quality_classifier: MLlib LBFGS training — treeAggregate FP
     *    reduction order makes low-margin predictions run-varying;
-    *    held-out agreement floor asserted in CurationSpec. */
+    *    held-out agreement floor asserted in CurationSpec (portable
+    *    twin: t65_linear_probe, frozen weights, hash-exact). */
   val rowsOnly: Set[String] =
     Set("d29_simhash", "d30_minhash_lsh", "q45_approx_distinct",
       "t57_quality_classifier")
