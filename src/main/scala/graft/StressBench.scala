@@ -340,6 +340,43 @@ object StressBench {
     }
     SparkEntry.release(spark)
 
+    // q163 interval-overlap sweep at 10M intervals (~17× sf0.1's
+    // 600k): the pair COUNT grows ~quadratically in per-supplier
+    // density (it counts what a self-join would materialize), but the
+    // sweep's COST must stay linear in events — 2 rows per interval
+    // through the (supplier, year)-decomposed running sum. 1000
+    // suppliers × ~7 years keeps every window partition ~2900 events.
+    val ovBase = s"$base/overlap_10m"
+    tm("gen_overlap_10m") {
+      spark.range(2500000L).toDF("o_orderkey")
+        .withColumn("o_orderdate", to_timestamp(date_add(
+          to_date(lit("1995-01-01")),
+          pmod(xxhash64(col("o_orderkey")), lit(2400L)).cast("int"))))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$ovBase/orders.parquet")
+      spark.range(10000000L).toDF("id")
+        .withColumn("l_orderkey", pmod(xxhash64(col("id")), lit(2500000L)))
+        // ship = the SAME hash-derived order date + a 1-180 day lag, so
+        // every interval is valid without joining during generation
+        .withColumn("l_shipdate", to_timestamp(date_add(
+          to_date(lit("1995-01-01")),
+          (pmod(xxhash64(col("l_orderkey")), lit(2400L))
+            + 1L + pmod(xxhash64(col("id") + 3), lit(180L))).cast("int"))))
+        .withColumn("l_suppkey", pmod(xxhash64(col("id") + 7), lit(1000L)))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$ovBase/lineitem.parquet")
+    }
+    val ov = tm("inflight_overlap_10m") {
+      SparkEntry.queries("q163_inflight_overlap")(spark, ovBase)
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("n_intervals")).as("n_iv"),
+          sum(col("n_overlap_pairs")).as("pairs"),
+          max(col("peak_inflight")).as("peak")).head()
+    }
+    println(s"""{"stress":"inflight_overlap_10m","suppliers":${ov.getLong(0)},"intervals":${ov.getLong(1)},"pairs":${ov.getLong(2)},"peak":${ov.getLong(3)}}""")
+    SparkEntry.release(spark)
+
     // ---- synthesize embeddings: 20k × 64 dims from hashes
     val emb = spark.range(20000).toDF("vec_id")
       .withColumn("emb", transform(sequence(lit(1), lit(64)),
