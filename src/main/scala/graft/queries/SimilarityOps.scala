@@ -938,6 +938,49 @@ object SimilarityOps {
           col("vec_id").as("neighbor_id"), col("cosine"))
     },
 
+    // HARD-NEGATIVE MINING — the contrastive-training batch
+    // constructor (DPR/SimCSE shape): for each anchor, the top-3
+    // most-similar vectors with a DIFFERENT label (the negatives a
+    // random sampler would almost never find), each carrying the
+    // anchor's nearest SAME-label cosine so the row directly reads as
+    // a triplet-loss margin — is_violation marks negatives that are
+    // closer than the nearest positive, the pairs that actually move
+    // a contrastive model. s52's inverse on the same machinery: ONE
+    // cell-bounded candidate stage off the shared IVF assignment
+    // (never all-pairs), one scoring pass split into the neg top-3
+    // (native bounded-heap TopKPerKey) and the pos top-1; anchors
+    // without a same-label cell-mate ship a NULL margin (left join —
+    // the honest answer, not a silent drop).
+    "s70_hard_negatives" -> { (s, d) =>
+      val cell = cellAssignMemo(s, d)
+      val q = cell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("cid").as("qcell"), col("label").as("qlabel"))
+      val scored = cell.join(broadcast(q),
+          col("cid") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(cos(col("qemb"), col("emb")), 6))
+      val negs = graft.operators.TopKPerKeyApi.topKPerKey(
+        scored.filter(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("qlabel"), col("vec_id"),
+            col("label"), col("cosine")),
+        Seq("qid"), Seq(("cosine", false), ("vec_id", true)), 3)
+      val pos = scored.filter(col("label") === col("qlabel"))
+        .groupBy(col("qid").as("pqid"))
+        .agg(max(col("cosine")).as("pos_cosine"))
+      negs.join(pos, col("qid") === col("pqid"), "left")
+        .select(col("qid"), col("qlabel"), col("rnk"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"),
+          col("cosine").as("neg_cosine"), col("pos_cosine"),
+          round(col("cosine") - col("pos_cosine"), 6).as("margin"),
+          // no positive ⇒ nothing to violate: coalesce keeps the flag
+          // a NON-NULL boolean (nullable booleans stringify
+          // differently across engine→pandas paths and would misalign
+          // the driver's row sort; the nullable DOUBLEs are safe —
+          // both engines land on NaN)
+          coalesce(col("cosine") >= col("pos_cosine"), lit(false))
+            .as("is_violation"))
+    },
+
     // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
     // centroids — stands in for trained centroids), every vector
     // assigned to its nearest cell, queries search ONLY their own cell
@@ -2540,6 +2583,41 @@ object SimilarityOps {
         | SELECT *, row_number() OVER (PARTITION BY qid
         |   ORDER BY cosine DESC, vec_id ASC) AS rnk FROM cand)
         |WHERE rnk <= 3""".stripMargin,
+    // s52's CTE chain with the label predicate INVERTED for the
+    // negative stream plus a group-max positive cosine; the margin
+    // subtracts the same 6-dp-rounded operands in both engines
+    "s70_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.label, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, label, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, emb AS qemb, cid AS qcell, label AS qlabel
+        |  FROM cell WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.qid, q.qlabel, cell.vec_id, cell.label,
+        |  round(list_dot_product(q.qemb, cell.emb) /
+        |   (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(cell.emb, cell.emb))), 6) AS cosine
+        | FROM q JOIN cell ON cell.cid = q.qcell AND cell.vec_id <> q.qid),
+        |negs AS (
+        | SELECT qid, qlabel, vec_id, label, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vec_id ASC) AS rnk
+        |  FROM scored WHERE label <> qlabel) WHERE rnk <= 3),
+        |pos AS (
+        | SELECT qid AS pqid, max(cosine) AS pos_cosine
+        | FROM scored WHERE label = qlabel GROUP BY 1)
+        |SELECT qid, qlabel, rnk, vec_id AS neg_id, label AS neg_label,
+        | cosine AS neg_cosine, pos_cosine,
+        | round(cosine - pos_cosine, 6) AS margin,
+        | coalesce(cosine >= pos_cosine, false) AS is_violation
+        |FROM negs LEFT JOIN pos ON qid = pqid""".stripMargin,
     // the greedy farthest-point traversal unrolled as k=4 CTE steps:
     // each step's winner is the max min-distance row under the same
     // (mind DESC, vec_id ASC) total order the Spark TakeOrdered uses,

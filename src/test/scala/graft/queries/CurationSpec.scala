@@ -65,6 +65,46 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("s70 hard negatives: the full mining pipeline replays from raw embeddings") {
+    val embs = graft.Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val cents = embs.filter(_._1 < 16)
+    def cellOf(v: Array[Double]): Long = cents
+      .map(c => (c._1, cos6(v, c._3)))
+      .maxBy { case (cid, c) => (c, -cid) }._1
+    val cells = embs.map(e => e._1 -> cellOf(e._3)).toMap
+    val expected = embs.filter(_._1 < 10).flatMap { case (qid, ql, qv) =>
+      val mates = embs.filter(e => e._1 != qid && cells(e._1) == cells(qid))
+      val posMax: Option[Double] = mates.filter(_._2 == ql)
+        .map(e => cos6(qv, e._3))
+        .reduceOption((a: Double, b: Double) => math.max(a, b))
+      mates.filter(_._2 != ql)
+        .map(e => (e._1, e._2, cos6(qv, e._3)))
+        .sortBy { case (id, _, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((nid, nl, c), i) =>
+          (qid, i + 1) -> ((ql, nid, nl, c, posMax,
+            posMax.exists(c >= _))) }
+    }.toMap
+    val got = SparkEntry.queries("s70_hard_negatives")(spark, sf0001)
+      .collect().map { r =>
+        (r.getLong(0), r.getInt(2)) -> ((r.getInt(1), r.getLong(3),
+          r.getInt(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          r.getBoolean(8)))
+      }.toMap
+    assert(got === expected)
+    assert(got.values.exists(_._6), "violations must exist on this corpus")
+    SparkEntry.release(spark)
+  }
+
   test("t49 weighted median: half the token mass sits at or below the reported length, strictly less below it") {
     val med = SparkEntry.queries("t49_weighted_median")(spark, sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
