@@ -106,4 +106,48 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(j.count() === n.toLong, s"salts=$salts")
     }
   }
+
+  test("q163 sweep identity holds on random tie-heavy interval sets (end-to-end)") {
+    import spark.implicits._
+    // the adversarial regime for the sweep's (t, delta) tie handling:
+    // many intervals crammed into a 10-day window (equal starts, equal
+    // ends, end==start of a neighbor, zero-length) across 2 suppliers —
+    // driven through the REAL registry path via temp parquet, refereed
+    // by the brute-force pairwise definition (strict half-open overlap)
+    val caseGen = Gen.listOfN(30, for {
+      supp <- Gen.choose(0L, 1L)
+      start <- Gen.choose(0, 9)
+      len <- Gen.choose(0, 3) // 0 ⇒ the b > a filter must drop it
+    } yield (supp, start, start + len))
+    forAllSeeded(caseGen, 6) { ivs =>
+      val base = java.time.LocalDate.of(1997, 1, 1)
+      val dir = java.nio.file.Files.createTempDirectory("q163prop").toString
+      ivs.zipWithIndex.map { case ((_, a, _), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          base.plusDays(a).atStartOfDay)) }
+        .toDF("o_orderkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      ivs.zipWithIndex.map { case ((sk, _, b), i) =>
+        (i.toLong, sk, java.sql.Timestamp.valueOf(
+          base.plusDays(b).atStartOfDay)) }
+        .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("q163_inflight_overlap")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val valid = ivs.filter(x => x._3 > x._2)
+      val expected = valid.groupBy(_._1).map { case (sk, xs) =>
+        var pairs = 0L
+        for (i <- xs.indices; j <- 0 until i)
+          if (math.max(xs(i)._2, xs(j)._2) < math.min(xs(i)._3, xs(j)._3))
+            pairs += 1
+        val peak = (0 to 13).map(t =>
+          xs.count(x => x._2 <= t && t < x._3)).max.toLong
+        sk -> ((xs.length.toLong, pairs, peak))
+      }
+      assert(got === expected)
+      SparkEntry.release(spark)
+    }
+  }
 }
