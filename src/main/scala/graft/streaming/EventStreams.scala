@@ -330,6 +330,55 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class IntervalEvent(supplier: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp)
+  case class InflightState(endsUs: List[Long])
+  case class InflightUpdate(supplier: Long, start: java.sql.Timestamp,
+      active_before: Long, active_after: Long, new_pairs: Long)
+
+  /** IN-FLIGHT INTERVAL COUNTER under Structured Streaming — the q163
+    * batch sweep as stateful streaming: intervals arrive ordered by
+    * START time (the same global-order contract every watermarked
+    * operator has; sorted within a micro-batch, across batches by the
+    * source), per-supplier state holds ONLY the open intervals' end
+    * times. On each arrival the state first prunes every end ≤ the new
+    * start (half-open [a,b) semantics — those can never overlap this
+    * or any FUTURE start, since starts are non-decreasing), so state
+    * is bounded by the supplier's PEAK in-flight count, not history.
+    * The surviving count is exactly the sweep's active-before — the
+    * new overlapping pairs this interval creates — so per supplier
+    * Σ new_pairs replays q163's n_overlap_pairs and max active_after
+    * its peak_inflight, row for row against the batch oracle
+    * (StreamingSpec). Zero-length intervals (end ≤ start) are dropped
+    * like the batch b > a filter. No timeout: pruning is data-driven,
+    * and an idle supplier's residual state is its last open set —
+    * bounded by peak, eventually pruned by its next arrival. */
+  def inflightStream(intervals: Dataset[IntervalEvent])
+      : Dataset[InflightUpdate] = {
+    import intervals.sparkSession.implicits._
+    intervals.groupByKey(_.supplier)
+      .flatMapGroupsWithState[InflightState, InflightUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sk: Long, it: Iterator[IntervalEvent],
+            state: GroupState[InflightState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[InflightUpdate]
+          var ends = state.getOption.map(_.endsUs).getOrElse(Nil)
+          it.toSeq.map(e => (tsUs(e.start), tsUs(e.end), e))
+            .sortBy { case (a, b, _) => (a, b) }
+            .foreach { case (a, b, e) =>
+              if (b > a) {
+                ends = ends.filter(_ > a)
+                val before = ends.length.toLong
+                ends = b :: ends
+                out += InflightUpdate(sk, e.start, before, before + 1,
+                  before)
+              }
+            }
+          state.update(InflightState(ends))
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -596,4 +596,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed.sameElements(batch))
     } finally query.stop()
   }
+
+  test("inflight counter (q163 twin): streamed per-supplier totals == batch sweep") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tie-heavy intervals over 2 suppliers in a 12-day window,
+    // including zero-length rows the operator must drop
+    val base = java.time.LocalDate.of(1997, 3, 1)
+    val rng = new scala.util.Random(7)
+    val ivs = (0 until 60).map { i =>
+      val a = rng.nextInt(12); val len = rng.nextInt(4) // 0..3, 0 drops
+      (i.toLong, (i % 2).toLong, a, a + len)
+    }
+    // batch oracle: the registry q163 over the same intervals as
+    // lineitem/orders parquet
+    val dir = java.nio.file.Files.createTempDirectory("q163tw").toString
+    ivs.map { case (id, _, a, _) =>
+      (id, Timestamp.valueOf(base.plusDays(a).atStartOfDay)) }
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    ivs.map { case (id, sk, _, b) =>
+      (id, sk, Timestamp.valueOf(base.plusDays(b).atStartOfDay)) }
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val batch = graft.SparkEntry.queries("q163_inflight_overlap")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.SparkEntry.release(spark)
+    // stream the SAME intervals in start order over two micro-batches
+    val evs = ivs.sortBy(x => (x._3, x._4)).map { case (_, sk, a, b) =>
+      EventStreams.IntervalEvent(sk,
+        Timestamp.valueOf(base.plusDays(a).atStartOfDay),
+        Timestamp.valueOf(base.plusDays(b).atStartOfDay))
+    }
+    val input = MemoryStream[EventStreams.IntervalEvent]
+    val query = EventStreams.inflightStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inflight_out")
+      .start()
+    try {
+      input.addData(evs.take(30))
+      query.processAllAvailable()
+      input.addData(evs.drop(30))
+      query.processAllAvailable()
+      val streamed = spark.table("inflight_out")
+        .groupBy($"supplier")
+        .agg(count(lit(1)).as("n"), sum($"new_pairs").as("pairs"),
+          max($"active_after").as("peak"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(batch.values.exists(_._2 > 0), "overlaps must exist")
+      assert(streamed === batch,
+        s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
 }
