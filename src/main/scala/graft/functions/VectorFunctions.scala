@@ -162,6 +162,10 @@ object VectorFunctions {
       "simhash48",
       exprs => SimHash48Agg(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nibble_hist",
+      exprs => NibbleHist(exprs.head),
+      "scala_udf")
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter joins plan), exposed by name: 4.1 ships
     // BloomFilterMightContain but does not register it in the builtin
@@ -179,6 +183,10 @@ object VectorFunctions {
   /** Cosine similarity Column over two array<double> columns; caller must
     * have invoked [[register]] on the session first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** 16-slot nibble histogram of a string (hex chars) or binary column;
+    * caller must have invoked [[register]] on the session first. */
+  def nibbleHist(x: Column): Column = call_function("nibble_hist", x)
 
   /** Raw inner product Column over two array<double> columns; caller
     * must have invoked [[register]] on the session first. */

@@ -42,12 +42,16 @@ object MultimodalOps extends Serializable {
 
   /** documents rendered as a multimodal table:
     * (doc_id, payload binary, meta struct). */
-  def multimodalTable(s: SparkSession, d: String): DataFrame =
+  def multimodalTable(s: SparkSession, d: String): DataFrame = {
+    // the family's byte-distribution kernels run on the codegen'd
+    // nibble_hist expression; registering here covers every consumer
+    graft.functions.VectorFunctions.register(s)
     t(s, d, "documents").select(
       col("doc_id"),
       encode(col("text"), "utf-8").as("payload"),
       struct(col("source").as("source"), col("lang").as("lang"),
         col("n_chars").as("n_chars")).as("meta"))
+  }
 
   case class PayloadRow(doc_id: Long, payload: Array[Byte])
   case class DecodedRow(doc_id: Long, n_bytes: Int, checksum: Long,
@@ -465,15 +469,15 @@ object MultimodalOps extends Serializable {
     // them, and the zero-count guard keeps 0·ln(0) NaNs out of the
     // reduce.
     "m37_payload_entropy" -> { (s, d) =>
-      val nibbles = "0123456789abcdef"
+      // r13: the 16 replace-counters became ONE codegen'd nibble_hist
+      // pass over the RAW BINARY payload — identical counts, and the
+      // 2× hex rendering is never materialized at all
       multimodalTable(s, d)
-        .withColumn("hx", lower(hex(col("payload"))))
-        .filter(length(col("hx")) > 0)
-        .withColumn("cnts", array(nibbles.map(c =>
-          (length(col("hx")) -
-            length(expr(s"replace(hx, '$c', '')"))).cast("long")): _*))
+        .filter(length(col("payload")) > 0)
+        .withColumn("cnts",
+          graft.functions.VectorFunctions.nibbleHist(col("payload")))
         .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
-        .withColumn("tot", length(col("hx")).cast("long"))
+        .withColumn("tot", (length(col("payload")) * 2).cast("long"))
         .select(col("doc_id"),
           size(col("pres")).cast("long").as("n_distinct_nibbles"),
           col("tot").as("n_nibbles"),
@@ -504,9 +508,8 @@ object MultimodalOps extends Serializable {
         .withColumn("th",
           expr(s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
         .withColumn("tot", length(col("th")).cast("long"))
-        .withColumn("cnts", array(nibbles.map(c =>
-          (length(col("th")) -
-            length(expr(s"replace(th, '$c', '')"))).cast("long")): _*))
+        .withColumn("cnts",
+          graft.functions.VectorFunctions.nibbleHist(col("th")))
         .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
         .select(col("doc_id"), col("tidx").as("tile_idx"),
           col("tot").as("n_nibbles"),
@@ -541,9 +544,8 @@ object MultimodalOps extends Serializable {
         .withColumn("th", expr(
           s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
         .withColumn("tot", length(col("th")).cast("long"))
-        .withColumn("cnts", array(nibbles.map(c =>
-          (length(col("th")) -
-            length(expr(s"replace(th, '$c', '')"))).cast("long")): _*))
+        .withColumn("cnts",
+          graft.functions.VectorFunctions.nibbleHist(col("th")))
         .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
         .withColumn("ent", round(-aggregate(col("pres"), lit(0.0),
           (acc, n) => acc + (n / col("tot")) * log(n / col("tot")) /
@@ -584,19 +586,20 @@ object MultimodalOps extends Serializable {
     // Signature table persists at its two-consumer reuse point (both
     // sides of the band self-join).
     "m50_phash_neardup" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
       val sigs = multimodalTable(s, d)
         .select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
         .filter(length(col("hx")) >= 64)
         .withColumn("ln", length(col("hx")))
-        // nibble-value mass per segment via the m37 replace-counter
-        // form: Σ v·count_v runs as 15 NATIVE string scans per
-        // segment (UTF8String.replace) instead of a per-position
-        // lambda — measured ~3× faster than the per-char fold at
-        // sf0.1, same exact integers. Boundary products i·ln widen
-        // to BIGINT BEFORE multiplying (i ≤ 64 × ln up to 2³¹ would
-        // overflow 32-bit INT for payloads over ~16 MiB — ANSI Spark
-        // would throw at runtime), mirroring the oracle's BIGINT
-        // range(0,64) operands.
+        // nibble-value mass per segment via the codegen'd nibble_hist
+        // expression: ONE fused pass per segment (the replace-counter
+        // form this replaces scanned each segment 15 times; the
+        // original per-position lambda was 3× slower still), then
+        // Σ v·h[v] over the 16-slot histogram — same exact integers.
+        // Boundary products i·ln widen to BIGINT BEFORE multiplying
+        // (i ≤ 64 × ln up to 2³¹ would overflow 32-bit INT for
+        // payloads over ~16 MiB — ANSI Spark would throw at runtime),
+        // mirroring the oracle's BIGINT range(0,64) operands.
         .withColumn("segs", expr(
           """transform(sequence(0, 63), i ->
             |  substring(hx,
@@ -605,11 +608,9 @@ object MultimodalOps extends Serializable {
             |         - (CAST(i AS BIGINT) * ln) div 64 AS INT)))"""
             .stripMargin))
         .withColumn("segsums", expr(
-          "transform(segs, sg -> " +
-            "0123456789abcdef".zipWithIndex.filter(_._2 > 0)
-              .map { case (ch, v) =>
-                s"${v}L * (length(sg) - length(replace(sg, '$ch', '')))"
-              }.mkString(" + ") + ")"))
+          """transform(segs, sg ->
+            |  aggregate(zip_with(nibble_hist(sg), sequence(0L, 15L),
+            |    (c, v) -> c * v), 0L, (a, x) -> a + x))""".stripMargin))
         .withColumn("tot", expr("aggregate(segsums, 0L, (a, x) -> a + x)"))
         .withColumn("bits", expr(
           "transform(segsums, x -> IF(x * 64 > tot, 1L, 0L))"))
@@ -679,22 +680,23 @@ object MultimodalOps extends Serializable {
     // FIXED-ORDER 16-term chain in both engines — no row-order-
     // dependent float accumulation anywhere.
     "m40_source_drift" -> { (s, d) =>
-      val nibbles = "0123456789abcdef"
+      // r13: one codegen'd nibble_hist pass over the raw binary
+      // replaces the 16 replace-counters AND the 2× hex rendering;
+      // tot = 2·payload bytes keeps the identical denominators
       val base = multimodalTable(s, d)
-        .withColumn("hx", lower(hex(col("payload"))))
-        .filter(length(col("hx")) > 0)
+        .filter(length(col("payload")) > 0)
         .withColumn("src", col("meta.source"))
-      val withCnts = nibbles.zipWithIndex.foldLeft(base) {
-        case (df, (c, i)) => df.withColumn(s"c$i",
-          (length(col("hx")) -
-            length(expr(s"replace(hx, '$c', '')"))).cast("long"))
-      }
+        .withColumn("hist",
+          graft.functions.VectorFunctions.nibbleHist(col("payload")))
+      val withCnts = (0 until 16).foldLeft(base) {
+        case (df, i) => df.withColumn(s"c$i", element_at(col("hist"), i + 1))
+      }.withColumn("hxlen", (length(col("payload")) * 2).cast("long"))
       // persisted: the #sources-row table feeds BOTH the output rows
       // and the fleet-total rollup — without the persist each branch
       // re-runs the corpus scan (2× the map work at 100 TB); with it
       // the rollup reads ~20 cached rows. Released by SparkEntry.release.
       val bySrc = withCnts.groupBy(col("src").as("source"))
-        .agg(sum(length(col("hx")).cast("long")).as("tot"),
+        .agg(sum(col("hxlen")).as("tot"),
           (0 until 16).map(i => sum(col(s"c$i")).as(s"s$i")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val global = bySrc.groupBy()
@@ -971,11 +973,12 @@ object MultimodalOps extends Serializable {
       .withColumn("tile", expr(
         s"substring(hx, CAST(tidx * $hexPerTile + 1 AS INT), $hexPerTile)"))
       .select(col("doc_id"), col("tidx"), col("tile"))
-    val nibbles = "0123456789abcdef"
-    val withCnts = nibbles.zipWithIndex.foldLeft(tiles) {
-      case (df, (c, i)) => df.withColumn(s"c$i",
-        (length(col("tile")) -
-          length(expr(s"replace(tile, '$c', '')"))).cast("long"))
+    // r13: one codegen'd nibble_hist pass per frame replaces the 16
+    // replace-scans — identical counts
+    val withHist = tiles.withColumn("hist",
+      graft.functions.VectorFunctions.nibbleHist(col("tile")))
+    val withCnts = (0 until 16).foldLeft(withHist) { case (df, i) =>
+      df.withColumn(s"c$i", element_at(col("hist"), i + 1))
     }
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tidx"))
     val lagged = (0 until 16).foldLeft(withCnts) { case (df, i) =>

@@ -125,4 +125,36 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
       df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
     }
   }
+
+  test("NibbleHist: string and binary inputs match the 16-replace-counter rendering") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val texts = Seq("", "a", "hello world", "The 16-slot nibble test!",
+      "αβγ unicode μix", "0123456789abcdefABCDEF")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .withColumn("payload", encode(col("t"), "utf-8"))
+      .withColumn("hx", lower(hex(col("payload"))))
+    // reference: the sixteen replace-counters this expression replaced
+    val ref = df.withColumn("cnts", array(
+        "0123456789abcdef".map(c => (length(col("hx")) -
+          length(expr(s"replace(hx, '$c', '')"))).cast("long")): _*))
+      .select(col("id"), col("cnts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaString = df.select(col("id"),
+        VectorFunctions.nibbleHist(col("hx"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaBinary = df.select(col("id"),
+        VectorFunctions.nibbleHist(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaString === ref, "string path must equal the replace counters")
+    assert(viaBinary === ref, "binary path must equal the hex-rendered counts")
+    // uppercase hex chars count into the same slots
+    val up = df.select(VectorFunctions.nibbleHist(upper(col("hx"))).as("h"),
+      col("id")).collect().map(r => r.getLong(1) -> r.getSeq[Long](0)).toMap
+    assert(up === ref)
+    // total mass = 2 nibbles per payload byte
+    for ((id, h) <- viaBinary)
+      assert(h.sum === 2L * texts(id.toInt).getBytes("UTF-8").length)
+  }
 }
