@@ -3083,6 +3083,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m50 survives a >16 MiB payload: segment boundaries stay in BIGINT (overflow regression)") {
+    import spark.implicits._
+    // 18 MiB payloads: hex length ~37.7M chars, so i·ln at i=63 is
+    // ~2.4e9 > 2^31 — the arithmetic the r13 fix widened to BIGINT
+    // (32-bit INT products would throw under ANSI Spark 4.1). Two
+    // identical docs must fingerprint identically and flag as a
+    // Hamming-0 dup, proving the whole chain (boundaries, masses,
+    // packing, banding, scoring) ran correct at this size.
+    val big = "qz8# " * (18 * 1024 * 1024 / 5)
+    val giant = Seq((1L, big, "en", "src0"), (2L, big, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = graft.Tables.withShared(spark, sf0001, "documents", giant) {
+      SparkEntry.queries("m50_phash_neardup")(spark, sf0001).collect()
+    }
+    assert(out.length === 1, "the identical pair must be the one candidate")
+    assert(out.head.getLong(2) === 0L && out.head.getBoolean(3),
+      "identical 18 MiB payloads must land at Hamming 0, is_dup")
+    SparkEntry.release(spark)
+  }
+
   test("m50 band widths: 16-bit quarters and 32-bit quarter pairs agree on the sf0.1 is_dup set") {
     // the scale knob's contract: widening the band keys (65000× fewer
     // random collisions) must not lose a single flagged pair on the
