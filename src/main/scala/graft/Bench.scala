@@ -57,24 +57,40 @@ object Bench {
       SparkEntry.release(spark)
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
-    // SELF-HEAL: a single contended rep on a shared host can stretch one
-    // query's max to 3-6× its own min (r11's 8-row cohort, r12's d38 —
-    // all environmental, zero source changes). If the 3-rep spread
-    // exceeds 3×, take ONE extra measurement before recording the
-    // median: with 4 samples the upper-middle statistic can never be the
-    // one contended outlier, so a single bad rep can no longer produce a
-    // red bench_diff row. Healed queries are reported so noise stays
-    // VISIBLE (a "healed" array in the line), just no longer damaging.
+    // INTERLEAVED PASSES (r14): the reps run pass-wise — every query's
+    // rep 1, then every query's rep 2, then rep 3 — instead of all reps
+    // of one query back-to-back. r13's 8 noisy driver rows clustered in
+    // ALPHABETICAL RUN ORDER (m36/m37, q96/q97/q98, q113/q114/q122,
+    // s37/s40, s54/s62): the signature of a multi-minute host-contention
+    // burst poisoning ALL back-to-back reps of consecutive queries, so
+    // even the median (and the heal rep, taken inside the same window)
+    // landed high. Pass-wise ordering separates a query's reps by a full
+    // registry sweep (~minutes), so one burst costs each query at most
+    // ONE rep — which the median then discards.
+    val names = selected.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to reps; (name, fn) <- names)
+      timeOnce(name, fn).foreach { t =>
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+      }
+    // SELF-HEAL backstop: if a query's pass samples still spread >3×
+    // (contention struck the same query in different passes), take ONE
+    // extra measurement — with 4 samples the upper-middle statistic can
+    // never be the one contended outlier. BOTH medians ship: "queries"
+    // carries the healed median (what bench_diff compares), and
+    // "queries_raw" carries the healed rows' pre-heal medians, so a
+    // genuinely bimodal regression (1 of 3 reps truly 4× slower) stays
+    // visible in the line instead of being silently suppressed, and
+    // cross-round diffs can tell healed from unhealed rows.
     var healed = List.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap(_ => timeOnce(name, fn))
+    val results = names.map { case (name, fn) =>
+      val times = samples.getOrElse(name, Vector.empty)
       val extra =
         if (times.size >= 2 && times.min > 0 && times.max / times.min > 3.0) {
           healed ::= name
           timeOnce(name, fn)
         } else None
-      val sorted = (times ++ extra).sorted
-      (name, sorted)
+      (name, times.sorted, (times ++ extra).sorted)
     }
     // A query whose every rep failed must NOT appear as a 0.0 median:
     // r9 shipped 25 broken queries as 0.0 rows, which deflated the
@@ -84,15 +100,21 @@ object Bench {
     // OMITTED from the medians/spread maps and listed in an explicit
     // "failed" array instead (placed at the END of the line so the
     // driver's 2 KB stdout tail always preserves it).
-    val (ok, failed) = results.partition(_._2.nonEmpty)
-    val stats = ok.map { case (name, sorted) =>
-      (name, sorted(sorted.size / 2), sorted.head, sorted.last)
+    val (ok, failed) = results.partition(_._3.nonEmpty)
+    val stats = ok.map { case (name, raw, sorted) =>
+      (name, sorted(sorted.size / 2), sorted.head, sorted.last,
+        raw(raw.size / 2))
     }
-    val qs = stats.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val qs = stats.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = stats.map { case (k, _, mn, mx) =>
+    val spread = stats.map { case (k, _, mn, mx, _) =>
       "\"" + k + "\":[" + mn + "," + mx + "]"
     }.mkString("{", ",", "}")
+    // pre-heal medians for the healed rows only (raw == healed elsewhere)
+    val healedSet = healed.toSet
+    val qsRaw = stats.filter(s => healedSet(s._1))
+      .map { case (k, _, _, _, rawMed) => "\"" + k + "\":" + rawMed }
+      .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val healedArr = healed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (failed.nonEmpty)
@@ -105,7 +127,7 @@ object Bench {
     // lifecycle evidence: after release() between reps, nothing this
     // library persisted may outlive the pass (0 expected)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
     println(line)
     // The driver snapshots only a ~2 KB stdout TAIL, which truncates
     // the ~15 KB full line above mid-map (r11: BENCH_r11.json shipped
@@ -114,7 +136,7 @@ object Bench {
     // (the ones perf review actually reads) + failures. The full
     // per-query map survives via BENCH_LAST.json, committed in-repo.
     val slowest = stats.sortBy(-_._2).take(10)
-      .map { case (k, med, _, _) => "\"" + k + "\":" + med }
+      .map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"10 slowest of ${stats.size}; full map in BENCH_LAST.json","reps":$reps,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
     println(compact)

@@ -210,6 +210,19 @@ object StressBench {
     println(s"""{"stress":"incremental_dedup_pairs","value":$d35n}""")
     SparkEntry.release(spark)
 
+    // d64 cross-doc substring dedup at 100k docs (20× sf0.1): chunking
+    // is map-side + one doc-keyed window; cross-doc matching is
+    // chunk-hash-keyed. Time must track corpus tokens (the planted
+    // id%50 near-dup pairs share all but their last chunk, so
+    // removable tokens are guaranteed non-zero at any scale).
+    val d64r = tm("substring_dedup_100k") {
+      SparkEntry.queries("d64_substring_dedup")(spark, base)
+        .agg(sum(col("tokens_total")).as("tok"),
+          sum(col("removable_tokens")).as("rem")).head()
+    }
+    println(s"""{"stress":"substring_dedup_100k","tokens":${d64r.getLong(0)},"removable":${d64r.getLong(1)}}""")
+    SparkEntry.release(spark)
+
     // m48 per-scene frame budgeting at 100k docs (20× sf0.1): frame
     // explode + one doc-keyed window + map-side apportionment — time
     // must scale with total payload bytes, no global stage.
@@ -279,7 +292,7 @@ object StressBench {
         .agg(count(lit(1)).as("cands"),
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups")).head()
       SparkEntry.release(spark)
-      spark.conf.set("spark.graft.phash.bandBits", "16")
+      spark.conf.unset("spark.graft.phash.bandBits")
       (r.getLong(0), r.getLong(1))
     }
     val ph32 = tm("phash_neardup_100k_b32")(phashRun(base, "32"))
@@ -319,6 +332,69 @@ object StressBench {
     println(s"""{"stress":"phash_candidates_1m_b32","value":${ph1m32._1},"is_dup":${ph1m32._2}}""")
     val ph1m16 = tm("phash_neardup_1m_b16")(phashRun(base1m, "16"))
     println(s"""{"stress":"phash_candidates_1m_b16","value":${ph1m16._1},"is_dup":${ph1m16._2}}""")
+    // the auto policy must ENGAGE at scale: 1M assets > the 2^18
+    // default threshold, so the unset (default) knob takes the 32-bit
+    // path — identical counts to the explicit b32 run above
+    val ph1mAuto = tm("phash_neardup_1m_auto")(phashRun(base1m, "auto"))
+    println(s"""{"stress":"phash_candidates_1m_auto","value":${ph1mAuto._1},"is_dup":${ph1mAuto._2},"expect_b32":${ph1m32._1},"auto_matches_b32":${ph1mAuto == ph1m32}}""")
+
+    // ---- the 32-bit REDUCED-RECALL regime, measured head-on: quarter-
+    // pair keys GUARANTEE collision only at Hamming ≤ 2; a Hamming 3–8
+    // pair whose errors spread across ≥ 3 quarters can be silently
+    // missed while is_dup would have flagged it. Plant multi-site
+    // token edits (1..6 scattered sites → fingerprints land across the
+    // whole 0..8+ Hamming range), compute every planted pair's TRUE
+    // Hamming directly from the signatures (id-join — no banding in
+    // the ground-truth path), then report per-bucket recall of each
+    // band width's candidate stage. This is the number a consumer of
+    // the auto policy needs when the corpus crosses the threshold.
+    val hamBase = s"$base/phash_ham"
+    val hamOrig = d.filter(col("doc_id") < 20000)
+    val hamCopies = hamOrig
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+      .withColumn("ne", (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      .withColumn("text", expr(
+        """concat_ws(' ', zip_with(split(text, ' '),
+          |  sequence(0, size(split(text, ' ')) - 1),
+          |  (t, i) -> IF(i % 11 = 3 AND i div 11 < ne,
+          |    concat('Z', i), t)))""".stripMargin))
+      .drop("ne")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    hamOrig.unionByName(hamCopies).repartition(32)
+      .write.mode("overwrite").parquet(s"$hamBase/documents.parquet")
+    val hamSigs = graft.queries.MultimodalOps.phashSignatures(
+      graft.queries.MultimodalOps.multimodalTable(spark, hamBase))
+      .persist()
+    val gtA = hamSigs.filter(col("doc_id") < 20000000L)
+      .select(col("doc_id").as("ia"), col("ph_hi").as("ha"),
+        col("ph_lo").as("la"))
+    val gtB = hamSigs.filter(col("doc_id") >= 20000000L)
+      .select((col("doc_id") - 20000000L).as("ia"),
+        col("ph_hi").as("hb"), col("ph_lo").as("lb"))
+    val gt = gtA.join(gtB, "ia")
+      .withColumn("true_h",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
+      .select(col("ia"), col("true_h")).persist()
+    for (bits <- Seq(16, 32)) {
+      val found = graft.queries.MultimodalOps
+        .phashCandidates(hamSigs, bits)
+        .filter(col("ib") - col("ia") === 20000000L)
+        .select(col("ia"), lit(1L).as("found"))
+      val buckets = tm(s"phash_h38_recall_b$bits") {
+        gt.join(found, Seq("ia"), "left")
+          .withColumn("bucket",
+            when(col("true_h") <= 2, "h0_2")
+              .when(col("true_h") <= 8, "h3_8").otherwise("h9plus"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("planted"),
+            sum(coalesce(col("found"), lit(0L))).as("recalled"))
+          .orderBy(col("bucket")).collect()
+      }
+      buckets.foreach(r => println(
+        s"""{"stress":"phash_recall_b$bits","bucket":"${r.getString(0)}","planted":${r.getLong(1)},"recalled":${r.getLong(2)}}"""))
+    }
+    gt.unpersist(); hamSigs.unpersist()
+    SparkEntry.release(spark)
 
     // q146 ABC classification over a 10M-row synthetic lineitem
     // (~17× sf0.1's 600k): the global revenue cumsum runs through the

@@ -53,6 +53,111 @@ object MultimodalOps extends Serializable {
         col("n_chars").as("n_chars")).as("meta"))
   }
 
+  /** m50's fingerprint stage, factored out so StressBench can measure
+    * banding recall against ground-truth Hamming computed DIRECTLY
+    * from these signatures (planted pairs joined by id — no banding in
+    * the ground-truth path). Input: (doc_id, payload); output:
+    * (doc_id, ph_hi, ph_lo) — the 64-bit aHash packed as two 32-bit
+    * halves (sign-safe shifts). */
+  private[graft] def phashSignatures(mm: DataFrame): DataFrame =
+    mm.select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
+      .filter(length(col("hx")) >= 64)
+      .withColumn("ln", length(col("hx")))
+      // nibble-value mass per segment via the codegen'd nibble_hist
+      // expression: ONE fused pass per segment (the replace-counter
+      // form this replaces scanned each segment 15 times; the
+      // original per-position lambda was 3× slower still), then
+      // Σ v·h[v] over the 16-slot histogram — same exact integers.
+      // Boundary products i·ln widen to BIGINT BEFORE multiplying
+      // (i ≤ 64 × ln up to 2³¹ would overflow 32-bit INT for
+      // payloads over ~16 MiB — ANSI Spark would throw at runtime),
+      // mirroring the oracle's BIGINT range(0,64) operands.
+      .withColumn("segs", expr(
+        """transform(sequence(0, 63), i ->
+          |  substring(hx,
+          |    CAST((CAST(i AS BIGINT) * ln) div 64 + 1 AS INT),
+          |    CAST((CAST(i + 1 AS BIGINT) * ln) div 64
+          |         - (CAST(i AS BIGINT) * ln) div 64 AS INT)))"""
+          .stripMargin))
+      .withColumn("segsums", expr(
+        """transform(segs, sg ->
+          |  aggregate(zip_with(nibble_hist(sg), sequence(0L, 15L),
+          |    (c, v) -> c * v), 0L, (a, x) -> a + x))""".stripMargin))
+      .withColumn("tot", expr("aggregate(segsums, 0L, (a, x) -> a + x)"))
+      .withColumn("bits", expr(
+        "transform(segsums, x -> IF(x * 64 > tot, 1L, 0L))"))
+      .withColumn("ph_hi", expr(
+        """aggregate(zip_with(slice(bits, 1, 32), sequence(31, 0, -1),
+          | (b, k) -> shiftleft(b, k)), 0L, (a, x) -> a + x)"""
+          .stripMargin))
+      .withColumn("ph_lo", expr(
+        """aggregate(zip_with(slice(bits, 33, 32), sequence(31, 0, -1),
+          | (b, k) -> shiftleft(b, k)), 0L, (a, x) -> a + x)"""
+          .stripMargin))
+      .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+
+  /** m50's band-width policy ("16" | "32" | "auto", default auto). The
+    * trade, spelled out because it is a RECALL contract, not a tuning
+    * nit: 16-bit quarter keys collide any pair sharing ONE clean
+    * quarter — every Hamming ≤ 8 pair with ≤ 3 dirty quarters is
+    * guaranteed — at Θ(4·n²/2¹⁶) candidate volume (fine to ~10⁵
+    * assets, 35.8 M candidates measured at 10⁶, quadratic death at
+    * 10⁹). 32-bit quarter-PAIR keys (Manku multi-table) cut volume to
+    * Θ(6·n²/2³²), but only Hamming ≤ 2 pairs are GUARANTEED to
+    * collide: a Hamming 3–8 pair whose errors spread across ≥ 3
+    * quarters is silently missed — the reduced-recall regime
+    * StressBench's planted Hamming 3–8 sweep measures directly.
+    * `auto` picks 16-bit below `spark.graft.phash.autoThreshold`
+    * assets (recall-first while candidates are cheap) and 32-bit above
+    * it (volume-first once n² bites), so the operator self-tunes as
+    * the corpus grows instead of quietly exploding. The default
+    * threshold (2¹⁸) keeps expected random-collision volume under
+    * ~2¹⁹ pairs per band table at the switch point. */
+  private[graft] def resolveBandBits(setting: String, assetCount: => Long,
+      threshold: Long): Int = setting match {
+    case "16" => 16
+    case "32" => 32
+    case "auto" => if (assetCount > threshold) 32 else 16
+    case other => throw new IllegalArgumentException(
+      s"spark.graft.phash.bandBits must be 16, 32 or auto, got $other")
+  }
+
+  /** m50's candidate stage over [[phashSignatures]] output: banded
+    * self-join at the given width, XOR-popcount Hamming, is_dup ≤ 8.
+    * When `bandBits` comes from the auto policy above, candidates at
+    * Hamming 3–8 with ≥ 3 dirty quarters may be absent in the 32-bit
+    * regime — documented there, measured in StressBench. */
+  private[graft] def phashCandidates(sigs: DataFrame, bandBits: Int)
+      : DataFrame = {
+    val quarters = Seq(
+      shiftright(col("ph_hi"), 16).bitwiseAND(lit(0xffffL)),
+      col("ph_hi").bitwiseAND(lit(0xffffL)),
+      shiftright(col("ph_lo"), 16).bitwiseAND(lit(0xffffL)),
+      col("ph_lo").bitwiseAND(lit(0xffffL)))
+    val bandStructs =
+      if (bandBits == 16)
+        quarters.zipWithIndex.map { case (q, i) =>
+          struct(lit(i).as("bi"), q.as("bv")) }
+      else
+        Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).zipWithIndex
+          .map { case ((a, b), i) =>
+            struct(lit(i).as("bi"),
+              (quarters(a) * lit(65536L) + quarters(b)).as("bv")) }
+    val banded = sigs.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+      explode(array(bandStructs: _*)).as("b"))
+    banded.select(col("doc_id").as("ia"), col("ph_hi").as("ha"),
+        col("ph_lo").as("la"), col("b"))
+      .join(banded.select(col("doc_id").as("ib"), col("ph_hi").as("hb"),
+        col("ph_lo").as("lb"), col("b").as("bb")),
+        col("b") === col("bb") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("ha"), col("la"), col("hb"),
+        col("lb")).distinct()
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
+      .select(col("ia"), col("ib"), col("hamming"),
+        (col("hamming") <= 8).as("is_dup"))
+  }
+
   case class PayloadRow(doc_id: Long, payload: Array[Byte])
   case class DecodedRow(doc_id: Long, n_bytes: Int, checksum: Long,
       features: Array[Float])
@@ -477,7 +582,7 @@ object MultimodalOps extends Serializable {
         .withColumn("cnts",
           graft.functions.VectorFunctions.nibbleHist(col("payload")))
         .withColumn("pres", filter(col("cnts"), n => n > lit(0L)))
-        .withColumn("tot", (length(col("payload")) * 2).cast("long"))
+        .withColumn("tot", length(col("payload")).cast("long") * 2)
         .select(col("doc_id"),
           size(col("pres")).cast("long").as("n_distinct_nibbles"),
           col("tot").as("n_nibbles"),
@@ -587,85 +692,21 @@ object MultimodalOps extends Serializable {
     // sides of the band self-join).
     "m50_phash_neardup" -> { (s, d) =>
       graft.functions.VectorFunctions.register(s)
-      val sigs = multimodalTable(s, d)
-        .select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
-        .filter(length(col("hx")) >= 64)
-        .withColumn("ln", length(col("hx")))
-        // nibble-value mass per segment via the codegen'd nibble_hist
-        // expression: ONE fused pass per segment (the replace-counter
-        // form this replaces scanned each segment 15 times; the
-        // original per-position lambda was 3× slower still), then
-        // Σ v·h[v] over the 16-slot histogram — same exact integers.
-        // Boundary products i·ln widen to BIGINT BEFORE multiplying
-        // (i ≤ 64 × ln up to 2³¹ would overflow 32-bit INT for
-        // payloads over ~16 MiB — ANSI Spark would throw at runtime),
-        // mirroring the oracle's BIGINT range(0,64) operands.
-        .withColumn("segs", expr(
-          """transform(sequence(0, 63), i ->
-            |  substring(hx,
-            |    CAST((CAST(i AS BIGINT) * ln) div 64 + 1 AS INT),
-            |    CAST((CAST(i + 1 AS BIGINT) * ln) div 64
-            |         - (CAST(i AS BIGINT) * ln) div 64 AS INT)))"""
-            .stripMargin))
-        .withColumn("segsums", expr(
-          """transform(segs, sg ->
-            |  aggregate(zip_with(nibble_hist(sg), sequence(0L, 15L),
-            |    (c, v) -> c * v), 0L, (a, x) -> a + x))""".stripMargin))
-        .withColumn("tot", expr("aggregate(segsums, 0L, (a, x) -> a + x)"))
-        .withColumn("bits", expr(
-          "transform(segsums, x -> IF(x * 64 > tot, 1L, 0L))"))
-        .withColumn("ph_hi", expr(
-          """aggregate(zip_with(slice(bits, 1, 32), sequence(31, 0, -1),
-            | (b, k) -> shiftleft(b, k)), 0L, (a, x) -> a + x)"""
-            .stripMargin))
-        .withColumn("ph_lo", expr(
-          """aggregate(zip_with(slice(bits, 33, 32), sequence(31, 0, -1),
-            | (b, k) -> shiftleft(b, k)), 0L, (a, x) -> a + x)"""
-            .stripMargin))
-        .select(col("doc_id"), col("ph_hi"), col("ph_lo"))
+      // Signature table persists at its two-consumer reuse point (both
+      // sides of the band self-join, plus the auto policy's count).
+      val sigs = phashSignatures(multimodalTable(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // BAND-WIDTH KNOB (spark.graft.phash.bandBits = 16 | 32): 16-bit
-      // banding (default, the oracle-matched form) emits 4 quarter
-      // keys — candidate volume Θ(4·n²/2¹⁶) for random fingerprints,
-      // fine to ~100k assets, quadratic death at 10⁹. 32-bit banding
-      // emits the C(4,2)=6 quarter-PAIR keys (Manku-style multi-table
-      // indexing): a pair collides iff BOTH quarters match, so volume
-      // drops to Θ(6·n²/2³²) while any pair with ≤2 dirty quarters —
-      // every Hamming ≤ 2 pair guaranteed, and in practice the whole
-      // sf0.1 is_dup set (spec-pinned) — still collides. The trade is
-      // recall at high Hamming near the ≤8 flag line vs ~65000× less
-      // candidate volume; StressBench measures both widths at 100k
-      // and the 32-bit form at 1M assets.
-      val quarters = Seq(
-        shiftright(col("ph_hi"), 16).bitwiseAND(lit(0xffffL)),
-        col("ph_hi").bitwiseAND(lit(0xffffL)),
-        shiftright(col("ph_lo"), 16).bitwiseAND(lit(0xffffL)),
-        col("ph_lo").bitwiseAND(lit(0xffffL)))
-      val bandBits = s.conf.get("spark.graft.phash.bandBits", "16").toInt
-      require(bandBits == 16 || bandBits == 32,
-        s"spark.graft.phash.bandBits must be 16 or 32, got $bandBits")
-      val bandStructs =
-        if (bandBits == 16)
-          quarters.zipWithIndex.map { case (q, i) =>
-            struct(lit(i).as("bi"), q.as("bv")) }
-        else
-          Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)).zipWithIndex
-            .map { case ((a, b), i) =>
-              struct(lit(i).as("bi"),
-                (quarters(a) * lit(65536L) + quarters(b)).as("bv")) }
-      val banded = sigs.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
-        explode(array(bandStructs: _*)).as("b"))
-      banded.select(col("doc_id").as("ia"), col("ph_hi").as("ha"),
-          col("ph_lo").as("la"), col("b"))
-        .join(banded.select(col("doc_id").as("ib"), col("ph_hi").as("hb"),
-          col("ph_lo").as("lb"), col("b").as("bb")),
-          col("b") === col("bb") && col("ia") < col("ib"))
-        .select(col("ia"), col("ib"), col("ha"), col("la"), col("hb"),
-          col("lb")).distinct()
-        .withColumn("hamming",
-          expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
-        .select(col("ia"), col("ib"), col("hamming"),
-          (col("hamming") <= 8).as("is_dup"))
+      // Band width from the auto policy (see resolveBandBits for the
+      // full recall/volume contract): the count only fires when the
+      // knob is "auto", and it reads the persisted signature table the
+      // self-join needs materialized anyway. Both widths are spec-
+      // pinned to agree on the sf0.1 is_dup set; at the test SFs auto
+      // resolves to 16-bit, so the oracle-matched output is unchanged.
+      val setting = s.conf.get("spark.graft.phash.bandBits", "auto")
+      val threshold =
+        s.conf.get("spark.graft.phash.autoThreshold", "262144").toLong
+      phashCandidates(sigs,
+        resolveBandBits(setting, sigs.count(), threshold))
     },
 
     // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
@@ -690,7 +731,7 @@ object MultimodalOps extends Serializable {
           graft.functions.VectorFunctions.nibbleHist(col("payload")))
       val withCnts = (0 until 16).foldLeft(base) {
         case (df, i) => df.withColumn(s"c$i", element_at(col("hist"), i + 1))
-      }.withColumn("hxlen", (length(col("payload")) * 2).cast("long"))
+      }.withColumn("hxlen", length(col("payload")).cast("long") * 2)
       // persisted: the #sources-row table feeds BOTH the output rows
       // and the fleet-total rollup — without the persist each branch
       // re-runs the corpus scan (2× the map work at 100 TB); with it

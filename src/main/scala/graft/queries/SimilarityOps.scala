@@ -42,6 +42,20 @@ object SimilarityOps {
 
   private def cos = VectorFunctions.cosineSim _
 
+  /** Deterministic BOUNDED training sample for the coarse-quantizer
+    * fits (TrainedQuantizer / ElbowQuantizer): sorted by vec_id so the
+    * sample — and therefore the seeded single-partition KMeans fit —
+    * is independent of input partitioning and file order, and capped
+    * so the fit stage is O(cap), never O(corpus), at 100 TB. Mirrors
+    * [[graft.ml.ProductQuantizer.fit]]'s bounded-sample recipe. At the
+    * test SFs (≤ 2000 vectors) the cap covers the full table, so the
+    * fitted centroids and every downstream oracle hash are unchanged. */
+  private val quantizerTrainCap = 4096
+  private def quantizerTrainSet(s: SparkSession, d: String): DataFrame =
+    graft.ml.EmbeddingModels.vectors(
+      t(s, d, "embeddings").sort("vec_id").limit(quantizerTrainCap)
+        .coalesce(1))
+
   /** s35's sign-LSH hyperplanes: seeded ±1 entries, generated once at
     * object init. SF-independent driver-side literals in BOTH engines'
     * plans — which is what makes the "seeded" LSH fully deterministic
@@ -151,10 +165,10 @@ object SimilarityOps {
     * enter both engines' plans (Spark via typed rows, DuckDB via a
     * VALUES clause in the oracle — Verify dumps oracle SQL after the
     * queries run, so the fit has always happened by then). The fit
-    * runs on a single partition: seeded k-means is only reproducible
-    * for a fixed input order, and the per-SF table is small — at real
-    * scale the quantizer trains on a bounded sample exactly like this,
-    * never on the full corpus. */
+    * runs on a single partition over [[quantizerTrainSet]]'s sorted,
+    * capped sample: seeded k-means is only reproducible for a fixed
+    * input order, and the cap keeps the fit O(sample) — never a
+    * single-task pass over the full corpus — at any scale. */
   /** s54's per-k trainers: the TrainedQuantizer fit repeated at each
     * candidate k, memoized per (dir, k) with the same last-fit capture
     * so the oracle's VALUES literals match the plan's. */
@@ -165,8 +179,7 @@ object SimilarityOps {
     def centroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] = {
       lastDir = Some(d)
       fitted.getOrElseUpdate((d, k), {
-        val v = graft.ml.EmbeddingModels.vectors(
-          t(s, d, "embeddings").coalesce(1))
+        val v = quantizerTrainSet(s, d)
         new org.apache.spark.ml.clustering.KMeans()
           .setK(k).setSeed(42L).setFeaturesCol("vec")
           .fit(v).clusterCenters
@@ -185,8 +198,7 @@ object SimilarityOps {
     def centroids(s: SparkSession, d: String): Array[Array[Double]] = {
       lastDir = Some(d)
       fitted.getOrElseUpdate(d, {
-        val v = graft.ml.EmbeddingModels.vectors(
-          t(s, d, "embeddings").coalesce(1))
+        val v = quantizerTrainSet(s, d)
         new org.apache.spark.ml.clustering.KMeans()
           .setK(k).setSeed(42L).setFeaturesCol("vec")
           .fit(v).clusterCenters

@@ -332,7 +332,7 @@ object EventStreams extends Serializable {
 
   case class IntervalEvent(supplier: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)
-  case class InflightState(endsUs: List[Long])
+  case class InflightState(endsUs: List[Long], maxStartUs: Long)
   case class InflightUpdate(supplier: Long, start: java.sql.Timestamp,
       active_before: Long, active_after: Long, new_pairs: Long)
 
@@ -352,7 +352,11 @@ object EventStreams extends Serializable {
     * (StreamingSpec). Zero-length intervals (end ≤ start) are dropped
     * like the batch b > a filter. No timeout: pruning is data-driven,
     * and an idle supplier's residual state is its last open set —
-    * bounded by peak, eventually pruned by its next arrival. */
+    * bounded by peak, eventually pruned by its next arrival. The
+    * ordering contract is ENFORCED, not assumed: state carries the max
+    * start seen so far, and an arrival whose start precedes it fails
+    * the query loudly — a late interval whose start predates already-
+    * pruned ends would otherwise silently undercount pairs and peak. */
   def inflightStream(intervals: Dataset[IntervalEvent])
       : Dataset[InflightUpdate] = {
     import intervals.sparkSession.implicits._
@@ -362,11 +366,24 @@ object EventStreams extends Serializable {
         (sk: Long, it: Iterator[IntervalEvent],
             state: GroupState[InflightState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[InflightUpdate]
-          var ends = state.getOption.map(_.endsUs).getOrElse(Nil)
+          val prev = state.getOption.getOrElse(
+            InflightState(Nil, Long.MinValue))
+          var ends = prev.endsUs
+          var maxStart = prev.maxStartUs
           it.toSeq.map(e => (tsUs(e.start), tsUs(e.end), e))
             .sortBy { case (a, b, _) => (a, b) }
             .foreach { case (a, b, e) =>
+              if (a < maxStart)
+                throw new IllegalStateException(
+                  s"inflightStream ordering contract violated for " +
+                  s"supplier $sk: interval start ${e.start} (${a}us) " +
+                  s"precedes the max start already processed " +
+                  s"(${maxStart}us); ends before it may have been " +
+                  s"pruned, so counts would be silently wrong. The " +
+                  s"source must deliver intervals with non-decreasing " +
+                  s"start times across micro-batches.")
               if (b > a) {
+                maxStart = a
                 ends = ends.filter(_ > a)
                 val before = ends.length.toLong
                 ends = b :: ends
@@ -374,7 +391,7 @@ object EventStreams extends Serializable {
                   before)
               }
             }
-          state.update(InflightState(ends))
+          state.update(InflightState(ends, maxStart))
           out.iterator
       }
   }

@@ -2429,6 +2429,57 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d64 substring dedup: full driver replay — chunking, canonical pick, and removable fractions match exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(tok).substring(0, 6), 16)
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // (doc_id, source, chunk_idx, ctokens, chunk_md5) — t60's cut rule
+    val chunks = docs.flatMap { case (id, src, text) =>
+      val w = if (text.trim.isEmpty) Array.empty[String]
+        else text.trim.split("[ \t\n\f\r]+")
+      if (w.isEmpty) Nil else {
+        val flags = w.map(t => if (bucket(t) % 8 == 0) 1L else 0L)
+        val idx = flags.scanLeft(0L)(_ + _).dropRight(1) // prefix, excl self
+        w.zip(idx).groupBy(_._2).toSeq.map { case (ci, toks) =>
+          (id, src, ci, toks.length.toLong,
+            md5hex(toks.map(_._1).mkString(" ")))
+        }
+      }
+    }
+    val byHash = chunks.groupBy(_._5)
+    val removableSet = byHash.values.flatMap { occ =>
+      if (occ.map(_._1).distinct.size > 1)
+        occ.sortBy(o => (o._1, o._3)).drop(1).map(o => (o._1, o._3))
+      else Nil
+    }.toSet
+    val expected = chunks.groupBy(_._2).map { case (src, cs) =>
+      val rem = cs.filter(c => removableSet((c._1, c._3)))
+      src -> ((cs.length.toLong, cs.map(_._4).sum,
+        rem.length.toLong, rem.map(_._4).sum))
+    }
+    val got = SparkEntry.queries("d64_substring_dedup")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    for ((src, exp) <- expected)
+      assert(got(src) === exp, s"source $src")
+    assert(expected.values.exists(_._4 > 0),
+      "the corpus must contain cross-doc removable spans (probed non-degenerate)")
+    // cross-doc only: a chunk duplicated within a single doc is kept
+    val withinOnly = byHash.values.filter(occ =>
+      occ.length > 1 && occ.map(_._1).distinct.size == 1)
+    withinOnly.flatten.foreach(o =>
+      assert(!removableSet((o._1, o._3)),
+        "within-doc-only repeats must not be removable"))
+    SparkEntry.release(spark)
+  }
+
   test("q147 return rates: the z-squared screen replays exactly from integer counts") {
     val rows = SparkEntry.queries("q147_return_rates")(spark, sf0001)
       .collect()
@@ -3116,7 +3167,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         .filter(col("is_dup")).select(col("ia"), col("ib")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       finally {
-        spark.conf.set("spark.graft.phash.bandBits", "16")
+        spark.conf.unset("spark.graft.phash.bandBits")
         SparkEntry.release(spark)
       }
     }
@@ -3125,6 +3176,42 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(d16.nonEmpty, "sf0.1 must contain is_dup pairs")
     assert(d32 === d16,
       s"band widths disagree: 16-bit ${d16.size} pairs, 32-bit ${d32.size}")
+  }
+
+  test("m50 auto band policy: 16 below the threshold, 32 above, explicit settings never count") {
+    import graft.queries.MultimodalOps.resolveBandBits
+    // explicit widths must not evaluate the (possibly expensive) count
+    def boom: Long = fail("explicit band width must not trigger a count")
+    assert(resolveBandBits("16", boom, 100L) === 16)
+    assert(resolveBandBits("32", boom, 100L) === 32)
+    assert(resolveBandBits("auto", 100L, 100L) === 16,
+      "at the threshold stays 16 (recall-first)")
+    assert(resolveBandBits("auto", 101L, 100L) === 32,
+      "above the threshold switches to 32 (volume-first)")
+    intercept[IllegalArgumentException](resolveBandBits("24", 0L, 100L))
+  }
+
+  test("m50 auto band policy end-to-end: default resolves to 16-bit at test scale; a lowered threshold reproduces the 32-bit output") {
+    // default conf (auto, threshold 2^18): the sf0.001 corpus is far
+    // below the switch point, so the output must be byte-identical to
+    // explicit 16-bit — the oracle-matched form at every test SF
+    def run(): Set[(Long, Long, Long, Boolean)] =
+      try SparkEntry.queries("m50_phash_neardup")(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      finally SparkEntry.release(spark)
+    val auto = run()
+    spark.conf.set("spark.graft.phash.bandBits", "16")
+    val b16 = try run() finally spark.conf.unset("spark.graft.phash.bandBits")
+    assert(auto === b16, "auto below the threshold must equal 16-bit")
+    // lowering the threshold to 1 flips auto into the 32-bit regime —
+    // same rows as explicit 32-bit (Hamming ≤ 2 pairs all survive)
+    spark.conf.set("spark.graft.phash.autoThreshold", "1")
+    val autoLow = try run()
+      finally spark.conf.unset("spark.graft.phash.autoThreshold")
+    spark.conf.set("spark.graft.phash.bandBits", "32")
+    val b32 = try run() finally spark.conf.unset("spark.graft.phash.bandBits")
+    assert(autoLow === b32, "auto above the threshold must equal 32-bit")
   }
 
   test("m50 phash near-dup: byte-exact fingerprint replay and the banded candidate set covers the output") {

@@ -653,4 +653,83 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         s"streamed=$streamed\nbatch=$batch")
     } finally query.stop()
   }
+
+  test("inflight counter enforces its ordering contract: an out-of-order start across micro-batches fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a late interval whose start precedes already-processed starts
+    // would silently undercount (its overlapping ends may already be
+    // pruned) — the operator must throw, not produce a wrong number
+    def ts(day: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(1997, 3, 1).plusDays(day).atStartOfDay)
+    val input = MemoryStream[EventStreams.IntervalEvent]
+    val query = EventStreams.inflightStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inflight_violation")
+      .start()
+    try {
+      input.addData(Seq(
+        EventStreams.IntervalEvent(1L, ts(0), ts(2)),
+        EventStreams.IntervalEvent(1L, ts(5), ts(6))))
+      query.processAllAvailable()
+      // batch 2 regresses supplier 1's start to day 3 (< day 5)
+      input.addData(Seq(EventStreams.IntervalEvent(1L, ts(3), ts(7))))
+      val ex = intercept[Exception](query.processAllAvailable())
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("ordering contract")),
+        s"expected the ordering-contract IllegalStateException, got: $ex")
+    } finally query.stop()
+  }
+
+  test("checkpoint restart: runningTotals resumes per-key state exactly-once after a stop/restart") {
+    // The one Structured Streaming production property the batch-parity
+    // twins don't exercise: kill the query, restart from its
+    // CHECKPOINT, and the final totals must equal the batch oracle
+    // over ALL input — proving (a) the per-key state store recovered
+    // (a state loss would restart wave-2 counts from zero) and (b) no
+    // wave-1 event was double-counted on resume. File source + file
+    // sink because both sides are replayable/idempotent across
+    // restarts — the fault-tolerance contract checkpoints rely on.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val wave1 = (0 until 120).map(i =>
+      EventStreams.UserEvent(i % 5L, i * 0.25))
+    val wave2 = (120 until 200).map(i =>
+      EventStreams.UserEvent(i % 5L, i * 0.25))
+    wave1.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    def startQuery() = EventStreams.runningTotals(
+      spark.readStream.schema("user_id LONG, value DOUBLE")
+        .parquet(inDir).as[EventStreams.UserEvent])
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    wave2.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val finals = spark.read.parquet(outDir)
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"),
+        max(struct($"n_events", $"total_value")).as("last"))
+      .select($"user_id", $"n", $"last.total_value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val oracle = (wave1 ++ wave2).groupBy(_.user_id).map { case (u, es) =>
+      u -> ((es.size.toLong, es.map(_.value).sum))
+    }
+    assert(finals.keySet === oracle.keySet)
+    for ((u, (n, tot)) <- oracle) {
+      assert(finals(u)._1 === n,
+        s"user $u: resumed count ${finals(u)._1} != oracle $n — state " +
+        "was lost or replayed across the restart")
+      assert(math.abs(finals(u)._2 - tot) < 1e-9,
+        s"user $u: resumed total ${finals(u)._2} != oracle $tot")
+    }
+  }
 }

@@ -77,6 +77,8 @@ def main():
                if bq[q] > 0 and cq[q] / bq[q] > THRESH]
     if not flagged:
         print(f"no shared query above {THRESH}x its baseline median")
+    cur_healed = set(cur.get("healed", []))
+    cur_raw = cur.get("queries_raw", {})
     for ratio, q in sorted(flagged, reverse=True):
         c_sp = cs.get(q, [cq[q], cq[q]])
         b_sp = bs.get(q, [bq[q], bq[q]])
@@ -85,8 +87,22 @@ def main():
         tag = "REGRESSION" if disjoint else "noisy"
         if disjoint:
             hard.append(q)
+        # healed rows compare a 4-sample median against (usually) 3-rep
+        # baselines — surface the pre-heal median so the comparison is
+        # never silently apples-to-oranges
+        if q in cur_healed:
+            tag += f" [healed; raw median {cur_raw.get(q, cq[q]):.3f}s]"
         print(f"  {ratio:5.1f}x  {q:32s} {bq[q]:7.3f}s -> {cq[q]:7.3f}s  "
               f"base[{b_sp[0]:.3f},{b_sp[1]:.3f}] cur[{c_sp[0]:.3f},{c_sp[1]:.3f}]  {tag}")
+    # healed rows that did NOT cross the ratio threshold still get a
+    # one-line note so a healed median is always visible in the diff
+    healed_quiet = sorted(q for q in cur_healed
+                          if q in shared and not any(f[1] == q for f in flagged))
+    if healed_quiet:
+        notes = ", ".join(
+            f"{q} (median {cq[q]:.3f}s, raw {cur_raw.get(q, cq[q]):.3f}s)"
+            for q in healed_quiet)
+        print(f"healed below threshold ({len(healed_quiet)}): {notes}")
     # Bench now omits all-reps-failed queries from the medians and lists
     # them explicitly — a failed query outranks any timing regression.
     cur_failed = cur.get("failed", [])
