@@ -135,6 +135,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d64 substring dedup: every exchange keyed by doc/chunk-hash/source — never all-pairs, never unkeyed") {
+    val p = plan("d64_substring_dedup")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id", "chunk_md5", "source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cross-doc matching must ride the chunk_md5 equi-join:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("m36 asset similarity: every shuffle is keyed by the tile digest or asset ids, never payload bytes") {
     val p = plan("m36_asset_similarity")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
