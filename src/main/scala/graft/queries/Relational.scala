@@ -512,6 +512,195 @@ object Relational {
           "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_late_orders"))
+    },
+
+    // TPC-H Q19 SHAPE — disjunctive band pricing: revenue over an
+    // OR-of-ANDs of (brand, size, quantity) bands. The operator point
+    // is that the whole disjunction evaluates INSIDE the one
+    // broadcast-join scan pass — no union of three scans, no re-read
+    // per band — and the per-band split is conditional aggregation
+    // unpivoted by stack(), still the same single pass. A line
+    // matching several bands counts in each (bands here are disjoint
+    // by brand/type, but the contract is per-band attribution, not
+    // partitioning). Revenue in per-row-rounded cents (q160
+    // discipline) so band totals are exact integers.
+    "q165_disjunctive_bands" -> { (s, d) =>
+      val cents =
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      val band1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) && col("l_quantity") < 25
+      val band2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(16, 35) && col("l_quantity") >= 25
+      val band3 = col("p_type") === "PROMO" &&
+        col("l_quantity").between(10, 20)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(band1 || band2 || band3)
+        .agg(
+          sum(when(band1, cents).otherwise(0L)).as("c1"),
+          count(when(band1, lit(1))).as("n1"),
+          sum(when(band2, cents).otherwise(0L)).as("c2"),
+          count(when(band2, lit(1))).as("n2"),
+          sum(when(band3, cents).otherwise(0L)).as("c3"),
+          count(when(band3, lit(1))).as("n3"))
+        .select(expr(
+          """stack(3,
+            | 'brand1_small', c1, n1,
+            | 'brand2_large', c2, n2,
+            | 'promo_mid',    c3, n3) AS (band, revenue_cents, n_lines)"""
+            .stripMargin))
+    },
+
+    // TPC-H Q13 SHAPE — order-count distribution with the zero bucket:
+    // how many customers placed exactly k URGENT orders, INCLUDING
+    // k = 0 (the bucket an inner join silently drops — the shape's
+    // whole point). The fact collapses to per-customer counts FIRST
+    // (one orderkey→custkey shuffle), then customer LEFT-joins the
+    // counts so no-urgent-order customers surface as 0; the final
+    // distribution groupBy runs on a customer-cardinality frame. At
+    // 100 TB both shuffles are custkey-keyed and the widest row in
+    // flight is (custkey, count).
+    "q166_order_count_distribution" -> { (s, d) =>
+      val perCust = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q7 SHAPE — trade flows between nations: revenue shipped
+    // from a supplier nation to a DIFFERENT customer nation per ship
+    // year, over a 5-nation focus set. Both nation filters reach the
+    // dimension scans; the supplier side collapses to a broadcast
+    // (suppkey → supp_nation) map that prunes lineitem to the focus
+    // fifth BEFORE the orders join, so the two fact shuffles
+    // (orderkey, then custkey) carry only qualifying lines. Cents
+    // discipline as q160; the year key is exact integer.
+    "q167_nation_trade_flows" -> { (s, d) =>
+      val focus = col("n_nationkey") < 5
+      val supN = broadcast(t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(focus)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custN = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").filter(focus)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q14 SHAPE — promo revenue share per month: the
+    // conditional-numerator/total-denominator ratio computed in ONE
+    // pass over the year's fact slice (predicate pushed to the scan,
+    // part dim broadcast). Both legs sum exact per-row-rounded cents;
+    // the share is the single double division at the very end
+    // (q160/t32 discipline — no float accumulates across rows).
+    "q168_promo_share" -> { (s, d) =>
+      val cents =
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1997-01-01")
+          && col("l_shipdate") < tsLit("1998-01-01"))
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+            .as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("ship_month"), col("promo_cents"), col("total_cents"),
+          round(lit(100.0) * col("promo_cents") / col("total_cents"), 4)
+            .as("promo_share_pct"))
+    },
+
+    // TPC-H Q8 SHAPE — market share: NATION_3's slice of its own
+    // region's revenue per order year. The "which region is that"
+    // scalar subquery is a broadcast join chain (nation→region→the
+    // region's nations), so the customer-side region membership and
+    // the supplier-side is-target flag BOTH ride broadcast hash maps
+    // into the fact scan; the share is conditional-cents / total-cents
+    // per year — the q168 one-division discipline. Two fact shuffles
+    // (orderkey, custkey), then a 7-row year rollup.
+    "q169_market_share" -> { (s, d) =>
+      val nation = t(s, d, "nation")
+      // NATION_3's region key → every nation key in that region
+      val regionNations = broadcast(nation
+        .join(broadcast(nation.filter(col("n_name") === "NATION_3")
+          .select(col("n_regionkey").as("rk"))),
+          col("n_regionkey") === col("rk"))
+        .select(col("n_nationkey").as("region_nk")))
+      val supFlag = broadcast(t(s, d, "supplier")
+        .join(broadcast(nation.select(col("n_nationkey"),
+          (col("n_name") === "NATION_3").as("is_target"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("is_target")))
+      val custInRegion = t(s, d, "customer")
+        .join(regionNations, col("c_nationkey") === col("region_nk"))
+        .select(col("c_custkey"))
+      val cents =
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+      t(s, d, "lineitem")
+        .join(supFlag, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custInRegion, col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(
+          sum(when(col("is_target"), cents).otherwise(0L))
+            .as("target_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("order_year"), col("target_cents"), col("total_cents"),
+          round(lit(100.0) * col("target_cents") / col("total_cents"), 4)
+            .as("market_share_pct"))
+    },
+
+    // TPC-H Q10 SHAPE — returned-item reporting: the top 20 customers
+    // by revenue RETURNED in a half-year window, with their nation.
+    // The returnflag + date predicates prune both fact scans before
+    // the join; per-customer revenue is one custkey rollup in exact
+    // cents, and the top-20 cut rides TakeOrderedAndProject
+    // (distributed partial take, the q102 discipline) with custkey as
+    // the deterministic tiebreak. The nation dim joins AFTER the cut —
+    // 20 rows, broadcast.
+    "q170_returned_top_customers" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= tsLit("1997-01-01")
+            && col("o_orderdate") < tsLit("1997-07-01"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("returned_cents"),
+          count(lit(1)).as("n_returned_lines"))
+        .orderBy(col("returned_cents").desc, col("o_custkey").asc)
+        .limit(20)
+      rev.join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("returned_cents"), col("n_returned_lines"))
     }
   )
 
@@ -784,6 +973,118 @@ object Relational {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey
         |   AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // the same one-pass conditional aggregation; the band split is a
+    // UNION ALL over the single aggregated row (DuckDB's stack)
+    "q165_disjunctive_bands" ->
+      """WITH j AS (
+        | SELECT l_quantity, p_brand, p_size, p_type,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    AS cents,
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity < 25) AS b1,
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 35
+        |    AND l_quantity >= 25) AS b2,
+        |  (p_type = 'PROMO' AND l_quantity BETWEEN 10 AND 20) AS b3
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |f AS (SELECT * FROM j WHERE b1 OR b2 OR b3),
+        |a AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN b1 THEN cents ELSE 0 END) AS BIGINT) AS c1,
+        |  count(CASE WHEN b1 THEN 1 END) AS n1,
+        |  CAST(sum(CASE WHEN b2 THEN cents ELSE 0 END) AS BIGINT) AS c2,
+        |  count(CASE WHEN b2 THEN 1 END) AS n2,
+        |  CAST(sum(CASE WHEN b3 THEN cents ELSE 0 END) AS BIGINT) AS c3,
+        |  count(CASE WHEN b3 THEN 1 END) AS n3
+        | FROM f)
+        |SELECT 'brand1_small' AS band, c1 AS revenue_cents, n1 AS n_lines
+        | FROM a
+        |UNION ALL
+        |SELECT 'brand2_large', c2, n2 FROM a
+        |UNION ALL
+        |SELECT 'promo_mid', c3, n3 FROM a""".stripMargin,
+    // the same collapse-first left join keeping the zero bucket
+    "q166_order_count_distribution" ->
+      """WITH per AS (
+        | SELECT o_custkey, count(*) AS n FROM orders
+        | WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN per ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    // the same focus-set dimension filters and cross-nation gate
+    "q167_nation_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_lines
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_nationkey < 5 AND cn.n_nationkey < 5
+        | AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the same one-pass cents legs; the share divides once, as DOUBLE
+    // (a bare 100.0 literal is DECIMAL in DuckDB — cast explicitly)
+    "q168_promo_share" ->
+      """WITH m AS (
+        | SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |   ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS total_cents
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1)
+        |SELECT ship_month, promo_cents, total_cents,
+        | round(CAST(100 AS DOUBLE) * promo_cents / total_cents, 4)
+        |   AS promo_share_pct
+        |FROM m""".stripMargin,
+    // the same broadcast region-membership chain and one-division share
+    "q169_market_share" ->
+      """WITH rev AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    AS cents,
+        |  (sn.n_name = 'NATION_3') AS is_target
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | WHERE cn.n_regionkey = (
+        |  SELECT n_regionkey FROM nation WHERE n_name = 'NATION_3'))
+        |SELECT order_year,
+        | CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END) AS BIGINT)
+        |   AS target_cents,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | round(CAST(100 AS DOUBLE) *
+        |   sum(CASE WHEN is_target THEN cents ELSE 0 END) / sum(cents), 4)
+        |   AS market_share_pct
+        |FROM rev GROUP BY 1""".stripMargin,
+    // the same pruned-scan rollup and (revenue DESC, custkey) top-20
+    "q170_returned_top_customers" ->
+      """WITH rev AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS returned_cents,
+        |  count(*) AS n_returned_lines
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        | GROUP BY 1
+        | ORDER BY returned_cents DESC, o_custkey ASC
+        | LIMIT 20)
+        |SELECT c_custkey, c_name, n_name, returned_cents, n_returned_lines
+        |FROM rev
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey""".stripMargin
   )
 }

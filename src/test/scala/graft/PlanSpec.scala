@@ -837,6 +837,80 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the date residual must ride the equi semi join in:\n$p")
   }
 
+  test("q165: the whole disjunction runs in ONE broadcast-join scan pass — no per-band re-read") {
+    val p = plan("q165_disjunctive_bands")
+    assert(p.split("lineitem\\.parquet").length - 1 <= 1,
+      s"the three bands must share a single lineitem scan in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim must broadcast in:\n$p")
+    assert(!p.contains("Union"),
+      s"band split must be conditional agg + stack, not a scan union:\n$p")
+  }
+
+  test("q166: the fact collapses per-custkey BEFORE the customer outer join; priority filter reaches the scan") {
+    val p = plan("q166_order_count_distribution")
+    assert(p.contains("LeftOuter"),
+      s"zero-order customers need the outer join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority)")
+      || p.contains("EqualTo(o_orderpriority"),
+      s"priority predicate must push to the orders scan in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("o_custkey", "c_custkey", "c_count")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q167: supplier-nation map broadcasts and prunes lineitem before the fact shuffles") {
+    val p = plan("q167_nation_trade_flows")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"supplier-nation and customer-nation maps must broadcast in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("l_orderkey", "o_orderkey",
+      "o_custkey", "c_custkey", "supp_nation")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q168: promo share is one fact pass — year slice pushed, part broadcast, one month shuffle") {
+    val p = plan("q168_promo_share")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"year slice must push to the scan in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim must broadcast in:\n$p")
+    assert(p.split("lineitem\\.parquet").length - 1 <= 1,
+      s"numerator and denominator must share one scan in:\n$p")
+    // the month key aggregates as an inline _groupingexpression —
+    // either name is the same single month-keyed shuffle
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("ship_month", "_groupingexpression")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(exchanges.size === 1, s"one shuffle only, got $exchanges in:\n$p")
+  }
+
+  test("q169: region membership and target flag both ride broadcast maps; semi join keeps the fact narrow") {
+    val p = plan("q169_market_share")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"supplier-flag and region-nation maps must broadcast in:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"region membership must be a semi join in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no product in:\n$p")
+  }
+
+  test("q170: both fact predicates push to their scans and the top-20 rides a distributed partial take") {
+    val p = plan("q170_returned_top_customers")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a distributed partial take in:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag must push to the lineitem scan in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"half-year slice must push to the orders scan in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim must broadcast in:\n$p")
+  }
+
   test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
     val p = plan("m50_phash_neardup")
     assert(!p.contains("CartesianProduct")

@@ -3069,6 +3069,176 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("q165-q168: the Q19 bands, Q13 zero bucket, Q7 flows, and Q14 share replay exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    val li = graft.Tables.t(spark, sf0001, "lineitem").select(
+      col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        math.round(r.getDouble(4) * (1 - r.getDouble(5)) * 100),
+        day(r.get(6))))
+    val part = graft.Tables.t(spark, sf0001, "part").select(
+      col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        r.getString(3)))).toMap
+    // q165: band attribution over the one joined pass
+    val bands = li.flatMap { case (pk, _, _, qty, cents, _) =>
+      part.get(pk).toSeq.flatMap { case (brand, size, ptype) =>
+        Seq(
+          ("brand1_small", brand == "Brand#1" && size >= 1 && size <= 15
+            && qty < 25),
+          ("brand2_large", brand == "Brand#2" && size >= 16 && size <= 35
+            && qty >= 25),
+          ("promo_mid", ptype == "PROMO" && qty >= 10 && qty <= 20))
+          .collect { case (b, true) => (b, cents) }
+      }
+    }.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.map(_._2).sum, xs.length.toLong)) }
+    val got165 = SparkEntry.queries("q165_disjunctive_bands")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got165.keySet === Set("brand1_small", "brand2_large", "promo_mid"))
+    for ((b, exp) <- bands) assert(got165(b) === exp, s"band $b")
+    assert(bands.values.forall(_._2 > 0), "every band must be non-degenerate")
+    // q166: the zero bucket must exist and the distribution must sum
+    // to the customer count
+    val orders = graft.Tables.t(spark, sf0001, "orders").select(
+      col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nCust = graft.Tables.t(spark, sf0001, "customer").count()
+    val urgentPer = orders.filter(_._2 == "1-URGENT").groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val got166 = SparkEntry.queries("q166_order_count_distribution")(
+      spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got166.values.sum === nCust,
+      "distribution buckets must partition the customer set")
+    assert(got166.getOrElse(0L, 0L) ===
+      nCust - urgentPer.keySet.size,
+      "the zero bucket must carry exactly the no-urgent-order customers")
+    assert(got166.getOrElse(0L, 0L) > 0,
+      "zero bucket must be non-degenerate (probed)")
+    // q167: flows are symmetric-free (no same-nation rows) and every
+    // (pair, year) cents total replays from the raw rows
+    val sup = graft.Tables.t(spark, sf0001, "supplier").select(
+      col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val cust = graft.Tables.t(spark, sf0001, "customer").select(
+      col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val orderCust = graft.Tables.t(spark, sf0001, "orders").select(
+      col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flows = li.flatMap { case (_, sk, ok, _, cents, sd) =>
+      for {
+        sn <- sup.get(sk) if sn < 5
+        cn <- orderCust.get(ok).flatMap(cust.get) if cn < 5 && cn != sn
+      } yield ((s"NATION_$sn", s"NATION_$cn", sd.getYear.toLong), cents)
+    }.groupBy(_._1).view.mapValues(xs =>
+      (xs.map(_._2).sum, xs.length.toLong)).toMap
+    val got167 = SparkEntry.queries("q167_nation_trade_flows")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)))
+        -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got167 === flows)
+    assert(got167.nonEmpty, "trade flows must exist at sf0.001 (probed)")
+    got167.keys.foreach { case (a, b, _) => assert(a != b) }
+    // q168: promo share replays as the one exact division
+    val m168 = li.filter { case (_, _, _, _, _, sd) =>
+      sd.getYear == 1997 }.flatMap { case (pk, _, _, _, cents, sd) =>
+      part.get(pk).map { case (_, _, ptype) =>
+        (sd.getMonthValue.toLong,
+          (if (ptype == "PROMO") cents else 0L, cents)) }
+    }.groupBy(_._1).view.mapValues { xs =>
+      val p = xs.map(_._2._1).sum; val t = xs.map(_._2._2).sum
+      (p, t, math.rint(100.0 * p / t * 10000) / 10000)
+    }.toMap
+    val got168 = SparkEntry.queries("q168_promo_share")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got168.keySet === (1L to 12L).toSet, "all 12 months present")
+    for ((m, (p, tt, sh)) <- m168) {
+      assert(got168(m)._1 === p && got168(m)._2 === tt, s"month $m cents")
+      assert(math.abs(got168(m)._3 - sh) < 5e-5, s"month $m share")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("q169/q170: the Q8 market share and Q10 top-20 returned revenue replay exactly") {
+    val utc = java.time.ZoneOffset.UTC
+    def day(x: Any): java.time.LocalDate = x match {
+      case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDate
+      case dt: java.time.LocalDateTime => dt.toLocalDate
+      case i: java.time.Instant => i.atZone(utc).toLocalDate
+    }
+    val li = graft.Tables.t(spark, sf0001, "lineitem").select(
+      col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+      col("l_discount"), col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * (1 - r.getDouble(3)) * 100),
+        r.getString(4)))
+    val ord = graft.Tables.t(spark, sf0001, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), day(r.get(2)))))
+      .toMap
+    val nations = graft.Tables.t(spark, sf0001, "nation").select(
+      col("n_nationkey"), col("n_name"), col("n_regionkey")).collect()
+      .map(r => r.getInt(0).toLong -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    val sup = graft.Tables.t(spark, sf0001, "supplier").select(
+      col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val cust = graft.Tables.t(spark, sf0001, "customer").select(
+      col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // q169: NATION_3's region, per-year target vs total cents
+    val targetRegion = nations.values.find(_._1 == "NATION_3").get._2
+    val shares = li.flatMap { case (ok, sk, cents, _) =>
+      for {
+        (ck, od) <- ord.get(ok)
+        cn <- cust.get(ck) if nations(cn)._2 == targetRegion
+        sn <- sup.get(sk)
+      } yield (od.getYear.toLong,
+        (if (nations(sn)._1 == "NATION_3") cents else 0L, cents))
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.map(_._2._1).sum, xs.map(_._2._2).sum) }.toMap
+    val got169 = SparkEntry.queries("q169_market_share")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got169.keySet === shares.keySet)
+    for ((y, (tc, tot)) <- shares) {
+      assert(got169(y)._1 === tc && got169(y)._2 === tot, s"year $y cents")
+      assert(math.abs(got169(y)._3
+        - math.rint(100.0 * tc / tot * 10000) / 10000) < 5e-5, s"year $y pct")
+    }
+    assert(shares.values.exists(_._1 > 0),
+      "the target nation must hold real share (probed)")
+    // q170: top-20 by (returned cents DESC, custkey ASC)
+    val h1 = (java.time.LocalDate.of(1997, 1, 1),
+      java.time.LocalDate.of(1997, 7, 1))
+    val perCust = li.flatMap { case (ok, _, cents, rf) =>
+      for {
+        (ck, od) <- ord.get(ok)
+        if rf == "R" && !od.isBefore(h1._1) && od.isBefore(h1._2)
+      } yield (ck, cents)
+    }.groupBy(_._1).view.mapValues(xs =>
+      (xs.map(_._2).sum, xs.length.toLong)).toMap
+    val top20 = perCust.toSeq
+      .sortBy { case (ck, (rc, _)) => (-rc, ck) }.take(20)
+    val got170 = SparkEntry.queries("q170_returned_top_customers")(
+      spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got170.size === 20)
+    assert(got170 === top20.toMap)
+    SparkEntry.release(spark)
+  }
+
   test("q160/q161/q162: the Q15 tie-max, Q22 churn gate, and Q11 fraction gate replay exactly") {
     val utc = java.time.ZoneOffset.UTC
     def day(x: Any): java.time.LocalDate = x match {
