@@ -16,6 +16,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache (static conf) defaults to 100
+      // entries; the 290+-query registry compiles ~1500 codegen
+      // stages, so under PASS-WISE rep ordering every entry is
+      // evicted between a query's reps and every rep re-pays Janino
+      // compilation — measured as a uniform ~+40% total (+0.1-0.4 s
+      // per query, worst on sub-second queries). Size the cache to
+      // hold the whole registry so reps measure execution, as the
+      // warm-up pass intends.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass: run every query once against the smallest corpus.
