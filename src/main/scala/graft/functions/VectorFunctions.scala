@@ -166,6 +166,10 @@ object VectorFunctions {
       "nibble_hist",
       exprs => NibbleHist(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      exprs => CdcChunks(exprs.head),
+      "scala_udf")
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter joins plan), exposed by name: 4.1 ships
     // BloomFilterMightContain but does not register it in the builtin
@@ -187,6 +191,11 @@ object VectorFunctions {
   /** 16-slot nibble histogram of a string (hex chars) or binary column;
     * caller must have invoked [[register]] on the session first. */
   def nibbleHist(x: Column): Column = call_function("nibble_hist", x)
+
+  /** One-pass map-side CDC chunking of a text column
+    * (array<struct<ctokens, chunk_md5>> in chunk order); caller must
+    * have invoked [[register]] on the session first. */
+  def cdcChunks(x: Column): Column = call_function("cdc_chunks", x)
 
   /** Raw inner product Column over two array<double> columns; caller
     * must have invoked [[register]] on the session first. */

@@ -1295,25 +1295,23 @@ object TextOps {
     // chunk digests render through the q124 array_sort discipline so
     // the grouping never trusts arrival order.
     "t60_cdc_chunks" -> { (s, d) =>
-      val tok = t(s, d, "documents")
-        .withColumn("w", tokens(col("text")))
-        .filter(size(col("w")) > 0)
+      // r14: the posexplode → doc-window → (doc, chunk_idx) aggregate
+      // chain became ONE map-side pass through the codegen'd
+      // cdc_chunks expression — identical chunk table (same cut rule,
+      // same digests; the oracle still replays the declarative form),
+      // but the token-level doc_id exchange is GONE: the only shuffle
+      // left is the source rollup. At 100 TB that was the operator's
+      // dominant cost.
+      graft.functions.VectorFunctions.register(s)
+      val chunks = t(s, d, "documents")
+        .withColumn("chs",
+          graft.functions.VectorFunctions.cdcChunks(col("text")))
+        .filter(size(col("chs")) > 0)
         .select(col("doc_id"), col("source"),
-          posexplode(col("w")).as(Seq("pos", "token")))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("pos").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val chunked = tok
-        .withColumn("bnd",
-          when(SamplingOps.bucket(col("token")) % 8 === 0, 1L)
-            .otherwise(0L))
-        .withColumn("chunk_idx", coalesce(sum(col("bnd")).over(w), lit(0L)))
-      val chunks = chunked
-        .groupBy(col("doc_id"), col("source"), col("chunk_idx"))
-        .agg(count(lit(1)).as("ctokens"),
-          md5(concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(pos, token))), " +
-              "x -> x.token)"))).as("chunk_md5"))
+          explode(col("chs")).as("ch"))
+        .select(col("doc_id"), col("source"),
+          col("ch.ctokens").as("ctokens"),
+          col("ch.chunk_md5").as("chunk_md5"))
       chunks.groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("chunk_md5")).as("n_distinct_chunks"),

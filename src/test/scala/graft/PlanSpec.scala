@@ -135,11 +135,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
-  test("d64 substring dedup: every exchange keyed by doc/chunk-hash/source — never all-pairs, never unkeyed") {
+  test("d64 substring dedup: map-side chunking, every exchange chunk-hash- or source-keyed — never all-pairs") {
     val p = plan("d64_substring_dedup")
+    assert(p.contains("cdc_chunks"),
+      s"chunking must run through the native expression in:\n$p")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(exchanges.subsetOf(Set("doc_id", "chunk_md5", "source")),
+    // r14: the token-level doc_id window exchange is gone — chunks
+    // are born map-side, so only the cross-doc (chunk_md5) stages and
+    // the (source) rollup shuffle
+    assert(exchanges.subsetOf(Set("chunk_md5", "source")),
       s"unexpected shuffle keys $exchanges in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"cross-doc matching must ride the chunk_md5 equi-join:\n$p")
@@ -677,12 +682,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"membership must broadcast in:\n$p")
   }
 
-  test("t60 cdc: every shuffle is doc-, chunk- or source-keyed") {
+  test("t60 cdc: chunking is map-side (cdc_chunks expression) — only the source rollup shuffles") {
     val p = plan("t60_cdc_chunks")
+    assert(p.contains("cdc_chunks"),
+      s"chunking must run through the native expression in:\n$p")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(exchanges.subsetOf(Set("doc_id", "source", "chunk_md5")),
+    // the r13 form exchanged EVERY TOKEN ROW on doc_id for the
+    // prefix-sum window; the map-side kernel eliminated that — only
+    // the (source[, chunk_md5]) rollup keys may shuffle now
+    assert(exchanges.subsetOf(Set("source")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("Window"),
+      s"no prefix-sum window may remain in:\n$p")
   }
 
   test("q133 contribution cap: the kept set runs through the native bounded heap, never a per-user sort") {

@@ -157,4 +157,55 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     for ((id, h) <- viaBinary)
       assert(h.sum === 2L * texts(id.toInt).getBytes("UTF-8").length)
   }
+
+  test("CdcChunks: equals the declarative explode/window/aggregate rendering on every edge shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(spark)
+    val texts = Seq(
+      "",                     // blank -> no chunks at all
+      "   ",                  // all-space: Spark trim empties it
+      "\tword",               // leading tab survives the space-only trim
+      "one",
+      "one two three four five six seven eight nine ten",
+      ("w1 " * 200).trim,     // long repeat: many boundaries
+      "trailing tab\t",       // trailing tab -> trailing empty token
+      "a  b\tc\nd\fe\rf")    // every separator class, runs collapse
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // declarative reference: the exact r13 plan the expression replaced
+    val tok = df
+      .withColumn("w", when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "[ \\t\\n\\f\\r]+")))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "token")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucket = conv(substring(md5(col("token").cast("string")), 1, 6),
+      16, 10).cast("long")
+    val ref = tok
+      .withColumn("bnd", when(bucket % 8 === 0, 1L).otherwise(0L))
+      .withColumn("ci", coalesce(sum(col("bnd")).over(wDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("ci"))
+      .agg(count(lit(1)).as("ctokens"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, token))), " +
+            "x -> x.token)"))).as("chunk_md5"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    val got = df
+      .withColumn("chs", VectorFunctions.cdcChunks(col("text")))
+      .filter(size(col("chs")) > 0)
+      .select(col("doc_id"), posexplode(col("chs")).as(Seq("ci", "ch")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) ->
+        ((r.getStruct(2).getLong(0), r.getStruct(2).getString(1))))
+      .toMap
+    assert(got === ref,
+      s"expression and declarative chunking disagree:\n got=$got\n ref=$ref")
+    // blank and all-space docs must vanish entirely
+    assert(!got.keys.exists(k => k._1 == 0L || k._1 == 1L))
+  }
 }
