@@ -709,6 +709,62 @@ object MultimodalOps extends Serializable {
         resolveBandBits(setting, sigs.count(), threshold))
     },
 
+    // PAYLOAD STORAGE DEDUP — content-defined chunking of the raw
+    // asset bytes (the FastCDC storage primitive, at 16-byte tile
+    // granularity): fixed 32-hex tiles, a chunk boundary after any
+    // tile whose md5 bucket ≡ 0 (mod 8) — t60's cut rule moved from
+    // tokens to byte tiles — and per source the chunk-level dedup
+    // ratio a content-addressed store would realize, plus the mean
+    // chunk size. ENTIRELY MAP-SIDE until the source rollup: the tile
+    // fold runs as one aggregate() HOF pass per payload (no tile
+    // explode, no per-doc window, zero pre-rollup shuffle — the
+    // cdc_chunks posture on binary). The honest number on this corpus
+    // is small (0–5%: only exact-clone payloads share chunks, since
+    // fixed tiles can't re-anchor across inserted bytes) and the spec
+    // proves the signal by planting clones; on a real media lake this
+    // is the dominant storage-cost estimator.
+    "m51_payload_cdc" -> { (s, d) =>
+      val chunkStruct = "struct<cbytes:bigint,chunk_md5:string>"
+      multimodalTable(s, d)
+        .filter(length(col("payload")) > 0)
+        .withColumn("src", col("meta.source"))
+        .withColumn("h", lower(hex(col("payload"))))
+        .withColumn("tiles", expr(
+          """transform(
+            |  sequence(0, CAST(ceil(length(h) / 32.0) AS INT) - 1),
+            |  i -> substring(h, i * 32 + 1, 32))""".stripMargin))
+        .withColumn("chunks", expr(
+          s"""aggregate(
+             |  tiles,
+             |  named_struct(
+             |    'done', CAST(array() AS array<$chunkStruct>),
+             |    'cur', ''),
+             |  (acc, tl) -> IF(
+             |    conv(substring(md5(tl), 1, 6), 16, 10) % 8 = 0,
+             |    named_struct(
+             |      'done', array_append(acc.done, named_struct(
+             |        'cbytes',
+             |        CAST(length(concat(acc.cur, tl)) / 2 AS BIGINT),
+             |        'chunk_md5', md5(concat(acc.cur, tl)))),
+             |      'cur', ''),
+             |    named_struct('done', acc.done,
+             |      'cur', concat(acc.cur, tl))),
+             |  acc -> IF(acc.cur = '', acc.done,
+             |    array_append(acc.done, named_struct(
+             |      'cbytes', CAST(length(acc.cur) / 2 AS BIGINT),
+             |      'chunk_md5', md5(acc.cur)))))""".stripMargin))
+        .select(col("src").as("source"), explode(col("chunks")).as("ch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("ch.chunk_md5")).as("n_distinct_chunks"),
+          sum(col("ch.cbytes")).as("bytes_total"))
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          round((col("n_chunks") - col("n_distinct_chunks"))
+            / col("n_chunks"), 4).as("dedup_ratio"),
+          round(col("bytes_total") / col("n_chunks"), 2)
+            .as("mean_chunk_bytes"))
+    },
+
     // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
     // distribution vs the fleet-wide distribution, as an L1 distance:
     // the lakehouse check that catches a source whose payload format
@@ -1224,6 +1280,44 @@ object MultimodalOps extends Serializable {
          |   AS hamming,
          | (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 8) AS is_dup
          |FROM cands""".stripMargin
+    },
+    // the same tile cut rule rendered declaratively (unnest + per-doc
+    // prefix-sum window + ordered string_agg) — the HOF fold on the
+    // Spark side is a pure evaluation-strategy choice
+    "m51_payload_cdc" -> {
+      val b = graft.queries.SamplingOps.bucketSql("tl.tile")
+      s"""WITH hx AS (
+         | SELECT doc_id, source, lower(hex(encode(text))) AS h
+         | FROM documents WHERE length(text) > 0),
+         |tiles AS (
+         | SELECT doc_id, source,
+         |  unnest(list_transform(
+         |    range(0, CAST(ceil(length(h) / 32.0) AS INTEGER)),
+         |    i -> struct_pack(tidx := i,
+         |      tile := substring(h, i * 32 + 1, 32)))) AS tl
+         | FROM hx),
+         |flags AS (
+         | SELECT doc_id, source, CAST(tl.tidx AS BIGINT) AS tidx,
+         |  tl.tile AS tile,
+         |  CASE WHEN ($b) % 8 = 0 THEN 1 ELSE 0 END AS bnd
+         | FROM tiles),
+         |assigned AS (
+         | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
+         |   ORDER BY tidx ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS chunk_idx
+         | FROM flags),
+         |chunks AS (
+         | SELECT doc_id, source, chunk_idx,
+         |  CAST(sum(length(tile)) / 2 AS BIGINT) AS cbytes,
+         |  md5(string_agg(tile, '' ORDER BY tidx ASC)) AS chunk_md5
+         | FROM assigned GROUP BY 1, 2, 3)
+         |SELECT source, count(*) AS n_chunks,
+         | CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+         | round((count(*) - count(DISTINCT chunk_md5)) / count(*), 4)
+         |   AS dedup_ratio,
+         | round(sum(cbytes) / count(*), 2) AS mean_chunk_bytes
+         |FROM chunks GROUP BY 1""".stripMargin
     },
     // the same next-fit rule over a single-window cumsum rendering
     // (the block-offset form is bitwise identical to it)

@@ -151,6 +151,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m51 payload cdc: the tile fold is map-side — only the source rollup shuffles, no window, no explode of tiles") {
+    val p = plan("m51_payload_cdc")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-doc window may appear — the fold is an aggregate HOF:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("m36 asset similarity: every shuffle is keyed by the tile digest or asset ids, never payload bytes") {
     val p = plan("m36_asset_similarity")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r

@@ -3325,6 +3325,58 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m51 payload cdc: planted clones share every chunk; the fold replays driver-side") {
+    import spark.implicits._
+    // 4 distinct payloads, each cloned 3× within one source, plus one
+    // singleton in another: the clone source's dedup ratio must be
+    // exactly (n_chunks - distinct)/n_chunks with distinct = chunks of
+    // the 4 bases, and the fold must replay token-for-token.
+    val base = (0 until 4).map(i =>
+      s"payload body $i " + ("qz8#x " * 40) + s"tail $i")
+    val rows = base.zipWithIndex.flatMap { case (txt, i) =>
+      (0 until 3).map(c => (i * 10L + c, txt, "en", "srcA"))
+    } :+ ((99L, "solo payload never repeated", "en", "srcB"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = graft.Tables.withShared(spark, sf0001, "documents", docs) {
+      SparkEntry.queries("m51_payload_cdc")(spark, sf0001)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    }
+    // driver replay of the tile fold
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val h = text.getBytes("UTF-8").map("%02x".format(_)).mkString
+      val tiles = h.grouped(32).toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      tiles.foreach { tl =>
+        sb.append(tl)
+        if (java.lang.Long.parseLong(md5hex(tl).substring(0, 6), 16) % 8 == 0) {
+          out += md5hex(sb.toString); sb.clear()
+        }
+      }
+      if (sb.nonEmpty) out += md5hex(sb.toString)
+      out.toSeq
+    }
+    val perSource = rows.groupBy(_._4).map { case (src, rs) =>
+      val all = rs.map(r => chunksOf(r._2))
+      val n = all.map(_.size).sum.toLong
+      val dist = all.flatten.distinct.size.toLong
+      src -> ((n, dist, math.rint((n - dist).toDouble / n * 10000) / 10000))
+    }
+    assert(got.keySet === perSource.keySet)
+    for ((src, exp) <- perSource) assert(got(src) === exp, s"source $src")
+    // the clone source must realize exactly 2/3 chunk-level dedup
+    val (na, da, ra) = got("srcA")
+    assert(da * 3 === na, "3 clones of each base: distinct = n/3")
+    assert(ra > 0.66 && ra < 0.67, s"clone dedup ratio was $ra")
+    assert(got("srcB")._3 === 0.0, "the singleton deduplicates nothing")
+    SparkEntry.release(spark)
+  }
+
   test("m50 band widths: 16-bit quarters and 32-bit quarter pairs agree on the sf0.1 is_dup set") {
     // the scale knob's contract: widening the band keys (65000× fewer
     // random collisions) must not lose a single flagged pair on the
