@@ -332,6 +332,19 @@ object StressBench {
     println(s"""{"stress":"phash_candidates_1m_b32","value":${ph1m32._1},"is_dup":${ph1m32._2}}""")
     val ph1m16 = tm("phash_neardup_1m_b16")(phashRun(base1m, "16"))
     println(s"""{"stress":"phash_candidates_1m_b16","value":${ph1m16._1},"is_dup":${ph1m16._2}}""")
+    // d64 at 1M docs (~200× sf0.1, ~80M tokens): the map-side
+    // cdc_chunks kernel means the first shuffle is already
+    // chunk-granular — time must track corpus tokens through the
+    // chunk-hash stages, no token-level exchange anywhere. The
+    // id%100 planted near-dups guarantee removable chunks.
+    val d64b = tm("substring_dedup_1m") {
+      SparkEntry.queries("d64_substring_dedup")(spark, base1m)
+        .agg(sum(col("tokens_total")).as("tok"),
+          sum(col("removable_tokens")).as("rem")).head()
+    }
+    println(s"""{"stress":"substring_dedup_1m","tokens":${d64b.getLong(0)},"removable":${d64b.getLong(1)}}""")
+    SparkEntry.release(spark)
+
     // the auto policy must ENGAGE at scale: 1M assets > the 2^18
     // default threshold, so the unset (default) knob takes the 32-bit
     // path — identical counts to the explicit b32 run above
