@@ -396,6 +396,95 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class ChunkDoc(doc_id: Long, source: String, text: String)
+  case class DocChunk(chunk_md5: String, doc_id: Long, chunk_idx: Long,
+      source: String, ctokens: Long)
+  case class ChunkState(canonicalDoc: Long, crossDocSeen: Boolean,
+      pending: List[DocChunk])
+  case class RemovableChunk(chunk_md5: String, doc_id: Long,
+      chunk_idx: Long, source: String, ctokens: Long)
+
+  /** Streaming docs → their CDC chunk occurrences via the same
+    * codegen'd `cdc_chunks` kernel the batch d64/t60 run — one
+    * map-side pass per arriving document, no state. */
+  def docsToChunks(docs: Dataset[ChunkDoc]): Dataset[DocChunk] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    docs.toDF()
+      .withColumn("chs",
+        graft.functions.VectorFunctions.cdcChunks(col("text")))
+      .filter(size(col("chs")) > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(col("chs")).as(Seq("chunk_idx", "ch")))
+      .select(col("ch.chunk_md5").as("chunk_md5"), col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"), col("source"),
+        col("ch.ctokens").as("ctokens"))
+      .as[DocChunk]
+  }
+
+  /** STREAMING CROSS-DOCUMENT SUBSTRING DEDUP — d64 as a stateful
+    * stream: chunk occurrences arrive keyed by chunk hash, state per
+    * hash holds the canonical (first) document and whether a SECOND
+    * document has been seen. Emitted rows are exactly d64's removable
+    * occurrences: once a chunk hash spans more than one document,
+    * every occurrence except the global first is removable — including
+    * the canonical document's own extra copies, which sit PENDING in
+    * state until a cross-doc arrival proves them removable (append-
+    * mode safe: decisions are only ever emitted, never retracted).
+    * Within-doc-only repeats stay pending forever — exactly d64's
+    * cross-document-only rule. The same non-decreasing ordering
+    * contract as [[inflightStream]], enforced per hash: documents must
+    * arrive in non-decreasing doc_id order (the canonical pick is the
+    * global minimum; a late smaller doc_id would fail loudly, never
+    * silently elect the wrong canonical). State is one small struct
+    * per DISTINCT chunk hash — the inherent cost of exact streaming
+    * dedup (a production run bounds it with TTL or a bloom tier;
+    * [[dedupWithinWatermark]] shows the bounded-state variant). */
+  def chunkDedupStream(chunks: Dataset[DocChunk])
+      : Dataset[RemovableChunk] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.chunk_md5)
+      .flatMapGroupsWithState[ChunkState, RemovableChunk](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[DocChunk], state: GroupState[ChunkState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[RemovableChunk]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(c => (c.doc_id, c.chunk_idx)).foreach { c =>
+            if (st == null) {
+              st = ChunkState(c.doc_id, crossDocSeen = false, Nil)
+            } else if (c.doc_id < st.canonicalDoc) {
+              throw new IllegalStateException(
+                s"chunkDedupStream ordering contract violated: doc " +
+                s"${c.doc_id} arrived after canonical ${st.canonicalDoc} " +
+                s"for chunk ${c.chunk_md5} — documents must arrive in " +
+                s"non-decreasing doc_id order or the canonical pick " +
+                s"would silently disagree with the batch operator.")
+            } else if (c.doc_id == st.canonicalDoc) {
+              // an extra copy inside the canonical document: removable
+              // only if some other doc shares the chunk
+              if (st.crossDocSeen)
+                out += RemovableChunk(c.chunk_md5, c.doc_id, c.chunk_idx,
+                  c.source, c.ctokens)
+              else st = st.copy(pending = c :: st.pending)
+            } else {
+              // a different document: the chunk is now cross-doc —
+              // flush any pending same-doc copies, then this one
+              if (!st.crossDocSeen) {
+                st.pending.reverse.foreach(p =>
+                  out += RemovableChunk(p.chunk_md5, p.doc_id,
+                    p.chunk_idx, p.source, p.ctokens))
+                st = st.copy(crossDocSeen = true, pending = Nil)
+              }
+              out += RemovableChunk(c.chunk_md5, c.doc_id, c.chunk_idx,
+                c.source, c.ctokens)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -683,6 +683,69 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("chunk dedup stream (d64 twin): streamed removable occurrences == the batch operator, per source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch oracle: d64 over the real sf0.001 corpus
+    val batch = graft.SparkEntry.queries("d64_substring_dedup")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4))))
+      .filter(_._2._1 > 0).toMap
+    graft.SparkEntry.release(spark)
+    assert(batch.nonEmpty, "the corpus must contain removable chunks")
+    // stream the SAME corpus in doc_id order across two micro-batches
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => EventStreams.ChunkDoc(r.getLong(0), r.getString(1),
+        r.getString(2)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.ChunkDoc]
+    val query = EventStreams.chunkDedupStream(
+        EventStreams.docsToChunks(input.toDS()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_dedup_out")
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val streamed = spark.table("chunk_dedup_out")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("rc"), sum($"ctokens").as("rt"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed === batch,
+        s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
+  test("chunk dedup stream enforces its doc-order contract: a late smaller doc_id fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val shared = "the same chunk text " + ("qz8#x " * 30)
+    val input = MemoryStream[EventStreams.ChunkDoc]
+    val query = EventStreams.chunkDedupStream(
+        EventStreams.docsToChunks(input.toDS()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_dedup_violation")
+      .start()
+    try {
+      input.addData(Seq(EventStreams.ChunkDoc(10L, "srcA", shared)))
+      query.processAllAvailable()
+      // doc 5 < canonical 10 for every shared chunk hash
+      input.addData(Seq(EventStreams.ChunkDoc(5L, "srcB", shared)))
+      val ex = intercept[Exception](query.processAllAvailable())
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("ordering contract")),
+        s"expected the ordering-contract IllegalStateException, got: $ex")
+    } finally query.stop()
+  }
+
   test("checkpoint restart: runningTotals resumes per-key state exactly-once after a stop/restart") {
     // The one Structured Streaming production property the batch-parity
     // twins don't exercise: kill the query, restart from its
