@@ -150,4 +150,55 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       SparkEntry.release(spark)
     }
   }
+
+  test("cdc_chunks: on random token streams the kernel partitions the tokens exactly and digests match a driver fold") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // token alphabet mixes ascii words, unicode, digits-only, and
+    // 1-char tokens; documents of 0..60 tokens
+    val tokGen = Gen.oneOf(
+      Gen.alphaNumStr.map(t => if (t.isEmpty) "x" else t.take(8)),
+      Gen.oneOf("α", "βγ", "7", "Z9", "qz8#", "word"))
+    val docGen = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, tokGen))
+    forAllSeeded(docGen, 25) { toks =>
+      val text = toks.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(VectorFunctions.cdcChunks(col("text")).as("chs"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getString(1)))
+      // driver fold: same cut rule, same digests
+      val expected = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        // the kernel tokenizes the RENDERED text, which collapses
+        // empty tokens from mkString of empty strings — replay that
+        val w = if (text.trim.isEmpty) Array.empty[String]
+          else text.trim.split("[ \t\n\f\r]+", -1)
+        w.foreach { tk =>
+          cur += tk
+          if (java.lang.Long.parseLong(
+              md5hex(tk).substring(0, 6), 16) % 8 == 0) {
+            out += ((cur.size.toLong, md5hex(cur.mkString(" "))))
+            cur.clear()
+          }
+        }
+        if (cur.nonEmpty)
+          out += ((cur.size.toLong, md5hex(cur.mkString(" "))))
+        out.toSeq
+      }
+      assert(got === expected, s"text=[$text]")
+      // invariants: chunk token counts partition the token stream,
+      // and every digest is a 32-hex md5
+      assert(got.map(_._1).sum ===
+        (if (text.trim.isEmpty) 0L
+         else text.trim.split("[ \t\n\f\r]+", -1).length.toLong))
+      got.foreach { case (n, h) =>
+        assert(n > 0 && h.length === 32 &&
+          h.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      }
+    }
+  }
 }
