@@ -78,6 +78,53 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: m51's payload-tile CDC in ONE linear
+  * map-side pass over the raw BINARY asset.
+  *
+  * m51 was first declared as an aggregate() HOF fold over 32-hex
+  * tiles — map-side and shuffle-free, but the fold's
+  * `array_append(acc.done, …)` copies the accumulated chunk array at
+  * every boundary: O(chunks²) per document, a real hazard on GiB
+  * assets (an 18 MiB payload is ~140k chunks → ~10¹⁰ copied slots).
+  * This kernel is the linear form: walk the payload 16 bytes at a
+  * time, render each tile's lowercase hex, cut after any tile whose
+  * md5 bucket ≡ 0 (mod 8) (the digest's third byte & 7 — identical to
+  * `conv(substring(md5(tile),1,6),16,10) % 8`), and digest each
+  * chunk's accumulated hex rendering. Output and oracle are unchanged
+  * from the HOF form: array<struct<cbytes, chunk_md5>> in chunk
+  * order, chunk_md5 = md5 of the chunk's hex string (what the DuckDB
+  * oracle's ordered string_agg digests). */
+case class CdcPayloadChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_payload_chunks expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cbytes", LongType, nullable = false),
+      StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "cdc_payload_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.computePayload(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.CdcChunks$$.MODULE$$.computePayload($in);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CdcChunks {
 
   private val splitter = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
@@ -134,6 +181,49 @@ object CdcChunks {
       chunks += new GenericInternalRow(Array[Any](ctokens,
         UTF8String.fromString(md5Hex(digest,
           sb.toString.getBytes("UTF-8")))))
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+
+  private val hexBytes = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** The linear payload-tile kernel (called from generated code):
+    * 16-byte tiles rendered to lowercase hex, cut after any tile
+    * whose md5's third byte has low-3 bits zero, chunk digest over
+    * the accumulated hex bytes. O(payload) time, O(chunk) memory. */
+  def computePayload(payload: Array[Byte]): ArrayData = {
+    if (payload.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // chunk hex accumulator: grows per tile, reset at each boundary
+    var buf = new java.io.ByteArrayOutputStream(1024)
+    val tileHex = new Array[Byte](32)
+    var off = 0
+    while (off < payload.length) {
+      val n = math.min(16, payload.length - off)
+      var i = 0
+      while (i < n) {
+        val b = payload(off + i) & 0xff
+        tileHex(2 * i) = hexBytes(b >>> 4)
+        tileHex(2 * i + 1) = hexBytes(b & 0xf)
+        i += 1
+      }
+      buf.write(tileHex, 0, 2 * n)
+      digest.reset()
+      digest.update(tileHex, 0, 2 * n)
+      val d = digest.digest()
+      if ((d(2) & 7) == 0) {
+        val hx = buf.toByteArray
+        chunks += new GenericInternalRow(Array[Any](hx.length / 2L,
+          UTF8String.fromString(md5Hex(digest, hx))))
+        buf = new java.io.ByteArrayOutputStream(1024)
+      }
+      off += n
+    }
+    if (buf.size() > 0) {
+      val hx = buf.toByteArray
+      chunks += new GenericInternalRow(Array[Any](hx.length / 2L,
+        UTF8String.fromString(md5Hex(digest, hx))))
     }
     new GenericArrayData(chunks.toArray)
   }

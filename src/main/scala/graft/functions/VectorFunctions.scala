@@ -170,6 +170,10 @@ object VectorFunctions {
       "cdc_chunks",
       exprs => CdcChunks(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_payload_chunks",
+      exprs => CdcPayloadChunks(exprs.head),
+      "scala_udf")
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter joins plan), exposed by name: 4.1 ships
     // BloomFilterMightContain but does not register it in the builtin
@@ -196,6 +200,12 @@ object VectorFunctions {
     * (array<struct<ctokens, chunk_md5>> in chunk order); caller must
     * have invoked [[register]] on the session first. */
   def cdcChunks(x: Column): Column = call_function("cdc_chunks", x)
+
+  /** One-pass LINEAR payload-tile CDC over a binary column
+    * (array<struct<cbytes, chunk_md5>> in chunk order); caller must
+    * have invoked [[register]] on the session first. */
+  def cdcPayloadChunks(x: Column): Column =
+    call_function("cdc_payload_chunks", x)
 
   /** Raw inner product Column over two array<double> columns; caller
     * must have invoked [[register]] on the session first. */

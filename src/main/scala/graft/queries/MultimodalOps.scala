@@ -724,35 +724,18 @@ object MultimodalOps extends Serializable {
     // proves the signal by planting clones; on a real media lake this
     // is the dominant storage-cost estimator.
     "m51_payload_cdc" -> { (s, d) =>
-      val chunkStruct = "struct<cbytes:bigint,chunk_md5:string>"
+      // r14 (same round): the first form folded the tiles with an
+      // aggregate() HOF whose array_append copies the accumulated
+      // chunk array at every boundary — O(chunks²) per document, a
+      // real hazard on GiB assets. The codegen'd cdc_payload_chunks
+      // kernel is the linear one-pass form; identical chunk table,
+      // identical oracle (CurationSpec pins an 18 MiB payload the
+      // quadratic fold could not finish).
       multimodalTable(s, d)
         .filter(length(col("payload")) > 0)
         .withColumn("src", col("meta.source"))
-        .withColumn("h", lower(hex(col("payload"))))
-        .withColumn("tiles", expr(
-          """transform(
-            |  sequence(0, CAST(ceil(length(h) / 32.0) AS INT) - 1),
-            |  i -> substring(h, i * 32 + 1, 32))""".stripMargin))
-        .withColumn("chunks", expr(
-          s"""aggregate(
-             |  tiles,
-             |  named_struct(
-             |    'done', CAST(array() AS array<$chunkStruct>),
-             |    'cur', ''),
-             |  (acc, tl) -> IF(
-             |    conv(substring(md5(tl), 1, 6), 16, 10) % 8 = 0,
-             |    named_struct(
-             |      'done', array_append(acc.done, named_struct(
-             |        'cbytes',
-             |        CAST(length(concat(acc.cur, tl)) / 2 AS BIGINT),
-             |        'chunk_md5', md5(concat(acc.cur, tl)))),
-             |      'cur', ''),
-             |    named_struct('done', acc.done,
-             |      'cur', concat(acc.cur, tl))),
-             |  acc -> IF(acc.cur = '', acc.done,
-             |    array_append(acc.done, named_struct(
-             |      'cbytes', CAST(length(acc.cur) / 2 AS BIGINT),
-             |      'chunk_md5', md5(acc.cur)))))""".stripMargin))
+        .withColumn("chunks",
+          graft.functions.VectorFunctions.cdcPayloadChunks(col("payload")))
         .select(col("src").as("source"), explode(col("chunks")).as("ch"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),

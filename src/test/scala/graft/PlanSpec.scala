@@ -151,14 +151,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
-  test("m51 payload cdc: the tile fold is map-side — only the source rollup shuffles, no window, no explode of tiles") {
+  test("m51 payload cdc: linear map-side kernel — only the source rollup shuffles, no window, no tile explode") {
     val p = plan("m51_payload_cdc")
+    assert(p.contains("cdc_payload_chunks"),
+      s"chunking must run through the linear native kernel in:\n$p")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exchanges.subsetOf(Set("source")),
       s"unexpected shuffle keys $exchanges in:\n$p")
     assert(!p.contains("Window"),
-      s"no per-doc window may appear — the fold is an aggregate HOF:\n$p")
+      s"no per-doc window may appear:\n$p")
     SparkEntry.release(spark)
   }
 

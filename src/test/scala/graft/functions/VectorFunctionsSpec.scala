@@ -208,4 +208,63 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // blank and all-space docs must vanish entirely
     assert(!got.keys.exists(k => k._1 == 0L || k._1 == 1L))
   }
+
+  test("CdcPayloadChunks: linear kernel equals the HOF tile-fold rendering, including non-aligned tails and raw bytes") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rng = new scala.util.Random(13)
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](0),
+      Array.tabulate(15)(_.toByte),           // under one tile
+      Array.tabulate(16)(_.toByte),           // exactly one tile
+      Array.tabulate(33)(i => (i * 7).toByte),// tile + 1-byte tail
+      Array.fill(1024)(rng.nextInt(256).toByte),
+      "plain utf-8 text payload ".getBytes("UTF-8"),
+      Array.fill(4096)(0xAB.toByte))          // constant bytes
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+    val chunkStruct = "struct<cbytes:bigint,chunk_md5:string>"
+    val ref = df.filter(length(col("payload")) > 0)
+      .withColumn("h", lower(hex(col("payload"))))
+      .withColumn("tiles", expr(
+        """transform(
+          |  sequence(0, CAST(ceil(length(h) / 32.0) AS INT) - 1),
+          |  i -> substring(h, i * 32 + 1, 32))""".stripMargin))
+      .withColumn("chunks", expr(
+        s"""aggregate(
+           |  tiles,
+           |  named_struct(
+           |    'done', CAST(array() AS array<$chunkStruct>),
+           |    'cur', ''),
+           |  (acc, tl) -> IF(
+           |    conv(substring(md5(tl), 1, 6), 16, 10) % 8 = 0,
+           |    named_struct(
+           |      'done', array_append(acc.done, named_struct(
+           |        'cbytes',
+           |        CAST(length(concat(acc.cur, tl)) / 2 AS BIGINT),
+           |        'chunk_md5', md5(concat(acc.cur, tl)))),
+           |      'cur', ''),
+           |    named_struct('done', acc.done,
+           |      'cur', concat(acc.cur, tl))),
+           |  acc -> IF(acc.cur = '', acc.done,
+           |    array_append(acc.done, named_struct(
+           |      'cbytes', CAST(length(acc.cur) / 2 AS BIGINT),
+           |      'chunk_md5', md5(acc.cur)))))""".stripMargin))
+      .select(col("id"), col("chunks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(c => (c.getLong(0), c.getString(1)))).toMap
+    val got = df.filter(length(col("payload")) > 0)
+      .select(col("id"),
+        VectorFunctions.cdcPayloadChunks(col("payload")).as("chunks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(c => (c.getLong(0), c.getString(1)))).toMap
+    assert(got === ref, "linear kernel must equal the HOF fold")
+    // chunk byte counts partition the payload
+    for ((id, chs) <- got)
+      assert(chs.map(_._1).sum === payloads(id.toInt).length.toLong)
+    // empty payload row was filtered on both sides
+    assert(!got.contains(0L))
+  }
 }

@@ -3377,6 +3377,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m51 survives an 18 MiB payload pair: linear kernel, full dedup recovered (quadratic-fold regression)") {
+    import spark.implicits._
+    // ~1.1M tiles / ~140k chunks per asset: the aggregate() HOF fold
+    // this kernel replaced copies the chunk array at every boundary —
+    // O(chunks²) ≈ 10^10 slot copies, effectively a hang. The linear
+    // kernel must finish AND two identical payloads must share every
+    // chunk (dedup_ratio exactly 0.5 for the pair). Content must be
+    // APERIODIC — a periodic fill has ≤5 distinct tiles and can miss
+    // every boundary — so indexed tokens, ~18 MiB.
+    val big = (0 until 1900000).map(i => s"tok$i").mkString(" ")
+    val giant = Seq((1L, big, "en", "src0"), (2L, big, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = graft.Tables.withShared(spark, sf0001, "documents", giant) {
+      SparkEntry.queries("m51_payload_cdc")(spark, sf0001).collect()
+    }
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 2 * r.getLong(2),
+      "identical clones: n_chunks must be exactly 2x distinct")
+    assert(r.getDouble(3) === 0.5, "pair dedup ratio must be exactly 0.5")
+    assert(r.getLong(2) > 1000, "an 18 MiB payload must cut many chunks")
+    SparkEntry.release(spark)
+  }
+
   test("m50 band widths: 16-bit quarters and 32-bit quarter pairs agree on the sf0.1 is_dup set") {
     // the scale knob's contract: widening the band keys (65000× fewer
     // random collisions) must not lose a single flagged pair on the
