@@ -125,6 +125,79 @@ case class CdcPayloadChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: TRUE byte-rolling content-defined
+  * chunking of a raw BINARY payload (the gear-hash CDC primitive),
+  * in ONE linear map-side pass.
+  *
+  * m51's tile CDC judges boundaries on FIXED 16-byte tiles, so a
+  * single inserted byte shifts every later tile and no chunk after
+  * the edit survives — fixed tiles cannot re-anchor. This kernel
+  * rolls a gear-style hash BYTE AT A TIME:
+  *
+  *   gear(b) = (b · 2654435761) mod 2³²    (Knuth multiplicative)
+  *   h_i     = (16·h_{i−1} + gear(b_i)) mod 2³²
+  *
+  * and cuts AFTER any byte where the TOP SIX BITS of h are zero
+  * (h < 2²⁶ — expected chunk ≈ 64 bytes; the high bits mix all
+  * window bytes, unlike the low bits which a single byte dominates).
+  * The 4-bit shift bounds the window to the trailing EIGHT bytes
+  * (16⁸ ≡ 0 mod 2³²), and the state is deliberately NOT reset at a
+  * boundary, so the cut decision at any position is a pure function
+  * of its trailing 8 bytes. That choice buys two properties the
+  * reset form loses:
+  *  - RE-ANCHORING: after any insert/delete, boundaries realign as
+  *    soon as 8 clean bytes pass — shared content beyond the edit
+  *    region chunks identically across documents (the property the
+  *    planted-suffix spec pins, and the reason m52 finds near-clone
+  *    storage savings m51 structurally cannot);
+  *  - a STATELESS boundary predicate, independently evaluable at
+  *    every position — which is also what makes the DuckDB oracle
+  *    expressible as an 8-term lag window instead of a recursive
+  *    scan.
+  * A production store would add FastCDC's min/max chunk clamps;
+  * those make boundaries stateful (each depends on the previous
+  * cut), so this operator ships the pure content-defined rule and
+  * documents the trade — the pipeline shape (chunk → hash → global
+  * first-occurrence accounting) is identical. The gear table is the
+  * Knuth multiplicative map rather than 256 random constants so the
+  * oracle can derive it; a deployment would swap in a seeded table
+  * without touching the plan.
+  *
+  * Output: array<struct<cbytes, chunk_md5>> in chunk order;
+  * chunk_md5 = md5 hex of the chunk's LOWERCASE-HEX rendering (the
+  * m51 digest discipline, what the oracle's ordered string_agg
+  * digests). O(payload) time, O(chunk) memory. */
+case class GearChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gear_chunks expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cbytes", LongType, nullable = false),
+      StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "gear_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.computeGear(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.CdcChunks$$.MODULE$$.computeGear($in);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CdcChunks {
 
   private val splitter = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
@@ -224,6 +297,47 @@ object CdcChunks {
       val hx = buf.toByteArray
       chunks += new GenericInternalRow(Array[Any](hx.length / 2L,
         UTF8String.fromString(md5Hex(digest, hx))))
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+
+  /** Hex-render payload[start, start+len) and emit one chunk row:
+    * (len, md5 of the hex rendering). */
+  private def emitGearChunk(digest: MessageDigest, payload: Array[Byte],
+      start: Int, len: Int): GenericInternalRow = {
+    val hx = new Array[Byte](2 * len)
+    var i = 0
+    while (i < len) {
+      val b = payload(start + i) & 0xff
+      hx(2 * i) = hexBytes(b >>> 4)
+      hx(2 * i + 1) = hexBytes(b & 0xf)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](len.toLong,
+      UTF8String.fromString(md5Hex(digest, hx))))
+  }
+
+  /** The byte-rolling gear kernel (called from generated code):
+    * h = (16h + b·2654435761) mod 2³², cut after any byte with
+    * h < 2²⁶, NO state reset at boundaries (see [[GearChunks]] for
+    * why that statelessness is load-bearing). */
+  def computeGear(payload: Array[Byte]): ArrayData = {
+    if (payload.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < payload.length) {
+      h = ((h << 4) + (payload(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
+      if (h < 67108864L) {
+        chunks += emitGearChunk(digest, payload, start, i + 1 - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < payload.length) {
+      chunks += emitGearChunk(digest, payload, start, payload.length - start)
     }
     new GenericArrayData(chunks.toArray)
   }

@@ -174,6 +174,10 @@ object VectorFunctions {
       "cdc_payload_chunks",
       exprs => CdcPayloadChunks(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gear_chunks",
+      exprs => GearChunks(exprs.head),
+      "scala_udf")
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter joins plan), exposed by name: 4.1 ships
     // BloomFilterMightContain but does not register it in the builtin
@@ -206,6 +210,11 @@ object VectorFunctions {
     * have invoked [[register]] on the session first. */
   def cdcPayloadChunks(x: Column): Column =
     call_function("cdc_payload_chunks", x)
+
+  /** Byte-rolling gear-hash CDC over a binary column — re-anchoring,
+    * stateless boundary rule (array<struct<cbytes, chunk_md5>> in
+    * chunk order); caller must have invoked [[register]] first. */
+  def gearChunks(x: Column): Column = call_function("gear_chunks", x)
 
   /** Raw inner product Column over two array<double> columns; caller
     * must have invoked [[register]] on the session first. */

@@ -748,6 +748,49 @@ object MultimodalOps extends Serializable {
             .as("mean_chunk_bytes"))
     },
 
+    // BYTE-ROLLING GEAR CDC — the re-anchoring storage-dedup tier
+    // above m51: boundaries roll a gear hash BYTE AT A TIME
+    // (h = 16h + b·2654435761 mod 2³², cut when the top 6 bits are
+    // zero, ~64-byte chunks — see GearChunks for the full contract),
+    // so an insert/delete realigns after 8 clean bytes and shared
+    // content ACROSS edits still chunks identically — the property
+    // m51's fixed tiles structurally lack (one inserted byte shifts
+    // every later tile). Accounting is a GLOBAL content-addressed
+    // store's: each distinct chunk is stored once at its globally
+    // first occurrence (row_number over (doc_id, chunk_idx) — total
+    // order, engine-exact), every other occurrence is a dedup hit;
+    // per source the bytes it would actually store vs ship. ENTIRELY
+    // MAP-SIDE through chunking (the codegen'd kernel explodes
+    // ~bytes/64 chunk rows at the scan); the only shuffles are the
+    // chunk_md5 window and the source rollup — both chunk-granular,
+    // never pairs. Ratios are single divisions of exact integers.
+    "m52_gear_cdc" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val chunks = multimodalTable(s, d)
+        .filter(length(col("payload")) > 0)
+        .select(col("doc_id"), col("meta.source").as("source"),
+          posexplode(graft.functions.VectorFunctions
+            .gearChunks(col("payload"))).as(Seq("chunk_idx", "ch")))
+        .select(col("doc_id"), col("source"), col("chunk_idx"),
+          col("ch.cbytes").as("cbytes"),
+          col("ch.chunk_md5").as("chunk_md5"))
+      val ranked = chunks.withColumn("rn",
+        row_number().over(Window.partitionBy(col("chunk_md5"))
+          .orderBy(col("doc_id").asc, col("chunk_idx").asc)))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("cbytes")).as("bytes_total"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new_chunks"),
+          sum(when(col("rn") === 1, col("cbytes")).otherwise(0L))
+            .as("bytes_stored"))
+        .select(col("source"), col("n_chunks"), col("bytes_total"),
+          col("n_new_chunks"), col("bytes_stored"),
+          round(lit(1) - col("bytes_stored") / col("bytes_total"), 4)
+            .as("savings_ratio"),
+          round(col("bytes_total") / col("n_chunks"), 2)
+            .as("mean_chunk_bytes"))
+    },
+
     // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
     // distribution vs the fleet-wide distribution, as an L1 distance:
     // the lakehouse check that catches a source whose payload format
@@ -1301,6 +1344,65 @@ object MultimodalOps extends Serializable {
          |   AS dedup_ratio,
          | round(sum(cbytes) / count(*), 2) AS mean_chunk_bytes
          |FROM chunks GROUP BY 1""".stripMargin
+    },
+    // the gear recurrence unrolled: 16⁸ ≡ 0 (mod 2³²) bounds the
+    // window to 8 trailing bytes, so h at every position is an
+    // 8-term lag sum — the stateless-boundary design is exactly what
+    // makes this declarative rendering possible (a reset-at-boundary
+    // rule would need a recursive scan)
+    "m52_gear_cdc" -> {
+      val lags = (0 until 8).map(k =>
+        s"(${BigInt(16).pow(k)} * coalesce(lag(gv, $k) OVER w, 0))")
+        .mkString("\n         |   + ")
+      s"""WITH hx AS (
+         | SELECT doc_id, source, lower(hex(encode(text))) AS h
+         | FROM documents WHERE length(text) > 0),
+         |pos AS (
+         | SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+         |  substring(h, CAST(2*i+1 AS INTEGER), 2) AS hp,
+         |  ((strpos('0123456789abcdef',
+         |      substring(h, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16 +
+         |   (strpos('0123456789abcdef',
+         |      substring(h, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS byte
+         | FROM hx, LATERAL unnest(range(0, length(h)//2)) AS u(i)),
+         |g AS (
+         | SELECT doc_id, source, i, hp,
+         |  (byte * 2654435761) % 4294967296 AS gv
+         | FROM pos),
+         |rolled AS (
+         | SELECT doc_id, source, i, hp,
+         |  ($lags) % 4294967296 AS hh
+         | FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i ASC)),
+         |flagged AS (
+         | SELECT doc_id, source, i, hp,
+         |  CASE WHEN hh < 67108864 THEN 1 ELSE 0 END AS bnd
+         | FROM rolled),
+         |assigned AS (
+         | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
+         |   ORDER BY i ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS chunk_idx
+         | FROM flagged),
+         |chunks AS (
+         | SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(count(*) AS BIGINT) AS cbytes,
+         |  md5(string_agg(hp, '' ORDER BY i ASC)) AS chunk_md5
+         | FROM assigned GROUP BY 1, 2, 3),
+         |ranked AS (
+         | SELECT source, cbytes,
+         |  row_number() OVER (PARTITION BY chunk_md5
+         |   ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+         | FROM chunks)
+         |SELECT source, count(*) AS n_chunks,
+         | CAST(sum(cbytes) AS BIGINT) AS bytes_total,
+         | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_new_chunks,
+         | CAST(sum(CASE WHEN rn = 1 THEN cbytes ELSE 0 END) AS BIGINT)
+         |   AS bytes_stored,
+         | round(1 - sum(CASE WHEN rn = 1 THEN cbytes ELSE 0 END)
+         |   / sum(cbytes), 4) AS savings_ratio,
+         | round(sum(cbytes) / count(*), 2) AS mean_chunk_bytes
+         |FROM ranked GROUP BY 1""".stripMargin
     },
     // the same next-fit rule over a single-window cumsum rendering
     // (the block-offset form is bitwise identical to it)

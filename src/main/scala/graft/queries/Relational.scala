@@ -701,6 +701,74 @@ object Relational {
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           col("returned_cents"), col("n_returned_lines"))
+    },
+
+    // TPC-H Q3 SHAPE — shipping priority: the 10 highest-revenue
+    // UNSHIPPED orders for one market segment at a cutoff date. The
+    // segment filter collapses customer to a broadcast key set (a
+    // left-semi into orders — the fact never widens), both date
+    // predicates push to their scans, and the per-order revenue is one
+    // orderkey rollup in exact cents. The top-10 cut rides
+    // TakeOrderedAndProject with orderkey as the deterministic
+    // tiebreak (the q170 discipline) — at 100 TB each reducer keeps a
+    // 10-row heap, never a global sort.
+    "q171_shipping_priority" -> { (s, d) =>
+      val cutoff = tsLit("1997-06-01")
+      val buildingCust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val openOrders = t(s, d, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .join(broadcast(buildingCust),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .join(openOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue_cents"), col("o_orderdate"))
+    },
+
+    // TPC-H Q5 SHAPE — local supplier volume: revenue per nation from
+    // lines where the CUSTOMER and the SUPPLIER sit in the same nation
+    // of one region, in one order year. Region membership collapses to
+    // a broadcast (suppkey → nationkey, name) map that prunes lineitem
+    // at the scan; the customer's nation rides the orders join
+    // (custkey shuffle on the order-cardinality side, then one
+    // orderkey fact shuffle), and the same-nation residual
+    // (c_nationkey = s_nationkey) evaluates INSIDE the fact join —
+    // never a pair blowup. Output groups to |region nations| rows.
+    "q172_local_supplier_volume" -> { (s, d) =>
+      val regionNations = broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey").as("rk"))),
+          col("n_regionkey") === col("rk"))
+        .select(col("n_nationkey"), col("n_name")))
+      val supN = broadcast(t(s, d, "supplier")
+        .join(regionNations, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+      val ordersCust = t(s, d, "orders")
+        .filter(col("o_orderdate") >= tsLit("1997-01-01")
+          && col("o_orderdate") < tsLit("1998-01-01"))
+        .join(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      t(s, d, "lineitem")
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(ordersCust, col("l_orderkey") === col("o_orderkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
@@ -1085,6 +1153,36 @@ object Relational {
         |SELECT c_custkey, c_name, n_name, returned_cents, n_returned_lines
         |FROM rev
         | JOIN customer ON o_custkey = c_custkey
-        | JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+        | JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q171_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | o_orderdate
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1997-06-01'
+        | AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q172_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_lines
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        | AND r_name = 'EUROPE'
+        | AND o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin
   )
 }

@@ -164,6 +164,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m52 gear cdc: map-side byte-rolling chunker — only the chunk-hash window and source rollup shuffle") {
+    val p = plan("m52_gear_cdc")
+    assert(p.contains("gear_chunks"),
+      s"chunking must run through the native gear kernel in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("chunk_md5", "source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"first-occurrence accounting must ride the chunk_md5 window:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("m36 asset similarity: every shuffle is keyed by the tile digest or asset ids, never payload bytes") {
     val p = plan("m36_asset_similarity")
     val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r

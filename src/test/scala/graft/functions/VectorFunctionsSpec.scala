@@ -267,4 +267,87 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // empty payload row was filtered on both sides
     assert(!got.contains(0L))
   }
+
+  /** Driver-side replica of the gear recurrence (GearChunks' contract):
+    * h = (16h + b·2654435761) mod 2³², cut after h < 2²⁶, no reset. */
+  private def gearRef(data: Array[Byte]): Seq[(Long, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var h = 0L
+    var start = 0
+    for (i <- data.indices) {
+      h = ((h << 4) + (data(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
+      if (h < 67108864L) {
+        val hx = data.slice(start, i + 1).map("%02x".format(_)).mkString
+        out += ((i + 1 - start).toLong -> md5hex(hx))
+        start = i + 1
+      }
+    }
+    if (start < data.length) {
+      val hx = data.slice(start, data.length).map("%02x".format(_)).mkString
+      out += ((data.length - start).toLong -> md5hex(hx))
+    }
+    out.toSeq
+  }
+
+  test("GearChunks: codegen'd kernel equals the driver gear fold on edge shapes and fuzz payloads") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rng = new scala.util.Random(29)
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array[Byte](0),
+      Array.fill(64)(0.toByte),               // constant zero bytes
+      Array.fill(64)(0xFF.toByte),            // constant high bytes
+      Array.tabulate(7)(_.toByte),            // under one gear window
+      Array.tabulate(8)(_.toByte),            // exactly one window
+      "plain utf-8 text payload, short".getBytes("UTF-8")) ++
+      (0 until 8).map(_ =>
+        Array.fill(1 + rng.nextInt(4096))(rng.nextInt(256).toByte))
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+    val got = df
+      .select(col("id"), VectorFunctions.gearChunks(col("payload")).as("chs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(c => (c.getLong(0), c.getString(1)))).toMap
+    for ((b, i) <- payloads.zipWithIndex) {
+      assert(got(i.toLong) === gearRef(b), s"payload $i")
+      // chunk byte counts partition the payload
+      assert(got(i.toLong).map(_._1).sum === b.length.toLong, s"payload $i")
+    }
+    // mask calibration: random bytes must cut near the designed ~64-byte
+    // mean (top-6-bit mask → cut probability 1/64 per byte)
+    val rand = Array.fill(1 << 16)(rng.nextInt(256).toByte)
+    val mean = (1 << 16).toDouble / gearRef(rand).size
+    assert(mean > 40 && mean < 96, s"mean gear chunk was $mean bytes")
+  }
+
+  test("GearChunks re-anchors after an insert edit; fixed tiles do not (the property m52 buys over m51)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rng = new scala.util.Random(31)
+    val base = Array.fill(4096)(rng.nextInt(256).toByte)
+    val edited = Array.fill(7)(rng.nextInt(256).toByte) ++ base
+    val df = Seq((0L, base), (1L, edited)).toDF("id", "payload")
+    def sets(c: org.apache.spark.sql.Column) = df
+      .select(col("id"), c.as("chs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getString(1)).toSet).toMap
+    val gear = sets(VectorFunctions.gearChunks(col("payload")))
+    // the boundary rule sees only the trailing 8 bytes, so chunking
+    // realigns at the first cut ≥ 8 bytes past the insert: all but the
+    // leading chunk(s) of the original survive the 7-byte prefix
+    val shared = (gear(0L) & gear(1L)).size
+    assert(gear(0L).size > 40, s"4 KiB must cut many chunks, got ${gear(0L).size}")
+    assert(shared >= gear(0L).size - 3,
+      s"gear chunks must re-anchor: shared $shared of ${gear(0L).size}")
+    // the same pair under m51's fixed 16-byte tiles: the 7-byte shift
+    // moves every tile boundary — (almost) nothing survives
+    val tiles = sets(VectorFunctions.cdcPayloadChunks(col("payload")))
+    assert((tiles(0L) & tiles(1L)).size <= 2,
+      "fixed tiles must lose the alignment a byte insert shifts")
+  }
 }

@@ -3377,6 +3377,80 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("m52 gear cdc: near-clones share storage across an insert edit, and the accounting replays driver-side") {
+    import spark.implicits._
+    // THE operator's reason to exist beside m51: a near-clone with a
+    // leading insert still shares (almost) all its chunks, because the
+    // stateless gear boundary re-anchors 8 clean bytes past the edit —
+    // fixed tiles shift and share nothing. Fixture: one 2 KiB base in
+    // srcA, its prefix-edited near-clone in srcB (later doc_id, so
+    // srcA owns the shared chunks' first occurrences), one unrelated
+    // singleton in srcC.
+    val rng = new scala.util.Random(37)
+    val baseTxt = (0 until 400).map(_ => s"w${rng.nextInt(5000)}").mkString(" ")
+    val editTxt = "EDITED! " + baseTxt
+    val rows = Seq(
+      (10L, baseTxt, "en", "srcA"),
+      (20L, editTxt, "en", "srcB"),
+      (30L, "an unrelated singleton document body", "en", "srcC"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = graft.Tables.withShared(spark, sf0001, "documents", docs) {
+      SparkEntry.queries("m52_gear_cdc")(spark, sf0001)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5)))).toMap
+    }
+    // driver replay: gear-chunk every doc, assign each distinct chunk
+    // hash to its globally first (doc_id, chunk_idx) occurrence
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gearChunksOf(text: String): Seq[(Long, String)] = {
+      val data = text.getBytes("UTF-8")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var h = 0L; var start = 0
+      for (i <- data.indices) {
+        h = ((h << 4) + (data(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
+        if (h < 67108864L) {
+          out += ((i + 1 - start).toLong ->
+            md5hex(data.slice(start, i + 1).map("%02x".format(_)).mkString))
+          start = i + 1
+        }
+      }
+      if (start < data.length)
+        out += ((data.length - start).toLong ->
+          md5hex(data.slice(start, data.length).map("%02x".format(_)).mkString))
+      out.toSeq
+    }
+    val occ = rows.flatMap { case (id, txt, _, src) =>
+      gearChunksOf(txt).zipWithIndex.map { case ((cb, h), ci) =>
+        (id, ci, src, cb, h) }
+    }.sortBy(r => (r._1, r._2))
+    // walk occurrences in GLOBAL (doc_id, chunk_idx) order — first
+    // occurrence is a global rank, not a per-source one
+    val seen = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
+    occ.foreach { case (_, _, src, cb, h) =>
+      val a = acc.getOrElseUpdate(src, Array(0L, 0L, 0L, 0L))
+      a(0) += 1; a(1) += cb
+      if (seen.add(h)) { a(2) += 1; a(3) += cb }
+    }
+    val exp = acc.toMap.map { case (src, a) =>
+      src -> ((a(0), a(1), a(2), a(3),
+        math.rint((1.0 - a(3).toDouble / a(1)) * 10000) / 10000))
+    }
+    assert(got.keySet === exp.keySet)
+    for ((src, e) <- exp) assert(got(src) === e, s"source $src")
+    // the near-clone realizes heavy savings (shared chunks stored once,
+    // in srcA); the base and the singleton store everything
+    assert(got("srcA")._5 === 0.0, "first copy stores every chunk")
+    assert(got("srcB")._5 > 0.8,
+      s"prefix-edited near-clone must dedup most bytes, got ${got("srcB")._5}")
+    assert(got("srcC")._5 === 0.0)
+    SparkEntry.release(spark)
+  }
+
   test("m51 survives an 18 MiB payload pair: linear kernel, full dedup recovered (quadratic-fold regression)") {
     import spark.implicits._
     // ~1.1M tiles / ~140k chunks per asset: the aggregate() HOF fold
