@@ -10,14 +10,21 @@ Usage:
     python3 tools/bench_diff.py [current] [baseline]
     # defaults: BENCH_LAST.json  vs  newest tools/bench_history/r*.json
 
-Output: per-query ratio table for every row whose median exceeds
-THRESH (2x) of the baseline median, with both rounds' [min,max] spreads
-alongside; like-for-like totals over the shared query set; added and
-removed queries. Exit code 1 if any flagged row's CURRENT MIN also
-exceeds THRESH x the BASELINE MAX — spreads disjoint at 2x is a real
-regression signature, not one contended rep (the r8 postmortem: six
-rows >2x medians, but whole-run spreads shifted together = host
-contention; disjoint per-row spreads would have meant a plan change).
+Output: per-query ratio table for every row whose MINIMUM rep exceeds
+THRESH (2x) of the baseline minimum, with both rounds' [min,max]
+spreads alongside; like-for-like totals over the shared query set;
+added and removed queries. Exit code 1 if any flagged row's CURRENT
+MIN also exceeds THRESH x the BASELINE MAX — spreads disjoint at 2x is
+a real regression signature, not one contended rep.
+
+r16 estimator change: both sides compare MIN-of-reps, not medians. The
+r15 postmortem proved medians publish phantom regressions — a
+contention burst poisoned 2 of 3 pass-wise reps AND the heal rep of
+six queries (d42 median 42.2 s vs min rep 2.61 s ~= its r14 value); a
+query's work is deterministic, so everything above the min is host
+interference. Current files carry the min directly in "queries"
+(estimator:"min"); for pre-r16 baselines the min is recovered from the
+recorded "spread" [min,max] so history stays comparable.
 """
 import glob
 import json
@@ -54,8 +61,18 @@ def main():
     if cur.get("sf") != base.get("sf"):
         print(f"WARNING: scale factors differ: current={cur.get('sf')} "
               f"baseline={base.get('sf')} — ratios are not comparable")
-    cq, bq = cur["queries"], base["queries"]
     cs, bs = cur.get("spread", {}), base.get("spread", {})
+
+    def minima(run, spread):
+        """Per-query min-of-reps. estimator:"min" files carry it in
+        "queries"; older (median) files recover it from "spread"."""
+        q = run["queries"]
+        if run.get("estimator") == "min":
+            return dict(q)
+        return {k: (spread[k][0] if k in spread else v)
+                for k, v in q.items()}
+
+    cq, bq = minima(cur, cs), minima(base, bs)
     shared = sorted(set(cq) & set(bq))
     added = sorted(set(cq) - set(bq))
     removed = sorted(set(bq) - set(cq))
@@ -64,7 +81,7 @@ def main():
     base_tot = sum(bq[q] for q in shared)
     print(f"current:  {cur_path}  total={cur['value']:.1f}s  n={len(cq)}")
     print(f"baseline: {base_path}  total={base['value']:.1f}s  n={len(bq)}")
-    print(f"like-for-like over {len(shared)} shared queries: "
+    print(f"like-for-like (min-of-reps) over {len(shared)} shared queries: "
           f"{cur_tot:.1f}s vs {base_tot:.1f}s "
           f"({(cur_tot / base_tot - 1) * 100:+.0f}%)")
     if added:
@@ -76,7 +93,7 @@ def main():
     flagged = [(cq[q] / bq[q], q) for q in shared
                if bq[q] > 0 and cq[q] / bq[q] > THRESH]
     if not flagged:
-        print(f"no shared query above {THRESH}x its baseline median")
+        print(f"no shared query's min above {THRESH}x its baseline min")
     cur_healed = set(cur.get("healed", []))
     cur_raw = cur.get("queries_raw", {})
     for ratio, q in sorted(flagged, reverse=True):
@@ -87,11 +104,10 @@ def main():
         tag = "REGRESSION" if disjoint else "noisy"
         if disjoint:
             hard.append(q)
-        # healed rows compare a 4-sample median against (usually) 3-rep
-        # baselines — surface the pre-heal median so the comparison is
-        # never silently apples-to-oranges
+        # healed rows took extra reps — surface the pre-heal value so
+        # the comparison is never silently apples-to-oranges
         if q in cur_healed:
-            tag += f" [healed; raw median {cur_raw.get(q, cq[q]):.3f}s]"
+            tag += f" [healed; pre-heal {cur_raw.get(q, cq[q]):.3f}s]"
         print(f"  {ratio:5.1f}x  {q:32s} {bq[q]:7.3f}s -> {cq[q]:7.3f}s  "
               f"base[{b_sp[0]:.3f},{b_sp[1]:.3f}] cur[{c_sp[0]:.3f},{c_sp[1]:.3f}]  {tag}")
     # healed rows that did NOT cross the ratio threshold still get a
@@ -100,7 +116,7 @@ def main():
                           if q in shared and not any(f[1] == q for f in flagged))
     if healed_quiet:
         notes = ", ".join(
-            f"{q} (median {cq[q]:.3f}s, raw {cur_raw.get(q, cq[q]):.3f}s)"
+            f"{q} (min {cq[q]:.3f}s, pre-heal {cur_raw.get(q, cq[q]):.3f}s)"
             for q in healed_quiet)
         print(f"healed below threshold ({len(healed_quiet)}): {notes}")
     # Bench now omits all-reps-failed queries from the medians and lists
