@@ -881,6 +881,76 @@ object StressBench {
       s"degree orientation must collapse hub fan-out: id=$idPaths deg=$degPaths")
     println(s"""{"stress":"triangles_hub","triangles":$nTriId,"paths_id":$idPaths,"paths_degree":$degPaths}""")
     tEdges.unpersist()
+
+    // ---- gear-CDC zero-run degeneracy, head-on (the r15 hazard): for
+    // a zero byte gear(0)=0, so h = 16h mod 2³² reaches 0 within 8
+    // bytes of a zero run and EVERY later zero byte is a boundary —
+    // the stateless rule (m52) degenerates to 1-byte chunks with an
+    // md5 per byte. The clamped production tier (m53) must cap the
+    // same corpus at ~bytes/16 chunk rows. Fixture: 16 assets, each
+    // 1 MiB of zero padding wrapped by distinct token content (sparse-
+    // file / uncompressed-media shape). NUL encodes to a single 0x00
+    // byte in UTF-8, so the text-derived payload carries the run.
+    graft.functions.VectorFunctions.register(spark)
+    val zeroPad = 1 << 20
+    val zr = spark.range(16).toDF("doc_id")
+      .withColumn("text", concat(
+        concat_ws(" ", transform(sequence(lit(1), lit(200)),
+          i => concat(lit("hdr"),
+            pmod(xxhash64(col("doc_id") * 7919 + i), lit(5000))))),
+        expr(s"repeat(chr(0), $zeroPad)"),
+        concat_ws(" ", transform(sequence(lit(1), lit(200)),
+          i => concat(lit("tail"),
+            pmod(xxhash64(col("doc_id") * 104729 + i), lit(5000)))))))
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .select(col("doc_id"), col("payload"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zBytes = zr.agg(sum(length(col("payload")))).head().getLong(0)
+    val zUnclamped = tm("gear_cdc_zero_run_unclamped") {
+      zr.select(explode(graft.functions.VectorFunctions
+        .gearChunks(col("payload"))).as("ch")).count()
+    }
+    val zClamped = tm("gear_cdc_zero_run_clamped") {
+      zr.select(explode(graft.functions.VectorFunctions
+        .gearChunksClamped(col("payload"), 16, 4096)).as("ch")).count()
+    }
+    zr.unpersist()
+    // unclamped: ~1 chunk per zero byte; clamped: exactly bytes/16
+    // through the run, ~bytes/64 elsewhere — the clamp must cut the
+    // row volume by >10× and stay within the bytes/16 ceiling
+    require(zUnclamped > zBytes / 2,
+      s"zero-run fixture failed to trigger the degeneracy: $zUnclamped chunks over $zBytes bytes")
+    require(zClamped <= zBytes / 16 + 16,
+      s"clamp ceiling violated: $zClamped chunks over $zBytes bytes")
+    require(zClamped * 10 < zUnclamped,
+      s"clamp must collapse the explosion: $zClamped vs $zUnclamped")
+    println(s"""{"stress":"gear_cdc_zero_run","bytes":$zBytes,"unclamped_chunks":$zUnclamped,"clamped_chunks":$zClamped}""")
+
+    // ---- clamped gear-CDC scale slope (the m53 production tier):
+    // full content-addressed-store accounting at 100k docs and 1M docs
+    // (both corpora already on disk). Chunking is map-side; the only
+    // shuffles are chunk_md5-keyed (first-occurrence window) and the
+    // source rollup — 10× data must cost ~10× time, never worse than
+    // ~15× (superlinearity here would mean a pair-shaped stage leaked
+    // in). Planted near-dup copies guarantee real savings at both
+    // scales.
+    val g100k = tm("gear_cdc_clamped_100k") {
+      SparkEntry.queries("m53_gear_cdc_clamped")(spark, base)
+        .agg(sum(col("n_chunks")), sum(col("bytes_total")),
+          sum(col("bytes_stored"))).head()
+    }
+    SparkEntry.release(spark)
+    println(s"""{"stress":"gear_cdc_clamped_100k","chunks":${g100k.getLong(0)},"bytes":${g100k.getLong(1)},"stored":${g100k.getLong(2)}}""")
+    val g1m = tm("gear_cdc_clamped_1m") {
+      SparkEntry.queries("m53_gear_cdc_clamped")(spark, base1m)
+        .agg(sum(col("n_chunks")), sum(col("bytes_total")),
+          sum(col("bytes_stored"))).head()
+    }
+    SparkEntry.release(spark)
+    require(g1m.getLong(2) < g1m.getLong(1),
+      "1M-doc corpus with planted copies must realize dedup savings")
+    println(s"""{"stress":"gear_cdc_clamped_1m","chunks":${g1m.getLong(0)},"bytes":${g1m.getLong(1)},"stored":${g1m.getLong(2)}}""")
+
     spark.stop()
   }
 }

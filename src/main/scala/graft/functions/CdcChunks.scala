@@ -198,6 +198,52 @@ case class GearChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: the PRODUCTION gear-CDC tier —
+  * [[GearChunks]]' byte-rolling boundary rule with FastCDC's min/max
+  * chunk clamps (boundaries suppressed until ≥ minChunk bytes since
+  * the last cut; a cut forced at maxChunk bytes). See
+  * [[CdcChunks.computeGearClamped]] for the full contract and the
+  * zero-run degeneracy the clamp exists to kill. The clamp makes cuts
+  * stateful (each depends on the previous), so the DuckDB oracle is a
+  * recursive cut-walk rather than the stateless 8-term lag window —
+  * both are shipped, both oracle-gated. */
+case class GearChunksClamped(child: Expression, minChunk: Int,
+    maxChunk: Int) extends UnaryExpression {
+  require(minChunk >= 1 && maxChunk >= minChunk,
+    s"gear_chunks_clamped needs 1 <= minChunk <= maxChunk, " +
+      s"got ($minChunk, $maxChunk)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gear_chunks_clamped expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cbytes", LongType, nullable = false),
+      StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "gear_chunks_clamped"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.computeGearClamped(input.asInstanceOf[Array[Byte]],
+      minChunk, maxChunk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.CdcChunks$$.MODULE$$.computeGearClamped(
+         |    $in, $minChunk, $maxChunk);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CdcChunks {
 
   private val splitter = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
@@ -302,19 +348,40 @@ object CdcChunks {
   }
 
   /** Hex-render payload[start, start+len) and emit one chunk row:
-    * (len, md5 of the hex rendering). */
+    * (len, md5 of the hex rendering). The hex is STREAMED into the
+    * MessageDigest in fixed 32 KiB blocks rather than materialized as
+    * one 2·len array — so chunk emission is O(1) extra memory no
+    * matter how large a boundary-free chunk grows, and the 2·len Int
+    * overflow a >1 GiB single-chunk payload would have hit
+    * (NegativeArraySizeException) cannot occur. Digest value is
+    * byte-identical to digesting the full rendering at once. */
   private def emitGearChunk(digest: MessageDigest, payload: Array[Byte],
       start: Int, len: Int): GenericInternalRow = {
-    val hx = new Array[Byte](2 * len)
-    var i = 0
-    while (i < len) {
-      val b = payload(start + i) & 0xff
-      hx(2 * i) = hexBytes(b >>> 4)
-      hx(2 * i + 1) = hexBytes(b & 0xf)
-      i += 1
+    val block = new Array[Byte](65536)
+    digest.reset()
+    var done = 0
+    while (done < len) {
+      val n = math.min(32768, len - done)
+      var i = 0
+      while (i < n) {
+        val b = payload(start + done + i) & 0xff
+        block(2 * i) = hexBytes(b >>> 4)
+        block(2 * i + 1) = hexBytes(b & 0xf)
+        i += 1
+      }
+      digest.update(block, 0, 2 * n)
+      done += n
+    }
+    val d = digest.digest()
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      out(2 * j) = hexChars((d(j) >> 4) & 0xf)
+      out(2 * j + 1) = hexChars(d(j) & 0xf)
+      j += 1
     }
     new GenericInternalRow(Array[Any](len.toLong,
-      UTF8String.fromString(md5Hex(digest, hx))))
+      UTF8String.fromString(new String(out))))
   }
 
   /** The byte-rolling gear kernel (called from generated code):
@@ -332,6 +399,50 @@ object CdcChunks {
       h = ((h << 4) + (payload(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
       if (h < 67108864L) {
         chunks += emitGearChunk(digest, payload, start, i + 1 - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < payload.length) {
+      chunks += emitGearChunk(digest, payload, start, payload.length - start)
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+
+  /** The FastCDC-clamped gear kernel (called from generated code):
+    * same rolling h as [[computeGear]], but a boundary candidate is
+    * HONORED only once ≥ minChunk bytes have accumulated since the
+    * last cut, and a cut is FORCED at maxChunk bytes regardless of
+    * content. The gear state itself keeps rolling uninterrupted, so
+    * re-anchoring survives: after an edit, the first honored boundary
+    * ≥ minChunk past the realignment point puts every later cut back
+    * in lockstep with the unedited twin.
+    *
+    * Why the clamp exists (the m52 r15 hazard): gear(0) = 0, so a run
+    * of ≥ 8 zero bytes drives h to 0 permanently and EVERY subsequent
+    * zero byte satisfies h < 2²⁶ — zero/padding-heavy payloads (sparse
+    * files, uncompressed media, disk images) degenerate to 1-byte
+    * chunks, ~64× the designed row volume and an md5 per byte. The
+    * min clamp caps that worst case at bytes/minChunk rows; the max
+    * clamp bounds single-chunk memory AND makes pathological
+    * boundary-free payloads (high-entropy runs that never hit the
+    * mask) emit bounded chunks. Cuts become a function of the previous
+    * cut (stateful), which is why the stateless [[computeGear]] rule
+    * is kept for the lag-window-oracle-gated query and this variant
+    * ships as the production tier. */
+  def computeGearClamped(payload: Array[Byte], minChunk: Int,
+      maxChunk: Int): ArrayData = {
+    if (payload.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < payload.length) {
+      h = ((h << 4) + (payload(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
+      val len = i + 1 - start
+      if ((h < 67108864L && len >= minChunk) || len >= maxChunk) {
+        chunks += emitGearChunk(digest, payload, start, len)
         start = i + 1
       }
       i += 1

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two
@@ -178,6 +178,15 @@ object VectorFunctions {
       "gear_chunks",
       exprs => GearChunks(exprs.head),
       "scala_udf")
+    // clamp bounds must be foldable INT literals — the kernel call is
+    // baked into generated code, and data-dependent clamps would make
+    // the chunk table's row-volume contract unauditable
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gear_chunks_clamped",
+      exprs => GearChunksClamped(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter joins plan), exposed by name: 4.1 ships
     // BloomFilterMightContain but does not register it in the builtin
@@ -215,6 +224,13 @@ object VectorFunctions {
     * stateless boundary rule (array<struct<cbytes, chunk_md5>> in
     * chunk order); caller must have invoked [[register]] first. */
   def gearChunks(x: Column): Column = call_function("gear_chunks", x)
+
+  /** The production gear-CDC tier: FastCDC min/max chunk clamps over
+    * the same rolling boundary rule (zero-run payloads stay at
+    * ~bytes/minChunk rows instead of 1-byte chunks); caller must have
+    * invoked [[register]] first. */
+  def gearChunksClamped(x: Column, minChunk: Int, maxChunk: Int): Column =
+    call_function("gear_chunks_clamped", x, lit(minChunk), lit(maxChunk))
 
   /** Raw inner product Column over two array<double> columns; caller
     * must have invoked [[register]] on the session first. */

@@ -791,6 +791,53 @@ object MultimodalOps extends Serializable {
             .as("mean_chunk_bytes"))
     },
 
+    // CLAMPED GEAR CDC — the PRODUCTION tier of m52. m52's pure
+    // stateless rule has a real degeneracy: gear(0) = 0, so a run of
+    // ≥8 zero bytes drives h to 0 permanently and every later zero
+    // byte is a boundary — zero/padding-heavy payloads (sparse files,
+    // uncompressed media, disk images) explode to 1-byte chunks, ~64×
+    // the designed row volume with an md5 per byte. This variant adds
+    // FastCDC's clamps (no cut until ≥16 bytes since the last cut; a
+    // forced cut at 4096), which caps worst-case row volume at
+    // bytes/16 and single-chunk memory at 4 KiB while keeping the
+    // re-anchoring property (the gear state never resets — after an
+    // edit, the first honored boundary past realignment restores
+    // lockstep with the unedited twin). Cuts are now a function of
+    // the PREVIOUS cut, so the oracle walks them with a recursive
+    // CTE (cut → least(next candidate ≥ cut+16, cut+4096, end))
+    // instead of m52's stateless lag window — each doc's walk is
+    // ~len/64 steps, decorrelated by DuckDB into per-iteration joins.
+    // Same global content-addressed-store accounting as m52;
+    // chunk-granular shuffles only (chunk_md5 window + source
+    // rollup), never pairs.
+    "m53_gear_cdc_clamped" -> { (s, d) =>
+      graft.functions.VectorFunctions.register(s)
+      val chunks = multimodalTable(s, d)
+        .filter(length(col("payload")) > 0)
+        .select(col("doc_id"), col("meta.source").as("source"),
+          posexplode(graft.functions.VectorFunctions
+            .gearChunksClamped(col("payload"), 16, 4096))
+            .as(Seq("chunk_idx", "ch")))
+        .select(col("doc_id"), col("source"), col("chunk_idx"),
+          col("ch.cbytes").as("cbytes"),
+          col("ch.chunk_md5").as("chunk_md5"))
+      val ranked = chunks.withColumn("rn",
+        row_number().over(Window.partitionBy(col("chunk_md5"))
+          .orderBy(col("doc_id").asc, col("chunk_idx").asc)))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("cbytes")).as("bytes_total"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new_chunks"),
+          sum(when(col("rn") === 1, col("cbytes")).otherwise(0L))
+            .as("bytes_stored"))
+        .select(col("source"), col("n_chunks"), col("bytes_total"),
+          col("n_new_chunks"), col("bytes_stored"),
+          round(lit(1) - col("bytes_stored") / col("bytes_total"), 4)
+            .as("savings_ratio"),
+          round(col("bytes_total") / col("n_chunks"), 2)
+            .as("mean_chunk_bytes"))
+    },
+
     // SOURCE FORMAT-DRIFT MONITOR — per-source byte(-nibble)
     // distribution vs the fleet-wide distribution, as an L1 distance:
     // the lakehouse check that catches a source whose payload format
@@ -1359,11 +1406,11 @@ object MultimodalOps extends Serializable {
          | FROM documents WHERE length(text) > 0),
          |pos AS (
          | SELECT doc_id, source, CAST(i AS BIGINT) AS i,
-         |  substring(h, CAST(2*i+1 AS INTEGER), 2) AS hp,
+         |  substring(h, 2*i+1, 2) AS hp,
          |  ((strpos('0123456789abcdef',
-         |      substring(h, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16 +
+         |      substring(h, 2*i+1, 1)) - 1) * 16 +
          |   (strpos('0123456789abcdef',
-         |      substring(h, CAST(2*i+2 AS INTEGER), 1)) - 1)) AS byte
+         |      substring(h, 2*i+2, 1)) - 1)) AS byte
          | FROM hx, LATERAL unnest(range(0, length(h)//2)) AS u(i)),
          |g AS (
          | SELECT doc_id, source, i, hp,
@@ -1377,6 +1424,86 @@ object MultimodalOps extends Serializable {
          | SELECT doc_id, source, i, hp,
          |  CASE WHEN hh < 67108864 THEN 1 ELSE 0 END AS bnd
          | FROM rolled),
+         |assigned AS (
+         | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
+         |   ORDER BY i ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS chunk_idx
+         | FROM flagged),
+         |chunks AS (
+         | SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(count(*) AS BIGINT) AS cbytes,
+         |  md5(string_agg(hp, '' ORDER BY i ASC)) AS chunk_md5
+         | FROM assigned GROUP BY 1, 2, 3),
+         |ranked AS (
+         | SELECT source, cbytes,
+         |  row_number() OVER (PARTITION BY chunk_md5
+         |   ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+         | FROM chunks)
+         |SELECT source, count(*) AS n_chunks,
+         | CAST(sum(cbytes) AS BIGINT) AS bytes_total,
+         | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_new_chunks,
+         | CAST(sum(CASE WHEN rn = 1 THEN cbytes ELSE 0 END) AS BIGINT)
+         |   AS bytes_stored,
+         | round(1 - sum(CASE WHEN rn = 1 THEN cbytes ELSE 0 END)
+         |   / sum(cbytes), 4) AS savings_ratio,
+         | round(sum(cbytes) / count(*), 2) AS mean_chunk_bytes
+         |FROM ranked GROUP BY 1""".stripMargin
+    },
+    // the clamp makes each cut a function of the previous one, so the
+    // oracle WALKS the cuts with a recursive CTE: from the stateless
+    // candidate set (the same 8-term lag sum as m52), next cut =
+    // least(first candidate ≥ cut+16, cut+4096, end-of-doc). Every doc
+    // advances one cut per iteration (~len/64 iterations, all docs in
+    // parallel); DuckDB decorrelates the min-candidate probe into a
+    // per-iteration join. Chunk assembly past the cut table is
+    // byte-for-byte m52's prefix-sum + ordered string_agg.
+    "m53_gear_cdc_clamped" -> {
+      val lags = (0 until 8).map(k =>
+        s"(${BigInt(16).pow(k)} * coalesce(lag(gv, $k) OVER w, 0))")
+        .mkString("\n         |   + ")
+      s"""WITH RECURSIVE hx AS (
+         | SELECT doc_id, source, lower(hex(encode(text))) AS h
+         | FROM documents WHERE length(text) > 0),
+         |pos AS (
+         | SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+         |  substring(h, 2*i+1, 2) AS hp,
+         |  ((strpos('0123456789abcdef',
+         |      substring(h, 2*i+1, 1)) - 1) * 16 +
+         |   (strpos('0123456789abcdef',
+         |      substring(h, 2*i+2, 1)) - 1)) AS byte
+         | FROM hx, LATERAL unnest(range(0, length(h)//2)) AS u(i)),
+         |g AS (
+         | SELECT doc_id, source, i, hp,
+         |  (byte * 2654435761) % 4294967296 AS gv
+         | FROM pos),
+         |rolled AS (
+         | SELECT doc_id, source, i, hp,
+         |  ($lags) % 4294967296 AS hh
+         | FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i ASC)),
+         |cand AS (
+         | SELECT doc_id, i FROM rolled WHERE hh < 67108864),
+         |doclen AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         | FROM pos GROUP BY 1),
+         |cuts AS (
+         | SELECT doc_id, CAST(-1 AS BIGINT) AS cut, len FROM doclen
+         | UNION ALL
+         | SELECT c.doc_id,
+         |  least(
+         |   coalesce((SELECT min(b.i) FROM cand b
+         |             WHERE b.doc_id = c.doc_id AND b.i >= c.cut + 16),
+         |            c.cut + 4096),
+         |   c.cut + 4096, c.len - 1) AS cut,
+         |  c.len
+         | FROM cuts c WHERE c.cut < c.len - 1),
+         |flagged AS (
+         | SELECT p.doc_id, p.source, p.i, p.hp,
+         |  CASE WHEN t.cut IS NOT NULL THEN 1 ELSE 0 END AS bnd
+         | FROM pos p LEFT JOIN
+         |  (SELECT doc_id, cut FROM cuts WHERE cut >= 0) t
+         |  ON t.doc_id = p.doc_id AND t.cut = p.i),
          |assigned AS (
          | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
          |   ORDER BY i ASC

@@ -350,4 +350,86 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert((tiles(0L) & tiles(1L)).size <= 2,
       "fixed tiles must lose the alignment a byte insert shifts")
   }
+
+  /** Driver-side replica of the CLAMPED gear contract: same rolling h,
+    * a candidate honored only at ≥ min bytes since the last cut, a cut
+    * forced at max bytes, state never reset. */
+  private def gearClampedRef(data: Array[Byte], min: Int,
+      max: Int): Seq[(Long, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var h = 0L
+    var start = 0
+    for (i <- data.indices) {
+      h = ((h << 4) + (data(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
+      val len = i + 1 - start
+      if ((h < 67108864L && len >= min) || len >= max) {
+        val hx = data.slice(start, i + 1).map("%02x".format(_)).mkString
+        out += (len.toLong -> md5hex(hx))
+        start = i + 1
+      }
+    }
+    if (start < data.length) {
+      val hx = data.slice(start, data.length).map("%02x".format(_)).mkString
+      out += ((data.length - start).toLong -> md5hex(hx))
+    }
+    out.toSeq
+  }
+
+  test("GearChunksClamped: kernel equals the driver ref, clamps bind, zero runs stay bounded") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rng = new scala.util.Random(43)
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array[Byte](0),
+      Array.fill(4096)(0.toByte),             // the degenerate zero run
+      Array.fill(64)(0xFF.toByte),
+      Array.tabulate(8)(_.toByte),
+      "plain utf-8 text payload, short".getBytes("UTF-8")) ++
+      (0 until 8).map(_ =>
+        Array.fill(1 + rng.nextInt(8192))(rng.nextInt(256).toByte))
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+    for ((min, max) <- Seq((16, 4096), (4, 32))) {
+      val got = df.select(col("id"),
+          VectorFunctions.gearChunksClamped(col("payload"), min, max).as("chs"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(c => (c.getLong(0), c.getString(1)))).toMap
+      for ((b, i) <- payloads.zipWithIndex) {
+        assert(got(i.toLong) === gearClampedRef(b, min, max),
+          s"payload $i clamp ($min,$max)")
+        // every chunk but the last obeys [min, max]; the last obeys max
+        val lens = got(i.toLong).map(_._1)
+        assert(lens.sum === b.length.toLong, s"payload $i partitions")
+        assert(lens.dropRight(1).forall(l => l >= min && l <= max),
+          s"payload $i clamp violated: $lens")
+        assert(lens.lastOption.forall(_ <= max), s"payload $i max violated")
+      }
+    }
+    // the zero run cuts exactly every `min` bytes once the state hits 0
+    val zeroChunks = gearClampedRef(Array.fill(4096)(0.toByte), 16, 4096)
+    assert(zeroChunks.size === 256 && zeroChunks.forall(_._1 === 16L),
+      s"zero run must cut every 16 bytes, got ${zeroChunks.size} chunks")
+  }
+
+  test("GearChunksClamped: chunks larger than one digest block stream correctly") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // a min clamp past the 32 KiB digest block size forces every chunk
+    // through the multi-block streaming path of the chunk emitter —
+    // digests must equal the materialize-then-hash driver ref
+    val rng = new scala.util.Random(47)
+    val big = Array.fill(200000)(rng.nextInt(256).toByte)
+    val got = Seq((0L, big)).toDF("id", "payload")
+      .select(VectorFunctions
+        .gearChunksClamped(col("payload"), 65536, 1 << 20).as("chs"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(c => (c.getLong(0), c.getString(1)))
+    val ref = gearClampedRef(big, 65536, 1 << 20)
+    assert(got === ref)
+    assert(got.map(_._1).max > 65536L, "fixture must produce a >64 KiB chunk")
+  }
 }

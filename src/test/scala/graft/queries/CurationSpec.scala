@@ -3436,9 +3436,12 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       a(0) += 1; a(1) += cb
       if (seen.add(h)) { a(2) += 1; a(3) += cb }
     }
+    // HALF_UP to mirror Spark's round() exactly — math.rint is
+    // half-even and would diverge on an exact tie at the 4th decimal
     val exp = acc.toMap.map { case (src, a) =>
       src -> ((a(0), a(1), a(2), a(3),
-        math.rint((1.0 - a(3).toDouble / a(1)) * 10000) / 10000))
+        BigDecimal(1.0 - a(3).toDouble / a(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
     }
     assert(got.keySet === exp.keySet)
     for ((src, e) <- exp) assert(got(src) === e, s"source $src")
@@ -3448,6 +3451,105 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got("srcB")._5 > 0.8,
       s"prefix-edited near-clone must dedup most bytes, got ${got("srcB")._5}")
     assert(got("srcC")._5 === 0.0)
+    SparkEntry.release(spark)
+  }
+
+  test("m53 clamped gear cdc: re-anchoring survives the clamp, and the accounting replays driver-side") {
+    import spark.implicits._
+    // The production tier must keep m52's reason-to-exist: a prefix-
+    // edited near-clone still shares (almost) all chunks, because the
+    // gear state never resets — the clamp only suppresses cuts closer
+    // than 16 bytes to the previous one and forces one at 4096.
+    val rng = new scala.util.Random(41)
+    val baseTxt = (0 until 400).map(_ => s"w${rng.nextInt(5000)}").mkString(" ")
+    val editTxt = "EDITED! " + baseTxt
+    val rows = Seq(
+      (10L, baseTxt, "en", "srcA"),
+      (20L, editTxt, "en", "srcB"),
+      (30L, "an unrelated singleton document body", "en", "srcC"))
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = graft.Tables.withShared(spark, sf0001, "documents", docs) {
+      SparkEntry.queries("m53_gear_cdc_clamped")(spark, sf0001)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5)))).toMap
+    }
+    // independent driver replay of the clamped rule: boundary honored
+    // only at >=16 bytes since the last cut, forced at 4096
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def clampedChunksOf(text: String): Seq[(Long, String)] = {
+      val data = text.getBytes("UTF-8")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var h = 0L; var start = 0
+      for (i <- data.indices) {
+        h = ((h << 4) + (data(i) & 0xffL) * 2654435761L) & 0xFFFFFFFFL
+        val len = i + 1 - start
+        if ((h < 67108864L && len >= 16) || len >= 4096) {
+          out += (len.toLong ->
+            md5hex(data.slice(start, i + 1).map("%02x".format(_)).mkString))
+          start = i + 1
+        }
+      }
+      if (start < data.length)
+        out += ((data.length - start).toLong ->
+          md5hex(data.slice(start, data.length).map("%02x".format(_)).mkString))
+      out.toSeq
+    }
+    val occ = rows.flatMap { case (id, txt, _, src) =>
+      clampedChunksOf(txt).zipWithIndex.map { case ((cb, h), ci) =>
+        (id, ci, src, cb, h) }
+    }.sortBy(r => (r._1, r._2))
+    val seen = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
+    occ.foreach { case (_, _, src, cb, h) =>
+      val a = acc.getOrElseUpdate(src, Array(0L, 0L, 0L, 0L))
+      a(0) += 1; a(1) += cb
+      if (seen.add(h)) { a(2) += 1; a(3) += cb }
+    }
+    val exp = acc.toMap.map { case (src, a) =>
+      src -> ((a(0), a(1), a(2), a(3),
+        BigDecimal(1.0 - a(3).toDouble / a(1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got.keySet === exp.keySet)
+    for ((src, e) <- exp) assert(got(src) === e, s"source $src")
+    assert(got("srcA")._5 === 0.0, "first copy stores every chunk")
+    assert(got("srcB")._5 > 0.8,
+      s"clamped near-clone must still dedup most bytes, got ${got("srcB")._5}")
+    assert(got("srcC")._5 === 0.0)
+    SparkEntry.release(spark)
+  }
+
+  test("m53 clamp kills the zero-run degeneracy m52 documents") {
+    import spark.implicits._
+    // The r15 hazard, pinned at spec scale: a 4 KiB zero run drives
+    // the gear state to 0 within 8 bytes, after which the STATELESS
+    // rule cuts at every zero byte (~1-byte chunks, an md5 per byte),
+    // while the clamped tier cuts exactly every 16 bytes through the
+    // run. NUL encodes to one 0x00 byte in UTF-8.
+    val zeroRun = "\u0000" * 4096
+    val docs = Seq((1L, "header tokens " + zeroRun + " tail tokens",
+      "en", "srcZ")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (unclamped, clamped) =
+      graft.Tables.withShared(spark, sf0001, "documents", docs) {
+        val u = SparkEntry.queries("m52_gear_cdc")(spark, sf0001)
+          .agg(org.apache.spark.sql.functions.sum(col("n_chunks")),
+            org.apache.spark.sql.functions.sum(col("bytes_total"))).head()
+        val c = SparkEntry.queries("m53_gear_cdc_clamped")(spark, sf0001)
+          .agg(org.apache.spark.sql.functions.sum(col("n_chunks")),
+            org.apache.spark.sql.functions.sum(col("bytes_total"))).head()
+        ((u.getLong(0), u.getLong(1)), (c.getLong(0), c.getLong(1)))
+      }
+    assert(unclamped._2 === clamped._2, "both tiers cover every byte")
+    val bytes = clamped._2
+    assert(unclamped._1 > bytes / 2,
+      s"stateless rule must degenerate on the zero run: ${unclamped._1} chunks over $bytes bytes")
+    assert(clamped._1 <= bytes / 16 + 2,
+      s"clamped tier must stay within the bytes/16 ceiling: ${clamped._1} chunks over $bytes bytes")
     SparkEntry.release(spark)
   }
 
