@@ -769,6 +769,29 @@ object Relational {
           "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
           .as("revenue_cents"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q6 SHAPE — forecasting revenue change: the would-have-been
+    // revenue from dropping discounts in a band, for one ship year and
+    // small quantities. THE predicate-pushdown showcase: no join, no
+    // window — one scan whose three range predicates ALL reach the
+    // parquet reader (row-group stats prune whole files of other
+    // years), a 4-column ReadSchema, and one partial-agg collapse to a
+    // single row (zero-row shuffle: partial sums merge at one
+    // reducer). Revenue is row-rounded integer cents (q152
+    // discipline), so the sum is exact and order-free. At 100 TB this
+    // plan touches only the row groups whose [min,max] straddle the
+    // band — the scan IS the query.
+    "q173_forecast_revenue" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1997-01-01")
+          && col("l_shipdate") < tsLit("1998-01-01")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
@@ -1183,6 +1206,16 @@ object Relational {
         | AND r_name = 'EUROPE'
         | AND o_orderdate >= TIMESTAMP '1997-01-01'
         | AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+    "q173_forecast_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07
+        | AND l_quantity < 24""".stripMargin
   )
 }

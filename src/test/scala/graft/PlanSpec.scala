@@ -949,6 +949,58 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"nation dim must broadcast in:\n$p")
   }
 
+  test("q171: segment set broadcasts as a semi join, both date predicates push, top-10 is a partial take") {
+    val p = plan("q171_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 cut must be a distributed partial take in:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"ship-date predicate must push to the lineitem scan in:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"order-date predicate must push to the orders scan in:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"segment membership must ride a broadcast semi join in:\n$p")
+  }
+
+  test("q172: region/supplier maps broadcast; the only fact shuffles are orderkey/custkey-sided") {
+    val p = plan("q172_local_supplier_volume")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"region-nation and supplier maps must broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"same-nation residual must ride the equi join in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("l_orderkey", "o_orderkey",
+      "o_custkey", "c_custkey", "n_name")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+  }
+
+  test("q173: all three Q6 range predicates reach the parquet scan; no join; 4-column ReadSchema") {
+    // six pushed filters overflow the default 100-char metadata render
+    // and the later predicates would vanish behind "..." — widen it
+    // for this pin only
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val p = try plan("q173_forecast_revenue")
+      finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate")
+      && p.contains("LessThan(l_shipdate"),
+      s"ship-year band must push to the scan in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount")
+      && p.contains("LessThanOrEqual(l_discount"),
+      s"discount band must push to the scan in:\n$p")
+    assert(p.contains("LessThan(l_quantity"),
+      s"quantity cap must push to the scan in:\n$p")
+    assert(!p.contains("Join"), s"Q6 is a pure scan-agg — no join in:\n$p")
+    // the scan must read ONLY the four touched columns
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").map(_.split(":").head.trim).toSet
+    assert(cols === Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_shipdate"), s"scan must be pruned to the 4 touched columns, " +
+      s"got $cols in:\n$p")
+  }
+
   test("m50 phash: candidates come only from the band equi-join — no product anywhere") {
     val p = plan("m50_phash_neardup")
     assert(!p.contains("CartesianProduct")
