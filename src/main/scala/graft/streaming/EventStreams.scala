@@ -485,6 +485,79 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class AssetDoc(doc_id: Long, source: String, text: String)
+  case class AssetChunk(chunk_md5: String, doc_id: Long, chunk_idx: Long,
+      source: String, cbytes: Long)
+  case class CasState(firstDoc: Long)
+  case class CasIngest(chunk_md5: String, doc_id: Long, chunk_idx: Long,
+      source: String, cbytes: Long, is_new: Boolean)
+
+  /** Streaming assets → their clamped gear-CDC chunk occurrences via
+    * the same codegen'd `gear_chunks_clamped` kernel batch m53 runs —
+    * one map-side pass per arriving asset, no state, no shuffle. */
+  def assetsToGearChunks(docs: Dataset[AssetDoc]): Dataset[AssetChunk] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    docs.toDF()
+      .withColumn("payload", encode(col("text"), "utf-8"))
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.VectorFunctions
+          .gearChunksClamped(col("payload"), 16, 4096))
+          .as(Seq("chunk_idx", "ch")))
+      .select(col("ch.chunk_md5").as("chunk_md5"), col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"), col("source"),
+        col("ch.cbytes").as("cbytes"))
+      .as[AssetChunk]
+  }
+
+  /** STREAMING CONTENT-ADDRESSED-STORE INGEST — m53 as a stateful
+    * stream: chunk occurrences arrive keyed by chunk hash; state per
+    * hash records that the chunk is already stored (plus which doc
+    * stored it, for the ordering contract). Each occurrence is emitted
+    * exactly once, tagged `is_new` — true only for the globally FIRST
+    * occurrence of its hash, which is the occurrence that pays storage
+    * bytes; every later occurrence is a dedup hit. A per-source rollup
+    * of the emitted rows (count, Σcbytes, Σ[is_new], Σ[is_new]·cbytes)
+    * is row-identical to batch m53's accounting, because batch rn = 1
+    * picks the (doc_id, chunk_idx)-minimal occurrence and the stream
+    * enforces the same non-decreasing doc_id arrival order as
+    * [[chunkDedupStream]] — a late smaller doc_id would silently elect
+    * a different canonical, so it fails loudly instead. (A document's
+    * own chunks always explode into ONE micro-batch row set, so the
+    * within-doc chunk_idx tiebreak is resolved by the per-batch sort.)
+    * Decisions are final on arrival — append-mode safe, nothing is
+    * ever retracted. State is 8 bytes per DISTINCT chunk hash — the
+    * inherent floor for exact CAS accounting; a production store
+    * bounds it the same way the store itself does (the hash index IS
+    * this state). */
+  def casIngestStream(chunks: Dataset[AssetChunk]): Dataset[CasIngest] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.chunk_md5)
+      .flatMapGroupsWithState[CasState, CasIngest](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[AssetChunk], state: GroupState[CasState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[CasIngest]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(c => (c.doc_id, c.chunk_idx)).foreach { c =>
+            if (st != null && c.doc_id < st.firstDoc)
+              throw new IllegalStateException(
+                s"casIngestStream ordering contract violated: doc " +
+                s"${c.doc_id} arrived after canonical ${st.firstDoc} " +
+                s"for chunk ${c.chunk_md5} — assets must arrive in " +
+                s"non-decreasing doc_id order or the stored-copy pick " +
+                s"would silently disagree with the batch operator.")
+            val isNew = st == null
+            if (isNew) st = CasState(c.doc_id)
+            out += CasIngest(c.chunk_md5, c.doc_id, c.chunk_idx,
+              c.source, c.cbytes, isNew)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

@@ -746,6 +746,78 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("cas ingest stream (m53 twin): streamed per-source store accounting == batch m53") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch oracle: m53's clamped gear-CDC accounting over the real
+    // sf0.001 corpus (integer columns only — the savings ratio is a
+    // derived rounding of bytes_stored/bytes_total, re-checked below)
+    val batch = graft.SparkEntry.queries("m53_gear_cdc_clamped")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.SparkEntry.release(spark)
+    assert(batch.nonEmpty)
+    assert(batch.exists { case (_, (_, bt, _, bs)) => bs < bt },
+      "the corpus must realize dedup savings for the twin to be probative")
+    // stream the SAME corpus in doc_id order across two micro-batches
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => EventStreams.AssetDoc(r.getLong(0), r.getString(1),
+        r.getString(2)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.AssetDoc]
+    val query = EventStreams.casIngestStream(
+        EventStreams.assetsToGearChunks(input.toDS()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cas_ingest_out")
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val streamed = spark.table("cas_ingest_out")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"cbytes").as("bytes_total"),
+          sum(when($"is_new", 1L).otherwise(0L)).as("n_new_chunks"),
+          sum(when($"is_new", $"cbytes").otherwise(0L)).as("bytes_stored"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(streamed === batch, s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
+  test("cas ingest stream enforces its doc-order contract: a late smaller doc_id fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val shared = "identical asset body " + ("kp3!v " * 40)
+    val input = MemoryStream[EventStreams.AssetDoc]
+    val query = EventStreams.casIngestStream(
+        EventStreams.assetsToGearChunks(input.toDS()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cas_ingest_violation")
+      .start()
+    try {
+      input.addData(Seq(EventStreams.AssetDoc(10L, "srcA", shared)))
+      query.processAllAvailable()
+      // doc 5 < stored-copy doc 10 for every shared chunk hash
+      input.addData(Seq(EventStreams.AssetDoc(5L, "srcB", shared)))
+      val ex = intercept[Exception](query.processAllAvailable())
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("ordering contract")),
+        s"expected the ordering-contract IllegalStateException, got: $ex")
+    } finally query.stop()
+  }
+
   test("checkpoint restart: runningTotals resumes per-key state exactly-once after a stop/restart") {
     // The one Structured Streaming production property the batch-parity
     // twins don't exercise: kill the query, restart from its
