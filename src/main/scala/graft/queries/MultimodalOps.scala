@@ -53,6 +53,75 @@ object MultimodalOps extends Serializable {
         col("n_chars").as("n_chars")).as("meta"))
   }
 
+  /** The DuckDB rendering of [[graft.functions.GearChunksClamped]]'s
+    * cut walk, shared by the m53 and d65 oracles: the clamp makes each
+    * cut a function of the previous one, so the oracle WALKS the cuts
+    * with a recursive CTE — from the stateless candidate set (the same
+    * 8-term lag sum as m52), next cut = least(first candidate ≥
+    * cut+16, cut+4096, end-of-doc). Every doc advances one cut per
+    * iteration (~len/64 iterations, all docs in parallel); DuckDB
+    * decorrelates the min-candidate probe into a per-iteration join.
+    * Chunk assembly past the cut table is byte-for-byte m52's
+    * prefix-sum + ordered string_agg. Ends at the `chunks` CTE:
+    * (doc_id, source, chunk_idx, cbytes, chunk_md5). */
+  private[graft] val gearClampedChunksCte: String = {
+    val lags = (0 until 8).map(k =>
+      s"(${BigInt(16).pow(k)} * coalesce(lag(gv, $k) OVER w, 0))")
+      .mkString("\n       |   + ")
+    s"""WITH RECURSIVE hx AS (
+       | SELECT doc_id, source, lower(hex(encode(text))) AS h
+       | FROM documents WHERE length(text) > 0),
+       |pos AS (
+       | SELECT doc_id, source, CAST(i AS BIGINT) AS i,
+       |  substring(h, 2*i+1, 2) AS hp,
+       |  ((strpos('0123456789abcdef',
+       |      substring(h, 2*i+1, 1)) - 1) * 16 +
+       |   (strpos('0123456789abcdef',
+       |      substring(h, 2*i+2, 1)) - 1)) AS byte
+       | FROM hx, LATERAL unnest(range(0, length(h)//2)) AS u(i)),
+       |g AS (
+       | SELECT doc_id, source, i, hp,
+       |  (byte * 2654435761) % 4294967296 AS gv
+       | FROM pos),
+       |rolled AS (
+       | SELECT doc_id, source, i, hp,
+       |  ($lags) % 4294967296 AS hh
+       | FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i ASC)),
+       |cand AS (
+       | SELECT doc_id, i FROM rolled WHERE hh < 67108864),
+       |doclen AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+       | FROM pos GROUP BY 1),
+       |cuts AS (
+       | SELECT doc_id, CAST(-1 AS BIGINT) AS cut, len FROM doclen
+       | UNION ALL
+       | SELECT c.doc_id,
+       |  least(
+       |   coalesce((SELECT min(b.i) FROM cand b
+       |             WHERE b.doc_id = c.doc_id AND b.i >= c.cut + 16),
+       |            c.cut + 4096),
+       |   c.cut + 4096, c.len - 1) AS cut,
+       |  c.len
+       | FROM cuts c WHERE c.cut < c.len - 1),
+       |flagged AS (
+       | SELECT p.doc_id, p.source, p.i, p.hp,
+       |  CASE WHEN t.cut IS NOT NULL THEN 1 ELSE 0 END AS bnd
+       | FROM pos p LEFT JOIN
+       |  (SELECT doc_id, cut FROM cuts WHERE cut >= 0) t
+       |  ON t.doc_id = p.doc_id AND t.cut = p.i),
+       |assigned AS (
+       | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
+       |   ORDER BY i ASC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |   AS chunk_idx
+       | FROM flagged),
+       |chunks AS (
+       | SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(count(*) AS BIGINT) AS cbytes,
+       |  md5(string_agg(hp, '' ORDER BY i ASC)) AS chunk_md5
+       | FROM assigned GROUP BY 1, 2, 3)""".stripMargin
+  }
+
   /** m50's fingerprint stage, factored out so StressBench can measure
     * banding recall against ground-truth Hamming computed DIRECTLY
     * from these signatures (planted pairs joined by id — no banding in
@@ -1451,70 +1520,11 @@ object MultimodalOps extends Serializable {
          | round(sum(cbytes) / count(*), 2) AS mean_chunk_bytes
          |FROM ranked GROUP BY 1""".stripMargin
     },
-    // the clamp makes each cut a function of the previous one, so the
-    // oracle WALKS the cuts with a recursive CTE: from the stateless
-    // candidate set (the same 8-term lag sum as m52), next cut =
-    // least(first candidate ≥ cut+16, cut+4096, end-of-doc). Every doc
-    // advances one cut per iteration (~len/64 iterations, all docs in
-    // parallel); DuckDB decorrelates the min-candidate probe into a
-    // per-iteration join. Chunk assembly past the cut table is
-    // byte-for-byte m52's prefix-sum + ordered string_agg.
+    // the clamped cut walk lives in gearClampedChunksCte (shared with
+    // the d65 oracle); from its `chunks` table the accounting is
+    // byte-for-byte m52's first-occurrence window + source rollup
     "m53_gear_cdc_clamped" -> {
-      val lags = (0 until 8).map(k =>
-        s"(${BigInt(16).pow(k)} * coalesce(lag(gv, $k) OVER w, 0))")
-        .mkString("\n         |   + ")
-      s"""WITH RECURSIVE hx AS (
-         | SELECT doc_id, source, lower(hex(encode(text))) AS h
-         | FROM documents WHERE length(text) > 0),
-         |pos AS (
-         | SELECT doc_id, source, CAST(i AS BIGINT) AS i,
-         |  substring(h, 2*i+1, 2) AS hp,
-         |  ((strpos('0123456789abcdef',
-         |      substring(h, 2*i+1, 1)) - 1) * 16 +
-         |   (strpos('0123456789abcdef',
-         |      substring(h, 2*i+2, 1)) - 1)) AS byte
-         | FROM hx, LATERAL unnest(range(0, length(h)//2)) AS u(i)),
-         |g AS (
-         | SELECT doc_id, source, i, hp,
-         |  (byte * 2654435761) % 4294967296 AS gv
-         | FROM pos),
-         |rolled AS (
-         | SELECT doc_id, source, i, hp,
-         |  ($lags) % 4294967296 AS hh
-         | FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i ASC)),
-         |cand AS (
-         | SELECT doc_id, i FROM rolled WHERE hh < 67108864),
-         |doclen AS (
-         | SELECT doc_id, CAST(count(*) AS BIGINT) AS len
-         | FROM pos GROUP BY 1),
-         |cuts AS (
-         | SELECT doc_id, CAST(-1 AS BIGINT) AS cut, len FROM doclen
-         | UNION ALL
-         | SELECT c.doc_id,
-         |  least(
-         |   coalesce((SELECT min(b.i) FROM cand b
-         |             WHERE b.doc_id = c.doc_id AND b.i >= c.cut + 16),
-         |            c.cut + 4096),
-         |   c.cut + 4096, c.len - 1) AS cut,
-         |  c.len
-         | FROM cuts c WHERE c.cut < c.len - 1),
-         |flagged AS (
-         | SELECT p.doc_id, p.source, p.i, p.hp,
-         |  CASE WHEN t.cut IS NOT NULL THEN 1 ELSE 0 END AS bnd
-         | FROM pos p LEFT JOIN
-         |  (SELECT doc_id, cut FROM cuts WHERE cut >= 0) t
-         |  ON t.doc_id = p.doc_id AND t.cut = p.i),
-         |assigned AS (
-         | SELECT *, coalesce(sum(bnd) OVER (PARTITION BY doc_id
-         |   ORDER BY i ASC
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |   AS chunk_idx
-         | FROM flagged),
-         |chunks AS (
-         | SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-         |  CAST(count(*) AS BIGINT) AS cbytes,
-         |  md5(string_agg(hp, '' ORDER BY i ASC)) AS chunk_md5
-         | FROM assigned GROUP BY 1, 2, 3),
+      s"""$gearClampedChunksCte,
          |ranked AS (
          | SELECT source, cbytes,
          |  row_number() OVER (PARTITION BY chunk_md5

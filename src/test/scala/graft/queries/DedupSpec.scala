@@ -317,6 +317,63 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d65 gear substring dedup: same chunk table as m53, removable is the cross-doc-only subset") {
+    // Both operators chunk identically (gear_chunks_clamped 16/4096),
+    // so per source the chunk counts and byte totals must agree, and
+    // d65's removable bytes (cross-doc repeats only) can never exceed
+    // m53's dedup-hit bytes (ALL repeats, within-doc included).
+    val d65 = SparkEntry.queries("d65_gear_substring_dedup")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val m53 = SparkEntry.queries("m53_gear_cdc_clamped")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(d65.keySet === m53.keySet)
+    for ((src, (nc, bt, removable)) <- d65) {
+      val (nc53, bt53, stored) = m53(src)
+      assert(nc === nc53 && bt === bt53, s"source $src chunk tables differ")
+      assert(removable <= bt - stored,
+        s"source $src: cross-doc removable $removable exceeds total " +
+          s"dedup-hit bytes ${bt - stored}")
+    }
+    SparkEntry.release(spark)
+  }
+
+  test("d65 cross-doc-only rule: a cloned doc is removable, a within-doc repeat is not") {
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    val body = (0 until 400).map(_ => s"v${rng.nextInt(5000)}").mkString(" ")
+    val block = (0 until 300).map(_ => s"r${rng.nextInt(5000)}").mkString(" ")
+    val rows = Seq(
+      (10L, body, "en", "srcA"),                      // canonical
+      (20L, body, "en", "srcB"),                      // exact clone of A
+      (30L, block + " " + block, "en", "srcC"))       // internal repeat only
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (d65, m53) = graft.Tables.withShared(spark, sf0001, "documents", docs) {
+      val a = SparkEntry.queries("d65_gear_substring_dedup")(spark, sf0001)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(4)))).toMap       // (bytes_total, removable)
+      val b = SparkEntry.queries("m53_gear_cdc_clamped")(spark, sf0001)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(4)))).toMap       // (bytes_total, stored)
+      (a, b)
+    }
+    // the clone: every chunk is cross-doc → all of srcB is removable
+    assert(d65("srcB")._2 === d65("srcB")._1,
+      s"clone must be fully removable: ${d65("srcB")}")
+    // the canonical keeps everything
+    assert(d65("srcA")._2 === 0L)
+    // the within-doc repeat: m53's store dedups it (re-anchoring makes
+    // the second copy's chunks collide), but d65 must NOT remove it —
+    // cross-document only, exactly d64's rule
+    assert(m53("srcC")._2 < m53("srcC")._1,
+      s"fixture failed: internal repeat produced no duplicate chunks ${m53("srcC")}")
+    assert(d65("srcC")._2 === 0L,
+      s"within-doc-only repeats must not be removable: ${d65("srcC")}")
+    SparkEntry.release(spark)
+  }
+
   test("d56 calibration: covers exactly the d28 pairs and the 24-hash estimator tracks exact Jaccard") {
     val cal = SparkEntry.queries("d56_minhash_calibration")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
