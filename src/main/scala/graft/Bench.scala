@@ -183,8 +183,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
-    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"), line)
-    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json"), compact)
+    // an allowlisted (partial) run must never clobber the full-registry
+    // record — the stdout line is the deliverable for targeted triage
+    if (only.isEmpty) {
+      writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"), line)
+      writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json"), compact)
+    }
     spark.stop()
   }
 }
