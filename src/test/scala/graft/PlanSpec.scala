@@ -151,6 +151,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d65 gear substring dedup: clamped map-side chunking, exchanges chunk-hash- or source-keyed only") {
+    val p = plan("d65_gear_substring_dedup")
+    assert(p.contains("gear_chunks_clamped"),
+      s"chunking must run through the clamped native expression in:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("chunk_md5", "source")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cross-doc matching must ride the chunk_md5 equi-join:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("m51 payload cdc: linear map-side kernel — only the source rollup shuffles, no window, no tile explode") {
     val p = plan("m51_payload_cdc")
     assert(p.contains("cdc_payload_chunks"),
