@@ -357,7 +357,9 @@ object CdcChunks {
     * byte-identical to digesting the full rendering at once. */
   private def emitGearChunk(digest: MessageDigest, payload: Array[Byte],
       start: Int, len: Int): GenericInternalRow = {
-    val block = new Array[Byte](65536)
+    // sized to the chunk, capped at one 32 KiB digest block — the
+    // common ~64-byte chunk allocates ~128 B, not a fixed 64 KiB
+    val block = new Array[Byte](2 * math.min(32768, len))
     digest.reset()
     var done = 0
     while (done < len) {
