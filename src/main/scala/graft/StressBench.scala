@@ -951,6 +951,29 @@ object StressBench {
       "1M-doc corpus with planted copies must realize dedup savings")
     println(s"""{"stress":"gear_cdc_clamped_1m","chunks":${g1m.getLong(0)},"bytes":${g1m.getLong(1)},"stored":${g1m.getLong(2)}}""")
 
+    // ---- d65 slope (byte-level cross-doc substring dedup over the
+    // clamped chunks): adds a countDistinct(doc_id) per chunk hash and
+    // a chunk_md5 self-join on top of the m53 chunk table — still only
+    // chunk_md5/source shuffles, so 10× data must stay ~linear. The
+    // planted near-dup copies (id ≡ 1 mod 50, one token appended)
+    // guarantee real cross-doc removable bytes at both scales.
+    val s100k = tm("gear_substring_dedup_100k") {
+      SparkEntry.queries("d65_gear_substring_dedup")(spark, base)
+        .agg(sum(col("bytes_total")), sum(col("removable_bytes"))).head()
+    }
+    SparkEntry.release(spark)
+    require(s100k.getLong(1) > 0,
+      "planted near-dup copies must yield cross-doc removable bytes")
+    println(s"""{"stress":"gear_substring_dedup_100k","bytes":${s100k.getLong(0)},"removable":${s100k.getLong(1)}}""")
+    val s1m = tm("gear_substring_dedup_1m") {
+      SparkEntry.queries("d65_gear_substring_dedup")(spark, base1m)
+        .agg(sum(col("bytes_total")), sum(col("removable_bytes"))).head()
+    }
+    SparkEntry.release(spark)
+    require(s1m.getLong(1) > 0,
+      "1M-doc corpus must yield cross-doc removable bytes")
+    println(s"""{"stress":"gear_substring_dedup_1m","bytes":${s1m.getLong(0)},"removable":${s1m.getLong(1)}}""")
+
     spark.stop()
   }
 }
