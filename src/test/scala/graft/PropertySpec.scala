@@ -201,4 +201,50 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("gear_chunks_clamped: arbitrary payloads and clamps — partition, bounds, determinism") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // payload mix deliberately includes the adversarial classes: zero
+    // runs (gear state pinned at 0), constant bytes, and short inputs
+    val payloadGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.listOfN(1, Gen.choose(0, 255)),
+      Gen.choose(1, 500).flatMap(n => Gen.listOfN(n, Gen.choose(0, 255))),
+      Gen.choose(1, 400).map(n => List.fill(n)(0)),
+      Gen.choose(1, 400).flatMap(n =>
+        Gen.choose(0, 255).map(b => List.fill(n)(b)))
+    ).map(_.map(_.toByte).toArray)
+    val caseGen = for {
+      p <- payloadGen
+      min <- Gen.choose(1, 64)
+      extra <- Gen.choose(0, 256)
+    } yield (p, min, min + extra)
+    forAllSeeded(caseGen, 40) { case (payload, minC, maxC) =>
+      val rows = Seq((0L, payload)).toDF("id", "payload")
+        .select(VectorFunctions
+          .gearChunksClamped(col("payload"), minC, maxC).as("chs"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(c => (c.getLong(0), c.getString(1)))
+      val lens = rows.map(_._1)
+      // chunks PARTITION the payload byte-exactly
+      assert(lens.sum === payload.length.toLong,
+        s"len=${payload.length} clamp=($minC,$maxC) lens=$lens")
+      // every chunk but the last obeys [min, max]; the last obeys max
+      assert(lens.dropRight(1).forall(l => l >= minC && l <= maxC),
+        s"clamp violated: len=${payload.length} ($minC,$maxC) $lens")
+      assert(lens.lastOption.forall(l => l >= 1 && l <= maxC))
+      // digests are well-formed 32-hex md5s
+      rows.foreach { case (_, h) =>
+        assert(h.length === 32 &&
+          h.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      }
+      // deterministic: a second evaluation is byte-identical
+      val again = Seq((0L, payload)).toDF("id", "payload")
+        .select(VectorFunctions
+          .gearChunksClamped(col("payload"), minC, maxC).as("chs"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(c => (c.getLong(0), c.getString(1)))
+      assert(again === rows)
+    }
+  }
 }

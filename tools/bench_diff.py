@@ -84,6 +84,25 @@ def main():
     print(f"like-for-like (min-of-reps) over {len(shared)} shared queries: "
           f"{cur_tot:.1f}s vs {base_tot:.1f}s "
           f"({(cur_tot / base_tot - 1) * 100:+.0f}%)")
+    # Host-speed-shift indicator (the r16 lesson): two runs on the same
+    # code can sit a uniform 1.1-1.2x apart because the HOST is slower,
+    # and the total alone can't tell that from a real regression. The
+    # per-query ratio DISTRIBUTION can: a uniform shift moves the
+    # median and p90 together (every row, including improved ones,
+    # rides the same factor); a genuine regression concentrates in a
+    # few rows, leaving the median near 1.0 while p90/max blow out.
+    ratios = sorted(cq[q] / bq[q] for q in shared if bq[q] > 0.05)
+    if len(ratios) >= 10:
+        med = ratios[len(ratios) // 2]
+        p90 = ratios[int(len(ratios) * 0.9)]
+        if med <= 1.05 and p90 <= 1.2:
+            shape = "flat — same host speed"
+        elif p90 < med * 1.5:
+            shape = "uniform host shift"
+        else:
+            shape = "concentrated — inspect flagged rows"
+        print(f"per-query ratio distribution: median {med:.2f}x, "
+              f"p90 {p90:.2f}x ({shape})")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
