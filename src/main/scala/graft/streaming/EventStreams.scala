@@ -558,6 +558,63 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class GearChunkState(canonicalDoc: Long, crossDocSeen: Boolean,
+      pending: List[AssetChunk])
+  case class RemovableBytes(chunk_md5: String, doc_id: Long,
+      chunk_idx: Long, source: String, cbytes: Long)
+
+  /** STREAMING BYTE-LEVEL SUBSTRING DEDUP — d65 as a stateful stream:
+    * [[chunkDedupStream]]'s cross-document-only rule applied to the
+    * clamped gear-CDC occurrences from [[assetsToGearChunks]]. Once a
+    * chunk hash spans more than one document, every occurrence except
+    * the global first is removable BYTES — including the canonical
+    * document's own extra copies, which sit pending in state until a
+    * cross-doc arrival proves them removable. Within-doc-only repeats
+    * stay pending forever (they are dedup hits for [[casIngestStream]]
+    * but NOT removable here — exactly the batch d65-vs-m53 split).
+    * Same non-decreasing doc_id ordering contract, same append-mode
+    * finality. */
+  def gearChunkDedupStream(chunks: Dataset[AssetChunk])
+      : Dataset[RemovableBytes] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.chunk_md5)
+      .flatMapGroupsWithState[GearChunkState, RemovableBytes](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[AssetChunk],
+            state: GroupState[GearChunkState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[RemovableBytes]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(c => (c.doc_id, c.chunk_idx)).foreach { c =>
+            if (st == null) {
+              st = GearChunkState(c.doc_id, crossDocSeen = false, Nil)
+            } else if (c.doc_id < st.canonicalDoc) {
+              throw new IllegalStateException(
+                s"gearChunkDedupStream ordering contract violated: doc " +
+                s"${c.doc_id} arrived after canonical ${st.canonicalDoc} " +
+                s"for chunk ${c.chunk_md5} — documents must arrive in " +
+                s"non-decreasing doc_id order or the canonical pick " +
+                s"would silently disagree with the batch operator.")
+            } else if (c.doc_id == st.canonicalDoc) {
+              if (st.crossDocSeen)
+                out += RemovableBytes(c.chunk_md5, c.doc_id, c.chunk_idx,
+                  c.source, c.cbytes)
+              else st = st.copy(pending = c :: st.pending)
+            } else {
+              if (!st.crossDocSeen) {
+                st.pending.reverse.foreach(p =>
+                  out += RemovableBytes(p.chunk_md5, p.doc_id,
+                    p.chunk_idx, p.source, p.cbytes))
+                st = st.copy(crossDocSeen = true, pending = Nil)
+              }
+              out += RemovableBytes(c.chunk_md5, c.doc_id, c.chunk_idx,
+                c.source, c.cbytes)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

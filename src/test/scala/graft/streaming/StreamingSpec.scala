@@ -794,6 +794,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("gear chunk dedup stream (d65 twin): streamed removable bytes == the batch operator, per source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch oracle: d65's removable accounting over the real sf0.001
+    // corpus (sources with zero removable drop out of the streamed
+    // rollup, so filter them on the batch side too)
+    val batch = graft.SparkEntry.queries("d65_gear_substring_dedup")(
+      spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4))))
+      .filter(_._2._1 > 0).toMap
+    graft.SparkEntry.release(spark)
+    assert(batch.nonEmpty, "the corpus must contain removable chunks")
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => EventStreams.AssetDoc(r.getLong(0), r.getString(1),
+        r.getString(2)))
+      .sortBy(_.doc_id)
+    val input = MemoryStream[EventStreams.AssetDoc]
+    val query = EventStreams.gearChunkDedupStream(
+        EventStreams.assetsToGearChunks(input.toDS()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gear_dedup_out")
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val streamed = spark.table("gear_dedup_out")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("rc"), sum($"cbytes").as("rb"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed === batch, s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
   test("cas ingest stream enforces its doc-order contract: a late smaller doc_id fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
