@@ -166,7 +166,8 @@ case class CdcPayloadChunks(child: Expression) extends UnaryExpression {
   * Output: array<struct<cbytes, chunk_md5>> in chunk order;
   * chunk_md5 = md5 hex of the chunk's LOWERCASE-HEX rendering (the
   * m51 digest discipline, what the oracle's ordered string_agg
-  * digests). O(payload) time, O(chunk) memory. */
+  * digests). O(payload) time, O(1) memory per chunk
+  * (the chunk digest rolls — no chunk buffer is ever materialized). */
 case class GearChunks(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -253,10 +254,18 @@ object CdcChunks {
       MessageDigest.getInstance("MD5")
   }
 
+  // second thread-local digest so a kernel can roll a CHUNK digest
+  // incrementally while the first instance hashes per-token/per-tile
+  // boundary probes — the streaming that keeps chunk emission O(1)
+  // memory regardless of chunk size
+  private val md2 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   private val hexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(digest: MessageDigest, bytes: Array[Byte]): String = {
-    val d = digest.digest(bytes)
+  private def digestHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -267,7 +276,17 @@ object CdcChunks {
     new String(out)
   }
 
-  /** The one-pass kernel (called from generated code). */
+  private def md5Hex(digest: MessageDigest, bytes: Array[Byte]): String =
+    digestHex(digest.digest(bytes))
+
+  private val spaceByte = Array[Byte](' ')
+
+  /** The one-pass kernel (called from generated code). The chunk
+    * digest ROLLS incrementally (token bytes + the joining spaces fed
+    * straight into a second MessageDigest) instead of materializing
+    * the chunk text — identical digests, O(1) memory per chunk even
+    * when a boundary-free token stream makes one chunk span the whole
+    * document. */
   def compute(text: UTF8String): ArrayData = {
     // Spark's trim() removes 0x20 only — NOT Java's trim — so the
     // tokenization matches split(trim(text), ...) byte for byte.
@@ -275,31 +294,30 @@ object CdcChunks {
     if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
     val tokens = splitter.split(trimmed, -1)
     val digest = md.get()
+    val chunkDigest = md2.get()
+    chunkDigest.reset()
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val sb = new java.lang.StringBuilder
     var ctokens = 0L
     var i = 0
     while (i < tokens.length) {
-      if (ctokens > 0L) sb.append(' ')
-      sb.append(tokens(i))
+      val tb = tokens(i).getBytes("UTF-8")
+      if (ctokens > 0L) chunkDigest.update(spaceByte)
+      chunkDigest.update(tb)
       ctokens += 1L
       // boundary AFTER any token whose md5 bucket ≡ 0 (mod 8): the
       // bucket is the first 6 hex nibbles (= first 3 digest bytes),
       // so % 8 is the third byte's low 3 bits
-      val d = digest.digest(tokens(i).getBytes("UTF-8"))
+      val d = digest.digest(tb)
       if ((d(2) & 7) == 0) {
         chunks += new GenericInternalRow(Array[Any](ctokens,
-          UTF8String.fromString(md5Hex(digest,
-            sb.toString.getBytes("UTF-8")))))
-        sb.setLength(0)
+          UTF8String.fromString(digestHex(chunkDigest.digest()))))
         ctokens = 0L
       }
       i += 1
     }
     if (ctokens > 0L) {
       chunks += new GenericInternalRow(Array[Any](ctokens,
-        UTF8String.fromString(md5Hex(digest,
-          sb.toString.getBytes("UTF-8")))))
+        UTF8String.fromString(digestHex(chunkDigest.digest()))))
     }
     new GenericArrayData(chunks.toArray)
   }
@@ -309,13 +327,20 @@ object CdcChunks {
   /** The linear payload-tile kernel (called from generated code):
     * 16-byte tiles rendered to lowercase hex, cut after any tile
     * whose md5's third byte has low-3 bits zero, chunk digest over
-    * the accumulated hex bytes. O(payload) time, O(chunk) memory. */
+    * the accumulated hex bytes. O(payload) time, O(1) memory per chunk
+  * (the chunk digest rolls — no chunk buffer is ever materialized). */
   def computePayload(payload: Array[Byte]): ArrayData = {
     if (payload.isEmpty) return new GenericArrayData(Array.empty[Any])
     val digest = md.get()
+    val chunkDigest = md2.get()
+    chunkDigest.reset()
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
-    // chunk hex accumulator: grows per tile, reset at each boundary
-    var buf = new java.io.ByteArrayOutputStream(1024)
+    // the chunk digest ROLLS per tile instead of accumulating the hex
+    // in a buffer: identical digests, O(1) memory per chunk — a
+    // boundary-free (adversarially repetitive) payload used to grow a
+    // ByteArrayOutputStream to 2x the payload with a hard ~1 GiB
+    // single-chunk ceiling; now any chunk size streams
+    var hexLen = 0L
     val tileHex = new Array[Byte](32)
     var off = 0
     while (off < payload.length) {
@@ -327,22 +352,21 @@ object CdcChunks {
         tileHex(2 * i + 1) = hexBytes(b & 0xf)
         i += 1
       }
-      buf.write(tileHex, 0, 2 * n)
+      chunkDigest.update(tileHex, 0, 2 * n)
+      hexLen += 2 * n
       digest.reset()
       digest.update(tileHex, 0, 2 * n)
       val d = digest.digest()
       if ((d(2) & 7) == 0) {
-        val hx = buf.toByteArray
-        chunks += new GenericInternalRow(Array[Any](hx.length / 2L,
-          UTF8String.fromString(md5Hex(digest, hx))))
-        buf = new java.io.ByteArrayOutputStream(1024)
+        chunks += new GenericInternalRow(Array[Any](hexLen / 2L,
+          UTF8String.fromString(digestHex(chunkDigest.digest()))))
+        hexLen = 0L
       }
       off += n
     }
-    if (buf.size() > 0) {
-      val hx = buf.toByteArray
-      chunks += new GenericInternalRow(Array[Any](hx.length / 2L,
-        UTF8String.fromString(md5Hex(digest, hx))))
+    if (hexLen > 0L) {
+      chunks += new GenericInternalRow(Array[Any](hexLen / 2L,
+        UTF8String.fromString(digestHex(chunkDigest.digest()))))
     }
     new GenericArrayData(chunks.toArray)
   }

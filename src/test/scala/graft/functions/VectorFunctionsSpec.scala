@@ -415,6 +415,36 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
       s"zero run must cut every 16 bytes, got ${zeroChunks.size} chunks")
   }
 
+  test("cdc_payload_chunks: a boundary-free 8 MiB payload streams into ONE chunk") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // find a 16-byte tile whose md5 bucket is NON-zero (so a payload of
+    // that tile repeated NEVER cuts — the adversarial single-chunk
+    // class that used to accumulate 2x the payload in a buffer)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tile: Array[Byte]): Int = {
+      val hx = tile.map("%02x".format(_)).mkString.getBytes("US-ASCII")
+      digest.reset(); digest.digest(hx)(2) & 7
+    }
+    val tile = (0 until 256).map(v =>
+      Array.fill(16)(v.toByte)).find(bucket(_) != 0).get
+    val reps = (8 << 20) / 16
+    val payload = Array.tabulate(8 << 20)(i => tile(i % 16))
+    val got = Seq((0L, payload)).toDF("id", "payload")
+      .select(VectorFunctions.cdcPayloadChunks(col("payload")).as("chs"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(c => (c.getLong(0), c.getString(1)))
+    assert(got.size === 1, s"expected one boundary-free chunk, got ${got.size}")
+    assert(got.head._1 === (8L << 20), "the chunk must span the payload")
+    // digest must equal md5 over the full hex rendering, computed here
+    // by streaming the same tile hex (never materializing 16 MiB)
+    val ref = java.security.MessageDigest.getInstance("MD5")
+    val tileHex = tile.map("%02x".format(_)).mkString.getBytes("US-ASCII")
+    (0 until reps).foreach(_ => ref.update(tileHex))
+    val refHex = ref.digest().map("%02x".format(_)).mkString
+    assert(got.head._2 === refHex)
+  }
+
   test("GearChunksClamped: chunks larger than one digest block stream correctly") {
     import spark.implicits._
     VectorFunctions.register(spark)
