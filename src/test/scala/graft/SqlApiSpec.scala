@@ -33,6 +33,23 @@ class SqlApiSpec extends AnyFunSuite with SparkTestBase {
     assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("custom gear_chunks_clamped is callable from SQL and partitions every document") {
+    Tables.registerViews(spark, sf0001)
+    graft.functions.VectorFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |  aggregate(transform(gear_chunks_clamped(encode(text, 'utf-8'),
+        |                                          16, 4096),
+        |                      c -> c.cbytes), 0L, (a, x) -> a + x)
+        |    AS chunk_bytes,
+        |  octet_length(encode(text, 'utf-8')) AS payload_bytes
+        |FROM documents WHERE length(text) > 0 LIMIT 50""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === r.getInt(2).toLong,
+      s"doc ${r.getLong(0)}: chunks must partition the payload"))
+  }
+
   test("custom simhash48 aggregate is callable from SQL GROUP BY") {
     Tables.registerViews(spark, sf0001)
     graft.functions.VectorFunctions.register(spark)
