@@ -30,7 +30,12 @@ import glob
 import json
 import os
 import re
+import signal
 import sys
+
+# piping into `head` closes stdout early — die quietly like a good
+# filter instead of tracebacking with BrokenPipeError
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 THRESH = 2.0
 
