@@ -88,27 +88,30 @@ object Bench {
       timeOnce(name, fn).foreach { t =>
         samples(name) = samples.getOrElse(name, Vector.empty) :+ t
       }
-    // SELF-HEAL backstop (r16: corroborate the MIN, not the median):
-    // under the min estimator the headline is wrong only when EVERY
-    // rep of a query was contended. If the pass samples spread >3×
-    // (contention struck at least one pass) and the minimum is
-    // uncorroborated (no second sample within 1.5× of it), take up to
-    // TWO extra measurements, stopping as soon as a fresh rep lands
-    // within 1.5× of the running min — evidence of a stable floor.
+    // SELF-HEAL backstop (r16: corroborate the MIN, not the median;
+    // r17: the gate is corroboration itself, not spread): under the
+    // min estimator the headline is wrong only when EVERY rep of a
+    // query was contended, and a published minimum should always be a
+    // CORROBORATED floor — a second sample within 1.5× of it. Any
+    // query whose minimum lacks that neighbor (whether the spread is
+    // 1.6× or 40×) takes up to TWO extra measurements, stopping as
+    // soon as a fresh rep lands within 1.5× of the running min.
     // r15's failure mode (one heal rep taken INSIDE the same
     // contention window, then recorded as official) can't recur: a
     // contended heal rep simply fails to corroborate and triggers the
     // next attempt, and the estimator keeps whatever minimum exists.
+    // Queries still uncorroborated after the heal budget are listed in
+    // the output ("uncorroborated") so bench_diff can flag
+    // single-sample floors instead of trusting them silently.
     var healed = List.empty[String]
+    def corroborated(v: Vector[Double]): Boolean = {
+      val s = v.sorted
+      s.size >= 2 && s(0) > 0 && s(1) / s(0) <= 1.5
+    }
     val results = names.map { case (name, fn) =>
       val times = samples.getOrElse(name, Vector.empty)
       var all = times
-      def corroborated(v: Vector[Double]): Boolean = {
-        val s = v.sorted
-        s.size >= 2 && s(0) > 0 && s(1) / s(0) <= 1.5
-      }
-      if (times.size >= 2 && times.min > 0 && times.max / times.min > 3.0 &&
-          !corroborated(times)) {
+      if (times.size >= 2 && times.min > 0 && !corroborated(times)) {
         healed ::= name
         var attempts = 0
         while (attempts < 2 && !corroborated(all)) {
@@ -118,6 +121,9 @@ object Bench {
       }
       (name, times.sorted, all.sorted)
     }
+    val uncorroborated = results.collect {
+      case (name, _, all) if all.nonEmpty && !corroborated(all) => name
+    }.sorted
     // A query whose every rep failed must NOT appear as a 0.0 median:
     // r9 shipped 25 broken queries as 0.0 rows, which deflated the
     // headline total and — because bench_diff.py skips base rows at 0 —
@@ -149,17 +155,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val healedArr = healed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val uncorrArr = uncorroborated.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED all reps: " +
         failed.map(_._1).mkString(", "))
     if (healed.nonEmpty)
-      System.err.println(s"[bench] ${healed.size} queries re-measured after >3x spread: " +
+      System.err.println(s"[bench] ${healed.size} queries re-measured to corroborate the min: " +
         healed.sorted.mkString(", "))
+    if (uncorroborated.nonEmpty)
+      System.err.println(s"[bench] ${uncorroborated.size} minima STILL uncorroborated after heal budget: " +
+        uncorroborated.mkString(", "))
     val total = stats.map(_._2).sum
     // lifecycle evidence: after release() between reps, nothing this
     // library persisted may outlive the pass (0 expected)
     val leaked = spark.sparkContext.getPersistentRDDs.size
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","queries":$qs,"queries_median":$qsMedian,"queries_raw":$qsRaw,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","queries":$qs,"queries_median":$qsMedian,"queries_raw":$qsRaw,"reps":$reps,"spread":$spread,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr,"uncorroborated":$uncorrArr}"""
     println(line)
     // The driver snapshots only a ~2 KB stdout TAIL, which truncates
     // the ~15 KB full line above mid-map (r11: BENCH_r11.json shipped
@@ -170,7 +180,7 @@ object Bench {
     val slowest = stats.sortBy(-_._2).take(10)
       .map { case (k, est, _, _, _, _) => "\"" + k + "\":" + est }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","queries":$slowest,"queries_note":"10 slowest of ${stats.size}; full map in BENCH_LAST.json","reps":$reps,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","queries":$slowest,"queries_note":"10 slowest of ${stats.size}; full map in BENCH_LAST.json","reps":$reps,"leaked_rdds":$leaked,"sf":"$sfDir","n_ok":${stats.size},"n_failed":${failed.size},"failed":$failedArr,"healed":$healedArr,"uncorroborated":$uncorrArr}"""
     println(compact)
     // durability: the driver's BENCH_r0x.json keeps only a 2 KB stdout
     // tail, which truncates the per-query map — also land the full line

@@ -180,12 +180,29 @@ object VectorFunctions {
       "scala_udf")
     // clamp bounds must be foldable INT literals — the kernel call is
     // baked into generated code, and data-dependent clamps would make
-    // the chunk table's row-volume contract unauditable
+    // the chunk table's row-volume contract unauditable. Guarded here
+    // (foldable + non-null + integral) so a column or NULL argument
+    // fails analysis with a named error instead of an opaque
+    // NullPointerException/ClassCastException from eval().
+    def clampArg(e: Expression, which: String): Int = {
+      def fail(actual: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`gear_chunks_clamped`",
+            "paramName" -> s"`$which`",
+            "paramType" -> s"non-null integer literal (got $actual)"))
+      if (!e.foldable) fail(s"non-foldable ${e.sql}")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case null => fail("NULL")
+        case other => fail(s"${other.getClass.getSimpleName} $other")
+      }
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gear_chunks_clamped",
       exprs => GearChunksClamped(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        clampArg(exprs(1), "min"),
+        clampArg(exprs(2), "max")),
       "scala_udf")
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter joins plan), exposed by name: 4.1 ships

@@ -558,8 +558,20 @@ object EventStreams extends Serializable {
       }
   }
 
+  /** Per-chunk-hash state for [[gearChunkDedupStream]]. While the hash
+    * is still single-document, the canonical doc's EXTRA occurrences
+    * wait in `pendingIdx` — 8 bytes each, not a full [[AssetChunk]]:
+    * every occurrence of one hash shares the chunk bytes (so one
+    * `cbytes`), the canonical doc_id, and that doc's `source`, so only
+    * the chunk_idx values differ. WORST-CASE STATE BOUND: pendingIdx
+    * holds at most (canonical doc bytes / minChunk=16) longs — bounded
+    * by ONE document's size, never the corpus — and is cleared to Nil
+    * the moment a second document touches the hash (crossDocSeen);
+    * hashes never shared across docs keep their within-doc repeat list
+    * for the stream's lifetime, which is the 8-bytes-per-repeat floor
+    * this encoding exists to hit. */
   case class GearChunkState(canonicalDoc: Long, crossDocSeen: Boolean,
-      pending: List[AssetChunk])
+      source: String, cbytes: Long, pendingIdx: List[Long])
   case class RemovableBytes(chunk_md5: String, doc_id: Long,
       chunk_idx: Long, source: String, cbytes: Long)
 
@@ -580,13 +592,14 @@ object EventStreams extends Serializable {
     chunks.groupByKey(_.chunk_md5)
       .flatMapGroupsWithState[GearChunkState, RemovableBytes](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[AssetChunk],
+        (hash: String, it: Iterator[AssetChunk],
             state: GroupState[GearChunkState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[RemovableBytes]
           var st = state.getOption.orNull
           it.toSeq.sortBy(c => (c.doc_id, c.chunk_idx)).foreach { c =>
             if (st == null) {
-              st = GearChunkState(c.doc_id, crossDocSeen = false, Nil)
+              st = GearChunkState(c.doc_id, crossDocSeen = false,
+                c.source, c.cbytes, Nil)
             } else if (c.doc_id < st.canonicalDoc) {
               throw new IllegalStateException(
                 s"gearChunkDedupStream ordering contract violated: doc " +
@@ -598,13 +611,13 @@ object EventStreams extends Serializable {
               if (st.crossDocSeen)
                 out += RemovableBytes(c.chunk_md5, c.doc_id, c.chunk_idx,
                   c.source, c.cbytes)
-              else st = st.copy(pending = c :: st.pending)
+              else st = st.copy(pendingIdx = c.chunk_idx :: st.pendingIdx)
             } else {
               if (!st.crossDocSeen) {
-                st.pending.reverse.foreach(p =>
-                  out += RemovableBytes(p.chunk_md5, p.doc_id,
-                    p.chunk_idx, p.source, p.cbytes))
-                st = st.copy(crossDocSeen = true, pending = Nil)
+                st.pendingIdx.reverse.foreach(idx =>
+                  out += RemovableBytes(hash, st.canonicalDoc,
+                    idx, st.source, st.cbytes))
+                st = st.copy(crossDocSeen = true, pendingIdx = Nil)
               }
               out += RemovableBytes(c.chunk_md5, c.doc_id, c.chunk_idx,
                 c.source, c.cbytes)

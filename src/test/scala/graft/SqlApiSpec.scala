@@ -50,6 +50,31 @@ class SqlApiSpec extends AnyFunSuite with SparkTestBase {
       s"doc ${r.getLong(0)}: chunks must partition the payload"))
   }
 
+  test("gear_chunks_clamped rejects non-literal and NULL clamps with a named AnalysisException") {
+    Tables.registerViews(spark, sf0001)
+    graft.functions.VectorFunctions.register(spark)
+    // a column clamp (non-foldable) must fail analysis, not NPE at eval
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT gear_chunks_clamped(encode(text, 'utf-8'),
+          |                           CAST(doc_id AS INT), 4096)
+          |FROM documents LIMIT 1""".stripMargin).collect()
+    }
+    assert(nonFoldable.getMessage.contains("gear_chunks_clamped"),
+      s"error must name the function: ${nonFoldable.getMessage}")
+    // a NULL literal folds but evals to null — same named failure, not
+    // an opaque NullPointerException
+    val nullLit = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT gear_chunks_clamped(encode(text, 'utf-8'),
+          |                           CAST(NULL AS INT), 4096)
+          |FROM documents LIMIT 1""".stripMargin).collect()
+    }
+    assert(nullLit.getMessage.contains("gear_chunks_clamped") &&
+      nullLit.getMessage.contains("NULL"),
+      s"error must name the function and the NULL: ${nullLit.getMessage}")
+  }
+
   test("custom simhash48 aggregate is callable from SQL GROUP BY") {
     Tables.registerViews(spark, sf0001)
     graft.functions.VectorFunctions.register(spark)

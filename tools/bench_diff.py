@@ -84,8 +84,27 @@ def main():
 
     cur_tot = sum(cq[q] for q in shared)
     base_tot = sum(bq[q] for q in shared)
-    print(f"current:  {cur_path}  total={cur['value']:.1f}s  n={len(cq)}")
-    print(f"baseline: {base_path}  total={base['value']:.1f}s  n={len(bq)}")
+
+    # Header totals are computed from minima(...) for BOTH sides so the
+    # two numbers are always the same estimator; the file's recorded
+    # "value" (sum-of-medians for pre-r16 history) is shown alongside
+    # when it differs, annotated, instead of being printed bare.
+    def header(tag, path, run, mins):
+        tot = sum(mins.values())
+        rec = run.get("value", 0.0)
+        note = "" if abs(rec - tot) < 0.05 else (
+            f"  (recorded {rec:.1f}s, estimator "
+            f"{run.get('estimator', 'median')})")
+        print(f"{tag} {path}  total={tot:.1f}s min-of-reps  "
+              f"n={len(mins)}{note}")
+
+    header("current: ", cur_path, cur, cq)
+    header("baseline:", base_path, base, bq)
+    uncorr = sorted(set(cur.get("uncorroborated", [])))
+    if uncorr:
+        print(f"UNCORROBORATED minima in current ({len(uncorr)}) — "
+              f"single-sample floors, treat their ratios as noisy: "
+              f"{', '.join(uncorr)}")
     print(f"like-for-like (min-of-reps) over {len(shared)} shared queries: "
           f"{cur_tot:.1f}s vs {base_tot:.1f}s "
           f"({(cur_tot / base_tot - 1) * 100:+.0f}%)")
@@ -132,6 +151,8 @@ def main():
         # the comparison is never silently apples-to-oranges
         if q in cur_healed:
             tag += f" [healed; pre-heal {cur_raw.get(q, cq[q]):.3f}s]"
+        if q in uncorr:
+            tag += " [min uncorroborated]"
         print(f"  {ratio:5.1f}x  {q:32s} {bq[q]:7.3f}s -> {cq[q]:7.3f}s  "
               f"base[{b_sp[0]:.3f},{b_sp[1]:.3f}] cur[{c_sp[0]:.3f},{c_sp[1]:.3f}]  {tag}")
     # healed rows that did NOT cross the ratio threshold still get a
