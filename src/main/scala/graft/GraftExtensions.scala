@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    e.injectPlannerStrategy(_ => new graft.plans.DeferredRowsStrategy)
   }
 }

@@ -26,11 +26,13 @@ object SparkEntry {
     * session asks for a different sfDir, so a dir-walking caller that
     * never releases holds at most one dir's cached index.
     *
-    * EAGERNESS: d61_shingle_size_sweep is the one EAGER entry —
-    * constructing its DataFrame runs the 3-arm sweep (concurrent jobs,
-    * eager per-arm cache lifecycle) and returns a pre-computed local
-    * relation; plan-only callers (explain/schema) pay the full job. All
-    * other entries are lazy plans. */
+    * EAGERNESS: every entry is a lazy plan. d61_shingle_size_sweep's
+    * 3-arm sweep sits behind a DeferredRowsPlan leaf (r17) — plan-only
+    * callers (explain/schema/warm-up) run no jobs; the first action
+    * fires the sweep on the driver and memoizes its 3 rows. The only
+    * build-time jobs left are the BOUNDED fence probes: q83/s34 count
+    * their input against `spark.graft.exact.maxRows`, m52 samples 64
+    * payloads against `spark.graft.cdc.maxDegenerateFrac`. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Analytic.queries ++
@@ -100,6 +102,22 @@ object SparkEntry {
     * land unfenced, and a guard cannot be dropped silently. */
   val fenced: Set[String] =
     Set("q83_fuzzy_match", "s34_embedding_neardup")
+
+  /** Queries whose OUTPUT VOLUME (not candidate count) degenerates on
+    * adversarial input shapes — the row-count fence above can't see
+    * them because the input is small and the blowup is per-byte.
+    * POLICY: every member MUST probe a bounded input sample up front
+    * and refuse (naming its production-tier replacement) when the
+    * sampled degenerate fraction exceeds
+    * `spark.graft.cdc.maxDegenerateFrac`; `QueriesSpec` enforces both
+    * directions mechanically, exactly like [[fenced]]: each member
+    * throws under maxDegenerateFrac=-1, and the guard call-site count
+    * in the query sources equals this set's size.
+    *  - m52_gear_cdc: the stateless gear rule emits 1-byte chunks for
+    *    every zero byte past an 8-byte zero run (~64× designed row
+    *    volume, one md5 per byte — StressBench pins 16.78 M chunks on
+    *    16.8 MB of zeros); m53_gear_cdc_clamped is the fenced route. */
+  val degeneracyFenced: Set[String] = Set("m52_gear_cdc")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -974,6 +974,70 @@ object StressBench {
       "1M-doc corpus must yield cross-doc removable bytes")
     println(s"""{"stress":"gear_substring_dedup_1m","bytes":${s1m.getLong(0)},"removable":${s1m.getLong(1)}}""")
 
+    // ---- fuzzy-match family (q83 exact / q85 sorted-neighborhood):
+    // planted-typo corpus — every p_partkey ≡ 1 (mod 20) carries a
+    // 2-char substitution typo of key−1's name (same brand, same
+    // length, edit distance 2). q83 is the blocked-quadratic recall
+    // ORACLE (within-brand all-pairs; must find ALL planted pairs);
+    // q85 is the linear production path whose recall against q83 is
+    // the number this row exists to measure — near-identical names
+    // share the sort prefix, so the w=20 neighborhood sees them unless
+    // >20 same-prefix rows interpose (the method's honest miss mode).
+    // 200-word vocab × 4-word names keeps accidental dist≤5 pairs
+    // negligible (~1e-6 of the block square), so the recall numerator
+    // is dominated by the plants. The 4× corpus re-times ONLY q85 —
+    // its candidate volume is w·N by construction where q83's is
+    // quadratic; the time pair is the measured slope (recorded, not
+    // asserted — host-dependent), the recall gates are asserted.
+    def partsCorpus(n: Long, dir: String): Unit = {
+      spark.range(n).toDF("p_partkey")
+        .withColumn("base_id",
+          when(col("p_partkey") % 20 === 1, col("p_partkey") - 1)
+            .otherwise(col("p_partkey")))
+        .withColumn("p_name", concat_ws(" ",
+          transform(sequence(lit(1), lit(4)),
+            i => concat(lit("tok"), lpad(pmod(
+              xxhash64(col("base_id") * 100 + i), lit(200)).cast("string"),
+              3, "0")))))
+        .withColumn("p_name",
+          when(col("p_partkey") =!= col("base_id"),
+            overlay(col("p_name"), lit("qq"), lit(6), lit(2)))
+            .otherwise(col("p_name")))
+        .withColumn("p_brand",
+          concat(lit("Brand#"), pmod(col("base_id"), lit(100))))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    }
+    val fz60 = s"$base/fuzzy60k"
+    val fz240 = s"$base/fuzzy240k"
+    partsCorpus(60000, fz60)
+    partsCorpus(240000, fz240)
+    val exactDf = SparkEntry.queries("q83_fuzzy_match")(spark, fz60).persist()
+    val exactPairs = tm("fuzzy_exact_60k")(exactDf.count())
+    val exactPlanted = exactDf
+      .filter(col("ib") === col("ia") + 1 && col("ia") % 20 === 0).count()
+    require(exactPlanted == 3000,
+      s"the exact baseline must find every planted typo pair: $exactPlanted/3000")
+    val snDf = SparkEntry.queries("q85_fuzzy_neighborhood")(spark, fz60).persist()
+    val snPairs = tm("fuzzy_neighborhood_60k")(snDf.count())
+    val inter = exactDf.join(snDf, Seq("p_brand", "ia", "ib", "dist")).count()
+    exactDf.unpersist(); snDf.unpersist()
+    SparkEntry.release(spark)
+    require(inter * 10 >= exactPairs * 9,
+      s"sorted-neighborhood recall vs the exact baseline fell below 0.9: " +
+        s"$inter/$exactPairs")
+    println(s"""{"stress":"fuzzy_recall_60k","exact_pairs":$exactPairs,"sn_pairs":$snPairs,"intersection":$inter}""")
+    val sn240 = SparkEntry.queries("q85_fuzzy_neighborhood")(spark, fz240)
+      .persist()
+    val snPairs240 = tm("fuzzy_neighborhood_240k")(sn240.count())
+    val planted240 = sn240
+      .filter(col("ib") === col("ia") + 1 && col("ia") % 20 === 0).count()
+    sn240.unpersist()
+    SparkEntry.release(spark)
+    require(planted240 * 10 >= 12000L * 9,
+      s"q85 planted recall at 4x data fell below 0.9: $planted240/12000")
+    println(s"""{"stress":"fuzzy_neighborhood_240k_pairs","value":$snPairs240,"planted_found":$planted240}""")
+
     spark.stop()
   }
 }

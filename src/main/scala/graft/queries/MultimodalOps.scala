@@ -835,6 +835,35 @@ object MultimodalOps extends Serializable {
     // never pairs. Ratios are single divisions of exact integers.
     "m52_gear_cdc" -> { (s, d) =>
       graft.functions.VectorFunctions.register(s)
+      // DEGENERACY FENCE (r17, SparkEntry.degeneracyFenced): the pure
+      // stateless rule turns a run of ≥8 zero bytes into 1-byte chunks
+      // forever (gear(0)=0 pins h at 0), so zero/padding-heavy corpora
+      // explode to ~64× the designed row volume with an md5 per byte —
+      // StressBench measures 16.78 M chunks on a 16.8 MB zero corpus.
+      // Probe a bounded payload sample (64 docs, one small job at
+      // build time — the q83 eager-guard posture) and refuse when the
+      // 1-byte-chunk fraction exceeds the bound: healthy content sits
+      // near 1/64² ≈ 1.6%, a degenerate corpus near 100%, so the
+      // default 0.25 separates them by an order of magnitude each way.
+      // m53 (clamped) is the production tier for such corpora.
+      val maxDegen =
+        s.conf.get("spark.graft.cdc.maxDegenerateFrac", "0.25").toDouble
+      val probe = multimodalTable(s, d)
+        .filter(length(col("payload")) > 0)
+        .limit(64)
+        .select(explode(graft.functions.VectorFunctions
+          .gearChunks(col("payload"))).as("ch"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ch.cbytes") === 1, 1L).otherwise(0L)).as("n1"))
+        .head()
+      val degFrac = if (probe.getLong(0) == 0L) 0.0
+        else probe.getLong(1).toDouble / probe.getLong(0)
+      require(degFrac <= maxDegen,
+        f"m52_gear_cdc refused: sampled 1-byte-chunk fraction $degFrac%.3f" +
+          f" exceeds spark.graft.cdc.maxDegenerateFrac=$maxDegen — the" +
+          " stateless gear rule degenerates on zero-run/padding-heavy" +
+          " payloads (~1 chunk per zero byte); use m53_gear_cdc_clamped," +
+          " whose FastCDC clamps cap rows at bytes/16")
       val chunks = multimodalTable(s, d)
         .filter(length(col("payload")) > 0)
         .select(col("doc_id"), col("meta.source").as("source"),

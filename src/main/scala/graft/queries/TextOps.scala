@@ -1449,8 +1449,82 @@ object TextOps {
             col("total_tokens"), col("covered"),
             round(col("covered") / col("total_tokens"), 4).as("coverage"))
       }.reduce(_ unionByName _)
+    },
+
+    // BPE TRAINING LOOP — K=5 committed merges, completing the
+    // tokenizer-training story t63 opens (t63 ranks the FIRST merge's
+    // candidate frontier; this RUNS the trainer: commit top pair,
+    // rewrite the vocabulary, recount, repeat — operators.BpeTrainer
+    // has the semantics + fold-equivalence proof). Corpus collapses to
+    // the word-frequency table before the loop; each superstep is one
+    // vocabulary-keyed pair aggregation + a map-side codegen'd rewrite
+    // fold, with d37's localCheckpoint/uncheckpoint lineage hygiene.
+    // The 5-row result sits behind a DeferredRowsPlan leaf (the d61
+    // laziness contract): plan-only callers run no jobs; the first
+    // action fires the loop and memoizes. Oracle unrolls the SAME five
+    // stages as chained CTEs with list_reduce running the identical
+    // fold (bpeTrainOracle below).
+    "t66_bpe_train" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("step", LongType, nullable = true),
+        StructField("left_sym", StringType, nullable = true),
+        StructField("right_sym", StringType, nullable = true),
+        StructField("merged", StringType, nullable = true),
+        StructField("n_occurrences", LongType, nullable = true)))
+      graft.plans.DeferredRows.ofRows(s, schema) { () =>
+        val words = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+        graft.operators.BpeTrainer.trainMerges(words, k = 5)
+      }
     }
   )
+
+  /** t66 oracle: the K merge supersteps unrolled as chained CTEs.
+    * Stage i counts adjacent pairs from the space-joined symbol
+    * strings (wᵢ), commits the top pair (tᵢ — the same
+    * (n_occ DESC, l ASC, r ASC) tie-break as the Spark side, binary
+    * collation in both engines), and rewrites every word with
+    * list_reduce running the identical left-to-right non-overlapping
+    * fold as the Spark `aggregate` (see BpeTrainer's scaladoc for the
+    * equivalence argument). Validated cell-for-cell against an
+    * independent two-pointer python BPE on the sf0.001 corpus. */
+  private def bpeTrainOracle(k: Int): String = {
+    val stages = (0 until k).map { i =>
+      s"""p$i AS (
+         | SELECT li[i] AS l, li[i+1] AS r, CAST(sum(wf) AS BIGINT) AS n_occ
+         | FROM (SELECT string_split(s, ' ') AS li, wf FROM w$i) x,
+         |  range(1, 32) t(i)
+         | WHERE i <= len(li) - 1 GROUP BY 1, 2),
+         |t$i AS (
+         | SELECT l, r, l || r AS m, n_occ FROM p$i
+         | ORDER BY n_occ DESC, l ASC, r ASC LIMIT 1),
+         |w${i + 1} AS (
+         | SELECT list_reduce(string_split(s, ' '), (acc, x) ->
+         |   CASE WHEN x = t.r AND (acc = t.l OR ends_with(acc, ' ' || t.l))
+         |        THEN substr(acc, 1, length(acc) - length(t.l)) || t.m
+         |        ELSE acc || ' ' || x END) AS s, wf
+         | FROM w$i, t$i t)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 until k).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, l AS left_sym," +
+        s" r AS right_sym, m AS merged, n_occ AS n_occurrences FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       | SELECT unnest(
+       |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') END)
+       |  AS w
+       | FROM documents),
+       |words AS (SELECT w, count(*) AS wf FROM tok GROUP BY 1),
+       |w0 AS (
+       | SELECT array_to_string(string_split(substr(w, 1, 32), ''), ' ')
+       |   AS s, wf
+       | FROM words),
+       |$stages
+       |SELECT * FROM ($unioned) ORDER BY step""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // the same run-counting length deltas (DuckDB regexp_replace needs
@@ -2297,7 +2371,10 @@ object TextOps {
         | round(sum(r.c) / t.total_tokens, 4) AS coverage
         |FROM ks JOIN ranked r ON r.rn <= ks.k
         | CROSS JOIN totals t
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the same 5 unrolled merge supersteps; list_reduce runs the
+    // identical left-to-right non-overlapping rewrite fold
+    "t66_bpe_train" -> bpeTrainOracle(5)
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

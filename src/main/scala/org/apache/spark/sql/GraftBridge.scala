@@ -21,6 +21,12 @@ object GraftBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Drain the listener bus — lets tests assert job counts
+    * deterministically instead of sleeping (the bus delivers
+    * SparkListener events asynchronously). */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * DataFrame. `Dataset.unpersist()` only evicts plan-cache entries
     * registered via `persist()` — a localCheckpoint's blocks live on

@@ -146,8 +146,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // the (source) rollup shuffle
     assert(exchanges.subsetOf(Set("chunk_md5", "source")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    // r17: the distinct-doc count is a window over the SAME chunk_md5
+    // partition as the rank, not a groupBy + self-join — so the
+    // documents table is scanned (and chunked) exactly ONCE and the
+    // chunk table crosses the wire exactly once
+    assert(p.split("FileScan").length - 1 == 1,
+      s"documents must be scanned exactly once in:\n$p")
+    assert("Exchange hashpartitioning\\(chunk_md5".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one chunk_md5 exchange in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"cross-doc matching must ride the chunk_md5 equi-join:\n$p")
+      s"cross-doc matching must ride the chunk_md5 window:\n$p")
     SparkEntry.release(spark)
   }
 
@@ -159,8 +167,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(exchanges.subsetOf(Set("chunk_md5", "source")),
       s"unexpected shuffle keys $exchanges in:\n$p")
+    // r17 single-scan shape, same pins as d64
+    assert(p.split("FileScan").length - 1 == 1,
+      s"documents must be scanned exactly once in:\n$p")
+    assert("Exchange hashpartitioning\\(chunk_md5".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one chunk_md5 exchange in:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"cross-doc matching must ride the chunk_md5 equi-join:\n$p")
+      s"cross-doc matching must ride the chunk_md5 window:\n$p")
     SparkEntry.release(spark)
   }
 

@@ -155,6 +155,60 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.fenced.subsetOf(SparkEntry.oracleSql.keySet))
   }
 
+  test("every declared-degenerate query is fenced, and every degeneracy fence is declared") {
+    // Direction 1: each member of SparkEntry.degeneracyFenced enforces
+    // its sampled-degeneracy guard — under maxDegenerateFrac=-1 any
+    // corpus (even a perfectly healthy one, fraction >= 0) must refuse.
+    SparkEntry.degeneracyFenced.foreach { name =>
+      spark.conf.set("spark.graft.cdc.maxDegenerateFrac", "-1")
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          SparkEntry.queries(name)(spark, sf0001).count()
+        }
+        assert(ex.getMessage.contains("maxDegenerateFrac"),
+          s"$name threw for another reason: ${ex.getMessage}")
+      } finally spark.conf.unset("spark.graft.cdc.maxDegenerateFrac")
+    }
+    // Direction 2: declared set == guard call sites, same discipline
+    // as the maxRows fence above.
+    import scala.jdk.CollectionConverters._
+    val srcDir = java.nio.file.Paths.get("src/main/scala/graft")
+    val guardSites = java.nio.file.Files.walk(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => java.nio.file.Files.readString(p))
+      .map(s => "conf\\.get\\(\"spark\\.graft\\.cdc\\.maxDegenerateFrac\"".r
+        .findAllMatchIn(s).size)
+      .sum
+    assert(guardSites == SparkEntry.degeneracyFenced.size,
+      s"$guardSites maxDegenerateFrac guard call sites vs " +
+        s"${SparkEntry.degeneracyFenced.size} declared degeneracy-fenced queries")
+    assert(SparkEntry.degeneracyFenced.subsetOf(SparkEntry.oracleSql.keySet))
+  }
+
+  test("m52's fence fires on a zero-run corpus and routes to m53, which accepts it") {
+    // the StressBench hazard shape in miniature: documents whose text
+    // is mostly NUL padding — the stateless gear rule would emit ~1
+    // chunk per zero byte here, so the build-time probe must refuse
+    val dir = java.nio.file.Files.createTempDirectory("zerorun").toString
+    import spark.implicits._
+    val pad = "\u0000" * 4096
+    (1L to 8L).map(i => (i, s"doc$i$pad", "padsrc", "en", 4100L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      SparkEntry.queries("m52_gear_cdc")(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("m53_gear_cdc_clamped"),
+      s"fence must route to the clamped tier: ${ex.getMessage}")
+    // the clamped production tier handles the same corpus: bytes/16
+    // chunk ceiling means ~257 chunks per 4103-byte doc, not ~4096
+    val m53 = SparkEntry.queries("m53_gear_cdc_clamped")(spark, dir)
+      .select(org.apache.spark.sql.functions.col("n_chunks")).head().getLong(0)
+    assert(m53 > 0 && m53 <= 8L * (4200 / 16),
+      s"clamped tier must cap chunk volume at bytes/16, got $m53")
+    SparkEntry.release(spark)
+  }
+
   test("queries are deterministic across two runs (hash-stable for the driver)") {
     val sample = Seq("q01_pricing_summary", "q14_running_total",
       "t25_fingerprint", "s33_knn_bruteforce", "d28_neardup_jaccard")

@@ -2280,6 +2280,45 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t66 BPE training: 5 merges replay a canonical two-pointer BPE trainer exactly") {
+    // independent reference: the CLASSIC two-pointer non-overlapping
+    // rewrite over symbol lists — deliberately NOT the fold formulation
+    // the engine and oracle share, so a fold-semantics bug can't cancel
+    val rows = SparkEntry.queries("t66_bpe_train")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.length === 5)
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val wf = docs.flatMap(t =>
+      if (t.trim.isEmpty) Seq.empty[String]
+      else t.trim.split("[ \t\n\f\r]+").toSeq)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var syms: Map[String, Vector[String]] =
+      wf.keysIterator.map(w => w -> w.take(32).map(_.toString).toVector).toMap
+    val expected = (1 to 5).map { step =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- wf; l = syms(w); i <- 0 until l.length - 1)
+        pc((l(i), l(i + 1))) = pc.getOrElse((l(i), l(i + 1)), 0L) + f
+      val ((lft, rgt), n) = pc.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      val merged = lft + rgt
+      syms = syms.map { case (w, l) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < l.length) {
+          if (j + 1 < l.length && l(j) == lft && l(j + 1) == rgt) {
+            out += merged; j += 2
+          } else { out += l(j); j += 1 }
+        }
+        w -> out.result()
+      }
+      (step.toLong, lft, rgt, merged, n)
+    }
+    assert(rows.toSeq === expected)
+    SparkEntry.release(spark)
+  }
+
   test("m48 frame budget: per-doc quotas sum to min(8, frames) and replay the largest-remainder rule") {
     val rows = SparkEntry.queries("m48_frame_budget")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
@@ -3536,9 +3575,14 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("n_chars", length(col("text")).cast("long"))
     val (unclamped, clamped) =
       graft.Tables.withShared(spark, sf0001, "documents", docs) {
-        val u = SparkEntry.queries("m52_gear_cdc")(spark, sf0001)
+        // this test MEASURES the degeneracy the r17 fence exists to
+        // refuse, so lift the fence for the demonstration run only
+        // (QueriesSpec pins that the default bound rejects this corpus)
+        spark.conf.set("spark.graft.cdc.maxDegenerateFrac", "1.0")
+        val u = try SparkEntry.queries("m52_gear_cdc")(spark, sf0001)
           .agg(org.apache.spark.sql.functions.sum(col("n_chunks")),
             org.apache.spark.sql.functions.sum(col("bytes_total"))).head()
+        finally spark.conf.unset("spark.graft.cdc.maxDegenerateFrac")
         val c = SparkEntry.queries("m53_gear_cdc_clamped")(spark, sf0001)
           .agg(org.apache.spark.sql.functions.sum(col("n_chunks")),
             org.apache.spark.sql.functions.sum(col("bytes_total"))).head()

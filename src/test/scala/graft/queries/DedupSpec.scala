@@ -374,6 +374,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d61 is lazy: build + planning run zero jobs; the first action runs the sweep exactly once") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("d61_shingle_size_sweep")(spark, sf0001)
+      // force analysis AND physical planning — still no jobs allowed
+      assert(df.schema.fieldNames.head == "shingle_n")
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("DeferredRows"),
+        s"d61 must plan through the deferred leaf:\n$planStr")
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      assert(jobs == 0, s"plan-only phase ran $jobs jobs")
+      // first action fires the sweep (3 concurrent arms) and memoizes:
+      // a second action on the SAME DataFrame adds only its own
+      // collect job, not another sweep (sweep ≈ dozens of jobs)
+      val rows = df.collect()
+      assert(rows.length == 3)
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      val afterFirst = jobs
+      assert(afterFirst > 0, "the action must actually run the sweep")
+      assert(df.collect().length == 3)
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark)
+      assert(jobs - afterFirst <= 2,
+        s"memoized thunk must not re-run the sweep: ${jobs - afterFirst} new jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    SparkEntry.release(spark)
+  }
+
   test("d56 calibration: covers exactly the d28 pairs and the 24-hash estimator tracks exact Jaccard") {
     val cal = SparkEntry.queries("d56_minhash_calibration")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
