@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer TRAINING, K merge steps — the bounded
@@ -40,6 +40,22 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** One committed merge's rewrite, as a codegen'd fold column over a
+    * symbol-array column (see the fold-equivalence argument above):
+    * returns the SPACE-JOINED rewritten symbol string — callers
+    * `split(_, " ")` it back to an array. Shared by the training loop
+    * and by merge APPLICATION (t67 replays the trained merge table
+    * over the corpus). */
+  def rewriteFold(syms: Column, left: String, right: String,
+      merged: String): Column =
+    aggregate(syms, lit(""), (acc, x) =>
+      when(acc === lit(""), x)
+        .when(x === lit(right) && (acc === lit(left) ||
+            acc.endsWith(concat(lit(" "), lit(left)))),
+          concat(acc.substr(lit(1), length(acc) - length(lit(left))),
+            lit(merged)))
+        .otherwise(concat(acc, lit(" "), x)))
+
   /** Run `k` merge steps over `words` — (w STRING, wf LONG/INT), the
     * corpus's word-frequency collapse. Returns one Row per committed
     * merge: (step, left_sym, right_sym, merged, n_occurrences), in
@@ -73,17 +89,9 @@ object BpeTrainer {
           val right = top(0).getString(1)
           val merged = left + right
           out += Row(step.toLong, left, right, merged, top(0).getLong(2))
-          // left-to-right non-overlapping rewrite as a codegen'd fold
-          // (see scaladoc); split on the single-space delimiter
-          // restores the symbol array
-          val fold = aggregate(col("syms"), lit(""), (acc, x) =>
-            when(acc === lit(""), x)
-              .when(x === lit(right) && (acc === lit(left) ||
-                  acc.endsWith(concat(lit(" "), lit(left)))),
-                concat(acc.substr(lit(1), length(acc) - length(lit(left))),
-                  lit(merged)))
-              .otherwise(concat(acc, lit(" "), x)))
-          val next = cur.select(split(fold, " ").as("syms"), col("wf"))
+          val next = cur.select(
+              split(rewriteFold(col("syms"), left, right, merged), " ")
+                .as("syms"), col("wf"))
             .localCheckpoint(true)
           org.apache.spark.sql.GraftBridge.uncheckpoint(cur)
           cur = next

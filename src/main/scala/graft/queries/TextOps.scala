@@ -1478,19 +1478,73 @@ object TextOps {
           .groupBy(col("w")).agg(count(lit(1)).as("wf"))
         graft.operators.BpeTrainer.trainMerges(words, k = 5)
       }
+    },
+
+    // BPE APPLICATION — tokenize the corpus with t66's trained merges
+    // and report the numbers a tokenizer-budget decision needs
+    // per source: fertility (BPE symbols per word) and compression
+    // (BPE symbols per character symbol). Trains the same 5 merges
+    // (the loop is vocabulary-sized), then applies them as FIVE
+    // chained map-side rewrite folds over the (source, word)
+    // frequency table — application never touches corpus volume
+    // either: one (source, w) shuffle, folds are codegen'd per
+    // vocab-×-source row, one (source) rollup. Same DeferredRows
+    // laziness as t66. Oracle joins the chain's final symbol table
+    // back to per-source instance counts (bpeApplyOracle).
+    "t67_bpe_apply" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("source", StringType, nullable = true),
+        StructField("n_words", LongType, nullable = true),
+        StructField("n_char_syms", LongType, nullable = true),
+        StructField("n_bpe_syms", LongType, nullable = true),
+        StructField("fertility", DoubleType, nullable = true),
+        StructField("compression", DoubleType, nullable = true)))
+      graft.plans.DeferredRows.ofRows(s, schema) { () =>
+        val perSrc = t(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wf"))
+          .persist()
+        try {
+          val words = perSrc.groupBy(col("w")).agg(sum(col("wf")).as("wf"))
+          val merges = graft.operators.BpeTrainer.trainMerges(words, k = 5)
+          var syms: org.apache.spark.sql.Column =
+            split(substring(col("w"), 1, 32), "")
+          merges.foreach { m =>
+            syms = split(graft.operators.BpeTrainer.rewriteFold(syms,
+              m.getString(1), m.getString(2), m.getString(3)), " ")
+          }
+          perSrc
+            .withColumn("n_syms", size(syms).cast("long"))
+            .groupBy(col("source"))
+            .agg(sum(col("wf")).as("n_words"),
+              sum(col("wf") * least(length(col("w")), lit(32)))
+                .as("n_char_syms"),
+              sum(col("wf") * col("n_syms")).as("n_bpe_syms"))
+            .select(col("source"), col("n_words"), col("n_char_syms"),
+              col("n_bpe_syms"),
+              round(col("n_bpe_syms") / col("n_words").cast("double"), 4)
+                .as("fertility"),
+              round(col("n_bpe_syms") / col("n_char_syms").cast("double"), 4)
+                .as("compression"))
+            .collect().toSeq
+        } finally perSrc.unpersist()
+      }
     }
   )
 
-  /** t66 oracle: the K merge supersteps unrolled as chained CTEs.
-    * Stage i counts adjacent pairs from the space-joined symbol
-    * strings (wᵢ), commits the top pair (tᵢ — the same
+  /** Shared t66/t67 oracle chain: the K merge supersteps unrolled as
+    * chained CTEs. Stage i counts adjacent pairs from the space-joined
+    * symbol strings (wᵢ), commits the top pair (tᵢ — the same
     * (n_occ DESC, l ASC, r ASC) tie-break as the Spark side, binary
     * collation in both engines), and rewrites every word with
     * list_reduce running the identical left-to-right non-overlapping
     * fold as the Spark `aggregate` (see BpeTrainer's scaladoc for the
     * equivalence argument). Validated cell-for-cell against an
-    * independent two-pointer python BPE on the sf0.001 corpus. */
-  private def bpeTrainOracle(k: Int): String = {
+    * independent two-pointer python BPE on the sf0.001 corpus. `tok`
+    * keeps `source` and every stage keeps `w`, so the t67 applier can
+    * hang per-source stats off the final symbol table. */
+  private def bpeChainCte(k: Int): String = {
     val stages = (0 until k).map { i =>
       s"""p$i AS (
          | SELECT li[i] AS l, li[i+1] AS r, CAST(sum(wf) AS BIGINT) AS n_occ
@@ -1501,30 +1555,54 @@ object TextOps {
          | SELECT l, r, l || r AS m, n_occ FROM p$i
          | ORDER BY n_occ DESC, l ASC, r ASC LIMIT 1),
          |w${i + 1} AS (
-         | SELECT list_reduce(string_split(s, ' '), (acc, x) ->
+         | SELECT w, list_reduce(string_split(s, ' '), (acc, x) ->
          |   CASE WHEN x = t.r AND (acc = t.l OR ends_with(acc, ' ' || t.l))
          |        THEN substr(acc, 1, length(acc) - length(t.l)) || t.m
          |        ELSE acc || ' ' || x END) AS s, wf
          | FROM w$i, t$i t)""".stripMargin
     }.mkString(",\n")
-    val unioned = (0 until k).map(i =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS step, l AS left_sym," +
-        s" r AS right_sym, m AS merged, n_occ AS n_occurrences FROM t$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH tok AS (
-       | SELECT unnest(
+    s"""tok AS (
+       | SELECT source, unnest(
        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |       ELSE string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') END)
        |  AS w
        | FROM documents),
        |words AS (SELECT w, count(*) AS wf FROM tok GROUP BY 1),
        |w0 AS (
-       | SELECT array_to_string(string_split(substr(w, 1, 32), ''), ' ')
-       |   AS s, wf
+       | SELECT w,
+       |  array_to_string(string_split(substr(w, 1, 32), ''), ' ') AS s, wf
        | FROM words),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
+    val unioned = (0 until k).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, l AS left_sym," +
+        s" r AS right_sym, m AS merged, n_occ AS n_occurrences FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeChainCte(k)}
        |SELECT * FROM ($unioned) ORDER BY step""".stripMargin
   }
+
+  /** t67 oracle: per-source tokenizer stats off the trained chain's
+    * final symbol table — the same (source, w) instance counts ×
+    * per-word symbol counts, integer sums, two rounded double
+    * quotients at the end. */
+  private def bpeApplyOracle(k: Int): String =
+    s"""WITH ${bpeChainCte(k)},
+       |per_src AS (SELECT source, w, count(*) AS wf FROM tok GROUP BY 1, 2),
+       |app AS (
+       | SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms
+       | FROM w$k),
+       |agg AS (
+       | SELECT source, CAST(sum(wf) AS BIGINT) AS n_words,
+       |  CAST(sum(wf * least(length(w), 32)) AS BIGINT) AS n_char_syms,
+       |  CAST(sum(wf * n_syms) AS BIGINT) AS n_bpe_syms
+       | FROM per_src JOIN app USING (w) GROUP BY 1)
+       |SELECT source, n_words, n_char_syms, n_bpe_syms,
+       | round(n_bpe_syms / CAST(n_words AS DOUBLE), 4) AS fertility,
+       | round(n_bpe_syms / CAST(n_char_syms AS DOUBLE), 4) AS compression
+       |FROM agg""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the same run-counting length deltas (DuckDB regexp_replace needs
@@ -2374,7 +2452,10 @@ object TextOps {
         |GROUP BY 1, 2, 3""".stripMargin,
     // the same 5 unrolled merge supersteps; list_reduce runs the
     // identical left-to-right non-overlapping rewrite fold
-    "t66_bpe_train" -> bpeTrainOracle(5)
+    "t66_bpe_train" -> bpeTrainOracle(5),
+    // the same chain, applied: per-source stats off the final symbol
+    // table
+    "t67_bpe_apply" -> bpeApplyOracle(5)
   )
 
   /** t35 oracle body, shared with t51's wrapper. */

@@ -2319,6 +2319,59 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("t67 BPE apply: per-source fertility/compression replay the trained tokenizer exactly") {
+    // same independent two-pointer reference as t66, extended through
+    // application: train 5 merges globally, tokenize every (source,
+    // word) instance, aggregate per source
+    val rows = SparkEntry.queries("t67_bpe_apply")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.t(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSrc = scala.collection.mutable.Map.empty[(String, String), Long]
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for ((src, t) <- docs; tt = t.trim; if tt.nonEmpty;
+         w <- tt.split("[ \t\n\f\r]+")) {
+      perSrc((src, w)) = perSrc.getOrElse((src, w), 0L) + 1
+      wf(w) = wf.getOrElse(w, 0L) + 1
+    }
+    var syms: Map[String, Vector[String]] =
+      wf.keysIterator.map(w => w -> w.take(32).map(_.toString).toVector).toMap
+    for (_ <- 1 to 5) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- wf; l = syms(w); i <- 0 until l.length - 1)
+        pc((l(i), l(i + 1))) = pc.getOrElse((l(i), l(i + 1)), 0L) + f
+      val ((lft, rgt), _) = pc.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      val merged = lft + rgt
+      syms = syms.map { case (w, l) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < l.length) {
+          if (j + 1 < l.length && l(j) == lft && l(j + 1) == rgt) {
+            out += merged; j += 2
+          } else { out += l(j); j += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
+    perSrc.foreach { case ((src, w), f) =>
+      val a = acc.getOrElseUpdate(src, Array(0L, 0L, 0L))
+      a(0) += f; a(1) += f * math.min(w.length, 32); a(2) += f * syms(w).length
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = acc.toSeq.map { case (src, a) =>
+      (src, a(0), a(1), a(2), r4(a(2).toDouble / a(0)),
+        r4(a(2).toDouble / a(1)))
+    }.sortBy(_._1)
+    assert(rows.toSeq === expected)
+    SparkEntry.release(spark)
+  }
+
   test("m48 frame budget: per-doc quotas sum to min(8, frames) and replay the largest-remainder rule") {
     val rows = SparkEntry.queries("m48_frame_budget")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
