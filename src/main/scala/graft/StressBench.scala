@@ -983,9 +983,14 @@ object StressBench {
     // the number this row exists to measure — near-identical names
     // share the sort prefix, so the w=20 neighborhood sees them unless
     // >20 same-prefix rows interpose (the method's honest miss mode).
-    // 200-word vocab × 4-word names keeps accidental dist≤5 pairs
-    // negligible (~1e-6 of the block square), so the recall numerator
-    // is dominated by the plants. The 4× corpus re-times ONLY q85 —
+    // Words are 6-hex-char md5 prefixes, so two UNRELATED names
+    // differ in ~22 of 24 word characters and accidental dist≤5 pairs
+    // are binomially impossible — the recall numerator is the plants.
+    // (A first cut used "tok"+3-digit words: every vocab word sat
+    // within edit distance 3 of every other, 85k accidental matches
+    // swamped the 3k plants, and sorted-neighborhood recall honestly
+    // read 0.35 — the corpus, not the operator.) The 4× corpus
+    // re-times ONLY q85 —
     // its candidate volume is w·N by construction where q83's is
     // quadratic; the time pair is the measured slope (recorded, not
     // asserted — host-dependent), the recall gates are asserted.
@@ -996,9 +1001,8 @@ object StressBench {
             .otherwise(col("p_partkey")))
         .withColumn("p_name", concat_ws(" ",
           transform(sequence(lit(1), lit(4)),
-            i => concat(lit("tok"), lpad(pmod(
-              xxhash64(col("base_id") * 100 + i), lit(200)).cast("string"),
-              3, "0")))))
+            i => substring(md5(concat(col("base_id").cast("string"),
+              lit("_"), i.cast("string"))), 1, 6))))
         .withColumn("p_name",
           when(col("p_partkey") =!= col("base_id"),
             overlay(col("p_name"), lit("qq"), lit(6), lit(2)))
