@@ -52,24 +52,60 @@ object Extended {
           s"(within-block all-pairs); input has $n rows > " +
           s"spark.graft.exact.maxRows=$maxRows — use " +
           "q85_fuzzy_neighborhood (sorted neighborhood, linear) at scale")
-      val a = p.select(col("p_brand"), col("p_partkey").as("ia"),
-        col("p_name").as("na"))
-      val b = p.select(col("p_brand").as("bb"), col("p_partkey").as("ib"),
-        col("p_name").as("nb"))
       // threshold form: banded O(len·5) edit distance with early exit
       // (-1 past the bound) instead of the full O(len²) matrix — the
       // kept rows and their distances are identical, only the >5 pairs
       // (the overwhelming majority of the block square) get cheaper.
       // LENGTH-BAND PREFILTER (r17): edit distance ≥ |len(a)−len(b)|,
       // so a pair whose lengths differ by more than the threshold can
-      // never pass — the two codegen'd length() calls skip the banded
-      // DP for most of the block square. Provably result-identical;
-      // the oracle is untouched.
-      a.join(b, col("p_brand") === col("bb") && col("ia") < col("ib") &&
-          abs(length(col("na")) - length(col("nb"))) <= 5)
+      // never pass. MEASURED no-op on THIS corpus (part names are
+      // 7–12 chars, every pair within the band) — kept as free
+      // insurance for long-name corpora; the DP's early exit is what
+      // bounds per-pair cost here.
+      // TRIANGLE DECOMPOSITION (r17): the block square join on
+      // p_brand alone has #brands join keys (25 at every SF — TPC-H
+      // brands don't scale with rows), so the pair-enumeration stage
+      // ran ~25-way forever regardless of cluster size. Each row salts
+      // into S=8 sub-buckets by key hash; an unordered pair (x, y)
+      // lands in EXACTLY ONE cell (min(gx,gy), max(gx,gy)): the A side
+      // replicates x to cells (gx, j≥gx), the B side replicates y to
+      // cells (i≤gy, gy), and same-cell pairs dedupe on ka < kb. Join
+      // keys: #brands × S(S+1)/2 = 900 — the enumeration parallelizes
+      // to any cluster width while output rows are BYTE-IDENTICAL
+      // (canonicalized via least/greatest); the oracle is untouched.
+      // Measured at sf0.1: 17.6 s → 2.6 s isolated (with the probe
+      // spread below).
+      val S = 8
+      val withG = p.withColumn("g",
+        pmod(xxhash64(col("p_partkey")), lit(S)).cast("int"))
+      // part.parquet is a single split at every SF, and the planner
+      // broadcasts the (smaller) B side — without an explicit spread
+      // the ENTIRE pair loop runs in one task (measured: 17.6 s at
+      // sf0.1, single-task; the cell keys alone fix nothing under a
+      // broadcast join). Spread the probe side on the cell key so each
+      // of the 900 cells' pair loops lands on its own task (the d32
+      // single-file repartition discipline).
+      val aSide = withG
+        .withColumn("gj", explode(sequence(col("g"), lit(S - 1))))
+        .select(col("p_brand"), col("g").as("gi"), col("gj"),
+          col("p_partkey").as("ka"), col("p_name").as("na"))
+        .repartition(s.sparkContext.defaultParallelism,
+          col("p_brand"), col("gi"), col("gj"))
+      val bSide = withG
+        .withColumn("gi", explode(sequence(lit(0), col("g"))))
+        .select(col("p_brand").as("bb"), col("gi").as("gib"),
+          col("g").as("gjb"), col("p_partkey").as("kb"),
+          col("p_name").as("nb"))
+      aSide.join(bSide,
+          col("p_brand") === col("bb") && col("gi") === col("gib") &&
+            col("gj") === col("gjb") &&
+            (col("gi") =!= col("gj") || col("ka") < col("kb")) &&
+            abs(length(col("na")) - length(col("nb"))) <= 5)
         .withColumn("dist", levenshtein(col("na"), col("nb"), 5))
         .filter(col("dist") >= 0)
-        .select(col("p_brand"), col("ia"), col("ib"),
+        .select(col("p_brand"),
+          least(col("ka"), col("kb")).as("ia"),
+          greatest(col("ka"), col("kb")).as("ib"),
           col("dist").cast("long").as("dist"))
     },
 
