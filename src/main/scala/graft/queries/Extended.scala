@@ -74,8 +74,17 @@ object Extended {
       // to any cluster width while output rows are BYTE-IDENTICAL
       // (canonicalized via least/greatest); the oracle is untouched.
       // Measured at sf0.1: 17.6 s → 2.6 s isolated (with the probe
-      // spread below).
-      val S = 8
+      // spread below). S is the 100 TB knob (the phash.bandBits
+      // posture): widen it when blocks outgrow task-sized cells —
+      // replication cost grows only (S+1)/2 per side while cell count
+      // grows S²/2. Output is S-invariant (pairs don't care which
+      // cell they land in), so the knob never touches the oracle.
+      val S = {
+        val v = s.conf.get("spark.graft.fuzzy.buckets", "8").toInt
+        require(v >= 1 && v <= 256,
+          s"spark.graft.fuzzy.buckets must be in [1, 256], got $v")
+        v
+      }
       val withG = p.withColumn("g",
         pmod(xxhash64(col("p_partkey")), lit(S)).cast("int"))
       // part.parquet is a single split at every SF, and the planner

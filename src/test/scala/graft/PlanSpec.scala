@@ -370,6 +370,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected full recall at sf0.001: ${neigh.size} vs ${exact.size}")
   }
 
+  test("q83 is bucket-count invariant: the triangle decomposition returns the same rows at any S") {
+    def rows(buckets: Option[String]) = {
+      buckets.foreach(b => spark.conf.set("spark.graft.fuzzy.buckets", b))
+      try SparkEntry.queries("q83_fuzzy_match")(spark, sf0001)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      finally buckets.foreach(_ =>
+        spark.conf.unset("spark.graft.fuzzy.buckets"))
+    }
+    val default = rows(None)
+    assert(default.nonEmpty)
+    // S=1 degenerates to the plain block square (one cell per brand);
+    // S=3 exercises uneven replication — both must return the exact
+    // same pair set (pairs don't care which cell they land in)
+    assert(rows(Some("1")) == default, "S=1 must equal the default")
+    assert(rows(Some("3")) == default, "S=3 must equal the default")
+    SparkEntry.release(spark)
+  }
+
   test("q86 mad outliers: both median passes broadcast; every corpus rank window is block-distributed") {
     val p = plan("q86_mad_outliers")
     assert(p.contains("Broadcast"), s"median/MAD must broadcast in:\n$p")
