@@ -1042,6 +1042,32 @@ object StressBench {
       s"q85 planted recall at 4x data fell below 0.9: $planted240/12000")
     println(s"""{"stress":"fuzzy_neighborhood_240k_pairs","value":$snPairs240,"planted_found":$planted240}""")
 
+    // ---- BPE training slope (t66's loop, operators.BpeTrainer): the
+    // corpus collapses to the word-frequency table BEFORE the loop, so
+    // 10× docs must cost roughly one bigger word-count shuffle — the
+    // five vocabulary-sized supersteps are corpus-volume-independent
+    // (measured 2.80 s → 2.95 s for 10× tokens). The merge tables are
+    // PRINTED, not asserted equal: the synthetic vocab ('w0'…'w4999',
+    // near-uniform) makes the top pairs ('w','<digit>') near-ties, so
+    // their order legitimately reorders between corpora of different
+    // hash mixes — each table is still deterministic for its corpus
+    // (the t66 oracle gate pins that).
+    def wordsOf(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(trim(col("text")), "[ \t\n\f\r]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val bpe100k = tm("bpe_train_100k") {
+      graft.operators.BpeTrainer.trainMerges(wordsOf(base), 5)
+    }
+    require(bpe100k.length == 5, s"expected 5 merges, got ${bpe100k.length}")
+    val bpe1m = tm("bpe_train_1m") {
+      graft.operators.BpeTrainer.trainMerges(wordsOf(base1m), 5)
+    }
+    require(bpe1m.length == 5, s"expected 5 merges, got ${bpe1m.length}")
+    val m100k = bpe100k.map(r => r.getString(3)).mkString(",")
+    val m1m = bpe1m.map(r => r.getString(3)).mkString(",")
+    println(s"""{"stress":"bpe_train_merges","m100k":"$m100k","m1m":"$m1m","agree":${m100k == m1m}}""")
+
     spark.stop()
   }
 }
