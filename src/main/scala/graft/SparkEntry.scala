@@ -32,7 +32,13 @@ object SparkEntry {
     * fires the sweep on the driver and memoizes its 3 rows. The only
     * build-time jobs left are the BOUNDED fence probes: q83/s34 count
     * their input against `spark.graft.exact.maxRows`, m52 samples 64
-    * payloads against `spark.graft.cdc.maxDegenerateFrac`. */
+    * payloads against `spark.graft.cdc.maxDegenerateFrac`, and
+    * d66 folds the benchmark's ≤2²¹ distinct bloom bit positions into
+    * its bitmap literal (the s40 trained-quantizer posture). The
+    * fences are eager BY DESIGN, not oversight: under AQE, stages
+    * materialize bottom-up before any root-level lazy gate could fire,
+    * so a deferred fence would refuse only after the quadratic join /
+    * chunk explosion it exists to prevent had already run. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Analytic.queries ++

@@ -841,7 +841,13 @@ object MultimodalOps extends Serializable {
       // explode to ~64× the designed row volume with an md5 per byte —
       // StressBench measures 16.78 M chunks on a 16.8 MB zero corpus.
       // Probe a bounded payload sample (64 docs, one small job at
-      // build time — the q83 eager-guard posture) and refuse when the
+      // build time — the q83 eager-guard posture). Deliberately EAGER
+      // (r17 considered and rejected a lazy DeferredRows-style gate):
+      // under AQE the chunking stage materializes bottom-up BEFORE any
+      // root-level gate's doExecute fires, so a lazy fence would
+      // refuse only after the explosion it exists to prevent had
+      // already run — build time is the one point guaranteed-before.
+      // Refuse when the
       // 1-byte-chunk fraction exceeds the bound: healthy content sits
       // near 1/64² ≈ 1.6%, a degenerate corpus near 100%, so the
       // default 0.25 separates them by an order of magnitude each way.

@@ -993,6 +993,64 @@ object SimilarityOps {
             .as("is_violation"))
     },
 
+    // GRAPH-BASED ANN — beam search over the s47 kNN graph, the
+    // navigable-graph family (NSW/HNSW's flat tier) beside the
+    // IVF/LSH/PQ index variants already in the registry. Each query
+    // starts at its OWN node's out-edges (queries are corpus members,
+    // the s33 posture), then runs two fixed expansion supersteps:
+    // keep the beam (top-4 visited by exact rounded cosine, id
+    // tie-break), walk the beam's out-edges, score only the
+    // NOT-YET-VISITED arrivals (anti-join, so no pair is ever scored
+    // twice), union into the visited set. Final answer = top-5
+    // visited. Everything is bounded and keyed: per query per hop the
+    // frontier is ≤ beam × out-degree (4 × 3) rows, the edge walk is
+    // an equi-join on the source node id, the beam is a per-qid window
+    // over ≤ a few dozen rows, and the scoring join fetches vectors by
+    // node id — at 100 TB a graph search touches O(hops × beam ×
+    // degree) nodes per query while the graph table shuffles only by
+    // node id, never pairwise. Fixed hop count keeps the whole walk
+    // one lazy Catalyst plan (and lets the oracle unroll the identical
+    // two hops as chained CTEs); recall vs the s33 exact ground truth
+    // is asserted in SimilaritySpec. The edge table is persisted at a
+    // documented reuse point (three hops read it; released by
+    // SparkEntry.release — the d28 discipline).
+    "s71_graph_ann" -> { (s, d) =>
+      val e = emb(s, d)
+      val edges = queries("s47_knn_graph")(s, d)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val nodes = e.select(col("vec_id").as("nid"), col("emb").as("nemb"))
+      def scored(frontier: DataFrame): DataFrame =
+        frontier.join(nodes, "nid").join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            round(cos(col("qemb"), col("nemb")), 6).as("cosine"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid").asc)
+      def beam(v: DataFrame): DataFrame =
+        v.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .select(col("qid"), col("nid"))
+      def expand(b: DataFrame): DataFrame =
+        b.join(edges, col("nid") === col("src"))
+          .select(col("qid"), col("dst").as("nid"))
+          .filter(col("nid") =!= col("qid")).distinct()
+      def grow(v: DataFrame): DataFrame = {
+        val fresh = expand(beam(v))
+          .join(v.select(col("qid"), col("nid")), Seq("qid", "nid"),
+            "left_anti")
+        v.unionByName(scored(fresh))
+      }
+      val hop0 = scored(
+        q.select(col("qid")).join(edges, col("qid") === col("src"))
+          .select(col("qid"), col("dst").as("nid")))
+      grow(grow(hop0))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid").as("neighbor_id"),
+          col("cosine"))
+    },
+
     // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
     // centroids — stands in for trained centroids), every vector
     // assigned to its nearest cell, queries search ONLY their own cell
@@ -2289,6 +2347,67 @@ object SimilarityOps {
     case _ => "SELECT 1 WHERE 1=0 -- s43 not yet run in this session"
   }
 
+  private def s47OracleSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+        |sim AS (
+        | SELECT e.vec_id, e.emb, c.cid,
+        |  round(list_dot_product(e.emb, c.cemb) /
+        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
+        | FROM e, c),
+        |cell AS (
+        | SELECT vec_id, emb, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
+        |cand AS (
+        | SELECT a.vec_id, b.vec_id AS nb_id,
+        |  round(list_dot_product(a.emb, b.emb) /
+        |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+        | FROM cell a JOIN cell b
+        |   ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, rnk, nb_id AS neighbor_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cosine DESC, nb_id ASC) AS rnk FROM cand)
+        |WHERE rnk <= 3""".stripMargin
+
+  /** s71 oracle: s47's graph SQL verbatim as `edges`, then the beam
+    * walk unrolled — hop h keeps the top-4 of the visited set v{h},
+    * walks their out-edges, scores only arrivals not already in v{h}
+    * (NOT EXISTS ≡ the Spark anti-join), and unions. Generated per hop
+    * so both engines provably run one algorithm. */
+  private def s71OracleSql: String = {
+    def cosq(v: String): String =
+      s"round(list_dot_product(q.qemb, $v) / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product($v, $v))), 6)"
+    def hop(h: Int): String = {
+      val prev = if (h == 1) "h0" else s"v${h - 1}"
+      s"""b$h AS (SELECT qid, nid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid ASC) AS rn FROM $prev) WHERE rn <= 4),
+         |x$h AS (
+         | SELECT DISTINCT b.qid, ed.dst AS nid
+         | FROM b$h b JOIN edges ed ON ed.src = b.nid WHERE ed.dst <> b.qid),
+         |f$h AS (
+         | SELECT x.qid, x.nid, ${cosq("n.emb")} AS cosine
+         | FROM x$h x JOIN q ON q.qid = x.qid JOIN e n ON n.vec_id = x.nid
+         | WHERE NOT EXISTS (SELECT 1 FROM $prev v
+         |   WHERE v.qid = x.qid AND v.nid = x.nid)),
+         |v$h AS (SELECT * FROM $prev UNION ALL SELECT * FROM f$h)""".stripMargin
+    }
+    s"""WITH edges AS (
+       | SELECT vec_id AS src, neighbor_id AS dst FROM ($s47OracleSql) g),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+       |h0 AS (
+       | SELECT q.qid, ed.dst AS nid, ${cosq("n.emb")} AS cosine
+       | FROM q JOIN edges ed ON ed.src = q.qid JOIN e n ON n.vec_id = ed.dst),
+       |${hop(1)},
+       |${hop(2)}
+       |SELECT qid, rnk, nid AS neighbor_id, cosine FROM (
+       | SELECT *, row_number() OVER (PARTITION BY qid
+       |   ORDER BY cosine DESC, nid ASC) AS rnk FROM v2)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
   private def s33OracleSql: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
@@ -2945,28 +3064,12 @@ object SimilarityOps {
         |FROM cell GROUP BY 1""".stripMargin,
     // the s37 cell CTE without the query filter; row_number replays
     // the bounded heap's (cosine DESC, id ASC) total order
-    "s47_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
-        |sim AS (
-        | SELECT e.vec_id, e.emb, c.cid,
-        |  round(list_dot_product(e.emb, c.cemb) /
-        |   (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))), 6) AS cosc
-        | FROM e, c),
-        |cell AS (
-        | SELECT vec_id, emb, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cosc DESC, cid ASC) AS rn FROM sim) WHERE rn = 1),
-        |cand AS (
-        | SELECT a.vec_id, b.vec_id AS nb_id,
-        |  round(list_dot_product(a.emb, b.emb) /
-        |   (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-        | FROM cell a JOIN cell b
-        |   ON a.cid = b.cid AND a.vec_id <> b.vec_id)
-        |SELECT vec_id, rnk, nb_id AS neighbor_id, cosine FROM (
-        | SELECT *, row_number() OVER (PARTITION BY vec_id
-        |   ORDER BY cosine DESC, nb_id ASC) AS rnk FROM cand)
-        |WHERE rnk <= 3""".stripMargin,
+    "s47_knn_graph" -> s47OracleSql,
+    // s47's SQL verbatim as the edge table (the s45 composed-SQL
+    // discipline), then the two expansion supersteps unrolled as
+    // chained CTEs — each hop is the identical beam/walk/anti-join/
+    // score sequence the Spark plan runs
+    "s71_graph_ann" -> s71OracleSql,
     "s39_scalar_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),

@@ -628,6 +628,49 @@ object EventStreams extends Serializable {
       }
   }
 
+  case class IngestDoc(doc_id: Long, source: String, text: String)
+  case class DecontamFlag(doc_id: Long, source: String, n_grams: Long,
+      n_bloom_hits: Long, flagged: Boolean)
+
+  /** STREAMING BLOOM DECONTAMINATION — d66's cheap arm at ingest time:
+    * the benchmark bitmap is built ONCE on the batch side
+    * ([[graft.queries.DedupOps.bloomBitmap]] — the SAME helper d66
+    * uses, so the probes provably hash one way) and enters the stream
+    * as an array<bigint> literal; every arriving document is
+    * 5-gram-split and probed entirely INSIDE the row via higher-order
+    * functions (`filter` over the gram array with the shared getbit
+    * probe). COMPLETELY STATELESS: no groupsWithState, no watermark,
+    * no shuffle, no per-key state to bound — one output row per input
+    * row, which is exactly why a bloom (not the exact set, not a
+    * join) is what an ingest gate ships at 100 TB. False-positive
+    * semantics are d66's: flagged docs are a superset of truly
+    * contaminated docs, calibrated by the batch FP audit. */
+  def bloomDecontamStream(docs: Dataset[IngestDoc],
+      bitmap: Array[Long]): Dataset[DecontamFlag] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(bitmap.length * 64 == graft.queries.DedupOps.BloomBits,
+      s"bitmap must be DedupOps.BloomBits/64 = " +
+        s"${graft.queries.DedupOps.BloomBits / 64} words, got ${bitmap.length}")
+    val bm = typedlit(bitmap.toSeq)
+    val hit = graft.queries.DedupOps.bloomHit(bm) _
+    docs.toDF()
+      .withColumn("w",
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "[ \\t\\n\\f\\r]+")))
+      .withColumn("grams",
+        when(size(col("w")) >= 5, array_distinct(expr(
+          "transform(sequence(0, size(w)-5), i -> " +
+            "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(filter(col("grams"), g => hit(g))).cast("long")
+          .as("n_bloom_hits"))
+      .withColumn("flagged", col("n_bloom_hits") > 0)
+      .as[DecontamFlag]
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

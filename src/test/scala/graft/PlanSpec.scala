@@ -62,6 +62,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"bench grams must broadcast in:\n$p")
   }
 
+  test("d66 bloom decontamination: corpus grams tested map-side via getbit — no corpus-side join against the benchmark bitmap") {
+    val p = plan("d66_bloom_decontam")
+    assert(p.contains("getbit"),
+      s"bloom membership must run through the codegen'd getbit probes in:\n$p")
+    // the exact ground-truth arm still broadcasts (d38's shape); the
+    // bloom arm itself adds NO join — only doc/source/gram-keyed
+    // exchanges may appear
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id", "source", "g", "gh")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bloom and exact arms must both stay keyed/broadcast:\n$p")
+    SparkEntry.release(spark)
+  }
+
+  test("s71 graph ANN: bounded beam walk — every join keyed by node or query id, no cartesian product") {
+    val p = plan("s71_graph_ann")
+    assert(!p.contains("CartesianProduct"),
+      s"the walk must never materialize a cross product:\n$p")
+    // allowed keys: qid (beam windows + anti-join), nid (vector fetch),
+    // src/dst (edge walk), vec_id/cid (the composed s47 graph build)
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("qid", "nid", "src", "dst", "vec_id", "cid")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    SparkEntry.release(spark)
+  }
+
   test("q70: stratified quota sample plans through the native TopKPerKey exec") {
     val p = plan("q70_stratified_sample")
     assert(p.contains("TopKPerKey"), s"must use the custom exec in:\n$p")

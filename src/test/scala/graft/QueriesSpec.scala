@@ -68,6 +68,21 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s71 graph-ANN beam search recall@3 beats a useful floor vs brute force") {
+    import org.apache.spark.sql.functions._
+    def top3(name: String): Set[(String, String)] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+        .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val brute = top3("s33_knn_bruteforce")
+    val graph = top3("s71_graph_ann")
+    // deterministic fixture: measured 0.933 at sf0.001 (0.967 at
+    // sf0.1) for the 2-hop beam over the 3-out-degree s47 graph
+    val recall = (brute & graph).size.toDouble / brute.size
+    assert(recall >= 0.8, s"s71 recall@3 was $recall")
+    SparkEntry.release(spark)
+  }
+
   test("s48 recall matrix covers all four index variants with per-variant floors") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("s48_index_recall_matrix")(spark, sf0001)

@@ -426,4 +426,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(meanErr < 0.25, s"mean |est - exact| = $meanErr: miscalibrated")
     SparkEntry.release(spark)
   }
+
+  test("d66 bloom decontamination: no false negatives, exact arm agrees with d38, accounting reconciles") {
+    val rows = SparkEntry.queries("d66_bloom_decontam")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var exactTotal = 0L
+    rows.foreach { r =>
+      def l(c: String): Long = r.getLong(r.fieldIndex(c))
+      // a bloom filter can only ADD flags: every exact-contaminated doc
+      // bloom-flags (its hit gram's three bits are set by construction)
+      assert(l("n_flagged_bloom") >= l("n_flagged_exact"),
+        s"bloom missed a truly contaminated doc in ${r.getString(0)}")
+      assert(l("n_gram_bloom_hits") >= l("n_gram_exact_hits"),
+        s"bloom missed an exact-hit gram in ${r.getString(0)}")
+      assert(l("n_false_pos") == l("n_flagged_bloom") - l("n_flagged_exact"))
+      assert(l("n_flagged_bloom") <= l("n_docs"))
+      exactTotal += l("n_flagged_exact")
+    }
+    // the exact arm IS d38's operator: its doc flags must total d38's
+    // contaminated-doc list exactly (one row per hit doc there)
+    val d38docs = SparkEntry.queries("d38_decontamination")(spark, sf0001).count()
+    assert(exactTotal == d38docs,
+      s"exact arm found $exactTotal flagged docs, d38 found $d38docs")
+    // the corpus has planted contamination — the gate must fire
+    assert(exactTotal > 0, "fixture corpus must contain contaminated docs")
+    SparkEntry.release(spark)
+  }
 }

@@ -834,6 +834,60 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("bloom decontam stream (d66 twin): streamed bloom flags == the batch operator, per source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // batch oracle: d66's bloom-arm columns per source (the stream has
+    // no exact arm — that is the point of the cheap path)
+    val batch = graft.SparkEntry.queries("d66_bloom_decontam")(spark, sf)
+      .select($"source", $"n_docs", $"n_grams", $"n_gram_bloom_hits",
+        $"n_flagged_bloom")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    graft.SparkEntry.release(spark)
+    assert(batch.nonEmpty)
+    // the SAME bitmap build the batch side ran (shared helpers — the
+    // probes provably hash one way)
+    val bitmap = graft.queries.DedupOps.bloomBitmap(
+      graft.queries.DedupOps.benchmarkGrams(spark, sf), "g")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => EventStreams.IngestDoc(r.getLong(0), r.getString(1),
+        r.getString(2)))
+    val input = MemoryStream[EventStreams.IngestDoc]
+    val query = EventStreams.bloomDecontamStream(input.toDS(), bitmap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_decontam_out")
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val streamed = spark.table("bloom_decontam_out")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_grams").as("g"),
+          sum($"n_bloom_hits").as("bh"),
+          sum(when($"flagged", 1L).otherwise(0L)).as("fb"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed === batch, s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
+  test("bloom decontam stream rejects a mis-sized bitmap") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[EventStreams.IngestDoc]
+    val ex = intercept[IllegalArgumentException](
+      EventStreams.bloomDecontamStream(empty, new Array[Long](7)))
+    assert(ex.getMessage.contains("BloomBits"))
+  }
+
   test("cas ingest stream enforces its doc-order contract: a late smaller doc_id fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
