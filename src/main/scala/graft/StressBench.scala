@@ -1068,6 +1068,127 @@ object StressBench {
     val m1m = bpe1m.map(r => r.getString(3)).mkString(",")
     println(s"""{"stress":"bpe_train_merges","m100k":"$m100k","m1m":"$m1m","agree":${m100k == m1m}}""")
 
+    // ---- d66 family: broadcast-bloom decontamination slope. The real
+    // deployment shape: the benchmark is FIXED (a benchmark suite does
+    // not grow with the corpus) while the corpus scales 10× — the
+    // bitmap builds ONCE from ~38k benchmark grams and each corpus
+    // gram costs one md5 + three getbits, map-side. Contamination is
+    // PLANTED (corpus docs with id % 997 == 0 append the full text of
+    // benchmark doc id % 500), so the exact flag set is known: the
+    // bloom must recover ALL of it — zero false negatives, anti-join
+    // require — and the printed doc-level FP rate is the m-sizing
+    // evidence at these constants.
+    def bloomFiveGrams(df: DataFrame): DataFrame = df
+      .withColumn("w", split(trim(col("text")), "[ \t\n\f\r]+"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-5), i -> " +
+          "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))).as("g"))
+    val benchB = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+      .persist()
+    val benchGrams = bloomFiveGrams(
+        benchB.select(col("bid").as("doc_id"), col("btext").as("text")))
+      .select(col("g")).distinct().persist()
+    val nBenchGrams = benchGrams.count()
+    val bloomArr = tm("bloom_build_fixed_benchmark") {
+      graft.queries.DedupOps.bloomBitmap(benchGrams, "g")
+    }
+    val benchHashes = benchGrams.select(xxhash64(col("g")).as("gh"))
+      .persist()
+    def contaminated(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") >= 500)
+        .join(broadcast(benchB), pmod(col("doc_id"), lit(500)) === col("bid"),
+          "left")
+        .withColumn("text",
+          when(col("doc_id") % 997 === 0,
+            concat(col("text"), lit(" "), col("btext")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+    for ((dir, label, n) <- Seq((base, "100k", nDocs.toLong),
+        (base1m, "1m", n1m.toLong))) {
+      val grams = bloomFiveGrams(contaminated(dir))
+      val bloomF = grams
+        .withColumn("hit", graft.queries.DedupOps.bloomProbe(bloomArr)(col("g")))
+        .filter(col("hit")).select(col("doc_id")).distinct().persist()
+      val exactF = grams.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .join(broadcast(benchHashes), "gh")
+        .select(col("doc_id")).distinct().persist()
+      val bf = tm(s"bloom_decontam_$label")(bloomF.count())
+      val ef = tm(s"exact_decontam_$label")(exactF.count())
+      val missed = exactF.join(bloomF, Seq("doc_id"), "left_anti").count()
+      require(missed == 0L,
+        s"bloom produced $missed false negatives at $label — impossible " +
+          "unless the probe and build hash differently")
+      val expectedPlants = spark.range(500L, n)
+        .filter(col("id") % 997 === 0).count()
+      require(ef == expectedPlants,
+        s"exact arm found $ef contaminated docs at $label, planted $expectedPlants")
+      val fpRate = (bf - ef).toDouble / (n - 500 - ef)
+      println(f"""{"stress":"bloom_decontam_${label}_flags","bench_grams":$nBenchGrams,"bloom":$bf,"exact":$ef,"fp_doc_rate":$fpRate%.4f}""")
+      bloomF.unpersist(); exactF.unpersist()
+    }
+    benchB.unpersist(); benchGrams.unpersist(); benchHashes.unpersist()
+
+    // ---- s71 family: graph-ANN SEARCH-path slope. The registry's s71
+    // composes the s47 graph BUILD (cell-bounded pairwise — its cost
+    // story lives with s47); what must scale on the search side is the
+    // walk itself: per hop, O(queries × beam × degree) frontier rows
+    // against an edge table PRE-PARTITIONED by source node (the
+    // deployment posture — every hop's join reuses that exchange
+    // instead of re-shuffling the corpus-sized edge list). Synthetic
+    // navigable graph: n nodes with deterministic 8-dim vectors, 3
+    // hash-derived out-edges each, 1000 queries, beam 4, 2 hops —
+    // s71's exact dataflow (beam window → edge walk → anti-join fresh
+    // arrivals → score). 10× nodes must not cost ~10× search time.
+    graft.functions.VectorFunctions.register(spark)
+    def graphSearch(n: Long, label: String): Unit = {
+      val nodes = spark.range(n).toDF("nid")
+        .withColumn("nemb", transform(sequence(lit(1), lit(8)),
+          i => pmod(xxhash64(col("nid") * 31 + i), lit(1000)) / 500.0 - 1.0))
+        .repartition(32, col("nid")).persist()
+      val edges = spark.range(n).toDF("src")
+        .withColumn("dst", explode(array((1 to 3).map(k =>
+          pmod(xxhash64(col("src") * 7 + lit(k)), lit(n))): _*)))
+        .filter(col("dst") =!= col("src"))
+        .repartition(32, col("src")).persist()
+      nodes.count(); edges.count() // materialize OUTSIDE the timed walk
+      val q = nodes.filter(col("nid") < 1000)
+        .select(col("nid").as("qid"), col("nemb").as("qemb")).persist()
+      q.count()
+      val cosF = graft.functions.VectorFunctions.cosineSim _
+      def scored(fr: DataFrame): DataFrame =
+        fr.join(nodes, "nid").join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            round(cosF(col("qemb"), col("nemb")), 6).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid").asc)
+      def grow(v: DataFrame): DataFrame = {
+        val beam = v.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4).select(col("qid"), col("nid"))
+        val fresh = beam.join(edges, col("nid") === col("src"))
+          .select(col("qid"), col("dst").as("nid"))
+          .filter(col("nid") =!= col("qid")).distinct()
+          .join(v.select(col("qid"), col("nid")), Seq("qid", "nid"),
+            "left_anti")
+        v.unionByName(scored(fresh))
+      }
+      val hop0 = scored(q.select(col("qid"))
+        .join(edges, col("qid") === col("src"))
+        .select(col("qid"), col("dst").as("nid")))
+      val top5 = tm(s"graph_ann_search_$label") {
+        grow(grow(hop0)).withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5).count()
+      }
+      require(top5 == 5000L,
+        s"expected 1000 queries × top-5, got $top5 at $label")
+      nodes.unpersist(); edges.unpersist(); q.unpersist()
+    }
+    graphSearch(100000L, "100k")
+    graphSearch(1000000L, "1m")
+
     spark.stop()
   }
 }

@@ -2605,7 +2605,7 @@ object Analytic {
       Seq(("h", true), ("event_id", true)), 20, rankName = "rnk")
   }
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     // both engines truncate to Monday-start weeks; the offset is an
     // exact integer day difference floor-divided by 7
     "q105_retention_cohorts" ->

@@ -74,17 +74,13 @@ object DedupOps {
   private[graft] val BloomBits: Int = 1 << 21
 
   private[graft] def bloomPos(i: Int, g: Column): Column =
-    conv(substring(md5(g), 1 + 6 * i, 6), 16, 10).cast("long") % BloomBits
+    bloomPosM(BloomBits, i, g)
 
   /** All-k membership probe against a bitmap shipped as an
     * array<bigint> literal: getbit on the word at pos/64 — pure
     * codegen'd column functions, no join, no UDF. */
   private[graft] def bloomHit(bm: Column)(g: Column): Column =
-    (0 until 3).map { i =>
-      val p = bloomPos(i, g)
-      getbit(element_at(bm, shiftright(p, 6).cast("int") + 1),
-        (p % 64).cast("int")) === 1
-    }.reduce(_ && _)
+    bloomHitM(BloomBits, bm)(g)
 
   /** The d38/d66 benchmark key set (distinct 5-grams of the held-out
     * split) — package-visible so the streaming twin's test builds its
@@ -93,19 +89,53 @@ object DedupOps {
     fiveGrams(t(s, d, "documents").filter(col("doc_id") % 7 === 0))
       .select(col("g")).distinct()
 
+  /** d67's parameterized variants of the d66 geometry: position i of
+    * key g in an m-bit bloom (m a power of two ≤ 2²⁴ so the 24-bit md5
+    * slice mods without bias), and the m-bit bitmap builder. d66's
+    * fixed-m helpers above stay the production pair; these exist so
+    * the sizing sweep provably runs the same construction at every
+    * arm. */
+  private[graft] def bloomPosM(mBits: Int, i: Int, g: Column): Column = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 24),
+      s"mBits must be a power of two <= 2^24, got $mBits")
+    conv(substring(md5(g), 1 + 6 * i, 6), 16, 10).cast("long") % mBits
+  }
+
+  private[graft] def bloomHitM(mBits: Int, bm: Column)(g: Column): Column =
+    (0 until 3).map { i =>
+      val p = bloomPosM(mBits, i, g)
+      getbit(element_at(bm, shiftright(p, 6).cast("int") + 1),
+        (p % 64).cast("int")) === 1
+    }.reduce(_ && _)
+
+  /** The PRODUCTION probe — the native fused
+    * [[graft.functions.BloomProbe]] expression (one thread-local md5 +
+    * three raw-byte slices + three bit tests per key) instead of
+    * [[bloomHitM]]'s three conv/substring/md5/getbit column chains.
+    * Membership is bit-identical (the slices are the same 24-bit
+    * values — fuzz-pinned against bloomHitM in VectorFunctionsSpec),
+    * so every oracle is untouched. */
+  private[graft] def bloomProbe(bits: Array[Long])(g: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.BloomProbe(
+      org.apache.spark.sql.GraftBridge.expression(g), bits))
+
+  private[graft] def bloomBitmapM(mBits: Int, bench: DataFrame,
+      key: String): Array[Long] = {
+    val positions = bench
+      .select(explode(array((0 until 3).map(i =>
+        bloomPosM(mBits, i, col(key))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](mBits / 64)
+    positions.foreach(p => bitmap((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    bitmap
+  }
+
   /** Fold a benchmark key column into the driver-side bloom bitmap —
     * ONE bounded job (distinct positions ≤ [[BloomBits]] by
     * construction, never corpus-sized; the s40 trained-quantizer
     * posture). */
-  private[graft] def bloomBitmap(bench: DataFrame, key: String): Array[Long] = {
-    val positions = bench
-      .select(explode(array((0 until 3).map(i => bloomPos(i, col(key))): _*))
-        .as("p"))
-      .distinct().collect().map(_.getLong(0))
-    val bitmap = new Array[Long](BloomBits / 64)
-    positions.foreach(p => bitmap((p >> 6).toInt) |= (1L << (p & 63).toInt))
-    bitmap
-  }
+  private[graft] def bloomBitmap(bench: DataFrame, key: String): Array[Long] =
+    bloomBitmapM(BloomBits, bench, key)
 
   /** d61's parameterized variant of [[shingles]]: distinct word-n-gram
     * sets for any n (the 3-gram family ops keep their own fixed
@@ -1156,9 +1186,11 @@ object DedupOps {
     // 5-grams into a FIXED-SIZE bit array (m = 2²¹ bits / 256 KiB,
     // k = 3 probes — both compile-time constants so the DuckDB oracle
     // replays membership bit-for-bit), ship the bitmap into the plan
-    // as a literal, and test every corpus gram MAP-SIDE inside
-    // whole-stage codegen: one md5 per gram, three 24-bit slices mod m,
-    // three getbit probes. No corpus-side join against the benchmark
+    // (a long[] referenced straight from generated code), and test
+    // every corpus gram MAP-SIDE inside whole-stage codegen through
+    // the native fused BloomProbe expression: ONE md5, three raw-byte
+    // 24-bit slices, three bit tests. No corpus-side join against the
+    // benchmark
     // at all — the membership structure is O(m) bytes REGARDLESS of
     // benchmark cardinality, where d38's exact broadcast set grows
     // with it (the reason blooms are how 100 TB corpora are
@@ -1178,12 +1210,12 @@ object DedupOps {
     "d66_bloom_decontam" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val bench = benchmarkGrams(s, d)
-      val bm = typedlit(bloomBitmap(bench, "g").toSeq)
+      val bits = bloomBitmap(bench, "g")
       val corpusDocs = docs.filter(col("doc_id") % 7 =!= 0)
       val benchHashes = bench.select(xxhash64(col("g")).as("gh"),
         lit(true).as("exact_hit"))
       val perDoc = fiveGrams(corpusDocs)
-        .withColumn("bloom_hit", bloomHit(bm)(col("g")))
+        .withColumn("bloom_hit", bloomProbe(bits)(col("g")))
         .withColumn("gh", xxhash64(col("g")))
         .join(broadcast(benchHashes), Seq("gh"), "left")
         .groupBy(col("doc_id"))
@@ -1211,6 +1243,58 @@ object DedupOps {
           when(col("n_docs") === col("n_flagged_exact"), lit(0.0))
             .otherwise(round(col("n_false_pos") /
               (col("n_docs") - col("n_flagged_exact")), 4)))
+    },
+
+    // BLOOM SIZING SWEEP — d52/d54's operating-curve discipline
+    // pointed at d66's one knob: the bitmap size m. ONE corpus gram
+    // pass probes all three arms (m = 2¹⁸ undersized / 2²¹ = d66's
+    // production / 2²⁴ oversized: one shared md5 + nine getbits per
+    // gram), the exact arm rides along once as ground truth, and the
+    // 3-row output is the table that justifies the production m — at
+    // sf0.1 the undersized arm SATURATES (doc FP → 1.0), production
+    // sits ~1%, oversized ~0, with bitmap KiB as the cost column.
+    // Same shuffles as d66 (doc_id partial agg), then the rollup is
+    // GLOBAL (the knob is corpus-level) so the sweep reduces to one
+    // row before a bounded 3-arm explode. All three mods are bias-free
+    // (2²⁴ ≡ 0 mod each m).
+    "d67_bloom_sizing_sweep" -> { (s, d) =>
+      val arms = Seq(1 << 18, 1 << 21, 1 << 24)
+      val docs = t(s, d, "documents")
+      val bench = benchmarkGrams(s, d)
+      val bms = arms.map(m => m -> bloomBitmapM(m, bench, "g")).toMap
+      val corpusDocs = docs.filter(col("doc_id") % 7 =!= 0)
+      val benchHashes = bench.select(xxhash64(col("g")).as("gh"),
+        lit(true).as("exact_hit"))
+      val aggCols = arms.map(m =>
+        sum(when(bloomProbe(bms(m))(col("g")), 1L).otherwise(0L))
+          .as(s"g_b$m")) :+
+        sum(when(col("exact_hit").isNotNull, 1L).otherwise(0L)).as("g_exact")
+      val perDoc = fiveGrams(corpusDocs)
+        .withColumn("gh", xxhash64(col("g")))
+        .join(broadcast(benchHashes), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val totCols = arms.map(m =>
+        sum(when(col(s"g_b$m") > 0, 1L).otherwise(0L)).as(s"f_b$m")) ++ Seq(
+        sum(when(col("g_exact") > 0, 1L).otherwise(0L)).as("f_exact"),
+        count(lit(1)).as("n_docs"))
+      val tot = corpusDocs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .agg(totCols.head, totCols.tail: _*)
+      tot.select(explode(array(arms.map(m => struct(
+            lit(m.toLong).as("m_bits"),
+            lit((m / 8 / 1024).toLong).as("bitmap_kib"),
+            col(s"f_b$m").as("fb"))): _*)).as("arm"),
+          col("n_docs"), col("f_exact"))
+        .select(col("arm.m_bits").as("m_bits"),
+          col("arm.bitmap_kib").as("bitmap_kib"),
+          col("n_docs"),
+          col("arm.fb").as("n_flagged_bloom"),
+          col("f_exact").as("n_flagged_exact"),
+          (col("arm.fb") - col("f_exact")).as("n_false_pos"),
+          when(col("n_docs") === col("f_exact"), lit(0.0))
+            .otherwise(round((col("arm.fb") - col("f_exact")) /
+              (col("n_docs") - col("f_exact")), 4)).as("fp_doc_rate"))
     },
 
     // QUALITY-CANONICAL ELECTION — production dedup keeps the BEST
@@ -1714,7 +1798,87 @@ object DedupOps {
        |FROM persrc""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** d67 oracle: the 24-bit md5 slices computed ONCE per (gram, i),
+    * then each arm's membership is a LEFT join against the DISTINCT
+    * benchmark (slice mod m) set with count = 3 — the same
+    * set-semantics replay as d66, three arms wide. */
+  private def d67OracleSql: String = {
+    val arms = Seq(1 << 18, 1 << 21, 1 << 24)
+    val h24 = (1 to 6).map { j =>
+      val w = 1L << (4 * (6 - j))
+      s"(CAST(strpos('0123456789abcdef', substring(hx, 6*i + $j, 1)) - 1 AS BIGINT) * $w)"
+    }.mkString(" + ")
+    val armJoins = arms.map(m =>
+      s"""  LEFT JOIN (SELECT DISTINCT sl % $m AS p FROM bslice) b$m
+         |    ON c.sl % $m = b$m.p""".stripMargin).mkString("\n")
+    val armCounts = arms.map(m => s"  count(b$m.p) = 3 AS h$m").mkString(",\n")
+    val armMaxes = arms.map(m =>
+      s"  max(CASE WHEN a.h$m THEN 1 ELSE 0 END) AS f$m").mkString(",\n")
+    val armSums = arms.map(m =>
+      s"  CAST(sum(coalesce(f$m, 0)) AS BIGINT) AS f$m").mkString(",\n")
+    val armValues = arms.map(m =>
+      s"(CAST($m AS BIGINT), CAST(${m / 8 / 1024} AS BIGINT))").mkString(", ")
+    val armPick = arms.init.map(m =>
+      s"WHEN $m THEN f$m").mkString(" ") + s" ELSE f${arms.last}"
+    s"""WITH tok AS (
+       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
+       | FROM documents WHERE length(trim(text)) > 0),
+       |gr AS (
+       | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-3),
+       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
+       | FROM tok WHERE len(w) >= 5),
+       |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0),
+       |bslice AS (
+       | SELECT DISTINCT ($h24) AS sl
+       | FROM (SELECT md5(g) AS hx FROM bench), (VALUES (0),(1),(2)) iv(i)),
+       |cg AS (
+       | SELECT doc_id, g, md5(g) AS hx FROM gr WHERE doc_id % 7 <> 0),
+       |cpos AS (
+       | SELECT doc_id, g, ($h24) AS sl
+       | FROM cg, (VALUES (0),(1),(2)) iv(i)),
+       |armhits AS (
+       | SELECT c.doc_id, c.g,
+       |$armCounts
+       | FROM cpos c
+       |$armJoins
+       | GROUP BY 1, 2),
+       |ehits AS (
+       | SELECT cg.doc_id, cg.g, (bench.g IS NOT NULL) AS exact_hit
+       | FROM cg LEFT JOIN bench ON cg.g = bench.g),
+       |perdoc AS (
+       | SELECT a.doc_id,
+       |$armMaxes,
+       |  max(CASE WHEN e.exact_hit THEN 1 ELSE 0 END) AS fe
+       | FROM armhits a JOIN ehits e USING (doc_id, g)
+       | GROUP BY 1),
+       |tot AS (
+       | SELECT count(*) AS n_docs,
+       |$armSums,
+       |  CAST(sum(coalesce(fe, 0)) AS BIGINT) AS fe
+       | FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) ad
+       |  LEFT JOIN perdoc USING (doc_id)),
+       |arms(m_bits, bitmap_kib) AS (VALUES $armValues)
+       |SELECT m_bits, bitmap_kib, n_docs,
+       | CASE m_bits $armPick END AS n_flagged_bloom,
+       | fe AS n_flagged_exact,
+       | CASE m_bits $armPick END - fe AS n_false_pos,
+       | CASE WHEN n_docs = fe THEN CAST(0 AS DOUBLE)
+       |      ELSE round((CASE m_bits $armPick END - fe) /
+       |        (n_docs - fe), 4) END AS fp_doc_rate
+       |FROM arms, tot""".stripMargin
+  }
+
+  // LAZY (all family oracle maps are, as of r17): the maps
+  // cross-reference each other's entries (q104 wraps d44's SQL; d64
+  // composes SamplingOps.bucketSql), so an EAGER val ran the composing
+  // object's <clinit> mid-way through the composed object's — fine
+  // under the entry orders the mains happened to use, a
+  // null-Map NPE under any other first-touch (a test initializing
+  // DedupOps before SamplingOps tripped it). Lazy evaluation unwinds
+  // the cycle for every order: <clinit> no longer builds the maps, and
+  // each map's on-demand build only calls the OTHER object's plain
+  // defs or its completed lazy map.
+  lazy val oracle: Map[String, String] = Map(
     // t60's chunking CTEs verbatim, then the cross-doc rank/doc-count
     // removability rule — row_number ordered by the unique
     // (doc_id, chunk_idx) so the canonical pick is deterministic in
@@ -1748,6 +1912,9 @@ object DedupOps {
     // the bloom replayed as set-membership over the same md5-slice
     // positions; generated so both engines provably hash one way
     "d66_bloom_decontam" -> d66OracleSql,
+    // the three sizing arms share the once-computed 24-bit slices;
+    // per-arm membership = LEFT join on slice mod m, count = 3
+    "d67_bloom_sizing_sweep" -> d67OracleSql,
     // wraps the d41 oracle verbatim; weights divide as DOUBLE (DuckDB's
     // bare 1.0 is DECIMAL, whose division rounds differently)
     "d57_soft_dedup" -> {

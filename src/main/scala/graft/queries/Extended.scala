@@ -547,7 +547,7 @@ object Extended {
        |FROM r WHERE rn <= 64 GROUP BY 1""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "q90_kmv_distinct" -> q90Oracle,
     // the same rank-weighted Gini identity over the single-window
     // row_number rendering (DistributedRank is bitwise identical to it)

@@ -1281,7 +1281,7 @@ object MultimodalOps extends Serializable {
       |FROM n, range(0, 64) r(i)
       |WHERE i < nt""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     // m34's tile CTEs + the m40 replace-counter (dense over the 16
     // nibbles by construction), per-nibble lag, integer L1 rollup
     "m46_shot_boundaries" ->

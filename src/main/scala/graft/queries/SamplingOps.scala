@@ -564,7 +564,7 @@ object SamplingOps {
     pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 16777216.0))
   }
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "q70_stratified_sample" ->
       """WITH r AS (
         | SELECT source, doc_id,

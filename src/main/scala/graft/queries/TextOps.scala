@@ -1604,7 +1604,7 @@ object TextOps {
        | round(n_bpe_syms / CAST(n_char_syms AS DOUBLE), 4) AS compression
        |FROM agg""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     // the same run-counting length deltas (DuckDB regexp_replace needs
     // the explicit 'g' flag for the global semantics Spark defaults to)
     "t55_readability" ->

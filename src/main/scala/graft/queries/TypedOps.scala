@@ -92,7 +92,7 @@ object TypedOps {
     }
   )
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "q130_typed_profile" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

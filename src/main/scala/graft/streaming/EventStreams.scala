@@ -652,8 +652,7 @@ object EventStreams extends Serializable {
     require(bitmap.length * 64 == graft.queries.DedupOps.BloomBits,
       s"bitmap must be DedupOps.BloomBits/64 = " +
         s"${graft.queries.DedupOps.BloomBits / 64} words, got ${bitmap.length}")
-    val bm = typedlit(bitmap.toSeq)
-    val hit = graft.queries.DedupOps.bloomHit(bm) _
+    val hit = graft.queries.DedupOps.bloomProbe(bitmap) _
     docs.toDF()
       .withColumn("w",
         when(length(trim(col("text"))) === 0, array().cast("array<string>"))

@@ -62,10 +62,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"bench grams must broadcast in:\n$p")
   }
 
-  test("d66 bloom decontamination: corpus grams tested map-side via getbit — no corpus-side join against the benchmark bitmap") {
+  test("d66 bloom decontamination: corpus grams tested map-side via the native probe — no corpus-side join against the benchmark bitmap") {
     val p = plan("d66_bloom_decontam")
-    assert(p.contains("getbit"),
-      s"bloom membership must run through the codegen'd getbit probes in:\n$p")
+    assert(p.contains("bloom_probe"),
+      s"bloom membership must run through the native fused BloomProbe in:\n$p")
     // the exact ground-truth arm still broadcasts (d38's shape); the
     // bloom arm itself adds NO join — only doc/source/gram-keyed
     // exchanges may appear

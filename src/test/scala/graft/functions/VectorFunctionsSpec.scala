@@ -462,4 +462,36 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === ref)
     assert(got.map(_._1).max > 65536L, "fixture must produce a >64 KiB chunk")
   }
+
+  test("BloomProbe: the fused native probe is bit-identical to the column-function rendering at every m") {
+    import spark.implicits._
+    // keys: ascii words, multi-byte unicode, empties, long strings —
+    // the digest must be over the same UTF-8 bytes both ways
+    val rng = new scala.util.Random(202)
+    val keys = (0 until 400).map { i =>
+      i % 5 match {
+        case 0 => s"w${rng.nextInt(5000)} tok${rng.nextInt(100)}"
+        case 1 => s"émojis ☃ ${rng.nextInt(1000)} 中文"
+        case 2 => ""
+        case 3 => "x" * (rng.nextInt(200) + 1)
+        case _ => (0 until 8).map(_ => rng.nextPrintableChar()).mkString
+      }
+    } :+ "planted benchmark gram one two"
+    val bench = keys.take(50).toDF("g")
+    for (m <- Seq(1 << 12, 1 << 18, 1 << 21, 1 << 24)) {
+      val bits = graft.queries.DedupOps.bloomBitmapM(m, bench, "g")
+      val bm = typedlit(bits.toSeq)
+      val rows = keys.toDF("g")
+        .select(col("g"),
+          graft.queries.DedupOps.bloomProbe(bits)(col("g")).as("native"),
+          graft.queries.DedupOps.bloomHitM(m, bm)(col("g")).as("columns"))
+        .collect()
+      rows.foreach(r => assert(r.getBoolean(1) === r.getBoolean(2),
+        s"m=$m key='${r.getString(0)}': native=${r.getBoolean(1)} columns=${r.getBoolean(2)}"))
+      // membership truth: every build key must hit (no false negatives)
+      val hits = keys.take(50).toSet
+      rows.filter(r => hits(r.getString(0)))
+        .foreach(r => assert(r.getBoolean(1), s"m=$m missed build key"))
+    }
+  }
 }

@@ -452,4 +452,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(exactTotal > 0, "fixture corpus must contain contaminated docs")
     SparkEntry.release(spark)
   }
+
+  test("d67 bloom sizing sweep: FP falls monotonically with m, no arm misses a contaminated doc, production arm == d66") {
+    val rows = SparkEntry.queries("d67_bloom_sizing_sweep")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L << 18, 1L << 21, 1L << 24))
+    // ground truth is arm-independent; every arm ⊇ exact (no false
+    // negatives at ANY m); FP cannot rise as the bitmap grows
+    assert(rows.map(_._5).distinct.length == 1, "exact flags must not vary by arm")
+    rows.foreach { case (m, _, nDocs, fb, fe, fp, _) =>
+      assert(fb >= fe, s"arm m=$m lost a contaminated doc")
+      assert(fp == fb - fe)
+      assert(fb <= nDocs)
+    }
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
+      s"bloom flags must fall (or hold) as m grows: ${rows.map(_._4).toSeq}")
+    // the m = 2^21 arm IS d66's production bloom: totals must agree
+    val d66 = SparkEntry.queries("d66_bloom_decontam")(spark, sf0001)
+      .collect()
+    val d66Bloom = d66.map(r => r.getLong(r.fieldIndex("n_flagged_bloom"))).sum
+    val d66Docs = d66.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    val prod = rows.find(_._1 == (1L << 21)).get
+    assert(prod._4 == d66Bloom,
+      s"sweep's production arm ${prod._4} != d66 total $d66Bloom")
+    assert(prod._3 == d66Docs)
+    SparkEntry.release(spark)
+  }
 }
