@@ -54,9 +54,16 @@ object DedupOps {
       .select(col("doc_id"), shingleCol.as("shingles"))
 
   /** Distinct word-5-grams per doc — the decontamination unit shared
-    * by d38 (exact join) and d66 (broadcast bloom): benchmark queries
-    * are matched at 5-gram granularity so a contaminated doc is caught
-    * even when it embeds a benchmark item inside other text. */
+    * by d38 (exact join) and d66/d67 (broadcast bloom): benchmark
+    * queries are matched at 5-gram granularity so a contaminated doc
+    * is caught even when it embeds a benchmark item inside other
+    * text. Deliberately NOT repartitioned (unlike [[shingles]]):
+    * the r17 scan-parallelism check was run — an up-front spread of
+    * the single-split test corpus measured a WASH at sf0.1 (d66
+    * 1.6–1.8 s either way, A/B'd) because the native BloomProbe made
+    * the per-gram work too cheap to amortize a corpus-text shuffle,
+    * and at real scale the table arrives already split, where an
+    * unconditional repartition is pure shuffle waste. */
   private def fiveGrams(df: DataFrame): DataFrame = df
     .withColumn("w", tokens(col("text")))
     .filter(size(col("w")) >= 5)
