@@ -78,6 +78,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("d67 bloom sizing sweep: all three arms probe in ONE corpus pass — three native probes, one scan of documents' corpus split") {
+    val p = plan("d67_bloom_sizing_sweep")
+    assert("bloom_probe".r.findAllMatchIn(p).size >= 3,
+      s"the three arms must each probe natively in the same pass:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(([a-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id", "g", "gh")),
+      s"unexpected shuffle keys $exchanges in:\n$p")
+    // the sweep must NOT scan the corpus once per ARM: documents
+    // appears once for the corpus grams, once for the doc roster, and
+    // once for the exact arm's benchmark split (the broadcast side) —
+    // the three bitmap builds ran at BUILD time and add nothing here
+    assert(p.split("FileScan").length - 1 == 3,
+      s"expected grams + roster + benchmark scans only:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    SparkEntry.release(spark)
+  }
+
   test("s71 graph ANN: bounded beam walk — every join keyed by node or query id, no cartesian product") {
     val p = plan("s71_graph_ann")
     assert(!p.contains("CartesianProduct"),
