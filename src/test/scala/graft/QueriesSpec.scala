@@ -83,6 +83,57 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s72 NN-descent converges: recall@3 vs exact all-pairs >= 0.8, >= 10x the init graph, complete and degree-bounded") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    // exact all-node top-3 ground truth (n=500 → 250k pairs; fine in
+    // a test, and the whole point of s72 is never doing this at scale)
+    val e = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pairs = e.select(col("vec_id").as("src"), col("emb").as("a"))
+      .crossJoin(e.select(col("vec_id").as("dst"), col("emb").as("b")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.functions.VectorFunctions
+          .cosineSim(col("a"), col("b")), 6).as("cosine"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val exact = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("src"), col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = e.count()
+    val built = SparkEntry.queries("s72_nndescent_knn_graph")(spark, sf0001)
+      .collect()
+    // completeness + bounded out-degree: every node gets 1..K ranked
+    // neighbors (the build must never drop a node or exceed K)
+    val byNode = built.groupBy(_.getLong(0))
+    assert(byNode.keySet.size.toLong == n, "s72 graph must cover every node")
+    val K = queries.SimilarityOps.nndescentK
+    assert(byNode.values.forall(rows => rows.length <= K
+        && rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length)),
+      s"per-node ranks must be contiguous 1..<=K=$K")
+    val builtTop3 = built.filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & builtTop3).size.toDouble / exact.size
+    // deterministic fixture: measured 0.8747 at sf0.001 (0.6132 at
+    // sf0.1 — structureless embeddings, NN-descent's hardest regime)
+    assert(recall >= 0.8, s"s72 recall@3 was $recall")
+    // convergence: the hash-mix init edge set (same formula as the
+    // query) contains almost none of the true top-3 — the supersteps
+    // must earn the recall, not the init (measured init containment
+    // ~0.02; a ring init plateaus at 0.03 FINAL recall, the reason
+    // the init is a hash mix)
+    val initEdges = (for {
+      i <- 0L until n; j <- 1 to K
+      d = (i * 1103515245L + 12345L + j * 2654435761L) % n if d != i
+    } yield (i, d)).toSet
+    val initContainment = (exact & initEdges).size.toDouble / exact.size
+    assert(recall >= 10 * initContainment,
+      s"s72 recall $recall must be >= 10x init containment $initContainment")
+    SparkEntry.release(spark)
+  }
+
   test("s48 recall matrix covers all four index variants with per-variant floors") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("s48_index_recall_matrix")(spark, sf0001)
