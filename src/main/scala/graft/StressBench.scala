@@ -1078,12 +1078,11 @@ object StressBench {
     // bloom must recover ALL of it — zero false negatives, anti-join
     // require — and the printed doc-level FP rate is the m-sizing
     // evidence at these constants.
-    def bloomFiveGrams(df: DataFrame): DataFrame = df
-      .withColumn("w", split(trim(col("text")), "[ \t\n\f\r]+"))
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(w)-5), i -> " +
-          "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))).as("g"))
+    // the REGISTRY's gram builder, not a local re-implementation
+    // (ADVICE r17): the bit-for-bit bloom parity this section asserts
+    // depends on stressing the exact tokenizer/gram pipeline d66 runs
+    def bloomFiveGrams(df: DataFrame): DataFrame =
+      graft.queries.DedupOps.fiveGrams(df)
     val benchB = spark.read.parquet(s"$base/documents.parquet")
       .filter(col("doc_id") < 500)
       .select(col("doc_id").as("bid"), col("text").as("btext"))

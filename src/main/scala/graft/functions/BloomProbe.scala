@@ -56,6 +56,21 @@ case class BloomProbe(child: Expression, bits: Array[Long])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // VALUE equality over the bitmap (r18): the synthesized case-class
+  // equals compares an Array[Long] field by REFERENCE, so two plans
+  // building identical bitmaps never compared equal and identical
+  // probes could not canonicalize together (a missed common-
+  // subexpression dedup, never a correctness issue). Arrays-based
+  // equals/hashCode restore the semantics every other literal-carrying
+  // expression gets for free; semanticEquals/semanticHash ride on
+  // these via the canonicalized tree.
+  override def equals(other: Any): Boolean = other match {
+    case BloomProbe(c, b) => child == c && java.util.Arrays.equals(bits, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bits)
 }
 
 object BloomProbe {

@@ -64,7 +64,7 @@ object DedupOps {
     * the per-gram work too cheap to amortize a corpus-text shuffle,
     * and at real scale the table arrives already split, where an
     * unconditional repartition is pure shuffle waste. */
-  private def fiveGrams(df: DataFrame): DataFrame = df
+  private[graft] def fiveGrams(df: DataFrame): DataFrame = df
     .withColumn("w", tokens(col("text")))
     .filter(size(col("w")) >= 5)
     .select(col("doc_id"), explode(array_distinct(expr(
@@ -143,6 +143,35 @@ object DedupOps {
     * posture). */
   private[graft] def bloomBitmap(bench: DataFrame, key: String): Array[Long] =
     bloomBitmapM(BloomBits, bench, key)
+
+  /** Multi-arm bitmap build in ONE bounded job (ADVICE r17): d67's
+    * sweep previously ran [[bloomBitmapM]] once per arm, and with the
+    * benchmark-gram frame unpersisted each collect re-ran the whole
+    * fiveGrams + distinct pass. Every arm is a power of two ≤ 2²⁴ and
+    * the 24-bit md5 slice IS the m = 2²⁴ position, so pos_m =
+    * slice & (m−1) — collect the distinct RAW slices once (≤ min(3·
+    * |bench|, 2²⁴) values) and derive every arm driver-side by
+    * masking. Set arithmetic makes this exact: distinct-then-mask ≡
+    * mask-then-distinct, so each arm's bitmap is bit-identical to its
+    * own bloomBitmapM build (spec-pinned in DedupSpec) and no oracle
+    * moves. */
+  private[graft] def bloomBitmapsM(ms: Seq[Int], bench: DataFrame,
+      key: String): Map[Int, Array[Long]] = {
+    ms.foreach(m => require(m > 0 && (m & (m - 1)) == 0 && m <= (1 << 24),
+      s"every arm must be a power of two <= 2^24, got $m"))
+    val slices = bench
+      .select(explode(array((0 until 3).map(i =>
+        bloomPosM(1 << 24, i, col(key))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    ms.map { m =>
+      val bitmap = new Array[Long](m / 64)
+      slices.foreach { s0 =>
+        val p = s0 & (m - 1)
+        bitmap((p >> 6).toInt) |= (1L << (p & 63).toInt)
+      }
+      m -> bitmap
+    }.toMap
+  }
 
   /** d61's parameterized variant of [[shingles]]: distinct word-n-gram
     * sets for any n (the 3-gram family ops keep their own fixed
@@ -1268,7 +1297,10 @@ object DedupOps {
       val arms = Seq(1 << 18, 1 << 21, 1 << 24)
       val docs = t(s, d, "documents")
       val bench = benchmarkGrams(s, d)
-      val bms = arms.map(m => m -> bloomBitmapM(m, bench, "g")).toMap
+      // ONE collect builds all three arms (bloomBitmapsM masks the
+      // shared 2²⁴ slice set down to each m) — previously three jobs,
+      // each re-running the unpersisted benchmark gram pass
+      val bms = bloomBitmapsM(arms, bench, "g")
       val corpusDocs = docs.filter(col("doc_id") % 7 =!= 0)
       val benchHashes = bench.select(xxhash64(col("g")).as("gh"),
         lit(true).as("exact_hit"))
@@ -1748,26 +1780,39 @@ object DedupOps {
     * set of the benchmark grams, and a corpus gram bloom-hits iff all
     * three of its positions join that set (count(matched) = 3 over a
     * LEFT join — set semantics, exactly what the bitmap encodes). */
+  /** Shared oracle fragments for the bloom family (ADVICE r17: these
+    * were duplicated verbatim across d66OracleSql/d67OracleSql — any
+    * drift between the copies would silently break the bit-for-bit
+    * parity both oracles assert, so they live once, the d38-CTE
+    * precedent). */
+  // hex digit j (1..6) of the 24-bit md5 slice starting at offset 6*i
+  private def h24SliceSql: String = (1 to 6).map { j =>
+    val w = 1L << (4 * (6 - j))
+    s"(CAST(strpos('0123456789abcdef', substring(hx, 6*i + $j, 1)) - 1 AS BIGINT) * $w)"
+  }.mkString(" + ")
+
+  /** tok → gr (distinct 5-grams) → bench (benchmark slice) → cg
+    * (corpus grams + md5 hex) — the CTE prefix both bloom oracles
+    * replay; exactly [[fiveGrams]] + the doc_id % 7 split in DuckDB. */
+  private def bloomGramCtesSql: String =
+    """tok AS (
+      | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+      | FROM documents WHERE length(trim(text)) > 0),
+      |gr AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-3),
+      |   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
+      | FROM tok WHERE len(w) >= 5),
+      |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0),
+      |cg AS (
+      | SELECT doc_id, g, md5(g) AS hx FROM gr WHERE doc_id % 7 <> 0)""".stripMargin
+
   private def d66OracleSql: String = {
     val m = 1 << 21
-    // hex digit j (1..6) of the 24-bit slice starting at offset 6*i
-    val h24 = (1 to 6).map { j =>
-      val w = 1L << (4 * (6 - j))
-      s"(CAST(strpos('0123456789abcdef', substring(hx, 6*i + $j, 1)) - 1 AS BIGINT) * $w)"
-    }.mkString(" + ")
-    s"""WITH tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
-       | FROM documents WHERE length(trim(text)) > 0),
-       |gr AS (
-       | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-3),
-       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
-       | FROM tok WHERE len(w) >= 5),
-       |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0),
+    val h24 = h24SliceSql
+    s"""WITH $bloomGramCtesSql,
        |bpos AS (
        | SELECT DISTINCT ($h24) % $m AS pos
        | FROM (SELECT md5(g) AS hx FROM bench), (VALUES (0),(1),(2)) iv(i)),
-       |cg AS (
-       | SELECT doc_id, g, md5(g) AS hx FROM gr WHERE doc_id % 7 <> 0),
        |cpos AS (
        | SELECT doc_id, g, ($h24) % $m AS pos
        | FROM cg, (VALUES (0),(1),(2)) iv(i)),
@@ -1811,10 +1856,7 @@ object DedupOps {
     * set-semantics replay as d66, three arms wide. */
   private def d67OracleSql: String = {
     val arms = Seq(1 << 18, 1 << 21, 1 << 24)
-    val h24 = (1 to 6).map { j =>
-      val w = 1L << (4 * (6 - j))
-      s"(CAST(strpos('0123456789abcdef', substring(hx, 6*i + $j, 1)) - 1 AS BIGINT) * $w)"
-    }.mkString(" + ")
+    val h24 = h24SliceSql
     val armJoins = arms.map(m =>
       s"""  LEFT JOIN (SELECT DISTINCT sl % $m AS p FROM bslice) b$m
          |    ON c.sl % $m = b$m.p""".stripMargin).mkString("\n")
@@ -1827,19 +1869,10 @@ object DedupOps {
       s"(CAST($m AS BIGINT), CAST(${m / 8 / 1024} AS BIGINT))").mkString(", ")
     val armPick = arms.init.map(m =>
       s"WHEN $m THEN f$m").mkString(" ") + s" ELSE f${arms.last}"
-    s"""WITH tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
-       | FROM documents WHERE length(trim(text)) > 0),
-       |gr AS (
-       | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-3),
-       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
-       | FROM tok WHERE len(w) >= 5),
-       |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 7 = 0),
+    s"""WITH $bloomGramCtesSql,
        |bslice AS (
        | SELECT DISTINCT ($h24) AS sl
        | FROM (SELECT md5(g) AS hx FROM bench), (VALUES (0),(1),(2)) iv(i)),
-       |cg AS (
-       | SELECT doc_id, g, md5(g) AS hx FROM gr WHERE doc_id % 7 <> 0),
        |cpos AS (
        | SELECT doc_id, g, ($h24) AS sl
        | FROM cg, (VALUES (0),(1),(2)) iv(i)),

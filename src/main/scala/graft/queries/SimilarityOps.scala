@@ -1015,6 +1015,29 @@ object SimilarityOps {
     // documented reuse point (three hops read it; released by
     // SparkEntry.release — the d28 discipline).
     "s71_graph_ann" -> { (s, d) =>
+      // serving-time knobs (r18, the q83 spark.graft.fuzzy.buckets
+      // posture): beam width and hop count are THE latency/recall
+      // dials of a graph search — at 100 TB an operator widens the
+      // beam for offline eval and narrows it for online serving
+      // without redeploying. DEFAULTS (beam 4, hops 2 — the shared
+      // graphAnnDefault* constants) are what the DuckDB oracle
+      // unrolls; non-default settings trade more scored nodes for
+      // recall and are covered by QueriesSpec's widened-beam recall
+      // re-assertion, not the oracle.
+      val beamW = {
+        val v = s.conf.get("spark.graft.graphann.beam",
+          graphAnnDefaultBeam.toString).toInt
+        require(v >= 1 && v <= 64,
+          s"spark.graft.graphann.beam must be in [1, 64], got $v")
+        v
+      }
+      val hops = {
+        val v = s.conf.get("spark.graft.graphann.hops",
+          graphAnnDefaultHops.toString).toInt
+        require(v >= 1 && v <= 8,
+          s"spark.graft.graphann.hops must be in [1, 8], got $v")
+        v
+      }
       val e = emb(s, d)
       val edges = queries("s47_knn_graph")(s, d)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
@@ -1029,7 +1052,7 @@ object SimilarityOps {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("nid").asc)
       def beam(v: DataFrame): DataFrame =
-        v.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        v.withColumn("rn", row_number().over(w)).filter(col("rn") <= beamW)
           .select(col("qid"), col("nid"))
       def expand(b: DataFrame): DataFrame =
         b.join(edges, col("nid") === col("src"))
@@ -1044,7 +1067,7 @@ object SimilarityOps {
       val hop0 = scored(
         q.select(col("qid")).join(edges, col("qid") === col("src"))
           .select(col("qid"), col("dst").as("nid")))
-      grow(grow(hop0))
+      (1 to hops).foldLeft(hop0)((v, _) => grow(v))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("nid").as("neighbor_id"),
@@ -1827,6 +1850,12 @@ object SimilarityOps {
   private[graft] val nndescentK = 10
   private[graft] val nndescentIters = 6
 
+  /** s71's default beam width / hop count — ONE definition drives the
+    * query's conf defaults AND the oracle's unrolled hop generator, so
+    * the oracle always replays exactly the default walk. */
+  private[graft] val graphAnnDefaultBeam = 4
+  private[graft] val graphAnnDefaultHops = 2
+
   /** Shared binary codec (s66/s67): per-dim corpus-mean threshold in
     * integer micro-units (exact rational compare n·v_u > sum_u — no FP
     * mean), bits packed into two 32-bit halves (dims 1–32 → code_lo,
@@ -2478,7 +2507,7 @@ object SimilarityOps {
       val prev = if (h == 1) "h0" else s"v${h - 1}"
       s"""b$h AS (SELECT qid, nid FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, nid ASC) AS rn FROM $prev) WHERE rn <= 4),
+         |    ORDER BY cosine DESC, nid ASC) AS rn FROM $prev) WHERE rn <= $graphAnnDefaultBeam),
          |x$h AS (
          | SELECT DISTINCT b.qid, ed.dst AS nid
          | FROM b$h b JOIN edges ed ON ed.src = b.nid WHERE ed.dst <> b.qid),
@@ -2496,11 +2525,10 @@ object SimilarityOps {
        |h0 AS (
        | SELECT q.qid, ed.dst AS nid, ${cosq("n.emb")} AS cosine
        | FROM q JOIN edges ed ON ed.src = q.qid JOIN e n ON n.vec_id = ed.dst),
-       |${hop(1)},
-       |${hop(2)}
+       |${(1 to graphAnnDefaultHops).map(hop).mkString(",\n")}
        |SELECT qid, rnk, nid AS neighbor_id, cosine FROM (
        | SELECT *, row_number() OVER (PARTITION BY qid
-       |   ORDER BY cosine DESC, nid ASC) AS rnk FROM v2)
+       |   ORDER BY cosine DESC, nid ASC) AS rnk FROM v$graphAnnDefaultHops)
        |WHERE rnk <= 5""".stripMargin
   }
 

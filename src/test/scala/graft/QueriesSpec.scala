@@ -83,6 +83,51 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s71 beam/hop knobs: explicit defaults reproduce the oracle walk, a wider beam keeps the recall floor, bad values refuse") {
+    import org.apache.spark.sql.functions._
+    def run(): Set[(Long, Int, Long)] =
+      SparkEntry.queries("s71_graph_ann")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dflt = run()
+    SparkEntry.release(spark)
+    try {
+      // explicitly setting the documented defaults must be a no-op —
+      // the oracle covers exactly this walk
+      spark.conf.set("spark.graft.graphann.beam", "4")
+      spark.conf.set("spark.graft.graphann.hops", "2")
+      assert(run() == dflt, "explicit defaults must reproduce the default walk")
+      SparkEntry.release(spark)
+      // widened beam: more scored nodes may only improve the walk —
+      // the recall floor the default passes must hold
+      spark.conf.set("spark.graft.graphann.beam", "8")
+      val wide = run()
+      assert(wide.map(t => (t._1, t._3)).size == wide.size)
+      def top3(s: Set[(Long, Int, Long)]) =
+        s.filter(_._2 <= 3).map(t => (t._1, t._3))
+      val brute = SparkEntry.queries("s33_knn_bruteforce")(spark, sf0001)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & top3(wide)).size.toDouble / brute.size
+      assert(recall >= 0.8, s"s71 beam=8 recall@3 was $recall")
+      SparkEntry.release(spark)
+      spark.conf.set("spark.graft.graphann.beam", "0")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("s71_graph_ann")(spark, sf0001)
+      }
+      assert(e.getMessage.contains("spark.graft.graphann.beam"))
+      spark.conf.set("spark.graft.graphann.beam", "4")
+      spark.conf.set("spark.graft.graphann.hops", "9")
+      val e2 = intercept[IllegalArgumentException] {
+        SparkEntry.queries("s71_graph_ann")(spark, sf0001)
+      }
+      assert(e2.getMessage.contains("spark.graft.graphann.hops"))
+    } finally {
+      spark.conf.unset("spark.graft.graphann.beam")
+      spark.conf.unset("spark.graft.graphann.hops")
+      SparkEntry.release(spark)
+    }
+  }
+
   test("s72 NN-descent converges: recall@3 vs exact all-pairs >= 0.8, >= 10x the init graph, complete and degree-bounded") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

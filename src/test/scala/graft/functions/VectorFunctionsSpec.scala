@@ -494,4 +494,21 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
         .foreach(r => assert(r.getBoolean(1), s"m=$m missed build key"))
     }
   }
+
+  test("BloomProbe: value equality over the bitmap — identical probes canonicalize, different bitmaps don't") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val childE = BoundReference(0, StringType, nullable = true)
+    val a = graft.functions.BloomProbe(childE, Array(1L, 2L, 3L, 4L))
+    val b = graft.functions.BloomProbe(childE, Array(1L, 2L, 3L, 4L)) // distinct array, same content
+    val c = graft.functions.BloomProbe(childE, Array(1L, 2L, 3L, 5L))
+    assert(a == b, "equal-content bitmaps must compare equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b), "identical probes must canonicalize together")
+    assert(a != c && !a.semanticEquals(c),
+      "different bitmaps must stay distinct")
+    // unchanged results: the fuzz test above pins behavior; this pins
+    // that the equality override didn't break tree copying
+    assert(a.withNewChildren(Seq(childE)) == a)
+  }
 }

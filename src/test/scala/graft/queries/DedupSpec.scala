@@ -480,4 +480,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(prod._3 == d66Docs)
     SparkEntry.release(spark)
   }
+
+  test("bloomBitmapsM: the one-collect multi-arm build is bit-identical to each arm's own bloomBitmapM") {
+    // the r18 ADVICE fix collapsed d67's three bitmap-build jobs into
+    // one collect of the raw 2^24 slices masked down per arm; this pin
+    // is the drift guard — if either path's arithmetic moves, the
+    // sweep's oracles move with it
+    val bench = DedupOps.benchmarkGrams(spark, sf0001)
+    val arms = Seq(1 << 12, 1 << 18, 1 << 21, 1 << 24)
+    val multi = DedupOps.bloomBitmapsM(arms, bench, "g")
+    for (m <- arms) {
+      val single = DedupOps.bloomBitmapM(m, bench, "g")
+      assert(java.util.Arrays.equals(multi(m), single),
+        s"derived bitmap differs from direct build at m=$m")
+    }
+    SparkEntry.release(spark)
+  }
 }
