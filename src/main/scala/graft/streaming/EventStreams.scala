@@ -670,6 +670,76 @@ object EventStreams extends Serializable {
       .as[DecontamFlag]
   }
 
+  case class IngestVector(vec_id: Long, emb: Seq[Double])
+  // qualified-private, not `private`: encoders compile a
+  // SafeProjection that must reach the class from generated code, and
+  // plain `private` members of an object are private in bytecode too
+  private[streaming] case class AssignedVec(vec_id: Long, cid: Int,
+      cos_u: Long)
+  case class CellState(n: Long, sum_cos_u: Long)
+  case class CellIngest(cid: Int, n_delta: Long, sum_cos_u: Long,
+      delta_cohesion: Double)
+
+  /** STREAMING IVF INGEST — s57's delta arm at ingest time: arriving
+    * vectors are assigned to the FROZEN coarse quantizer (the
+    * production move — retraining per batch would re-cluster the
+    * corpus) and per-cell occupancy/cohesion accumulates as keyed
+    * state, emitting the running retraining-trigger table every
+    * micro-batch. The centroids enter as driver literals exactly like
+    * [[bloomDecontamStream]]'s bitmap — frozen state is a LITERAL, not
+    * a join side.
+    *
+    * Row-identity with the batch twin by construction:
+    *  - the assignment is the SAME total order s57's window runs
+    *    (cosine DESC, cid ASC) — rendered in-row as array_max over
+    *    (round-6 cosine, −cid) structs, so a stream shard never needs
+    *    the cross-vector shuffle the batch window uses;
+    *  - cosine is the shared native expression (round 6, both twins);
+    *  - cohesion state is INTEGER micro-units (Σ of round-6 cosines
+    *    scaled 1e6 — exact longs, so accumulation order across
+    *    micro-batches and restarts can never move a ulp; the d37
+    *    fixed-point lesson), divided exactly at emit time with the
+    *    same HALF_UP round-4 the batch column applies.
+    * State per cell is two longs — 16 cells × 16 bytes resident,
+    * checkpointable, regardless of ingest volume. */
+  def ivfIngestStream(vecs: Dataset[IngestVector],
+      centroids: Array[Array[Double]]): Dataset[CellIngest] = {
+    require(centroids.nonEmpty &&
+      centroids.forall(_.length == centroids.head.length),
+      "centroids must be a non-empty rectangular matrix")
+    val s = vecs.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val cosF = graft.functions.VectorFunctions.cosineSim _
+    val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val assigned = vecs.toDF()
+      .withColumn("sc",
+        transform(sequence(lit(0), lit(centroids.length - 1)),
+          i => struct(
+            round(cosF(col("emb"), element_at(centsLit, i + 1)), 6)
+              .as("cosc"),
+            (lit(0) - i).cast("int").as("negcid"))))
+      .withColumn("best", array_max(col("sc")))
+      .select(col("vec_id"),
+        (lit(0) - col("best.negcid")).cast("int").as("cid"),
+        round(col("best.cosc") * 1e6, 0).cast("long").as("cos_u"))
+      .as[AssignedVec]
+    assigned.groupByKey(_.cid)
+      .flatMapGroupsWithState[CellState, CellIngest](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (cid: Int, it: Iterator[AssignedVec], state: GroupState[CellState]) =>
+          val prev = state.getOption.getOrElse(CellState(0L, 0L))
+          var n = prev.n
+          var su = prev.sum_cos_u
+          it.foreach { v => n += 1; su += v.cos_u }
+          state.update(CellState(n, su))
+          val coh = new java.math.BigDecimal(su)
+            .divide(new java.math.BigDecimal(n * 1000000L), 4,
+              java.math.RoundingMode.HALF_UP).doubleValue
+          Iterator(CellIngest(cid, n, su, coh))
+      }
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(count: Long, total: Double)
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)

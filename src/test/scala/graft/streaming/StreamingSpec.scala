@@ -880,6 +880,113 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("ivf ingest stream (s57 twin): streamed per-cell occupancy/cohesion == the batch delta columns") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // batch oracle: s57's delta columns for cells that received deltas
+    val batch = graft.SparkEntry.queries("s57_index_update")(spark, sf)
+      .filter($"n_delta" > 0)
+      .select($"cid", $"n_delta", $"delta_cohesion")
+      .collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.SparkEntry.release(spark)
+    assert(batch.nonEmpty)
+    // the SAME frozen quantizer the batch uses: vectors 0..15, in
+    // vec_id order so stream cell index == batch centroid id
+    val cents = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    // the delta batch: s57's "arrived after the index was built" rule
+    val deltas = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => EventStreams.IngestVector(r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[EventStreams.IngestVector]
+    val query = EventStreams.ivfIngestStream(input.toDS(), cents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_ingest_out")
+      .start()
+    try {
+      input.addData(deltas.take(deltas.length / 2))
+      query.processAllAvailable()
+      input.addData(deltas.drop(deltas.length / 2))
+      query.processAllAvailable()
+      // the running table's LAST row per cell is the final state
+      val streamed = spark.table("ivf_ingest_out")
+        .groupBy($"cid")
+        .agg(max(struct($"n_delta", $"delta_cohesion")).as("last"))
+        .select($"cid", $"last.n_delta", $"last.delta_cohesion")
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed === batch, s"streamed=$streamed\nbatch=$batch")
+    } finally query.stop()
+  }
+
+  test("checkpoint restart: ivfIngestStream resumes per-cell state exactly-once and still matches batch s57") {
+    // the incremental-ANN twin's fault-tolerance contract: kill the
+    // ingest query between waves, restart from its checkpoint, and
+    // the final per-cell table must still equal the batch oracle —
+    // state loss would restart wave-2 occupancy from zero, a replay
+    // would double-count wave 1 (and the integer cohesion state makes
+    // any such drift an EXACT mismatch, never a ulp excuse)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("s57_index_update")(spark, sf)
+      .filter($"n_delta" > 0)
+      .select($"cid", $"n_delta", $"delta_cohesion")
+      .collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.SparkEntry.release(spark)
+    val cents = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val deltas = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => EventStreams.IngestVector(r.getLong(0), r.getSeq[Double](1)))
+    val root = java.nio.file.Files.createTempDirectory("ivf_ckpt").toString
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    deltas.take(deltas.length / 2).toSeq.toDF().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    def startQuery() = EventStreams.ivfIngestStream(
+      spark.readStream.schema("vec_id LONG, emb ARRAY<DOUBLE>")
+        .parquet(inDir).as[EventStreams.IngestVector], cents)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    deltas.drop(deltas.length / 2).toSeq.toDF().coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val finals = spark.read.parquet(outDir)
+      .groupBy($"cid")
+      .agg(max(struct($"n_delta", $"delta_cohesion")).as("last"))
+      .select($"cid", $"last.n_delta", $"last.delta_cohesion")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finals === batch,
+      s"resumed state diverged from batch: finals=$finals\nbatch=$batch")
+  }
+
+  test("ivf ingest stream rejects a ragged centroid matrix") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[EventStreams.IngestVector]
+    val ex = intercept[IllegalArgumentException](
+      EventStreams.ivfIngestStream(empty,
+        Array(Array(1.0, 2.0), Array(3.0))))
+    assert(ex.getMessage.contains("rectangular"))
+  }
+
   test("bloom decontam stream rejects a mis-sized bitmap") {
     import spark.implicits._
     val empty = spark.emptyDataset[EventStreams.IngestDoc]
