@@ -1015,63 +1015,31 @@ object SimilarityOps {
     // documented reuse point (three hops read it; released by
     // SparkEntry.release — the d28 discipline).
     "s71_graph_ann" -> { (s, d) =>
-      // serving-time knobs (r18, the q83 spark.graft.fuzzy.buckets
-      // posture): beam width and hop count are THE latency/recall
-      // dials of a graph search — at 100 TB an operator widens the
-      // beam for offline eval and narrows it for online serving
-      // without redeploying. DEFAULTS (beam 4, hops 2 — the shared
-      // graphAnnDefault* constants) are what the DuckDB oracle
-      // unrolls; non-default settings trade more scored nodes for
-      // recall and are covered by QueriesSpec's widened-beam recall
-      // re-assertion, not the oracle.
-      val beamW = {
-        val v = s.conf.get("spark.graft.graphann.beam",
-          graphAnnDefaultBeam.toString).toInt
-        require(v >= 1 && v <= 64,
-          s"spark.graft.graphann.beam must be in [1, 64], got $v")
-        v
-      }
-      val hops = {
-        val v = s.conf.get("spark.graft.graphann.hops",
-          graphAnnDefaultHops.toString).toInt
-        require(v >= 1 && v <= 8,
-          s"spark.graft.graphann.hops must be in [1, 8], got $v")
-        v
-      }
-      val e = emb(s, d)
       val edges = queries("s47_knn_graph")(s, d)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
-      val nodes = e.select(col("vec_id").as("nid"), col("emb").as("nemb"))
-      def scored(frontier: DataFrame): DataFrame =
-        frontier.join(nodes, "nid").join(broadcast(q), "qid")
-          .select(col("qid"), col("nid"),
-            round(cos(col("qemb"), col("nemb")), 6).as("cosine"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("nid").asc)
-      def beam(v: DataFrame): DataFrame =
-        v.withColumn("rn", row_number().over(w)).filter(col("rn") <= beamW)
-          .select(col("qid"), col("nid"))
-      def expand(b: DataFrame): DataFrame =
-        b.join(edges, col("nid") === col("src"))
-          .select(col("qid"), col("dst").as("nid"))
-          .filter(col("nid") =!= col("qid")).distinct()
-      def grow(v: DataFrame): DataFrame = {
-        val fresh = expand(beam(v))
-          .join(v.select(col("qid"), col("nid")), Seq("qid", "nid"),
-            "left_anti")
-        v.unionByName(scored(fresh))
-      }
-      val hop0 = scored(
-        q.select(col("qid")).join(edges, col("qid") === col("src"))
-          .select(col("qid"), col("dst").as("nid")))
-      (1 to hops).foldLeft(hop0)((v, _) => grow(v))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("nid").as("neighbor_id"),
-          col("cosine"))
+      beamWalk(s, d, edges)
+    },
+
+    // GRAPH-ANN OVER THE NN-DESCENT GRAPH — the end-to-end closure of
+    // the navigable-graph family: s71 proved the beam SEARCH scales
+    // (StressBench: flat at 10× corpus) but walked edges built by
+    // s47's quadratic cell join; s72 proved the BUILD scales
+    // (near-linear at 10× corpus) — this query is the two composed,
+    // the same [[beamWalk]] (shared code, shared knobs) over s72's
+    // out-degree-K graph. Recall@3 vs brute force: 0.933 at sf0.001
+    // (matching s71's, floor-asserted in QueriesSpec); 0.667 at sf0.1,
+    // where the walk honestly inherits the s72 graph's 0.61 edge
+    // recall on the structureless corpus — the documented trade of the
+    // scalable build, bought back with more NN-descent rounds / larger
+    // K (s72's knobs), not by reverting to the quadratic join. The
+    // oracle is the shared walk generator over s72's SQL verbatim
+    // (the s45/s71 composed-SQL discipline).
+    "s73_graph_ann_nndescent" -> { (s, d) =>
+      val edges = queries("s72_nndescent_knn_graph")(s, d)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      beamWalk(s, d, edges)
     },
 
     // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
@@ -1850,11 +1818,78 @@ object SimilarityOps {
   private[graft] val nndescentK = 10
   private[graft] val nndescentIters = 6
 
-  /** s71's default beam width / hop count — ONE definition drives the
-    * query's conf defaults AND the oracle's unrolled hop generator, so
-    * the oracle always replays exactly the default walk. */
+  /** s71/s73's default beam width / hop count — ONE definition drives
+    * the walk's conf defaults AND the oracle's unrolled hop generator,
+    * so the oracle always replays exactly the default walk. */
   private[graft] val graphAnnDefaultBeam = 4
   private[graft] val graphAnnDefaultHops = 2
+
+  /** The beam walk shared by s71 (s47 cell-built edges) and s73 (s72
+    * NN-descent edges): each query starts at its own node's out-edges
+    * (queries are corpus members, the s33 posture), then runs fixed
+    * expansion supersteps — keep the beam (top-beamW visited by exact
+    * rounded cosine, id tie-break), walk the beam's out-edges, score
+    * only NOT-YET-VISITED arrivals (anti-join — no pair scored twice),
+    * union into the visited set; final answer = top-5 visited. Every
+    * join is keyed by node or query id; per query per hop the frontier
+    * is ≤ beam × out-degree rows — at 100 TB a search touches
+    * O(hops × beam × degree) nodes per query while the edge table
+    * shuffles only by node id, never pairwise.
+    *
+    * Serving-time knobs (the q83 spark.graft.fuzzy.buckets posture):
+    * spark.graft.graphann.{beam,hops} are THE latency/recall dials —
+    * widen for offline eval, narrow for serving, no redeploy. DEFAULTS
+    * (graphAnnDefault*) are what the DuckDB oracle unrolls; non-default
+    * settings trade scored nodes for recall and are covered by
+    * QueriesSpec's widened-beam recall re-assertion, not the oracle. */
+  private def beamWalk(s: SparkSession, d: String,
+      edges: DataFrame): DataFrame = {
+    val beamW = {
+      val v = s.conf.get("spark.graft.graphann.beam",
+        graphAnnDefaultBeam.toString).toInt
+      require(v >= 1 && v <= 64,
+        s"spark.graft.graphann.beam must be in [1, 64], got $v")
+      v
+    }
+    val hops = {
+      val v = s.conf.get("spark.graft.graphann.hops",
+        graphAnnDefaultHops.toString).toInt
+      require(v >= 1 && v <= 8,
+        s"spark.graft.graphann.hops must be in [1, 8], got $v")
+      v
+    }
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val nodes = e.select(col("vec_id").as("nid"), col("emb").as("nemb"))
+    def scored(frontier: DataFrame): DataFrame =
+      frontier.join(nodes, "nid").join(broadcast(q), "qid")
+        .select(col("qid"), col("nid"),
+          round(cos(col("qemb"), col("nemb")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    def beam(v: DataFrame): DataFrame =
+      v.withColumn("rn", row_number().over(w)).filter(col("rn") <= beamW)
+        .select(col("qid"), col("nid"))
+    def expand(b: DataFrame): DataFrame =
+      b.join(edges, col("nid") === col("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .filter(col("nid") =!= col("qid")).distinct()
+    def grow(v: DataFrame): DataFrame = {
+      val fresh = expand(beam(v))
+        .join(v.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_anti")
+      v.unionByName(scored(fresh))
+    }
+    val hop0 = scored(
+      q.select(col("qid")).join(edges, col("qid") === col("src"))
+        .select(col("qid"), col("dst").as("nid")))
+    (1 to hops).foldLeft(hop0)((v, _) => grow(v))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("nid").as("neighbor_id"),
+        col("cosine"))
+  }
 
   /** Shared binary codec (s66/s67): per-dim corpus-mean threshold in
     * integer micro-units (exact rational compare n·v_u > sum_u — no FP
@@ -2495,12 +2530,13 @@ object SimilarityOps {
         |   ORDER BY cosine DESC, nb_id ASC) AS rnk FROM cand)
         |WHERE rnk <= 3""".stripMargin
 
-  /** s71 oracle: s47's graph SQL verbatim as `edges`, then the beam
-    * walk unrolled — hop h keeps the top-4 of the visited set v{h},
+  /** Shared walk oracle (s71/s73): the composed edge SQL verbatim as
+    * `edges`, then the beam walk unrolled from the graphAnnDefault*
+    * constants — hop h keeps the top-beam of the visited set v{h},
     * walks their out-edges, scores only arrivals not already in v{h}
     * (NOT EXISTS ≡ the Spark anti-join), and unions. Generated per hop
-    * so both engines provably run one algorithm. */
-  private def s71OracleSql: String = {
+    * so both engines provably run one algorithm over either graph. */
+  private def graphAnnWalkSql(edgesSql: String): String = {
     def cosq(v: String): String =
       s"round(list_dot_product(q.qemb, $v) / (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product($v, $v))), 6)"
     def hop(h: Int): String = {
@@ -2518,8 +2554,8 @@ object SimilarityOps {
          |   WHERE v.qid = x.qid AND v.nid = x.nid)),
          |v$h AS (SELECT * FROM $prev UNION ALL SELECT * FROM f$h)""".stripMargin
     }
-    s"""WITH edges AS (
-       | SELECT vec_id AS src, neighbor_id AS dst FROM ($s47OracleSql) g),
+    s"""WITH edges AS MATERIALIZED (
+       | SELECT vec_id AS src, neighbor_id AS dst FROM ($edgesSql) g),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
        |h0 AS (
@@ -2531,6 +2567,9 @@ object SimilarityOps {
        |   ORDER BY cosine DESC, nid ASC) AS rnk FROM v$graphAnnDefaultHops)
        |WHERE rnk <= 5""".stripMargin
   }
+
+  private def s71OracleSql: String = graphAnnWalkSql(s47OracleSql)
+  private def s73OracleSql: String = graphAnnWalkSql(s72OracleSql)
 
   /** s72 oracle: the NN-descent fixed-point unrolled — ring init, then
     * [[nndescentIters]] supersteps each generated by the same code
@@ -3248,6 +3287,9 @@ object SimilarityOps {
     // ring init + the NN-descent supersteps unrolled by the shared
     // (K, iters) constants — both engines run one fixed-point
     "s72_nndescent_knn_graph" -> s72OracleSql,
+    // the shared walk generator over s72's SQL verbatim — the same
+    // algorithm as s71's oracle, different edge table
+    "s73_graph_ann_nndescent" -> s73OracleSql,
     "s39_scalar_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
