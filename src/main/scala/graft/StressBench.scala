@@ -1335,6 +1335,96 @@ object StressBench {
     nndescentBuild(100000L, "100k")
     cellBuild(10000L, "10k")
     cellBuild(31623L, "31k")
+
+    // ---- s74: the entry-tier walk on NAVIGABLE vectors. The registry
+    // corpus is uniform-random, where greedy graph navigation provably
+    // degrades (s74's spec floor there is 0.35, measured 0.4–0.47);
+    // this row runs the SAME two-layer machinery — the registry's own
+    // nndescentGraph on both layers, the same election + 6-hop
+    // descent — on structured 8-dim vectors and require-gates the
+    // recall ≥ 0.7 (measured 0.87–0.93), pinning that the low corpus
+    // number is the data's pathology, not the machinery's.
+    {
+      val n = 10000L
+      val nodes = hashNodes(n)
+      nodes.count()
+      val vecs0 = nodes.select(col("nid").as("vec_id"), col("nemb").as("emb"))
+      val vecs1 = nodes.filter(col("nid") % 8 === 0)
+        .select((col("nid") / 8).cast("long").as("vec_id"),
+          col("nemb").as("emb"))
+      val g0 = tm("hnsw_entry_build") {
+        val g = graft.queries.SimilarityOps.nndescentGraph(vecs0)
+          .persist()
+        g.count(); g
+      }
+      val g1 = graft.queries.SimilarityOps.nndescentGraph(vecs1).persist()
+      val q = nodes.filter(col("nid") < 10)
+        .select(col("nid").as("qid"), col("nemb").as("qemb")).persist()
+      q.count()
+      val nodes0 = nodes.select(col("nid"), col("nemb"))
+      val nodes1 = vecs1.select(col("vec_id").as("nid"),
+        col("emb").as("nemb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+      def scoredOn(nt: DataFrame)(fr: DataFrame): DataFrame =
+        fr.join(nt, "nid").join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            round(cosF2(col("qemb"), col("nemb")), 6).as("cosine"))
+      def growOn(nt: DataFrame, ed: DataFrame, excl: Boolean)
+          (v: DataFrame): DataFrame = {
+        val beam = v.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4).select(col("qid"), col("nid"))
+        val walked = beam.join(ed, col("nid") === col("src"))
+          .select(col("qid"), col("dst").as("nid"))
+        val fresh = (if (excl) walked.filter(col("nid") =!= col("qid"))
+          else walked).distinct()
+          .join(v.select(col("qid"), col("nid")), Seq("qid", "nid"),
+            "left_anti")
+        v.unionByName(scoredOn(nt)(fresh))
+      }
+      val top3 = tm("hnsw_entry_search") {
+        val entry0 = q.select(col("qid"))
+          .crossJoin(broadcast(nodes1.filter(col("nid") === 0)
+            .select(col("nid"))))
+          .unionByName(q.select(col("qid"))
+            .crossJoin(broadcast(g1.filter(col("src") === 0)
+              .select(col("dst").as("nid")))))
+          .distinct()
+        val upper = (1 to 2).foldLeft(scoredOn(nodes1)(entry0))(
+          (v, _) => growOn(nodes1, g1, excl = false)(v))
+        val bestE = upper.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .select(col("qid"), (col("nid") * 8).as("entry_id"))
+        val hop0 = scoredOn(nodes0)(
+          bestE.select(col("qid"), col("entry_id").as("nid"))
+            .unionByName(bestE.join(g0, col("entry_id") === col("src"))
+              .select(col("qid"), col("dst").as("nid")))
+            .filter(col("nid") =!= col("qid")).distinct())
+        var visited = hop0.localCheckpoint(true)
+        for (_ <- 1 to 6) {
+          val nv = growOn(nodes0, g0, excl = true)(visited)
+            .localCheckpoint(true)
+          org.apache.spark.sql.GraftBridge.uncheckpoint(visited)
+          visited = nv
+        }
+        visited.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid")).persist()
+      }
+      val exact3 = nodes0.join(broadcast(q), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          round(cosF2(col("qemb"), col("nemb")), 6).as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("nid"))
+      val hits = exact3.join(top3, Seq("qid", "nid"), "left_semi").count()
+      val recall = hits / 30.0
+      println(f"""{"stress":"hnsw_entry_recall","recall_at_3":$recall%.4f}""")
+      require(recall >= 0.7,
+        s"entry-tier recall $recall < 0.7 on navigable vectors — the " +
+          "machinery, not the data, is broken")
+      top3.unpersist(); g0.unpersist(); g1.unpersist(); q.unpersist()
+      nodes.unpersist()
+    }
     spark.conf.set(cpKey, cpPrev)
 
     spark.stop()

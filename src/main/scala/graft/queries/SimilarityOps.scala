@@ -1764,49 +1764,177 @@ object SimilarityOps {
     "s72_nndescent_knn_graph" -> { (s, d) =>
       val e = emb(s, d).select(col("vec_id"), col("emb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nRow = e.agg(count(lit(1)).as("n"))
-      val init = e.select(col("vec_id").as("src"))
-        .crossJoin(broadcast(nRow))
-        .select(col("src"),
-          explode(array((1 to nndescentK).map(j => lit(j.toLong)): _*))
-            .as("j"), col("n"))
-        .select(col("src"),
-          ((col("src") * lit(1103515245L) + lit(12345L)
-            + col("j") * lit(2654435761L)) % col("n")).as("dst"))
-        .filter(col("dst") =!= col("src")).distinct()
-      def score(pairs: DataFrame): DataFrame =
-        pairs
-          .join(e.select(col("vec_id").as("src"), col("emb").as("semb")),
-            "src")
-          .join(e.select(col("vec_id").as("dst"), col("emb").as("demb")),
-            "dst")
-          .select(col("src"), col("dst"),
-            round(cos(col("semb"), col("demb")), 6).as("cosine"))
-      var g = score(init).localCheckpoint(true)
-      for (_ <- 1 to nndescentIters) {
-        val adj = g.union(g.select(col("dst").as("src"),
-            col("src").as("dst"), col("cosine"))).distinct()
-        val cand = adj.select(col("src").as("p"), col("dst").as("ua"))
-          .join(adj.select(col("src").as("p"), col("dst").as("ub")), "p")
-          .filter(col("ua") =!= col("ub"))
-          .select(col("ua").as("src"), col("ub").as("dst")).distinct()
-        val next = graft.operators.TopKPerKeyApi.topKPerKey(
-            adj.union(score(cand)).distinct(),
-            Seq("src"), Seq(("cosine", false), ("dst", true)), nndescentK)
-          .select(col("src"), col("dst"), col("cosine"))
-          .localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.uncheckpoint(g)
-        g = next
-      }
       // final ranks: ≤ K rows per src — the only acceptable use of a
       // bounded per-key window (the s44 posture)
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cosine").desc, col("dst").asc)
-      g.withColumn("rnk", row_number().over(w))
+      nndescentGraph(e).withColumn("rnk", row_number().over(w))
         .select(col("src").as("vec_id"), col("rnk"),
           col("dst").as("neighbor_id"), col("cosine"))
+    },
+
+    // HNSW-STYLE ENTRY-TIER SEARCH — the multi-layer refinement of
+    // s73's flat walk (Malkov & Yashunin 2018): a sparse UPPER layer
+    // (every 8th node — the deterministic stand-in for HNSW's
+    // exponential level assignment; layer ids are vec_id/8, contiguous
+    // by construction so the NN-descent init mix applies unchanged)
+    // gets its own NN-descent kNN graph, every query first walks THAT
+    // graph from the single global entry node (rid 0 — HNSW's
+    // top-level entry) to elect its top-BEAM entry points, and only
+    // then runs a DEEPER layer-0 beam walk (hnswDescentHops) seeded
+    // from the entries' out-edges instead of the query's own. That
+    // seeding is the capability the flat tier lacks: s71/s73 assume
+    // the query IS a corpus member with known edges — an entry tier is
+    // what serves a NOVEL query at 100 TB, and the upper walk costs
+    // O(hops × beam × degree) over a graph 1/8 the size (1/64 the
+    // edges). Both graphs build via the shared [[nndescentGraph]]
+    // supersteps; the oracle composes the same generator twice
+    // (prefixed CTE chains) plus both walks unrolled. Self-matches are
+    // excluded (an entry-seeded walk can reach the query's own node;
+    // its cosine-1.0 row would be a degenerate answer).
+    //
+    // HONEST RECALL CHARACTERIZATION (all configs measured before
+    // pinning): 0.467 at sf0.001 / 0.400 at sf0.1 — and that is the
+    // CORPUS, not the machinery: these embeddings are uniform-random,
+    // and greedy graph navigation provably degrades without local
+    // structure to route through (single-entry/2-hop read 0.23; wider
+    // beams and deeper walks all plateau ≤ 0.47 here). On vectors with
+    // real neighborhood structure the SAME walk reads recall 1.0
+    // (StressBench's hnsw_entry row, require-gated ≥ 0.7). The flat
+    // tier (s73, own-node seeding) remains the corpus-member serving
+    // path at 0.933; this tier is what answers queries that are NOT
+    // corpus members. QueriesSpec floors the corpus recall at 0.35.
+    "s74_hnsw_entry_search" -> { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), col("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e1 = e.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") / 8).cast("long").as("vec_id"), col("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges0 = nndescentGraph(e)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges1 = nndescentGraph(e1)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+      val nodes1 = e1.select(col("vec_id").as("nid"), col("emb").as("nemb"))
+      val nodes0 = e.select(col("vec_id").as("nid"), col("emb").as("nemb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("nid").asc)
+      def scoredOn(nodes: DataFrame)(fr: DataFrame): DataFrame =
+        fr.join(nodes, "nid").join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            round(cos(col("qemb"), col("nemb")), 6).as("cosine"))
+      def growOn(nodes: DataFrame, edges: DataFrame, excludeQ: Boolean)
+          (v: DataFrame): DataFrame = {
+        val beam = v.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= graphAnnDefaultBeam)
+          .select(col("qid"), col("nid"))
+        val walked = beam.join(edges, col("nid") === col("src"))
+          .select(col("qid"), col("dst").as("nid"))
+        // layer 0 excludes the query's own node (an entry-seeded walk
+        // can reach it; its cosine-1.0 row is a degenerate answer);
+        // the UPPER walk must not — rid r is vector 8r, a different
+        // vector, and dropping rid == qid would lose a real entry
+        val fresh = (if (excludeQ) walked.filter(col("nid") =!= col("qid"))
+          else walked).distinct()
+          .join(v.select(col("qid"), col("nid")), Seq("qid", "nid"),
+            "left_anti")
+        v.unionByName(scoredOn(nodes)(fresh))
+      }
+      // upper walk: every query starts at the ONE global entry (rid 0
+      // + its out-edges), then two expansion rounds over layer 1
+      val entry0 = q.select(col("qid"))
+        .crossJoin(broadcast(nodes1.filter(col("nid") === 0)
+          .select(col("nid"))))
+        .unionByName(q.select(col("qid"))
+          .crossJoin(broadcast(edges1.filter(col("src") === 0)
+            .select(col("dst").as("nid")))))
+        .distinct()
+      val upper = (1 to graphAnnDefaultHops)
+        .foldLeft(scoredOn(nodes1)(entry0))((v, _) =>
+          growOn(nodes1, edges1, excludeQ = false)(v))
+      // elect the top-BEAM layer-1 nodes as entry points (measured:
+      // a single entry leaves whole regions unreachable — multi-entry
+      // seeding lifted sf0.1 recall 0.23 → 0.40)
+      val bestE = upper.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= graphAnnDefaultBeam)
+        .select(col("qid"), (col("nid") * 8).as("entry_id"))
+      // layer-0 walk seeded from every entry's out-edges (+ the
+      // entries themselves), the query's own node excluded throughout;
+      // the descent runs DEEPER than the flat walk (hnswDescentHops =
+      // 6, not 2): an entry-seeded search must TRAVEL to the query's
+      // neighborhood where s71/s73 start inside it — measured, recall
+      // plateaus by hop 6 on both corpora
+      val hop0 = scoredOn(nodes0)(
+        bestE.select(col("qid"), col("entry_id").as("nid"))
+          .unionByName(bestE.join(edges0, col("entry_id") === col("src"))
+            .select(col("qid"), col("dst").as("nid")))
+          .filter(col("nid") =!= col("qid")).distinct())
+      // the 6-hop descent checkpoints per hop (the d37 discipline): a
+      // lazy fold references v THREE times per hop (beam, anti-join,
+      // union), so the un-truncated plan grows 3^hops subtree copies —
+      // at 6 hops the optimizer never finishes. The 2-hop walks
+      // (upper, s71/s73) stay lazy: 9 copies is fine, 729 is not.
+      var visited = hop0.localCheckpoint(true)
+      for (_ <- 1 to hnswDescentHops) {
+        val nv = growOn(nodes0, edges0, excludeQ = true)(visited)
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.uncheckpoint(visited)
+        visited = nv
+      }
+      visited
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid").as("neighbor_id"),
+          col("cosine"))
     }
   )
+
+  /** The NN-descent fixed-point shared by s72 (full corpus) and s74's
+    * upper layer (the /8 sample re-keyed to contiguous rank ids):
+    * hash-mix init, [[nndescentIters]] bounded neighbor-of-neighbor
+    * supersteps with the d37 localCheckpoint discipline, final
+    * out-degree ≤ [[nndescentK]]. `vecs` must carry (vec_id, emb)
+    * with CONTIGUOUS ids 0..n−1 — the init mix maps into [0, n). */
+  private[graft] def nndescentGraph(vecs: DataFrame): DataFrame = {
+    val nRow = vecs.agg(count(lit(1)).as("n"))
+    val init = vecs.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(nRow))
+      .select(col("src"),
+        explode(array((1 to nndescentK).map(j => lit(j.toLong)): _*))
+          .as("j"), col("n"))
+      .select(col("src"),
+        ((col("src") * lit(1103515245L) + lit(12345L)
+          + col("j") * lit(2654435761L)) % col("n")).as("dst"))
+      .filter(col("dst") =!= col("src")).distinct()
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(vecs.select(col("vec_id").as("src"), col("emb").as("semb")),
+          "src")
+        .join(vecs.select(col("vec_id").as("dst"), col("emb").as("demb")),
+          "dst")
+        .select(col("src"), col("dst"),
+          round(cos(col("semb"), col("demb")), 6).as("cosine"))
+    var g = score(init).localCheckpoint(true)
+    for (_ <- 1 to nndescentIters) {
+      val adj = g.union(g.select(col("dst").as("src"),
+          col("src").as("dst"), col("cosine"))).distinct()
+      val cand = adj.select(col("src").as("p"), col("dst").as("ua"))
+        .join(adj.select(col("src").as("p"), col("dst").as("ub")), "p")
+        .filter(col("ua") =!= col("ub"))
+        .select(col("ua").as("src"), col("ub").as("dst")).distinct()
+      val next = graft.operators.TopKPerKeyApi.topKPerKey(
+          adj.union(score(cand)).distinct(),
+          Seq("src"), Seq(("cosine", false), ("dst", true)), nndescentK)
+        .select(col("src"), col("dst"), col("cosine"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.uncheckpoint(g)
+      g = next
+    }
+    g
+  }
 
   /** s72's shared constants — ONE definition drives both the Spark
     * superstep loop and the oracle's unrolled CTE generator, so the
@@ -1823,6 +1951,12 @@ object SimilarityOps {
     * so the oracle always replays exactly the default walk. */
   private[graft] val graphAnnDefaultBeam = 4
   private[graft] val graphAnnDefaultHops = 2
+
+  /** s74's layer-0 descent depth — deeper than the flat walk's 2
+    * because an entry-seeded search must TRAVEL to the query's
+    * neighborhood where s71/s73 start inside it; measured to plateau
+    * by hop 6 on both the registry corpus and structured vectors. */
+  private[graft] val hnswDescentHops = 6
 
   /** The beam walk shared by s71 (s47 cell-built edges) and s73 (s72
     * NN-descent edges): each query starts at its own node's out-edges
@@ -2583,43 +2717,126 @@ object SimilarityOps {
     * unrolled plan expands to ~6^iters copies of the base scan (the
     * first cut died on "too many open files"); materialization is the
     * oracle-side analogue of the Spark loop's localCheckpoint. */
-  private def s72OracleSql: String = {
-    def cosab(a: String, b: String): String =
-      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+  private def cosabSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** The NN-descent CTE chain generator shared by the s72 oracle and
+    * both layers of the s74 oracle — reads (vec_id, emb) from the CTE
+    * named `eCte`, emits CTEs prefixed `p`, returns (chain, name of
+    * the final graph CTE). ONE generator ≡ the ONE Scala helper
+    * [[nndescentGraph]], so every consumer replays the same fixed-
+    * point. */
+  private def nndescentChainSql(eCte: String, p: String): (String, String) = {
     def step(i: Int): String = {
-      val prev = if (i == 1) "g0" else s"g${i - 1}"
-      s"""adj$i AS MATERIALIZED (SELECT src, dst, cosine FROM $prev
+      val prev = if (i == 1) s"${p}g0" else s"${p}g${i - 1}"
+      s"""${p}adj$i AS MATERIALIZED (SELECT src, dst, cosine FROM $prev
          |  UNION SELECT dst, src, cosine FROM $prev),
-         |cand$i AS (
+         |${p}cand$i AS (
          | SELECT DISTINCT a.dst AS src, b.dst AS dst
-         | FROM adj$i a JOIN adj$i b ON a.src = b.src AND a.dst <> b.dst),
-         |sc$i AS (
-         | SELECT c.src, c.dst, ${cosab("x.emb", "y.emb")} AS cosine
-         | FROM cand$i c JOIN e x ON x.vec_id = c.src
-         |   JOIN e y ON y.vec_id = c.dst),
-         |u$i AS (SELECT src, dst, cosine FROM adj$i
-         |  UNION SELECT src, dst, cosine FROM sc$i),
-         |g$i AS MATERIALIZED (SELECT src, dst, cosine FROM (
+         | FROM ${p}adj$i a JOIN ${p}adj$i b ON a.src = b.src AND a.dst <> b.dst),
+         |${p}sc$i AS (
+         | SELECT c.src, c.dst, ${cosabSql("x.emb", "y.emb")} AS cosine
+         | FROM ${p}cand$i c JOIN $eCte x ON x.vec_id = c.src
+         |   JOIN $eCte y ON y.vec_id = c.dst),
+         |${p}u$i AS (SELECT src, dst, cosine FROM ${p}adj$i
+         |  UNION SELECT src, dst, cosine FROM ${p}sc$i),
+         |${p}g$i AS MATERIALIZED (SELECT src, dst, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY src
-         |    ORDER BY cosine DESC, dst ASC) AS rn FROM u$i)
+         |    ORDER BY cosine DESC, dst ASC) AS rn FROM ${p}u$i)
          |  WHERE rn <= $nndescentK)""".stripMargin
     }
     val js = (1 to nndescentK).map(j => s"($j)").mkString(", ")
-    val mix = "(e.vec_id * 1103515245 + 12345 + j.j * 2654435761) % nn.n"
+    val mix =
+      s"($eCte.vec_id * 1103515245 + 12345 + j.j * 2654435761) % ${p}nn.n"
+    val chain =
+      s"""${p}nn AS (SELECT count(*) AS n FROM $eCte),
+         |${p}init AS (
+         | SELECT DISTINCT $eCte.vec_id AS src, $mix AS dst
+         | FROM $eCte, ${p}nn, (VALUES $js) j(j)
+         | WHERE $mix <> $eCte.vec_id),
+         |${p}g0 AS MATERIALIZED (
+         | SELECT i.src, i.dst, ${cosabSql("x.emb", "y.emb")} AS cosine
+         | FROM ${p}init i JOIN $eCte x ON x.vec_id = i.src
+         |   JOIN $eCte y ON y.vec_id = i.dst),
+         |${(1 to nndescentIters).map(step).mkString(",\n")}""".stripMargin
+    (chain, s"${p}g$nndescentIters")
+  }
+
+  private def s72OracleSql: String = {
+    val (chain, fin) = nndescentChainSql("e", "")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |nn AS (SELECT count(*) AS n FROM e),
-       |init AS (
-       | SELECT DISTINCT e.vec_id AS src, $mix AS dst
-       | FROM e, nn, (VALUES $js) j(j)
-       | WHERE $mix <> e.vec_id),
-       |g0 AS MATERIALIZED (
-       | SELECT i.src, i.dst, ${cosab("x.emb", "y.emb")} AS cosine
-       | FROM init i JOIN e x ON x.vec_id = i.src
-       |   JOIN e y ON y.vec_id = i.dst),
-       |${(1 to nndescentIters).map(step).mkString(",\n")}
+       |$chain
        |SELECT src AS vec_id, rnk, dst AS neighbor_id, cosine FROM (
        | SELECT *, row_number() OVER (PARTITION BY src
-       |   ORDER BY cosine DESC, dst ASC) AS rnk FROM g$nndescentIters)""".stripMargin
+       |   ORDER BY cosine DESC, dst ASC) AS rnk FROM $fin)""".stripMargin
+  }
+
+  /** s74 oracle: the chain generator twice (layer 0 on `e`, layer 1 on
+    * the /8 sample re-keyed to contiguous rank ids), then both walks
+    * unrolled — the upper walk from the global entry (rid 0) WITHOUT a
+    * query-exclusion (rid r is vector 8r, a different vector), the
+    * layer-0 walk seeded from each query's elected entry point WITH
+    * the query's own node excluded. */
+  private def s74OracleSql: String = {
+    val (chain0, fin0) = nndescentChainSql("e", "l0")
+    val (chain1, fin1) = nndescentChainSql("e1", "l1")
+    def cosq(v: String): String = cosabSql("q.qemb", v)
+    def hop(h: Int, p: String, edges: String, eTbl: String,
+        excl: Boolean): String = {
+      val prev = if (h == 1) s"${p}h0" else s"${p}v${h - 1}"
+      val exclP = if (excl) " AND ed.dst <> b.qid" else ""
+      s"""${p}b$h AS (SELECT qid, nid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid ASC) AS rn FROM $prev)
+         |  WHERE rn <= $graphAnnDefaultBeam),
+         |${p}x$h AS (
+         | SELECT DISTINCT b.qid, ed.dst AS nid
+         | FROM ${p}b$h b JOIN $edges ed ON ed.src = b.nid$exclP),
+         |${p}f$h AS (
+         | SELECT x.qid, x.nid, ${cosq("n.emb")} AS cosine
+         | FROM ${p}x$h x JOIN q ON q.qid = x.qid
+         |   JOIN $eTbl n ON n.vec_id = x.nid
+         | WHERE NOT EXISTS (SELECT 1 FROM $prev v
+         |   WHERE v.qid = x.qid AND v.nid = x.nid)),
+         |${p}v$h AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM ${p}f$h)""".stripMargin
+    }
+    val uHops = graphAnnDefaultHops
+    val wHops = hnswDescentHops
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e1 AS MATERIALIZED (SELECT vec_id // 8 AS vec_id, emb FROM e WHERE vec_id % 8 = 0),
+       |$chain0,
+       |$chain1,
+       |edges0 AS MATERIALIZED (SELECT src, dst FROM $fin0),
+       |edges1 AS MATERIALIZED (SELECT src, dst FROM $fin1),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+       |uh0 AS MATERIALIZED (
+       | SELECT x.qid, x.nid, ${cosq("n.emb")} AS cosine
+       | FROM (SELECT DISTINCT q.qid, s.nid
+       |   FROM q, (SELECT CAST(0 AS BIGINT) AS nid
+       |     UNION ALL SELECT dst FROM edges1 WHERE src = 0) s) x
+       |  JOIN q ON q.qid = x.qid JOIN e1 n ON n.vec_id = x.nid),
+       |${(1 to uHops).map(h => hop(h, "u", "edges1", "e1", excl = false))
+          .mkString(",\n")},
+       |bestE AS (
+       | SELECT qid, nid * 8 AS entry_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid ASC) AS rn FROM uv$uHops)
+       | WHERE rn <= $graphAnnDefaultBeam),
+       |wh0 AS MATERIALIZED (
+       | SELECT x.qid, x.nid, ${cosq("n.emb")} AS cosine
+       | FROM (SELECT DISTINCT qid, nid FROM (
+       |    SELECT qid, entry_id AS nid FROM bestE
+       |    UNION ALL
+       |    SELECT b.qid, ed.dst AS nid FROM bestE b
+       |      JOIN edges0 ed ON ed.src = b.entry_id)
+       |   WHERE nid <> qid) x
+       |  JOIN q ON q.qid = x.qid JOIN e n ON n.vec_id = x.nid),
+       |${(1 to wHops).map(h => hop(h, "w", "edges0", "e", excl = true))
+          .mkString(",\n")}
+       |SELECT qid, rnk, nid AS neighbor_id, cosine FROM (
+       | SELECT *, row_number() OVER (PARTITION BY qid
+       |   ORDER BY cosine DESC, nid ASC) AS rnk FROM wv$wHops)
+       |WHERE rnk <= 5""".stripMargin
   }
 
   private def s33OracleSql: String =
@@ -3290,6 +3507,8 @@ object SimilarityOps {
     // the shared walk generator over s72's SQL verbatim — the same
     // algorithm as s71's oracle, different edge table
     "s73_graph_ann_nndescent" -> s73OracleSql,
+    // the chain generator twice (both layers) + both walks unrolled
+    "s74_hnsw_entry_search" -> s74OracleSql,
     "s39_scalar_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),

@@ -98,6 +98,27 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("s74 HNSW entry-tier search: entry-seeded recall holds its documented floor on the structureless corpus") {
+    import org.apache.spark.sql.functions._
+    def top3(name: String): Set[(String, String)] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .filter(col("rnk") <= 3).select(col("qid"), col("neighbor_id"))
+        .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val brute = top3("s33_knn_bruteforce")
+    val entry = top3("s74_hnsw_entry_search")
+    // measured 0.467 at sf0.001 (0.4 at sf0.1): greedy navigation on
+    // UNIFORM-RANDOM embeddings provably degrades — the same walk
+    // reads 0.867 on structured vectors (StressBench hnsw_entry row).
+    // The floor pins that the entry election + descent machinery
+    // works; s73 (own-node seeding) is the corpus-member path.
+    val recall = (brute & entry).size.toDouble / brute.size
+    assert(recall >= 0.35, s"s74 recall@3 was $recall")
+    // an entry-seeded walk must never answer with the query itself
+    assert(SparkEntry.queries("s74_hnsw_entry_search")(spark, sf0001)
+      .filter(col("qid") === col("neighbor_id")).count() == 0L)
+    SparkEntry.release(spark)
+  }
+
   test("s71 beam/hop knobs: explicit defaults reproduce the oracle walk, a wider beam keeps the recall floor, bad values refuse") {
     import org.apache.spark.sql.functions._
     def run(): Set[(Long, Int, Long)] =
