@@ -1226,6 +1226,10 @@ object StressBench {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark.conf.get(cpKey)
     spark.conf.set(cpKey, "false")
+    // restore in a finally (ADVICE r18): a require failure inside the
+    // s72/s74 recall gates below must not leave constraint propagation
+    // disabled for whatever runs next in this JVM
+    try {
     def hashNodes(n: Long): DataFrame =
       spark.range(n).toDF("nid")
         .withColumn("nemb", transform(sequence(lit(1), lit(8)),
@@ -1401,7 +1405,10 @@ object StressBench {
               .select(col("qid"), col("dst").as("nid")))
             .filter(col("nid") =!= col("qid")).distinct())
         var visited = hop0.localCheckpoint(true)
-        for (_ <- 1 to 6) {
+        // the registry's shared descent depth — r19 re-measured the
+        // plateau HERE (structured vectors): 0.733/0.800/0.933/1.000
+        // at hops 3/4/5/6, so 6 is load-bearing where navigation works
+        for (_ <- 1 to graft.queries.SimilarityOps.hnswDescentHops) {
           val nv = growOn(nodes0, g0, excl = true)(visited)
             .localCheckpoint(true)
           org.apache.spark.sql.GraftBridge.uncheckpoint(visited)
@@ -1425,7 +1432,7 @@ object StressBench {
       top3.unpersist(); g0.unpersist(); g1.unpersist(); q.unpersist()
       nodes.unpersist()
     }
-    spark.conf.set(cpKey, cpPrev)
+    } finally spark.conf.set(cpKey, cpPrev)
 
     spark.stop()
   }

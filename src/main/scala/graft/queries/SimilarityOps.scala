@@ -160,6 +160,110 @@ object SimilarityOps {
   private def cellAssignMemo(s: SparkSession, d: String): DataFrame =
     memoGet(s, d, "cell")(cellAssignEager(emb(s, d)))
 
+  /** Session-scoped memo for the BUILT NN-descent edge tables: layer 0
+    * (the full-corpus kNN graph shared by s72/s73/s74) and layer 1
+    * (s74's /8 entry tier). Unlike [[indexMemo]] — pure-lineage plans,
+    * cleared on every SparkEntry.release() — these entries are
+    * localCheckpointed fixed points: six supersteps of shuffled
+    * candidate scoring that CANNOT be recomputed once their blocks
+    * drop, and whose build dominates the family's cost. They are the
+    * graph-ANN analogue of [[ElbowQuantizer]]'s fitted centroids: a
+    * built INDEX, constructed once per (session, dir) and then SERVED
+    * many times. RELEASE SEMANTICS (VERDICT r18 item 1a, documented
+    * here and at SparkEntry.release): release() keeps these — their
+    * RDD ids are pinned via [[pinnedGraphRddIds]] — and only
+    * SparkEntry.releaseIndexes(), a dir switch (the same dir-walk
+    * eviction as [[memoGet]]), or s72's explicit rebuild drops one.
+    * Size is tiny relative to the corpus it indexes: ≤ K rows per node
+    * of (long, long, double) — the 100 TB posture is exactly this,
+    * an edge table pinned in cluster storage while query batches come
+    * and go. Without the memo one bench pass built the same layer-0
+    * fixed point four times over (s72, s73 via s72's entry, s74). */
+  private val graphMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  /** RDD ids whose blocks SparkEntry.release() must leave resident. */
+  private[graft] def pinnedGraphRddIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    graphMemo.values.forEach(df =>
+      b += org.apache.spark.sql.GraftBridge.checkpointRddId(df))
+    b.result()
+  }
+
+  /** Drop every memoized graph index — blocks and handles. */
+  private[graft] def clearGraphMemo(): Unit = {
+    val it = graphMemo.entrySet().iterator()
+    while (it.hasNext) {
+      org.apache.spark.sql.GraftBridge.uncheckpoint(it.next().getValue)
+      it.remove()
+    }
+  }
+
+  /** Memo get with [[memoGet]]'s dir-walk eviction; `build` must
+    * return a localCheckpointed frame (root LogicalRDD — both the
+    * pin and the eviction go through GraftBridge's root-only
+    * contract). `rebuild = true` forces a fresh build and swaps it in
+    * (s72's posture: that query IS the index build, so it must never
+    * report a memo hit — and its run refreshes what s73/s74 serve). */
+  private def graphMemoGet(s: SparkSession, d: String, kind: String,
+      rebuild: Boolean = false)(build: => DataFrame): DataFrame = {
+    val it = graphMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq s) && e.getKey._2 != d) {
+        org.apache.spark.sql.GraftBridge.uncheckpoint(e.getValue)
+        it.remove()
+      }
+    }
+    val key = (s, d, kind)
+    if (!rebuild) {
+      val hit = graphMemo.get(key)
+      if (hit != null) return hit
+    }
+    val built = build
+    if (rebuild) {
+      val old = graphMemo.put(key, built)
+      if (old != null && (old ne built))
+        org.apache.spark.sql.GraftBridge.uncheckpoint(old)
+      built
+    } else {
+      // losers of a concurrent build race drop their blocks; the
+      // winner's entry is what every caller serves from
+      val prev = graphMemo.putIfAbsent(key, built)
+      if (prev != null) {
+        org.apache.spark.sql.GraftBridge.uncheckpoint(built); prev
+      } else built
+    }
+  }
+
+  /** Layer-0 NN-descent edges (src, dst, cosine; out-degree ≤ K) —
+    * build-on-miss, serve-from-memo thereafter. */
+  private def nndescentEdges(s: SparkSession, d: String): DataFrame =
+    graphMemoGet(s, d, "nnd0")(nndescentLayer0Build(s, d))
+
+  /** s74's /8 entry-tier edges, re-keyed to contiguous rank ids —
+    * the same derivation as s74's `e1` (filter every 8th, rank id =
+    * vec_id/8), so the memoized graph is exactly what the oracle's
+    * `e1` CTE chain unrolls. */
+  private def nndescentEdges1(s: SparkSession, d: String): DataFrame =
+    graphMemoGet(s, d, "nnd1") {
+      val e1 = emb(s, d).select(col("vec_id"), col("emb"))
+        .filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") / 8).cast("long").as("vec_id"), col("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nndescentGraph(e1)
+    }
+
+  private def nndescentLayer0Build(s: SparkSession, d: String): DataFrame = {
+    // the input persist feeds the init + 6 supersteps' scoring joins;
+    // it is a normal working-set cache, released between queries —
+    // only the checkpointed RESULT is pinned
+    val e = emb(s, d).select(col("vec_id"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nndescentGraph(e)
+  }
+
   /** Trained coarse quantizer for s40: seeded k-means (k=8) fit once
     * per SF dir; centroids are rounded to 6 dp so the SAME literals
     * enter both engines' plans (Spark via typed rows, DuckDB via a
@@ -1036,10 +1140,11 @@ object SimilarityOps {
     // oracle is the shared walk generator over s72's SQL verbatim
     // (the s45/s71 composed-SQL discipline).
     "s73_graph_ann_nndescent" -> { (s, d) =>
-      val edges = queries("s72_nndescent_knn_graph")(s, d)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      beamWalk(s, d, edges)
+      // serve over the memoized layer-0 index (build-on-miss): the
+      // search query pays the walk, not a rebuild of the same fixed
+      // point s72 just built (VERDICT r18 item 1a). The edge table is
+      // already checkpoint-resident — no per-query persist needed.
+      beamWalk(s, d, nndescentEdges(s, d).select(col("src"), col("dst")))
     },
 
     // IVF-style ANN: a fixed coarse quantizer (vectors 0..15 as cell
@@ -1762,13 +1867,16 @@ object SimilarityOps {
     // pins the near-linear build slope at 10× corpus against s47's
     // quadratic cell join.
     "s72_nndescent_knn_graph" -> { (s, d) =>
-      val e = emb(s, d).select(col("vec_id"), col("emb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // this query IS the index build: it always rebuilds (never
+      // reports a memo hit — its bench row keeps measuring the build),
+      // and the rebuild refreshes what s73/s74 serve from [[graphMemo]]
+      val g = graphMemoGet(s, d, "nnd0", rebuild = true)(
+        nndescentLayer0Build(s, d))
       // final ranks: ≤ K rows per src — the only acceptable use of a
       // bounded per-key window (the s44 posture)
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cosine").desc, col("dst").asc)
-      nndescentGraph(e).withColumn("rnk", row_number().over(w))
+      g.withColumn("rnk", row_number().over(w))
         .select(col("src").as("vec_id"), col("rnk"),
           col("dst").as("neighbor_id"), col("cosine"))
     },
@@ -1804,18 +1912,26 @@ object SimilarityOps {
     // tier (s73, own-node seeding) remains the corpus-member serving
     // path at 0.933; this tier is what answers queries that are NOT
     // corpus members. QueriesSpec floors the corpus recall at 0.35.
-    "s74_hnsw_entry_search" -> { (s, d) =>
+    "s74_hnsw_entry_search" -> { (s, d) => hnswEntrySearch(s, d) }
+  )
+
+  /** s74's whole walk, parameterized over the layer-0 descent depth so
+    * the hop-plateau can be RE-MEASURED (not re-estimated) whenever the
+    * corpus or the graph build changes — the registry query and the
+    * oracle both pin [[hnswDescentHops]]. */
+  private[graft] def hnswEntrySearch(s: SparkSession, d: String,
+      descentHops: Int = hnswDescentHops): DataFrame = {
       val e = emb(s, d).select(col("vec_id"), col("emb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val e1 = e.filter(col("vec_id") % 8 === 0)
         .select((col("vec_id") / 8).cast("long").as("vec_id"), col("emb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges0 = nndescentGraph(e)
-        .select(col("src"), col("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges1 = nndescentGraph(e1)
-        .select(col("src"), col("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both layers serve from the memoized indexes (build-on-miss,
+      // VERDICT r18 item 1a — the r18 shape rebuilt BOTH fixed points
+      // on every invocation, 2 of the pass's 4 redundant builds); the
+      // checkpointed edge tables are block-resident, no persist needed
+      val edges0 = nndescentEdges(s, d).select(col("src"), col("dst"))
+      val edges1 = nndescentEdges1(s, d).select(col("src"), col("dst"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"))
       val nodes1 = e1.select(col("vec_id").as("nid"), col("emb").as("nemb"))
@@ -1878,7 +1994,7 @@ object SimilarityOps {
       // at 6 hops the optimizer never finishes. The 2-hop walks
       // (upper, s71/s73) stay lazy: 9 copies is fine, 729 is not.
       var visited = hop0.localCheckpoint(true)
-      for (_ <- 1 to hnswDescentHops) {
+      for (_ <- 1 to descentHops) {
         val nv = growOn(nodes0, edges0, excludeQ = true)(visited)
           .localCheckpoint(true)
         org.apache.spark.sql.GraftBridge.uncheckpoint(visited)
@@ -1889,8 +2005,7 @@ object SimilarityOps {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("nid").as("neighbor_id"),
           col("cosine"))
-    }
-  )
+  }
 
   /** The NN-descent fixed-point shared by s72 (full corpus) and s74's
     * upper layer (the /8 sample re-keyed to contiguous rank ids):
@@ -1921,12 +2036,25 @@ object SimilarityOps {
     for (_ <- 1 to nndescentIters) {
       val adj = g.union(g.select(col("dst").as("src"),
           col("src").as("dst"), col("cosine"))).distinct()
+      // FUSED superstep (VERDICT r18 item 1b): the r18 shape scored
+      // EVERY neighbor-of-neighbor candidate and then ran a third full
+      // distinct over adj ∪ scored — but a candidate pair already in
+      // adj carries its (deterministic, 6-dp) cosine there, so scoring
+      // it again only feeds the dedup. Anti-joining candidates against
+      // adj first (a) skips the two vector-fetch joins for the ~2K
+      // known edges per node and (b) makes adj and score(fresh)
+      // disjoint-by-(src,dst) with each side internally distinct, so
+      // the union needs NO third distinct before the bounded top-K.
+      // Set-identical to the unfused shape — the oracle's distinct-
+      // union CTE chain replays the same fixed point unchanged.
       val cand = adj.select(col("src").as("p"), col("dst").as("ua"))
         .join(adj.select(col("src").as("p"), col("dst").as("ub")), "p")
         .filter(col("ua") =!= col("ub"))
         .select(col("ua").as("src"), col("ub").as("dst")).distinct()
+      val fresh = cand.join(adj.select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_anti")
       val next = graft.operators.TopKPerKeyApi.topKPerKey(
-          adj.union(score(cand)).distinct(),
+          adj.union(score(fresh)),
           Seq("src"), Seq(("cosine", false), ("dst", true)), nndescentK)
         .select(col("src"), col("dst"), col("cosine"))
         .localCheckpoint(true)
@@ -1954,8 +2082,16 @@ object SimilarityOps {
 
   /** s74's layer-0 descent depth — deeper than the flat walk's 2
     * because an entry-seeded search must TRAVEL to the query's
-    * neighborhood where s71/s73 start inside it; measured to plateau
-    * by hop 6 on both the registry corpus and structured vectors. */
+    * neighborhood where s71/s73 start inside it. RE-MEASURED r19
+    * (hops 3/4/5/6, [[hnswEntrySearch]] parameterized): the registry's
+    * structureless corpus is FLAT from hop 3 (0.467 sf0.001 / 0.400
+    * sf0.1 at every depth — greedy navigation can't improve without
+    * local structure), but on NAVIGABLE vectors (StressBench's 10k
+    * structured corpus) recall@3 still climbs through the last hop —
+    * 0.733 / 0.800 / 0.933 / 1.000 at 3/4/5/6. Hop 6 is load-bearing
+    * where navigation actually works; cutting to 4 would save ~2
+    * checkpoint barriers (~2 s at sf0.1) and cost 20 points of real
+    * recall, so 6 stays. */
   private[graft] val hnswDescentHops = 6
 
   /** The beam walk shared by s71 (s47 cell-built edges) and s73 (s72
@@ -2705,7 +2841,9 @@ object SimilarityOps {
   private def s71OracleSql: String = graphAnnWalkSql(s47OracleSql)
   private def s73OracleSql: String = graphAnnWalkSql(s72OracleSql)
 
-  /** s72 oracle: the NN-descent fixed-point unrolled — ring init, then
+  /** s72 oracle: the NN-descent fixed-point unrolled — hash-mix init
+    * (the same LCG mix as [[nndescentGraph]]; a ring init is provably
+    * broken here, recall 0.03), then
     * [[nndescentIters]] supersteps each generated by the same code
     * path (undirect → neighbor-of-neighbor candidates in both
     * directions → score → distinct-union → top-K by row_number on the
@@ -3501,7 +3639,7 @@ object SimilarityOps {
     // chained CTEs — each hop is the identical beam/walk/anti-join/
     // score sequence the Spark plan runs
     "s71_graph_ann" -> s71OracleSql,
-    // ring init + the NN-descent supersteps unrolled by the shared
+    // hash-mix init + the NN-descent supersteps unrolled by the shared
     // (K, iters) constants — both engines run one fixed-point
     "s72_nndescent_knn_graph" -> s72OracleSql,
     // the shared walk generator over s72's SQL verbatim — the same

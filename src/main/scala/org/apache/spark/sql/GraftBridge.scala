@@ -47,4 +47,16 @@ object GraftBridge {
         "uncheckpoint expects the localCheckpointed DataFrame itself " +
           s"(root LogicalRDD), got plan root ${other.getClass.getSimpleName}")
     }
+
+  /** The id of the block-manager-resident RDD behind a localCheckpointed
+    * DataFrame — lets lifecycle code (SparkEntry.release) identify PINNED
+    * index blocks and leave them resident while everything else is
+    * unpersisted. Same root-only contract as [[uncheckpoint]]. */
+  def checkpointRddId(df: DataFrame): Int =
+    analyzedPlan(df) match {
+      case lr: execution.LogicalRDD => lr.rdd.id
+      case other => throw new IllegalArgumentException(
+        "checkpointRddId expects the localCheckpointed DataFrame itself " +
+          s"(root LogicalRDD), got plan root ${other.getClass.getSimpleName}")
+    }
 }

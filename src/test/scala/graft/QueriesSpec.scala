@@ -83,6 +83,41 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.release(spark)
   }
 
+  test("graph-index lifecycle: release keeps the pinned NN-descent index, releaseIndexes drops it, memo-hit == fresh rebuild") {
+    import graft.queries.SimilarityOps
+    SparkEntry.releaseIndexes(spark) // start clean
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+    // s73 builds layer 0 on miss; the built index must survive release()
+    val served = rows("s73_graph_ann_nndescent")
+    SparkEntry.release(spark)
+    val pinned = SimilarityOps.pinnedGraphRddIds
+    assert(pinned.nonEmpty, "release() must keep the built graph index")
+    assert(pinned.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "pinned index blocks must still be resident after release()")
+    // nothing else this library persisted may survive the release
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinned,
+      "release() must unpersist everything except the pinned index")
+    // serving from the memo must equal a fresh build row-for-row
+    val servedFromMemo = rows("s73_graph_ann_nndescent")
+    SparkEntry.releaseIndexes(spark)
+    assert(SimilarityOps.pinnedGraphRddIds.isEmpty &&
+      spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseIndexes() must drop the pins and every block")
+    val rebuilt = rows("s73_graph_ann_nndescent")
+    assert(servedFromMemo == served && rebuilt == served,
+      "memo-hit and fresh-rebuild results must be identical")
+    // s72 is the build query: running it must REFRESH the pin, not hit it
+    SparkEntry.queries("s72_nndescent_knn_graph")(spark, sf0001).count()
+    val pinnedBefore = SimilarityOps.pinnedGraphRddIds
+    SparkEntry.queries("s72_nndescent_knn_graph")(spark, sf0001).count()
+    val pinnedAfter = SimilarityOps.pinnedGraphRddIds
+    assert((pinnedBefore & pinnedAfter).isEmpty,
+      "s72 must rebuild (new checkpoint RDD), never serve a memo hit")
+    SparkEntry.releaseIndexes(spark)
+  }
+
   test("s73 graph-ANN over the NN-descent graph: end-to-end scalable build+search keeps the recall floor") {
     import org.apache.spark.sql.functions._
     def top3(name: String): Set[(String, String)] =
