@@ -118,6 +118,25 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.releaseIndexes(spark)
   }
 
+  test("graph-index dir walk: switching sf dirs evicts the old pin and replaces it") {
+    import graft.queries.SimilarityOps
+    SparkEntry.releaseIndexes(spark)
+    SparkEntry.queries("s73_graph_ann_nndescent")(spark, sf0001).count()
+    val pinned1 = SimilarityOps.pinnedGraphRddIds
+    assert(pinned1.nonEmpty)
+    // a dir-walking caller must hold at most one dir's index per kind:
+    // the sf0.01 build evicts (and uncheckpoints) the sf0.001 entry
+    SparkEntry.queries("s73_graph_ann_nndescent")(spark,
+      "/root/testdata/sf0.01").count()
+    val pinned2 = SimilarityOps.pinnedGraphRddIds
+    assert(pinned2.nonEmpty && (pinned1 & pinned2).isEmpty,
+      "old dir's index must be evicted, new dir's pinned")
+    SparkEntry.release(spark)
+    assert(!pinned1.exists(spark.sparkContext.getPersistentRDDs.keySet),
+      "evicted index blocks must not stay resident")
+    SparkEntry.releaseIndexes(spark)
+  }
+
   test("s73 graph-ANN over the NN-descent graph: end-to-end scalable build+search keeps the recall floor") {
     import org.apache.spark.sql.functions._
     def top3(name: String): Set[(String, String)] =
