@@ -29,8 +29,14 @@ object SparkEntry {
     * EAGERNESS: every entry is a lazy plan. d61_shingle_size_sweep's
     * 3-arm sweep sits behind a DeferredRowsPlan leaf (r17) — plan-only
     * callers (explain/schema/warm-up) run no jobs; the first action
-    * fires the sweep on the driver and memoizes its 3 rows. The only
-    * build-time jobs left are the BOUNDED fence probes: q83/s34 count
+    * fires the sweep on the driver and memoizes its 3 rows. Two
+    * documented exceptions run jobs at plan-construction time:
+    * (1) the NN-descent graph queries (s72/s73/s74) — their iterative
+    * fixed point localCheckpoints per superstep, which CANNOT be lazy
+    * (an un-truncated 6-round plan grows ~6^iters subtrees), and since
+    * r19 the built edge tables are memoized indexes (see
+    * SimilarityOps.graphMemo and [[releaseIndexes]]); (2) the BOUNDED
+    * fence probes: q83/s34 count
     * their input against `spark.graft.exact.maxRows`, m52 samples 64
     * payloads against `spark.graft.cdc.maxDegenerateFrac`, and
     * d66 folds the benchmark's ≤2²¹ distinct bloom bit positions into
