@@ -66,12 +66,14 @@ object Bench {
     val warmPool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt)
     // The NN-descent family shares graphMemo keys and s72 is a
-    // rebuild=true caller: rebuilding while another thread SERVES the
-    // same key uncheckpoints the old entry mid-job, and a dropped
-    // localCheckpoint block is unrecoverable — the serving job dies
-    // (swallowed here), leaving that query un-warmed (ADVICE r19).
-    // putIfAbsent covers concurrent BUILDERS only, so the family warms
-    // sequentially on one pool thread, build (s72) first.
+    // rebuild=true caller (ADVICE r19). Since r20 a rebuild DEFERS the
+    // replaced entry's uncheckpoint (BuiltIndexMemo.deferred), so
+    // rebuild-while-serving can no longer kill an in-flight warm job;
+    // the family still warms sequentially on one pool thread, build
+    // (s72) first, so the expensive fixed-point builds run once
+    // instead of racing as discarded duplicates. (The dedup shingle
+    // family's builds at the warm dir are pennies — its members stay
+    // in the general pool; race losers discard.)
     val graphFamily = Seq("s72_nndescent_knn_graph",
       "s73_graph_ann_nndescent", "s74_hnsw_entry_search")
     def warmOne(name: String): Unit =

@@ -35,7 +35,10 @@ object SparkEntry {
     * fixed point localCheckpoints per superstep, which CANNOT be lazy
     * (an un-truncated 6-round plan grows ~6^iters subtrees), and since
     * r19 the built edge tables are memoized indexes (see
-    * SimilarityOps.graphMemo and [[releaseIndexes]]); (2) the BOUNDED
+    * SimilarityOps.graphMemo and [[releaseIndexes]]); likewise (r20)
+    * the shingle-family dedup queries serve a memoized 3-gram shingle
+    * index (DedupOps.shingleMemo — d28 is the rebuild-always build
+    * row, the s72 posture); (2) the BOUNDED
     * fence probes: q83/s34 count
     * their input against `spark.graft.exact.maxRows`, m52 samples 64
     * payloads against `spark.graft.cdc.maxDegenerateFrac`, and
@@ -80,10 +83,11 @@ object SparkEntry {
     * query. Safe between queries only — a still-referenced
     * localCheckpointed RDD cannot be recomputed once its blocks drop.
     *
-    * KEPT ALIVE by design: the NN-descent graph indexes
-    * (SimilarityOps.graphMemo — build-once/serve-many localCheckpointed
-    * edge tables, ≤ K rows per node). Their RDD ids are pinned here;
-    * [[releaseIndexes]] is the full teardown. */
+    * KEPT ALIVE by design: the BUILT indexes — the NN-descent graph
+    * tables (SimilarityOps.graphMemo, ≤ K rows per node) and the
+    * 3-gram shingle table (DedupOps.shingleMemo, r20) — both
+    * build-once/serve-many localCheckpointed frames whose RDD ids are
+    * pinned here; [[releaseIndexes]] is the full teardown. */
   def release(spark: SparkSession): Unit = {
     // shared-index memo first: its entries are persisted DataFrames
     // about to be unpersisted below — a stale handle would silently
@@ -92,8 +96,15 @@ object SparkEntry {
     // blocking RDD unpersist FIRST — this is the synchronous barrier
     // (it covers cached-Dataset buffer RDDs too); catalog.clearCache()
     // afterwards drops the CacheManager bookkeeping (its own unpersist
-    // is async-only, which is why it cannot be the barrier)
-    val pinned = graft.queries.SimilarityOps.pinnedGraphRddIds
+    // is async-only, which is why it cannot be the barrier). Pins are
+    // scoped to THIS session (ADVICE r19): another live session's
+    // indexes are neither pinned here nor torn down below. Superseded
+    // index generations (a rebuild swaps the entry; the old blocks are
+    // only DEFERRED so in-flight readers finish) are reclaimed here:
+    // their ids are not pinned, so the blanket unpersist drops the
+    // blocks, and the drain trims the handle queue.
+    graft.queries.BuiltIndexMemo.drainDeferredAll(spark)
+    val pinned = graft.queries.BuiltIndexMemo.allPinnedRddIds(spark)
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(r => if (!pinned(r.id)) r.unpersist(blocking = true))
     spark.catalog.clearCache()
@@ -104,7 +115,7 @@ object SparkEntry {
     * contract). Call when done with the session's similarity serving —
     * Bench does before its leak accounting. */
   def releaseIndexes(spark: SparkSession): Unit = {
-    graft.queries.SimilarityOps.clearGraphMemo()
+    graft.queries.BuiltIndexMemo.clearAll(spark)
     release(spark)
   }
 

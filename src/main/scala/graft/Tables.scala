@@ -68,6 +68,16 @@ object Tables {
     try body finally shared.remove(key)
   }
 
+  /** True while [[withShared]] overrides (spark, dir, name). The
+    * session-scoped index memos (DedupOps.shingleMemo,
+    * SimilarityOps.graphMemo) consult this: a memoized CORPUS index is
+    * only valid for the real corpus, so under an override they neither
+    * serve a stale entry nor — the r20 regression this guards against —
+    * publish an index built from the substituted frame, which would
+    * poison every post-override serving query in the session. */
+  def isShared(spark: SparkSession, dir: String, name: String): Boolean =
+    shared.containsKey((spark, dir, name))
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val o = shared.get((spark, dir, name))

@@ -179,89 +179,68 @@ object SimilarityOps {
     * an edge table pinned in cluster storage while query batches come
     * and go. Without the memo one bench pass built the same layer-0
     * fixed point four times over (s72, s73 via s72's entry, s74). */
-  private val graphMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, String), DataFrame]()
+  private val graphMemo = new BuiltIndexMemo
 
-  /** RDD ids whose blocks SparkEntry.release() must leave resident. */
-  private[graft] def pinnedGraphRddIds: Set[Int] = {
-    val b = Set.newBuilder[Int]
-    graphMemo.values.forEach(df =>
-      b += org.apache.spark.sql.GraftBridge.checkpointRddId(df))
-    b.result()
-  }
+  /** RDD ids whose blocks SparkEntry.release() must leave resident,
+    * scoped to the session being released (ADVICE r19). */
+  private[graft] def pinnedGraphRddIds(s: SparkSession): Set[Int] =
+    graphMemo.pinnedRddIds(s)
 
-  /** Drop every memoized graph index — blocks and handles. */
-  private[graft] def clearGraphMemo(): Unit = {
-    val it = graphMemo.entrySet().iterator()
-    while (it.hasNext) {
-      org.apache.spark.sql.GraftBridge.uncheckpoint(it.next().getValue)
-      it.remove()
-    }
-  }
+  /** Drop the session's memoized graph indexes — blocks and handles. */
+  private[graft] def clearGraphMemo(s: SparkSession): Unit =
+    graphMemo.clear(s)
 
-  /** Memo get with [[memoGet]]'s dir-walk eviction; `build` must
-    * return a localCheckpointed frame (root LogicalRDD — both the
-    * pin and the eviction go through GraftBridge's root-only
-    * contract). `rebuild = true` forces a fresh build and swaps it in
-    * (s72's posture: that query IS the index build, so it must never
-    * report a memo hit — and its run refreshes what s73/s74 serve). */
+  /** See [[BuiltIndexMemo.get]] — dir-walk + dead-session eviction;
+    * `rebuild = true` is s72's posture: that query IS the index build,
+    * so it must never report a memo hit — and its run refreshes what
+    * s73/s74 serve. */
   private def graphMemoGet(s: SparkSession, d: String, kind: String,
-      rebuild: Boolean = false)(build: => DataFrame): DataFrame = {
-    val it = graphMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if ((e.getKey._1 eq s) && e.getKey._2 != d) {
-        org.apache.spark.sql.GraftBridge.uncheckpoint(e.getValue)
-        it.remove()
-      }
-    }
-    val key = (s, d, kind)
-    if (!rebuild) {
-      val hit = graphMemo.get(key)
-      if (hit != null) return hit
-    }
-    val built = build
-    if (rebuild) {
-      val old = graphMemo.put(key, built)
-      if (old != null && (old ne built))
-        org.apache.spark.sql.GraftBridge.uncheckpoint(old)
-      built
-    } else {
-      // losers of a concurrent build race drop their blocks; the
-      // winner's entry is what every caller serves from
-      val prev = graphMemo.putIfAbsent(key, built)
-      if (prev != null) {
-        org.apache.spark.sql.GraftBridge.uncheckpoint(built); prev
-      } else built
-    }
-  }
+      rebuild: Boolean = false)(build: => DataFrame): DataFrame =
+    graphMemo.get(s, d, kind, rebuild)(build)
 
   /** Layer-0 NN-descent edges (src, dst, cosine; out-degree ≤ K) —
-    * build-on-miss, serve-from-memo thereafter. */
+    * build-on-miss, serve-from-memo thereafter. Under a
+    * Tables.withShared override of the embeddings table the memo is
+    * bypassed both ways (no serve, no publish — Tables.isShared): a
+    * corpus index is only valid for the real corpus, and publishing
+    * one built from a substituted frame would poison every
+    * post-override serving query in the session. The bypass build
+    * still localCheckpoints internally (the fixed point requires it);
+    * its unpinned blocks die at the next release(). */
   private def nndescentEdges(s: SparkSession, d: String): DataFrame =
-    graphMemoGet(s, d, "nnd0")(nndescentLayer0Build(s, d))
+    if (graft.Tables.isShared(s, d, "embeddings")) nndescentLayer0Build(s, d)
+    else graphMemoGet(s, d, "nnd0")(nndescentLayer0Build(s, d))
 
   /** s74's /8 entry-tier edges, re-keyed to contiguous rank ids —
     * the same derivation as s74's `e1` (filter every 8th, rank id =
     * vec_id/8), so the memoized graph is exactly what the oracle's
     * `e1` CTE chain unrolls. */
   private def nndescentEdges1(s: SparkSession, d: String): DataFrame =
-    graphMemoGet(s, d, "nnd1") {
+    if (graft.Tables.isShared(s, d, "embeddings")) nndescentLayer1Build(s, d)
+    else graphMemoGet(s, d, "nnd1")(nndescentLayer1Build(s, d))
+
+  private def nndescentLayer1Build(s: SparkSession, d: String): DataFrame = {
       val e1 = emb(s, d).select(col("vec_id"), col("emb"))
         .filter(col("vec_id") % 8 === 0)
         .select((col("vec_id") / 8).cast("long").as("vec_id"), col("emb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      nndescentGraph(e1)
+      // the input persist feeds only the build's supersteps; once the
+      // result is checkpoint-resident it is dead weight — drop it here
+      // (ADVICE r19: on a lost build race it otherwise stayed resident
+      // until the next release(), and under the concurrent warm-up
+      // several duplicate full-corpus persists could be live at once)
+      try nndescentGraph(e1) finally e1.unpersist(blocking = false)
     }
 
   private def nndescentLayer0Build(s: SparkSession, d: String): DataFrame = {
     // the input persist feeds the init + 6 supersteps' scoring joins;
-    // it is a normal working-set cache, released between queries —
-    // only the checkpointed RESULT is pinned
+    // only the checkpointed RESULT is pinned, so the working set is
+    // unpersisted as soon as the build lands (ADVICE r19 — it used to
+    // ride until the next release(), and a lost concurrent build race
+    // left duplicate full-corpus persists resident)
     val e = emb(s, d).select(col("vec_id"), col("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nndescentGraph(e)
+    try nndescentGraph(e) finally e.unpersist(blocking = false)
   }
 
   /** Trained coarse quantizer for s40: seeded k-means (k=8) fit once
@@ -1870,8 +1849,13 @@ object SimilarityOps {
       // this query IS the index build: it always rebuilds (never
       // reports a memo hit — its bench row keeps measuring the build),
       // and the rebuild refreshes what s73/s74 serve from [[graphMemo]]
-      val g = graphMemoGet(s, d, "nnd0", rebuild = true)(
-        nndescentLayer0Build(s, d))
+      // — unless a Tables.withShared override is active, in which case
+      // the build must NOT be published (see [[nndescentEdges]])
+      val g =
+        if (graft.Tables.isShared(s, d, "embeddings"))
+          nndescentLayer0Build(s, d)
+        else graphMemoGet(s, d, "nnd0", rebuild = true)(
+          nndescentLayer0Build(s, d))
       // final ranks: ≤ K rows per src — the only acceptable use of a
       // bounded per-key window (the s44 posture)
       val w = Window.partitionBy(col("src"))
@@ -1988,17 +1972,29 @@ object SimilarityOps {
           .unionByName(bestE.join(edges0, col("entry_id") === col("src"))
             .select(col("qid"), col("dst").as("nid")))
           .filter(col("nid") =!= col("qid")).distinct())
-      // the 6-hop descent checkpoints per hop (the d37 discipline): a
-      // lazy fold references v THREE times per hop (beam, anti-join,
-      // union), so the un-truncated plan grows 3^hops subtree copies —
-      // at 6 hops the optimizer never finishes. The 2-hop walks
-      // (upper, s71/s73) stay lazy: 9 copies is fine, 729 is not.
-      var visited = hop0.localCheckpoint(true)
-      for (_ <- 1 to descentHops) {
-        val nv = growOn(nodes0, edges0, excludeQ = true)(visited)
-          .localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.uncheckpoint(visited)
-        visited = nv
+      // the 6-hop descent checkpoints every SECOND hop (r20; per-hop
+      // until r19): a lazy fold references v THREE times per hop
+      // (beam, anti-join, union), so an un-truncated plan grows
+      // 3^hops subtree copies — at 6 hops the optimizer never
+      // finishes. Truncating every 2 hops bounds each lazy segment at
+      // 3² = 9 copies — the documented-fine regime of the 2-hop walks
+      // (upper, s71/s73) — while halving the number of full
+      // materialization barriers (6 → 3), which dominated s74's row
+      // once both graph layers served from the memo (per-hop frontier
+      // work is tiny: ≤ beam × degree rows per query). The last hop
+      // always checkpoints so the ranking window below reads a
+      // truncated root. Hash-identical at all SFs: checkpoint
+      // placement changes barrier count, never rows.
+      var lastCp = hop0.localCheckpoint(true)
+      var visited: DataFrame = lastCp
+      for (h <- 1 to descentHops) {
+        val grown = growOn(nodes0, edges0, excludeQ = true)(visited)
+        if (h % 2 == 0 || h == descentHops) {
+          val nv = grown.localCheckpoint(true)
+          org.apache.spark.sql.GraftBridge.uncheckpoint(lastCp)
+          lastCp = nv
+          visited = nv
+        } else visited = grown
       }
       visited
         .withColumn("rnk", row_number().over(w))

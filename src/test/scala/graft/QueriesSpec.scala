@@ -92,7 +92,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // s73 builds layer 0 on miss; the built index must survive release()
     val served = rows("s73_graph_ann_nndescent")
     SparkEntry.release(spark)
-    val pinned = SimilarityOps.pinnedGraphRddIds
+    val pinned = SimilarityOps.pinnedGraphRddIds(spark)
     assert(pinned.nonEmpty, "release() must keep the built graph index")
     assert(pinned.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
       "pinned index blocks must still be resident after release()")
@@ -102,7 +102,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // serving from the memo must equal a fresh build row-for-row
     val servedFromMemo = rows("s73_graph_ann_nndescent")
     SparkEntry.releaseIndexes(spark)
-    assert(SimilarityOps.pinnedGraphRddIds.isEmpty &&
+    assert(SimilarityOps.pinnedGraphRddIds(spark).isEmpty &&
       spark.sparkContext.getPersistentRDDs.isEmpty,
       "releaseIndexes() must drop the pins and every block")
     val rebuilt = rows("s73_graph_ann_nndescent")
@@ -110,9 +110,9 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       "memo-hit and fresh-rebuild results must be identical")
     // s72 is the build query: running it must REFRESH the pin, not hit it
     SparkEntry.queries("s72_nndescent_knn_graph")(spark, sf0001).count()
-    val pinnedBefore = SimilarityOps.pinnedGraphRddIds
+    val pinnedBefore = SimilarityOps.pinnedGraphRddIds(spark)
     SparkEntry.queries("s72_nndescent_knn_graph")(spark, sf0001).count()
-    val pinnedAfter = SimilarityOps.pinnedGraphRddIds
+    val pinnedAfter = SimilarityOps.pinnedGraphRddIds(spark)
     assert((pinnedBefore & pinnedAfter).isEmpty,
       "s72 must rebuild (new checkpoint RDD), never serve a memo hit")
     SparkEntry.releaseIndexes(spark)
@@ -122,18 +122,61 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     import graft.queries.SimilarityOps
     SparkEntry.releaseIndexes(spark)
     SparkEntry.queries("s73_graph_ann_nndescent")(spark, sf0001).count()
-    val pinned1 = SimilarityOps.pinnedGraphRddIds
+    val pinned1 = SimilarityOps.pinnedGraphRddIds(spark)
     assert(pinned1.nonEmpty)
     // a dir-walking caller must hold at most one dir's index per kind:
     // the sf0.01 build evicts (and uncheckpoints) the sf0.001 entry
     SparkEntry.queries("s73_graph_ann_nndescent")(spark,
       "/root/testdata/sf0.01").count()
-    val pinned2 = SimilarityOps.pinnedGraphRddIds
+    val pinned2 = SimilarityOps.pinnedGraphRddIds(spark)
     assert(pinned2.nonEmpty && (pinned1 & pinned2).isEmpty,
       "old dir's index must be evicted, new dir's pinned")
     SparkEntry.release(spark)
     assert(!pinned1.exists(spark.sparkContext.getPersistentRDDs.keySet),
       "evicted index blocks must not stay resident")
+    SparkEntry.releaseIndexes(spark)
+  }
+
+  test("shingle-index lifecycle: release keeps the pin, d28 rebuilds and defers the old generation, releaseIndexes drops all") {
+    import graft.queries.DedupOps
+    SparkEntry.releaseIndexes(spark) // start clean
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+    // d33 serves: builds the index on miss; it must survive release()
+    val served = rows("d33_neardup_capped")
+    SparkEntry.release(spark)
+    val pinned = DedupOps.pinnedShingleRddIds(spark)
+    assert(pinned.nonEmpty, "release() must keep the built shingle index")
+    assert(pinned.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "pinned shingle blocks must still be resident after release()")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinned,
+      "release() must unpersist everything except the pinned index")
+    // serving from the memo must equal a fresh build row-for-row
+    val servedFromMemo = rows("d33_neardup_capped")
+    SparkEntry.releaseIndexes(spark)
+    assert(DedupOps.pinnedShingleRddIds(spark).isEmpty &&
+      spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseIndexes() must drop the pins and every block")
+    val rebuilt = rows("d33_neardup_capped")
+    assert(servedFromMemo == served && rebuilt == served,
+      "memo-hit and fresh-rebuild results must be identical")
+    // d28 is the build row: it must REFRESH the pin, never hit it, and
+    // the replaced generation is DEFERRED (kept resident for in-flight
+    // readers) until the next release() reclaims it
+    SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001).count()
+    val pinnedBefore = DedupOps.pinnedShingleRddIds(spark)
+    SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001).count()
+    val pinnedAfter = DedupOps.pinnedShingleRddIds(spark)
+    assert((pinnedBefore & pinnedAfter).isEmpty,
+      "d28 must rebuild (new checkpoint RDD), never serve a memo hit")
+    assert(pinnedBefore.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "the superseded generation must stay resident (deferred) until release")
+    SparkEntry.release(spark)
+    assert(!pinnedBefore.exists(spark.sparkContext.getPersistentRDDs.keySet),
+      "release() must reclaim the deferred superseded generation")
+    assert(pinnedAfter.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "the fresh build must remain pinned through release()")
     SparkEntry.releaseIndexes(spark)
   }
 
