@@ -43,7 +43,15 @@ object GraphRank {
     // truncation order in the oracle
     val base = (15L * scale / 100L) / n
     var pr = deg.withColumn("r", lit(scale / n)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    // checkpoint every SECOND iteration (r20, the s74 cadence): `pr`
+    // appears twice per superstep (contribution join + reassembly
+    // join), so a lazy segment of k iterations holds 2^k copies of the
+    // checkpointed parent subtree — at k = 2 that is 4 copies, the
+    // documented-fine regime, and the full-materialization barrier
+    // count halves (10 → 5). Checkpoint placement changes barrier
+    // count, never rows: the fixed-point arithmetic is untouched.
+    var lastCk = pr
+    for (i <- 1 to iters) {
       val contribs = sym
         .join(pr.select(col("node").as("src"), expr("r div deg").as("c")),
           "src")
@@ -52,11 +60,15 @@ object GraphRank {
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .localCheckpoint(true)
-      // the eager checkpoint materialized `next`; release the previous
-      // iteration's blocks or storage grows O(iters × nodes)
-      org.apache.spark.sql.GraftBridge.uncheckpoint(pr)
-      pr = next
+      if (i % 2 == 0 || i == iters) {
+        val ck = next.localCheckpoint(true)
+        // the eager checkpoint materialized `ck` (through the lazy
+        // segment); release the previous barrier's blocks or storage
+        // grows O(barriers × nodes)
+        org.apache.spark.sql.GraftBridge.uncheckpoint(lastCk)
+        lastCk = ck
+        pr = ck
+      } else pr = next
     }
     sym.unpersist()
     pr.select(col("node").as("doc_id"), col("r").as("rank_scaled"))

@@ -94,10 +94,38 @@ object DedupOps {
       shingleMemo.get(s, d, "sh3", rebuild)(
         shingles(s, d).localCheckpoint(true))
 
+  /** The memoized near-dup PAIR index (r20, second tier over [[shingleMemo]]):
+    * the confirmed Jaccard-≥0.8 edge list — the d-family's exact analog
+    * of the s72 NN-descent edge table. Every clustering/reporting
+    * composer (d31/d34/d37/d41→d42/d44/d48/d55/q96/q103/q104, d43,
+    * d54, d56) consumes this table and used to re-derive it per
+    * invocation: explode + self equi-join + inclusion-exclusion
+    * confirm over the (already served) shingle index, ~1–1.5 s of
+    * identical work per row at sf0.1. At 100 TB the pair list is the
+    * FIRST artifact a dedup pipeline materializes (the edge table
+    * clustering, canonicalization and every audit read) — build once,
+    * serve many. d28 stays the designated BUILD row: it rebuilds the
+    * shingle index AND the pair table unconditionally, so its bench
+    * row keeps measuring tokenize + shingle + candidate join + confirm
+    * while the composers measure clustering/reporting over a built
+    * edge list. The table is tiny (one row per confirmed pair), so the
+    * checkpoint cost is a barrier, not storage. Under a
+    * Tables.withShared override the memo is bypassed both ways (the
+    * shingle-index discipline): pure-lineage pairs over the
+    * substituted corpus, nothing published. */
+  private def pairsIndex(s: SparkSession, d: String,
+      rebuild: Boolean = false): DataFrame =
+    if (graft.Tables.isShared(s, d, "documents"))
+      neardupPairs(shingleIndex(s, d))
+    else
+      shingleMemo.get(s, d, "nd08", rebuild)(
+        neardupPairs(shingleIndex(s, d, rebuild)).localCheckpoint(true))
+
   /** d28's pair derivation over a given shingle table: shingle
     * equi-join candidates → inclusion-exclusion Jaccard ≥ 0.8. Kept
-    * separate from the registry entry so composers can run it over the
-    * SERVED index while d28 itself runs it over a fresh rebuild. */
+    * separate from the registry entry so [[pairsIndex]] can run it over
+    * either the SERVED index (memo-miss build) or a fresh rebuild
+    * (d28's posture). */
   private def neardupPairs(sh: DataFrame): DataFrame = {
     // join on xxhash64(shingle), not the shingle string: the shuffle
     // ships and compares 8-byte keys instead of ~20-byte strings
@@ -501,14 +529,15 @@ object DedupOps {
     // Exact near-dup: word-3-gram Jaccard ≥ 0.8 via shingle equi-join
     // (candidate pairs share ≥1 shingle; intersection counted by the
     // join, union by inclusion-exclusion). The family's designated
-    // BUILD row (r20): always rebuilds the shingle index (never a memo
-    // hit — this bench row keeps measuring tokenize+shingle+join), and
-    // the rebuild refreshes what the serving family reads. Composers
-    // (d31/d34/d41/d44/d54/d56/d59) take [[neardupPairs]] over the
-    // SERVED index instead — they measure clustering/reporting over a
-    // built pair list, not a re-tokenize of the corpus.
+    // BUILD row (r20): always rebuilds the shingle index AND the pair
+    // index (never a memo hit — this bench row keeps measuring
+    // tokenize + shingle + candidate join + confirm), and the rebuild
+    // refreshes what the serving family reads. Composers
+    // (d31/d34/d37/d41/d44/d54/d56/d59) take [[pairsIndex]] — they
+    // measure clustering/reporting over a built edge list, not a
+    // re-derivation of it.
     "d28_neardup_jaccard" -> { (s, d) =>
-      neardupPairs(shingleIndex(s, d, rebuild = true))
+      pairsIndex(s, d, rebuild = true)
     },
 
     // THRESHOLD SENSITIVITY SWEEP — the calibration table a dedup run
@@ -657,7 +686,7 @@ object DedupOps {
     // canonical doc survives per duplicate cluster. Oracle: transitive
     // closure via DuckDB recursive CTE.
     "d31_dedup_clusters" -> { (s, d) =>
-      val edges = neardupPairs(shingleIndex(s, d)).select(col("ia"), col("ib"))
+      val edges = pairsIndex(s, d).select(col("ia"), col("ib"))
       graft.operators.DedupClustering.connectedComponents(edges)
     },
 
@@ -669,7 +698,7 @@ object DedupOps {
     // here vs 10k there (StressBench `cc` scenario measures both).
     // Shares d31's recursive-CTE oracle verbatim.
     "d34_dedup_clusters_star" -> { (s, d) =>
-      val edges = neardupPairs(shingleIndex(s, d)).select(col("ia"), col("ib"))
+      val edges = pairsIndex(s, d).select(col("ia"), col("ib"))
       graft.operators.DedupClustering.connectedComponentsStar(edges)
     },
 
@@ -683,7 +712,7 @@ object DedupOps {
     // the d28 edge build, exchanges are keyed by doc_id (component
     // join) and cluster_rep (size aggregate).
     "d41_canonical_docs" -> { (s, d) =>
-      val edges = neardupPairs(shingleIndex(s, d))
+      val edges = pairsIndex(s, d)
         .select(col("ia"), col("ib"))
       val comps = graft.operators.DedupClustering.connectedComponentsStar(edges)
         .withColumnRenamed("cluster_id", "cid")
@@ -713,7 +742,7 @@ object DedupOps {
     // so the embedding table streams through keyed by id.
     "d43_signal_agreement" -> { (s, d) =>
       graft.functions.VectorFunctions.register(s)
-      val pairs = neardupPairs(shingleIndex(s, d))
+      val pairs = pairsIndex(s, d)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       pairs
@@ -862,7 +891,7 @@ object DedupOps {
     // numeric algorithm hash-matches the oracle bit for bit (the
     // DuckDB side unrolls the same 10 iterations as chained CTEs).
     "d37_pagerank" -> { (s, d) =>
-      val edges = neardupPairs(shingleIndex(s, d)).select(col("ia"), col("ib"))
+      val edges = pairsIndex(s, d).select(col("ia"), col("ib"))
       graft.operators.GraphRank.pagerankFixedPoint(edges, iters = 10)
     },
 
@@ -973,7 +1002,7 @@ object DedupOps {
       val sh = shingleIndex(s, d) // served, checkpoint-resident (r20)
       val sigs = minhashSigs(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exact = neardupPairs(shingleIndex(s, d))
+      val exact = pairsIndex(s, d)
         .agg(count(lit(1)).as("n_exact"))
       val arms = Seq(2, 4, 6, 8).map { r =>
         bandedCandidates(sigs, rowsPerBand = r)
@@ -1106,7 +1135,7 @@ object DedupOps {
     // pass. n_agree/24 is an exact-operand IEEE quotient in both
     // engines, so est and err ship unrounded.
     "d56_minhash_calibration" -> { (s, d) =>
-      val pairs = neardupPairs(shingleIndex(s, d))
+      val pairs = pairsIndex(s, d)
       val sigs = minhashSigs(shingleIndex(s, d))
       val aCols = col("doc_id").as("ia") +:
         (0 until 24).map(i => col(s"mh$i").as(s"a$i"))

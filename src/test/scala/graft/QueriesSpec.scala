@@ -180,6 +180,39 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.releaseIndexes(spark)
   }
 
+  test("near-dup pair index lifecycle: composers serve the built edge list, d28 refreshes it, memo-hit ≡ fresh rebuild") {
+    import graft.queries.DedupOps
+    SparkEntry.releaseIndexes(spark) // start clean
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+    // d31 serves: a miss builds BOTH tiers (shingle index + pair index)
+    val served = rows("d31_dedup_clusters")
+    SparkEntry.release(spark)
+    val pinned = DedupOps.pinnedShingleRddIds(spark)
+    assert(pinned.size >= 2,
+      "both the shingle index and the pair index must be pinned")
+    // serving from the memo must equal a fresh build row-for-row
+    val servedFromMemo = rows("d31_dedup_clusters")
+    SparkEntry.releaseIndexes(spark)
+    val rebuilt = rows("d31_dedup_clusters")
+    assert(servedFromMemo == served && rebuilt == served,
+      "memo-hit and fresh-rebuild cluster results must be identical")
+    // d28 is the build row: running it must REFRESH both tiers (new
+    // checkpoint RDDs), never serve a hit, and its rows must equal the
+    // edge list a fresh session derives
+    val viaServe = rows("d28_neardup_jaccard")
+    val pinnedBefore = DedupOps.pinnedShingleRddIds(spark)
+    SparkEntry.queries("d28_neardup_jaccard")(spark, sf0001).count()
+    val pinnedAfter = DedupOps.pinnedShingleRddIds(spark)
+    assert((pinnedBefore & pinnedAfter).isEmpty,
+      "d28 must rebuild both indexes, never serve a memo hit")
+    SparkEntry.releaseIndexes(spark)
+    assert(rows("d28_neardup_jaccard") == viaServe,
+      "rebuilt pair rows must equal the previously published edge list")
+    SparkEntry.releaseIndexes(spark)
+  }
+
   test("s73 graph-ANN over the NN-descent graph: end-to-end scalable build+search keeps the recall floor") {
     import org.apache.spark.sql.functions._
     def top3(name: String): Set[(String, String)] =
