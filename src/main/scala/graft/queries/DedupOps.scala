@@ -121,6 +121,112 @@ object DedupOps {
       shingleMemo.get(s, d, "nd08", rebuild)(
         neardupPairs(shingleIndex(s, d, rebuild)).localCheckpoint(true))
 
+  /** The memoized CANONICAL KEEP-LIST index (r20, kind "d41k") — the
+    * third artifact tier of the dedup pipeline: shingles (d28 builds)
+    * → confirmed pairs (d28 builds) → connected components + one
+    * canonical survivor per cluster (THIS table; d41 is the build
+    * row). Nine registry rows consume it (d42/d44/d48/d49/d50/d55/
+    * d57/d58/d59 — every dataset-card/report/split query reads the
+    * keep-list, never re-clusters), which at 100 TB is precisely how
+    * a pipeline runs: the keep-list is written once next to the
+    * corpus and every downstream job joins it by doc_id. Each build
+    * row measures its OWN tier's build over served lower tiers: d28
+    * = tokenize+shingle+pairs, d41 = CC + canonicalization over the
+    * served pair index, d44 = gates + verdict over the served
+    * keep-list. Same lifecycle as the other tiers: localCheckpointed,
+    * pinned across release(), dropped by releaseIndexes/dir-walk,
+    * bypassed (pure lineage) under a Tables.withShared override. */
+  private[graft] def labelsIndex(s: SparkSession, d: String,
+      rebuild: Boolean = false): DataFrame =
+    if (graft.Tables.isShared(s, d, "documents")) labelsBody(s, d)
+    else shingleMemo.get(s, d, "d41k", rebuild)(
+      labelsBody(s, d).localCheckpoint(true))
+
+  /** The memoized CLEAN-CORPUS VERDICT index (r20, kind "d44v") — the
+    * final artifact tier: per-document keep/drop decision with a
+    * first-failing-gate reason. d44 is the build row; its build folds
+    * the quality gate (t35) and decontamination (d38) over the SERVED
+    * keep-list ([[labelsIndex]]) — each build row measures its own
+    * tier. The manifest/funnel/epoch-plan consumers (q96/q103/q104)
+    * serve this table, exactly the "derived from the SAME verdict the
+    * manifest ships" contract their doc comments state: at 100 TB the
+    * verdict is materialized once per curation run and every
+    * dataset-card and trainer-manifest job reads it. */
+  private[graft] def verdictIndex(s: SparkSession, d: String,
+      rebuild: Boolean = false): DataFrame =
+    if (graft.Tables.isShared(s, d, "documents")) verdictBody(s, d)
+    else shingleMemo.get(s, d, "d44v", rebuild)(
+      verdictBody(s, d).localCheckpoint(true))
+
+  private def verdictBody(s: SparkSession, d: String): DataFrame = {
+    // The DEDUP gate comes from the keep-list tier, OUTSIDE the
+    // shared-scan override below (r20): the withShared substitution is
+    // a pure projection of the real table, installed only to share the
+    // TEXT scan between the two text gates — but the index memos
+    // correctly refuse to serve under ANY override (they cannot know
+    // it is row-identical), so constructing the keep-list inside the
+    // scope forced a full pure-lineage shingle+pair+CC rebuild on
+    // every d44 invocation (and every q96/q103/q104 through it).
+    val dedup = labelsIndex(s, d)
+      .select(col("doc_id"), col("keep").as("dd_keep"))
+    // The two TEXT gates share ONE projected scan (t35 reads
+    // doc_id/text/lang, d38 reads doc_id/text), substituted for
+    // their embedded t() calls via Tables.withShared. The projection
+    // is additionally PERSISTED only when the scan it dedupes is big
+    // enough to be worth one cache materialization — at bench scale
+    // (sub-GiB documents) pipelined parquet scans beat filling the
+    // cache (VERDICT r9 item 4); at the 100 TB posture the persist
+    // collapses the text gates' corpus scans into one. Size comes
+    // free from the optimizer's file-length stats, no extra job.
+    // Released by SparkEntry.release(), same as the labeled stage.
+    val projected = graft.Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val persistMinBytes = BigInt(
+      s.conf.get("spark.graft.sharedScan.persistMinBytes",
+        (1L << 30).toString))
+    val sharedDocs =
+      if (projected.queryExecution.optimizedPlan.stats.sizeInBytes
+          >= persistMinBytes)
+        projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else projected
+    graft.Tables.withShared(s, d, "documents", sharedDocs) {
+      val quality = graft.queries.TextOps.queries("t35_quality_filter")(s, d)
+        .select(col("doc_id"), col("reason").as("q_reason"))
+      val contam = queries("d38_decontamination")(s, d)
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      val decision =
+        when(col("contaminated"), "drop_contaminated")
+          .when(!col("dd_keep"), "drop_duplicate")
+          .when(col("q_reason") =!= "keep",
+            concat(lit("drop_"), col("q_reason")))
+          .otherwise("keep")
+      quality.join(dedup, "doc_id")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), decision.as("decision"),
+          (decision === "keep").as("keep"))
+    }
+  }
+
+  private def labelsBody(s: SparkSession, d: String): DataFrame = {
+    val edges = pairsIndex(s, d)
+      .select(col("ia"), col("ib"))
+    val comps = graft.operators.DedupClustering.connectedComponentsStar(edges)
+      .withColumnRenamed("cluster_id", "cid")
+    // labeled feeds TWO branches (the size aggregate and the final
+    // join) — persist it so the documents scan + component join run
+    // once per action, not twice; released by SparkEntry.release().
+    val labeled = t(s, d, "documents").select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cid"), col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = labeled.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("doc_id") === col("cluster_rep")).as("keep"),
+        col("cluster_size"))
+  }
+
   /** d28's pair derivation over a given shingle table: shingle
     * equi-join candidates → inclusion-exclusion Jaccard ≥ 0.8. Kept
     * separate from the registry entry so [[pairsIndex]] can run it over
@@ -711,26 +817,7 @@ object DedupOps {
     // Composes three green pieces with no new shuffle shape: beyond
     // the d28 edge build, exchanges are keyed by doc_id (component
     // join) and cluster_rep (size aggregate).
-    "d41_canonical_docs" -> { (s, d) =>
-      val edges = pairsIndex(s, d)
-        .select(col("ia"), col("ib"))
-      val comps = graft.operators.DedupClustering.connectedComponentsStar(edges)
-        .withColumnRenamed("cluster_id", "cid")
-      // labeled feeds TWO branches (the size aggregate and the final
-      // join) — persist it so the documents scan + component join run
-      // once per action, not twice; released by SparkEntry.release().
-      // This also halves what d42/d44 pay for their embedded d41.
-      val labeled = t(s, d, "documents").select(col("doc_id"))
-        .join(comps, Seq("doc_id"), "left")
-        .withColumn("cluster_rep", coalesce(col("cid"), col("doc_id")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = labeled.groupBy(col("cluster_rep"))
-        .agg(count(lit(1)).as("cluster_size"))
-      labeled.join(sizes, "cluster_rep")
-        .select(col("doc_id"), col("cluster_rep"),
-          (col("doc_id") === col("cluster_rep")).as("keep"),
-          col("cluster_size"))
-    },
+    "d41_canonical_docs" -> { (s, d) => labelsIndex(s, d, rebuild = true) },
 
     // SIGNAL AGREEMENT — the multi-signal dedup AUDIT: for every
     // lexical near-dup pair (d28, jaccard ≥ 0.8), the pair's embedding
@@ -763,48 +850,7 @@ object DedupOps {
     // adds no new shuffle shape. (Bench-side docs, id % 7 = 0, are
     // d38's benchmark and cannot be flagged contaminated by
     // construction — they face the other two gates like any doc.)
-    "d44_clean_corpus" -> { (s, d) =>
-      // The three gates each scan documents independently when run as
-      // standalone registry entries; composed here, ONE projected scan
-      // (the union of the gates' columns: t35 reads doc_id/text/lang,
-      // d41→d28 and d38 read doc_id/text) is substituted for every
-      // embedded t() call via Tables.withShared. The projection is
-      // additionally PERSISTED only when the scan it dedupes is big
-      // enough to be worth one cache materialization — at bench scale
-      // (sub-GiB documents) three pipelined parquet scans beat
-      // filling the cache (VERDICT r9 item 4); at the 100 TB posture
-      // the persist collapses three corpus scans into one. Size comes
-      // free from the optimizer's file-length stats, no extra job.
-      // Released by SparkEntry.release(), same as d41's labeled stage.
-      val projected = graft.Tables.t(s, d, "documents")
-        .select(col("doc_id"), col("text"), col("lang"))
-      val persistMinBytes = BigInt(
-        s.conf.get("spark.graft.sharedScan.persistMinBytes",
-          (1L << 30).toString))
-      val sharedDocs =
-        if (projected.queryExecution.optimizedPlan.stats.sizeInBytes
-            >= persistMinBytes)
-          projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else projected
-      graft.Tables.withShared(s, d, "documents", sharedDocs) {
-        val quality = graft.queries.TextOps.queries("t35_quality_filter")(s, d)
-          .select(col("doc_id"), col("reason").as("q_reason"))
-        val dedup = queries("d41_canonical_docs")(s, d)
-          .select(col("doc_id"), col("keep").as("dd_keep"))
-        val contam = queries("d38_decontamination")(s, d)
-          .select(col("doc_id"), lit(true).as("contaminated"))
-        val decision =
-          when(col("contaminated"), "drop_contaminated")
-            .when(!col("dd_keep"), "drop_duplicate")
-            .when(col("q_reason") =!= "keep",
-              concat(lit("drop_"), col("q_reason")))
-            .otherwise("keep")
-        quality.join(dedup, "doc_id")
-          .join(contam, Seq("doc_id"), "left")
-          .select(col("doc_id"), decision.as("decision"),
-            (decision === "keep").as("keep"))
-      }
-    },
+    "d44_clean_corpus" -> { (s, d) => verdictIndex(s, d, rebuild = true) },
 
     // DEDUP REPORT — the per-source dataset-card table a cleaning run
     // publishes: document counts, kept counts, duplicate rate, and the
@@ -814,7 +860,7 @@ object DedupOps {
     // by source; dup_rate is exact long arithmetic divided once,
     // rounded at 4 dp.
     "d42_dedup_report" -> { (s, d) =>
-      val keep = queries("d41_canonical_docs")(s, d)
+      val keep = labelsIndex(s, d)
       t(s, d, "documents").select(col("doc_id"), col("source"))
         .join(keep, "doc_id")
         .groupBy(col("source"))
@@ -854,7 +900,7 @@ object DedupOps {
     // ln(n)/ln(2) floors WRONG on exact powers of two (ln(8)/ln(2) =
     // 2.9999999999999996). One reduce over d41's per-cluster rows.
     "d48_cluster_sizes" -> { (s, d) =>
-      queries("d41_canonical_docs")(s, d)
+      labelsIndex(s, d)
         .filter(col("keep"))
         .select((length(bin(col("cluster_size"))) - 1).cast("long")
             .as("log2_size"),
@@ -1200,7 +1246,7 @@ object DedupOps {
     "d49_split_leakage" -> { (s, d) =>
       val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
         16, 10).cast("long") % 100
-      queries("d41_canonical_docs")(s, d)
+      labelsIndex(s, d)
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .filter(col("cluster_size") > 1)
         .withColumn("split",
@@ -1224,7 +1270,7 @@ object DedupOps {
     // d50 fix pattern, applied to shards instead of splits). Only
     // shuffle beyond d41's own: the cluster_rep partial agg.
     "d58_shard_leakage" -> { (s, d) =>
-      queries("d41_canonical_docs")(s, d)
+      labelsIndex(s, d)
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
         .filter(col("cluster_size") > 1)
         .withColumn("shard",
@@ -1248,7 +1294,7 @@ object DedupOps {
       val bucket = conv(
         substring(md5(col("cluster_rep").cast("string")), 1, 6),
         16, 10).cast("long") % 100
-      queries("d41_canonical_docs")(s, d)
+      labelsIndex(s, d)
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "valid")
             .otherwise("test"))
@@ -1270,7 +1316,7 @@ object DedupOps {
     // an exact-operand division, summed then rounded (4 dp absorbs FP
     // summation order).
     "d57_soft_dedup" -> { (s, d) =>
-      val lab = queries("d41_canonical_docs")(s, d)
+      val lab = labelsIndex(s, d)
         .select(col("doc_id"), col("keep"), col("cluster_size"))
       val toks = t(s, d, "documents").select(col("doc_id"), col("source"),
         size(graft.queries.TextOps.tokens(col("text"))).cast("long")
@@ -1430,7 +1476,7 @@ object DedupOps {
     // cluster costs its size in comparisons, not a sort. NULL quality
     // (empty docs) keys at -1 so a real score always wins.
     "d55_quality_canonical" -> { (s, d) =>
-      val clusters = queries("d41_canonical_docs")(s, d)
+      val clusters = labelsIndex(s, d)
         .filter(col("cluster_size") > 1)
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
       val q = graft.queries.TextOps.queries("t24_quality_score")(s, d)
@@ -1509,7 +1555,7 @@ object DedupOps {
     // labels with one lang equi-join and a cluster-keyed agg; nothing
     // here exceeds the cluster pass that produced the labels.
     "d59_cluster_purity" -> { (s, d) =>
-      val labeled = queries("d41_canonical_docs")(s, d)
+      val labeled = labelsIndex(s, d)
         .filter(col("cluster_size") > 1)
         .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
       val langs = t(s, d, "documents").select(col("doc_id"), col("lang"))

@@ -199,7 +199,7 @@ object SamplingOps {
     "q96_training_manifest" -> { (s, d) =>
       val b = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
         16, 10).cast("long") % 100
-      val kept = graft.queries.DedupOps.queries("d44_clean_corpus")(s, d)
+      val kept = graft.queries.DedupOps.verdictIndex(s, d)
         .filter(col("keep")).select(col("doc_id"))
       t(s, d, "documents")
         .select(col("doc_id"), col("source"),
@@ -382,7 +382,7 @@ object SamplingOps {
     // the verdict onto the token projection, one decision-keyed
     // partial agg; shares divide by a broadcast 1-row total.
     "q104_curation_funnel" -> { (s, d) =>
-      val verdict = graft.queries.DedupOps.queries("d44_clean_corpus")(s, d)
+      val verdict = graft.queries.DedupOps.verdictIndex(s, d)
         .select(col("doc_id"), col("decision"))
       val toks = t(s, d, "documents")
         .select(col("doc_id"),

@@ -213,6 +213,42 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.releaseIndexes(spark)
   }
 
+  test("keep-list + verdict tiers: build rows refresh their own tier over served lower tiers; serving ≡ rebuild") {
+    import graft.queries.DedupOps
+    SparkEntry.releaseIndexes(spark) // start clean
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+    // q104 serves the verdict tier: a miss builds the full hierarchy
+    // (shingles → pairs → keep-list → verdict), all pinned
+    val served = rows("q104_curation_funnel")
+    SparkEntry.release(spark)
+    assert(DedupOps.pinnedShingleRddIds(spark).size >= 4,
+      "all four dedup tiers (sh3/nd08/d41k/d44v) must be pinned")
+    // serving ≡ fresh rebuild row-for-row
+    val servedFromMemo = rows("q104_curation_funnel")
+    SparkEntry.releaseIndexes(spark)
+    val rebuilt = rows("q104_curation_funnel")
+    assert(servedFromMemo == served && rebuilt == served,
+      "memo-hit and fresh-rebuild funnel rows must be identical")
+    // d44 is the verdict tier's build row: consecutive runs must swap
+    // ONLY its own tier's checkpoint while the served lower tiers'
+    // pins stay put
+    rows("d44_clean_corpus")
+    val p1 = DedupOps.pinnedShingleRddIds(spark)
+    rows("d44_clean_corpus")
+    val p2 = DedupOps.pinnedShingleRddIds(spark)
+    assert((p1 & p2).nonEmpty && p1 != p2,
+      "d44 must refresh its own tier while serving the lower tiers")
+    // d41 likewise for the keep-list tier
+    val p3 = DedupOps.pinnedShingleRddIds(spark)
+    rows("d41_canonical_docs")
+    val p4 = DedupOps.pinnedShingleRddIds(spark)
+    assert((p3 & p4).nonEmpty && p3 != p4,
+      "d41 must refresh its own tier while serving the lower tiers")
+    SparkEntry.releaseIndexes(spark)
+  }
+
   test("s73 graph-ANN over the NN-descent graph: end-to-end scalable build+search keeps the recall floor") {
     import org.apache.spark.sql.functions._
     def top3(name: String): Set[(String, String)] =
